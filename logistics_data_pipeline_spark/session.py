@@ -1,0 +1,80 @@
+"""SparkSession construction and tuning.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) in a
+single JVM; the configuration below is nevertheless written for a real
+multi-executor cluster: AQE handles runtime re-planning (skew joins,
+partition coalescing), shuffle partition counts scale with parallelism,
+and the session timezone is pinned to UTC so wall-clock-sensitive
+expressions are deterministic (reference uses ``current_localtimestamp``;
+see SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to every session we touch (including
+# driver-provided sessions we did not build). All of these are mutable
+# at runtime per Spark's SQLConf.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp formatting/parsing; the reference's DuckDB
+    # runs in a fixed-TZ container, and the oracle compares naive values.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: coalesce small shuffle partitions, convert to broadcast joins
+    # at runtime, split skewed partitions. Essential at 100 TB; harmless
+    # locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any toPandas()/pandas-UDF boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's testdata parquet stores TIMESTAMP(NANOS), which Spark
+    # rejects by default; read as long nanos and convert explicitly
+    # (adapters/testdata.py handles the conversion per column).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided ones too)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in some deployments; best-effort
+    sp = shuffle_partitions or _cpus()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "logistics-data-pipeline-spark") -> SparkSession:
+    """Build (or reuse) a local session sized from the environment.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything else here still applies.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)

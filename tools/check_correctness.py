@@ -1,0 +1,140 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given scale factor, then compares
+row count, column-name set, and order-insensitive values. Use while
+iterating so mismatches are caught before the driver runs.
+
+Usage:
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for order-insensitive compare: sort columns by name,
+    normalize dtypes, sort rows by all columns."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).dt.tz_localize(None) if getattr(s.dt, "tz", None) else pd.to_datetime(s)
+            s = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            s = s.astype("bool")
+        else:
+            # dates, strings, lists -> string repr for sortability
+            s = s.map(lambda v: None if v is None else str(v))
+        out[c] = s
+    ndf = pd.DataFrame(out)
+    ndf = ndf.sort_values(by=list(ndf.columns), na_position="first").reset_index(drop=True)
+    return ndf
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+    sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    if problems:
+        return problems
+    s, o = norm_frame(spark_df), norm_frame(oracle_df)
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            eq = np.isclose(a.fillna(np.nan), b.fillna(np.nan), rtol=0, atol=0, equal_nan=True)
+            if not eq.all():
+                close = np.isclose(a.fillna(np.nan), b.fillna(np.nan), rtol=1e-9, atol=1e-12, equal_nan=True)
+                n_bad, n_loose = int((~eq).sum()), int((~close).sum())
+                i = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {n_bad} cells differ exactly ({n_loose} beyond 1e-9 rtol); "
+                    f"first: spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+                )
+        else:
+            a2, b2 = a.fillna("\x00NULL"), b.fillna("\x00NULL")
+            neq = ~(a2 == b2).to_numpy()
+            if neq.any():
+                i = int(np.argmax(neq))
+                problems.append(
+                    f"col {c}: {int(neq.sum())}/{len(a)} cells differ; "
+                    f"first: spark={a.iloc[i]!r} oracle={b.iloc[i]!r} (row {i})"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from logistics_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(queries)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle; rows-only) [{t1-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} ({len(sdf)} vs {len(odf)} rows) [{t1-t0:.1f}s]")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            n_pass += 1
+            print(f"ok    {name}: {len(sdf)} rows match [{t1-t0:.1f}s]")
+    print(f"\n{n_pass} ok, {n_fail} FAIL, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
