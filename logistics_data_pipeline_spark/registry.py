@@ -6,17 +6,46 @@ a DuckDB oracle SQL string over the driver's pre-registered views
 embeddings). Keys without an oracle get the driver's weaker rows-only
 check (non-SQL-expressible ops, e.g. LSH).
 
-SURVEY.md §2 operator IDs are noted in each builder's docstring in the
-operator modules.
+SURVEY.md §2 operator IDs are noted in each builder module's docstrings;
+the key → operator mapping:
+
+    bronze_events              S2/S6/S8 (derived raw_logistics)
+    stg_events                 P1 P2
+    valid_events               P3
+    invalid_events             P4 P5 P6
+    dq_invalid_delivery_summary A4 A5 A6 J6 O1
+    dim_time / dim_location / dim_status / dim_carrier / dim_order
+                               A1 A2 A3 U1 §2.8 surrogate keys
+    fact_event                 J1–J5 P7
+    kpi_carrier_performance    A7 J7 O2
+    kpi_active_shipments       P8 J8
+    kpi_weight_distribution    P9
+    kpi_status_distribution    A8 J9 O5
+    monitor_scalar_metrics     A9
+    monitor_ingest_trend       A10 O3
+    monitor_dq_rollup          A11
+    monitor_recent_events      O4
+    dq_checks                  A13 A12
+    ingest_dedup_antijoin      S9 J10
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .adapters.testdata import BRONZE_SQL, bronze_events
+from . import oracles
+from .adapters.testdata import (
+    BRONZE_SQL,
+    DQ_AS_OF_DATE,
+    bronze_events,
+    load_table,
+)
+from .operators import dq_summary as dqs
+from .operators import kpi, monitoring, quality, staging, star, validity
+from .sources.bronze import incremental_insert
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,17 +68,144 @@ def oracle_sql() -> dict[str, str]:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Carrier on-time KPI (reference Business_KPI_dashboard.py:20-34),
-    the end-to-end slice: bronze → staging → valid → star → KPI."""
-    if "kpi_carrier_performance" in _QUERIES:
-        return _QUERIES["kpi_carrier_performance"](spark, sf_dir)
-    return _QUERIES["bronze_events"](spark, sf_dir)
+    """Carrier on-time KPI (reference Business_KPI_dashboard.py:20-34):
+    the end-to-end slice bronze → staging → valid → star → KPI."""
+    return _QUERIES["kpi_carrier_performance"](spark, sf_dir)
+
+
+# --- layer builders (lazy DataFrames; Catalyst sees the whole lineage) -----
+
+
+def _stg(spark, sf_dir):
+    return staging.stage_events(bronze_events(spark, sf_dir))
+
+
+def _valid(spark, sf_dir):
+    return validity.valid_events(_stg(spark, sf_dir))
+
+
+def _invalid(spark, sf_dir):
+    return validity.invalid_events(_stg(spark, sf_dir))
+
+
+def _fact(spark, sf_dir):
+    return star.fact_event(_valid(spark, sf_dir))
+
+
+def _q(fn):
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 # --- registrations ---------------------------------------------------------
 
+register("bronze_events", bronze_events, oracles.q("SELECT * FROM bronze"))
+register("stg_events", _stg, oracles.q("SELECT * FROM stg"))
+register("valid_events", _valid, oracles.q("SELECT * FROM valid"))
+register("invalid_events", _invalid, oracles.q("SELECT * FROM invalid"))
+
 register(
-    "bronze_events",
-    bronze_events,
-    f"WITH bronze AS (\n{BRONZE_SQL}\n) SELECT * FROM bronze",
+    "dq_invalid_delivery_summary",
+    _q(lambda spark, sf: dqs.dq_invalid_delivery_summary(_stg(spark, sf), _invalid(spark, sf))),
+    oracles.q("SELECT * FROM dq_summary"),
+)
+
+register(
+    "dim_time",
+    _q(lambda spark, sf: star.dim_time(_valid(spark, sf))),
+    oracles.q("SELECT * FROM dim_time"),
+)
+register(
+    "dim_location",
+    _q(lambda spark, sf: star.dim_location(_valid(spark, sf))),
+    oracles.q("SELECT * FROM dim_location"),
+)
+register(
+    "dim_status",
+    _q(lambda spark, sf: star.dim_status(_valid(spark, sf))),
+    oracles.q("SELECT * FROM dim_status"),
+)
+register(
+    "dim_carrier",
+    _q(lambda spark, sf: star.dim_carrier(_valid(spark, sf))),
+    oracles.q("SELECT * FROM dim_carrier"),
+)
+register(
+    "dim_order",
+    _q(lambda spark, sf: star.dim_order(_valid(spark, sf))),
+    oracles.q("SELECT * FROM dim_order"),
+)
+register("fact_event", _fact, oracles.q("SELECT * FROM fact_event"))
+
+register(
+    "kpi_carrier_performance",
+    _q(lambda spark, sf: kpi.carrier_performance(_fact(spark, sf), star.dim_carrier(_valid(spark, sf)))),
+    oracles.KPI_CARRIER_SQL,
+)
+register(
+    "kpi_active_shipments",
+    _q(
+        lambda spark, sf: kpi.active_shipments(
+            _fact(spark, sf),
+            star.dim_location(_valid(spark, sf)),
+            star.dim_status(_valid(spark, sf)),
+            star.dim_carrier(_valid(spark, sf)),
+        )
+    ),
+    oracles.KPI_ACTIVE_SHIPMENTS_SQL,
+)
+register(
+    "kpi_weight_distribution",
+    _q(lambda spark, sf: kpi.weight_distribution(_fact(spark, sf))),
+    oracles.KPI_WEIGHT_SQL,
+)
+register(
+    "kpi_status_distribution",
+    _q(lambda spark, sf: kpi.status_distribution(_fact(spark, sf), star.dim_status(_valid(spark, sf)))),
+    oracles.KPI_STATUS_SQL,
+)
+
+register(
+    "monitor_scalar_metrics",
+    _q(lambda spark, sf: monitoring.scalar_metrics(bronze_events(spark, sf))),
+    oracles.MONITOR_SCALAR_SQL,
+)
+register(
+    "monitor_ingest_trend",
+    _q(lambda spark, sf: monitoring.ingest_trend(bronze_events(spark, sf))),
+    oracles.MONITOR_TREND_SQL,
+)
+register(
+    "monitor_dq_rollup",
+    _q(
+        lambda spark, sf: monitoring.dq_rollup(
+            dqs.dq_invalid_delivery_summary(_stg(spark, sf), _invalid(spark, sf))
+        )
+    ),
+    oracles.MONITOR_DQ_ROLLUP_SQL,
+)
+register(
+    "monitor_recent_events",
+    _q(lambda spark, sf: monitoring.recent_events(bronze_events(spark, sf))),
+    oracles.MONITOR_RECENT_SQL,
+)
+
+register(
+    "dq_checks",
+    _q(lambda spark, sf: quality.dq_check_counts(bronze_events(spark, sf), DQ_AS_OF_DATE)),
+    oracles.DQ_CHECKS_SQL,
+)
+
+register(
+    "ingest_dedup_antijoin",
+    _q(
+        lambda spark, sf: incremental_insert(
+            load_table(spark, sf, "events").filter("event_id % 10 < 5"),
+            load_table(spark, sf, "events").filter("event_id % 10 < 3"),
+        )
+    ),
+    oracles.INGEST_ANTIJOIN_SQL,
 )
