@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end (plan → shuffle → sink) via the `noop`
+writer so results are computed but never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from logistics_data_pipeline_spark import registry  # noqa: E402
+from logistics_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-sensitive subset of the registry: full star
+# build, flagship KPI, DQ aggregation, anti-join, trend top-k.
+HEADLINE = [
+    "fact_event",
+    "kpi_carrier_performance",
+    "kpi_status_distribution",
+    "dq_invalid_delivery_summary",
+    "dq_checks",
+    "monitor_ingest_trend",
+    "ingest_dedup_antijoin",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    names += [n for n in sorted(qs) if n.startswith("bench_") and n not in names]
+
+    # Warm the JVM/session so the first timed query doesn't pay startup.
+    qs["bronze_events"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- layer builders (lazy DataFrames; Catalyst sees the whole lineage) -----
+#
+# `valid` feeds six star-schema consumers (5 dims + the fact's probe
+# side), so it is persisted once per (session, sf_dir): within a single
+# fact build the branches hit the cache instead of re-scanning parquet,
+# and repeated registry calls in the same session reuse it. At cluster
+# scale this is the moral equivalent of materializing the silver layer.
+
+_VALID_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _stg(spark, sf_dir):
@@ -81,7 +89,13 @@ def _stg(spark, sf_dir):
 
 
 def _valid(spark, sf_dir):
-    return validity.valid_events(_stg(spark, sf_dir))
+    key = (id(spark.sparkContext), sf_dir)
+    cached = _VALID_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = validity.valid_events(_stg(spark, sf_dir)).persist()
+    _VALID_CACHE[key] = df
+    return df
 
 
 def _invalid(spark, sf_dir):
