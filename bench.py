@@ -30,6 +30,15 @@ HEADLINE = [
     "dq_checks",
     "monitor_ingest_trend",
     "ingest_dedup_antijoin",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "events_user_sessions",
+    "docs_exact_dedup",
+    "docs_neardup_ngram",
+    "docs_neardup_minhash",
+    "docs_text_stats",
+    "emb_knn_bruteforce",
 ]
 
 

@@ -1,0 +1,148 @@
+"""Text-analysis operators for LLM data pipelines (driver mandate,
+BASELINE.json north_star): token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side built-ins — no Python UDFs — so
+they run inside whole-stage codegen at 100 TB.
+
+Each operator has a DuckDB oracle twin (module constants *_SQL) over the
+driver's ``documents`` view (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Stopword set for quality scoring / language ID. Deliberately small and
+# deterministic; 'the'/'a' occur in the testdata vocabulary.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+_WS = r"\s+"
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), _WS)
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document size/shape statistics + quality score.
+
+    quality_score = 0.4·min(n_tokens/100, 1) + 0.3·type_token_ratio +
+    0.3·min(stopword_ratio·5, 1): length, lexical diversity, and
+    stopword-ness — the standard cheap quality heuristics, all exact
+    integer/double arithmetic so the oracle matches bit-for-bit.
+    """
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ttr = n_distinct.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+SELECT
+  doc_id,
+  CAST(length(text) AS INT) AS n_chars_computed,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS INT) AS n_stopwords,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+  ROUND(
+    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+    + 0.3 * least(CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                  / len(toks) * 5.0, 1.0), 6) AS quality_score
+FROM (SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents)
+""".strip()
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: word pieces + standalone non-alnum marks
+    (the usual pre-tokenizer regex), JVM-side via regexp_extract_all."""
+    pattern = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS INT)
+         AS n_distinct_pieces
+FROM documents
+""".strip()
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-membership ratio over
+    tokens ⇒ 'en' when ≥ 5% of tokens are English stopwords. Returns the
+    prediction next to the labeled ``lang`` for accuracy analysis."""
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size(toks)
+    predicted = F.when(ratio >= 0.05, "en").otherwise("und")
+    return docs.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS is_correct
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(trim(lower(text)), '\\s+')) >= 0.05
+              THEN 'en' ELSE 'und' END AS predicted_lang
+  FROM documents)
+""".strip()
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint over whitespace-normalized,
+    lowercased text (MD5 content hash + a 64-bit bucket prefix) — the
+    join key for exact dedup across shards."""
+    normalized = F.lower(F.regexp_replace(F.col("text"), _WS, " "))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_bucket"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fingerprint_bucket
+FROM documents
+""".strip()

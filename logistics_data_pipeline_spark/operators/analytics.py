@@ -1,0 +1,206 @@
+"""General analytics over the TPC-H-ish testdata: the engine's generic
+DataFrame capability beyond the reference's logistics surface, and the
+scale-sensitive bench headliners.
+
+Numeric determinism: monetary aggregates are summed as DECIMAL (exact,
+order-independent) and cast to double at the end — floating SUM order
+varies across partitions/engines, decimal doesn't (SURVEY.md §7 #5).
+
+Scale notes:
+* q1: single scan + 4-key hash agg with map-side partials; filter pushed
+  to parquet.
+* q3/q5: star joins — small dims broadcast (region/nation/supplier),
+  big-big joins (orders⋈lineitem) shuffle on the join key with AQE.
+* user_sessions: window functions partitioned by user_id — one shuffle
+  on the partition key; the lag/cumsum pattern is the standard
+  sessionization at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+SHIP_CUTOFF = "1998-09-02"
+Q3_DATE = "1998-01-01"
+Q5_START, Q5_END = "1997-01-01", "1999-01-01"
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary."""
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue for one
+    market segment. customer is broadcast; orders⋈lineitem shuffles."""
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    c = F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")).select(
+        "c_custkey"
+    )
+    o = orders.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+    l = lineitem.filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""".strip()
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation where customer and supplier
+    share the nation. region/nation/supplier broadcast; the
+    orders⋈lineitem backbone shuffles once on orderkey."""
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("n_name"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{Q5_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_END} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""".strip()
+
+
+SESSION_GAP_S = 1800
+
+
+def user_sessions(events: DataFrame) -> DataFrame:
+    """Sessionization via window functions (extension: the reference has
+    none — SURVEY.md §2.5): a new session starts after a >30 min gap;
+    per-user event/session counts and value stats."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    )
+    return (
+        with_gap.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SESSIONS_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM (
+  SELECT *,
+         CASE WHEN date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > {SESSION_GAP_S}
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+GROUP BY user_id
+ORDER BY user_id
+""".strip()

@@ -43,6 +43,11 @@ from .adapters.testdata import (
     bronze_events,
     load_table,
 )
+from .llm import dedup as llm_dedup
+from .llm import multimodal as llm_mm
+from .llm import similarity as llm_sim
+from .llm import text as llm_text
+from .operators import analytics
 from .operators import dq_summary as dqs
 from .operators import kpi, monitoring, quality, staging, star, validity
 from .sources.bronze import incremental_insert
@@ -222,4 +227,116 @@ register(
         )
     ),
     oracles.INGEST_ANTIJOIN_SQL,
+)
+
+# --- general analytics over the TPC-H-ish tables ---------------------------
+
+register(
+    "tpch_q1_pricing_summary",
+    _q(lambda spark, sf: analytics.q1_pricing_summary(load_table(spark, sf, "lineitem"))),
+    analytics.Q1_SQL,
+)
+register(
+    "tpch_q3_shipping_priority",
+    _q(
+        lambda spark, sf: analytics.q3_shipping_priority(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+    ),
+    analytics.Q3_SQL,
+)
+register(
+    "tpch_q5_local_supplier_volume",
+    _q(
+        lambda spark, sf: analytics.q5_local_supplier_volume(
+            load_table(spark, sf, "region"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+    ),
+    analytics.Q5_SQL,
+)
+register(
+    "events_user_sessions",
+    _q(lambda spark, sf: analytics.user_sessions(load_table(spark, sf, "events"))),
+    analytics.USER_SESSIONS_SQL,
+)
+
+# --- LLM data-pipeline extensions (BASELINE.json north_star) ---------------
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+register(
+    "docs_exact_dedup",
+    _q(lambda spark, sf: llm_dedup.exact_dedup(_docs(spark, sf))),
+    llm_dedup.EXACT_DEDUP_SQL,
+)
+register(
+    "docs_neardup_ngram",
+    _q(lambda spark, sf: llm_dedup.neardup_ngram(_docs(spark, sf))),
+    llm_dedup.NEARDUP_NGRAM_SQL,
+)
+register(
+    "docs_neardup_minhash",  # LSH banding: not SQL-expressible → rows-only
+    _q(lambda spark, sf: llm_dedup.neardup_minhash(_docs(spark, sf))),
+)
+register(
+    "docs_simhash",  # xxhash64 signatures: not SQL-expressible → rows-only
+    _q(lambda spark, sf: llm_dedup.simhash(_docs(spark, sf))),
+)
+register(
+    "docs_text_stats",
+    _q(lambda spark, sf: llm_text.text_stats(_docs(spark, sf))),
+    llm_text.TEXT_STATS_SQL,
+)
+register(
+    "docs_token_count_bpe",
+    _q(lambda spark, sf: llm_text.token_count_bpe(_docs(spark, sf))),
+    llm_text.TOKEN_COUNT_BPE_SQL,
+)
+register(
+    "docs_lang_id",
+    _q(lambda spark, sf: llm_text.lang_id(_docs(spark, sf))),
+    llm_text.LANG_ID_SQL,
+)
+register(
+    "docs_fingerprint",
+    _q(lambda spark, sf: llm_text.fingerprint(_docs(spark, sf))),
+    llm_text.FINGERPRINT_SQL,
+)
+register(
+    "emb_vector_norms",
+    _q(lambda spark, sf: llm_sim.vector_norms(_emb(spark, sf))),
+    llm_sim.VECTOR_NORMS_SQL,
+)
+register(
+    "emb_knn_bruteforce",
+    _q(lambda spark, sf: llm_sim.knn_bruteforce(_emb(spark, sf))),
+    llm_sim.KNN_BRUTEFORCE_SQL,
+)
+register(
+    "emb_knn_ivf",  # approximate (probe subset) → rows-only
+    _q(lambda spark, sf: llm_sim.knn_ivf(_emb(spark, sf))),
+)
+register(
+    "emb_neardup_cosine",
+    _q(lambda spark, sf: llm_sim.embedding_neardup(_emb(spark, sf))),
+    llm_sim.EMBEDDING_NEARDUP_SQL,
+)
+register(
+    "multimodal_extract",
+    _q(lambda spark, sf: llm_mm.multimodal_extract(_docs(spark, sf))),
+    llm_mm.MULTIMODAL_EXTRACT_SQL,
 )

@@ -1,0 +1,106 @@
+"""Structured Streaming ingest leg: events → bronze parquet.
+
+Reference chain (SURVEY.md §2.1 S3–S5, §2.9): Kafka consumer polls,
+buffers 50 records, writes each buffer as one parquet file to s3://bronze.
+Idiomatic Spark re-expression:
+
+* Kafka source → ``from_json`` over the wire schema → parquet sink with
+  checkpointing (exactly-once file sink vs the reference's
+  at-least-once + load-time dedup).
+* The reference's 60-second bounded run (``--duration 60`` in the hourly
+  DAG) maps to ``trigger(availableNow=True)``: drain what's there, stop.
+* Count-based 50-row batching has no Spark trigger equivalent
+  (SURVEY.md §2.9); ``foreachBatch`` + re-chunking reproduces the file
+  layout when needed — only table contents matter semantically.
+* ``dropDuplicates`` on event_id inside the stream gives in-flight
+  dedup; the load-time anti-join (sources/bronze.py) remains canonical.
+
+The file-source variant is fully testable in this container; the Kafka
+variant needs the spark-sql-kafka package + a broker and is config-gated
+(same plan shape, different source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import WIRE_EVENT_SCHEMA
+
+
+def file_stream_source(spark: SparkSession, json_dir: str) -> DataFrame:
+    """File-based stream of JSON event payloads (testable stand-in for
+    the Kafka topic; same wire schema)."""
+    return (
+        spark.readStream.schema(WIRE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(json_dir)
+    )
+
+
+def kafka_stream_source(
+    spark: SparkSession, bootstrap: str, topic: str = "logistics-events"
+) -> DataFrame:
+    """Kafka source (reference consumer_to_minio.py:18-22): earliest
+    offsets, JSON value decode; corrupt payloads → null structs, dropped
+    (reference logs-and-skips, consumer_to_minio.py:94-97)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), WIRE_EVENT_SCHEMA).alias("e")
+    )
+    return parsed.filter(F.col("e").isNotNull()).select("e.*")
+
+
+def bronze_sink(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Write the event stream to bronze parquet with checkpointed
+    exactly-once semantics; availableNow reproduces the bounded-run DAG
+    mode."""
+    if dedup:
+        events = events.dropDuplicates(["event_id"])
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def micro_batch_sink(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    rows_per_file: int = 50,
+) -> StreamingQuery:
+    """foreachBatch sink re-chunking each micro-batch into ~50-row files
+    — byte-layout parity with the reference's count-based batching
+    (BATCH_SIZE=50, consumer_to_minio.py:33) when file layout matters."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        files = max(1, (n + rows_per_file - 1) // rows_per_file)
+        batch_df.repartition(files).write.mode("append").parquet(out_dir)
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,131 @@
+"""Structured Streaming ingest leg (file source → bronze parquet with
+checkpointed dedup) and LLM extension operator behaviors."""
+
+from __future__ import annotations
+
+import json
+
+from logistics_data_pipeline_spark.llm.dedup import (
+    exact_dedup,
+    neardup_minhash,
+    neardup_ngram,
+    simhash,
+)
+from logistics_data_pipeline_spark.llm.multimodal import multimodal_extract
+from logistics_data_pipeline_spark.llm.similarity import knn_bruteforce, knn_ivf
+from logistics_data_pipeline_spark.streaming.ingest import (
+    bronze_sink,
+    file_stream_source,
+    micro_batch_sink,
+)
+
+WIRE_ROW = {
+    "event_id": "e1",
+    "order_id": "o1",
+    "timestamp": "2024-01-05T08:00:00",
+    "status": "In Transit",
+    "origin": "A, C1",
+    "destination": "B, C2",
+    "carrier_name": "DHL",
+    "latitude": 10.0,
+    "longitude": 20.0,
+    "weight_kg": 5.0,
+    "estimated_delivery": "2024-01-07",
+}
+
+
+def _write_json(dirpath, name, rows):
+    p = dirpath / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_file_stream_to_bronze_with_dedup(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [dict(WIRE_ROW, event_id=f"e{i}") for i in range(10)]
+    _write_json(src, "a.json", rows[:6])
+    # duplicate e4/e5 across files: stream dedup must drop them
+    _write_json(src, "b.json", rows[4:])
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    q = bronze_sink(file_stream_source(spark, str(src)), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.select("event_id").distinct().count() == 10
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = bronze_sink(file_stream_source(spark, str(src)), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_micro_batch_sink_rechunks_to_50_row_files(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_json(src, "a.json", [dict(WIRE_ROW, event_id=f"e{i}") for i in range(120)])
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    q = micro_batch_sink(file_stream_source(spark, str(src)), out, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 120
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    got = {r.keeper_doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_neardup_ngram_finds_shifted_copy(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in neardup_ngram(docs, 0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_on_clear_cases(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, " ".join(f"z{i}" for i in range(60)))],
+        ["doc_id", "text"],
+    )
+    got = {(r.a_id, r.b_id) for r in neardup_minhash(docs, 0.7).collect()}
+    assert got == {(1, 2)}
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_knn_ivf_matches_bruteforce_top1_mostly(spark, sf_dir):
+    """IVF with nprobe=10 (all cells) must equal brute force exactly."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in knn_bruteforce(emb).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id for r in knn_ivf(emb, nprobe=10).collect()}
+    assert bf == ivf
+
+
+def test_multimodal_extract_batch_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s1", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = multimodal_extract(docs).collect()[0]
+    assert r.n_bytes == 11
+    assert r.mime == "text/plain"
+    import hashlib
+
+    assert r.checksum == hashlib.md5(b"hello world").hexdigest()
