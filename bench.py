@@ -39,6 +39,9 @@ HEADLINE = [
     "docs_neardup_minhash",
     "docs_text_stats",
     "emb_knn_bruteforce",
+    "emb_neardup_cosine_fast",
+    "dbt_schema_tests",
+    "gen_synthetic_events",
 ]
 
 

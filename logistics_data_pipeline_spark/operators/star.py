@@ -122,6 +122,54 @@ def dim_order(valid: DataFrame) -> DataFrame:
     )
 
 
+def fact_event_fast(valid: DataFrame) -> DataFrame:
+    """Join-free fact build — provably identical output to ``fact_event``.
+
+    Every dim join in the reference is a LEFT join back to a dimension
+    *derived from the same valid set*, keyed by a natural key the valid
+    row necessarily contains. So each surrogate FK is a pure function of
+    the fact row itself (md5 of the natural key), and the only genuine
+    data dependency — dim_order.latest_event_timestamp — is a per-order
+    MAX, expressible as a window. Six shuffling joins collapse into five
+    md5 expressions + ONE shuffle (the order_id window).
+
+    Join-miss semantics preserved: dim_status/dim_location filter empty
+    names but validity already guarantees those non-empty; dim_carrier
+    also filters empties while validity does NOT check carrier — an
+    empty carrier misses the join in the reference, reproduced by the
+    NULL guard below.
+
+    At 100 TB this is the difference between 6 wide shuffles of the fact
+    and 1. The join-based ``fact_event`` remains as the reference-shaped
+    formulation; both hash-match the same oracle.
+    """
+    from pyspark.sql import Window
+
+    latest = F.max("timestamp").over(Window.partitionBy("order_id"))
+    empty_to_null = lambda c: F.when(  # noqa: E731
+        F.col(c).isNull() | (F.col(c) == ""), F.lit(None).cast("string")
+    ).otherwise(F.col(c))
+    return valid.select(
+        surrogate_key("event_id").alias("event_sk"),
+        "event_id",
+        surrogate_key("order_id").alias("order_sk"),
+        surrogate_key("timestamp").alias("time_sk"),
+        surrogate_key("status").alias("status_sk"),
+        surrogate_key("origin").alias("origin_location_sk"),
+        surrogate_key("destination").alias("destination_location_sk"),
+        F.when(
+            empty_to_null("carrier_name").isNull(), F.lit(None).cast("string")
+        )
+        .otherwise(surrogate_key("carrier_name"))
+        .alias("carrier_sk"),
+        "weight_kg",
+        "estimated_delivery",
+        F.when(F.col("estimated_delivery") < latest, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_late_delivery"),
+    )
+
+
 def fact_event(
     valid: DataFrame,
     d_order: DataFrame | None = None,

@@ -292,6 +292,64 @@ FROM bronze WHERE TRY_CAST(estimated_delivery AS DATE) IS NULL
    OR TRY_CAST(estimated_delivery AS DATE) < DATE '{DQ_AS_OF_DATE}'
 """)
 
+# dbt schema.yml equivalents (SURVEY.md §5 item 2): one row per test.
+_DIM_TESTS = "\nUNION ALL\n".join(
+    f"""SELECT '{dim}_{sk}_not_null' AS test_name,
+       CAST(SUM(CASE WHEN {sk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM {dim}
+UNION ALL
+SELECT '{dim}_{sk}_unique', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT {sk} FROM {dim} WHERE {sk} IS NOT NULL GROUP BY {sk} HAVING COUNT(*) > 1)
+UNION ALL
+SELECT '{dim}_{nk}_unique', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT {nk} FROM {dim} WHERE {nk} IS NOT NULL GROUP BY {nk} HAVING COUNT(*) > 1)"""
+    for dim, sk, nk in [
+        ("dim_time", "time_sk", "full_timestamp"),
+        ("dim_location", "location_sk", "location_name"),
+        ("dim_status", "status_sk", "status_name"),
+        ("dim_carrier", "carrier_sk", "carrier_name"),
+        ("dim_order", "order_sk", "order_id"),
+    ]
+)
+
+_FK_TESTS = "\nUNION ALL\n".join(
+    f"""SELECT 'fact_{fk}_relationship', CAST(COUNT(*) AS BIGINT) FROM fact_event f
+WHERE f.{fk} IS NOT NULL AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})"""
+    for fk, dim, pk in [
+        ("order_sk", "dim_order", "order_sk"),
+        ("time_sk", "dim_time", "time_sk"),
+        ("status_sk", "dim_status", "status_sk"),
+        ("origin_location_sk", "dim_location", "location_sk"),
+        ("destination_location_sk", "dim_location", "location_sk"),
+        ("carrier_sk", "dim_carrier", "carrier_sk"),
+    ]
+)
+
+SCHEMA_TESTS_SQL = q(f"""
+SELECT 'stg_event_id_not_null' AS test_name,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM stg
+UNION ALL
+SELECT 'stg_event_id_unique', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT event_id FROM stg WHERE event_id IS NOT NULL GROUP BY event_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'valid_event_id_not_null',
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM valid
+UNION ALL
+SELECT 'valid_event_id_unique', CAST(COUNT(*) AS BIGINT) FROM
+  (SELECT event_id FROM valid WHERE event_id IS NOT NULL GROUP BY event_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'invalid_reason_accepted_values', CAST(SUM(CASE WHEN invalid_reason IS NOT NULL
+  AND invalid_reason NOT IN ('INVALID_WEIGHT','MISSING_COORDINATES',
+  'INVALID_ESTIMATED_DELIVERY','MISSING_STATUS','MISSING_LOCATION')
+  THEN 1 ELSE 0 END) AS BIGINT) FROM invalid
+UNION ALL
+SELECT 'is_late_delivery_accepted_values', CAST(SUM(CASE WHEN is_late_delivery IS NOT NULL
+  AND is_late_delivery NOT IN (TRUE, FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM fact_event
+UNION ALL
+{_DIM_TESTS}
+UNION ALL
+{_FK_TESTS}
+""")
+
 # S9 incremental dedup insert: rows of the "incoming" batch not already
 # in the "existing" table (NOT IN ≡ left anti; event_ids non-null here).
 # Splits of the events table are deterministic stand-ins for

@@ -32,6 +32,7 @@ from .operators.star import (
     dim_status,
     dim_time,
     fact_event,
+    fact_event_fast,
 )
 from .operators.validity import invalid_events, valid_events
 
@@ -49,8 +50,14 @@ def build_warehouse(
     bronze: DataFrame,
     restamp: datetime | None = None,
     persist: bool = True,
+    fast_fact: bool = True,
 ) -> dict[str, DataFrame]:
-    """Bronze → staging → valid/invalid → star, as lazy DataFrames."""
+    """Bronze → staging → valid/invalid → star, as lazy DataFrames.
+
+    ``fast_fact`` uses the join-free fact formulation (one shuffle,
+    proven output-identical to the six-join reference shape — see
+    star.fact_event_fast); pass False for the reference-shaped build.
+    """
     stg = stage_events(bronze, restamp=restamp)
     valid = valid_events(stg)
     if persist:
@@ -61,7 +68,11 @@ def build_warehouse(
     d_status = dim_status(valid)
     d_carrier = dim_carrier(valid)
     d_order = dim_order(valid)
-    fact = fact_event(valid, d_order, d_time, d_status, d_location, d_carrier)
+    fact = (
+        fact_event_fast(valid)
+        if fast_fact
+        else fact_event(valid, d_order, d_time, d_status, d_location, d_carrier)
+    )
     return {
         "stg_logistics_events": stg,
         "int_valid_logistics_events": valid,

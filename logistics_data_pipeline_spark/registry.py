@@ -49,7 +49,8 @@ from .llm import similarity as llm_sim
 from .llm import text as llm_text
 from .operators import analytics
 from .operators import dq_summary as dqs
-from .operators import kpi, monitoring, quality, staging, star, validity
+from .operators import kpi, monitoring, quality, schema_tests, staging, star, validity
+from .sources import generator
 from .sources.bronze import incremental_insert
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -108,7 +109,26 @@ def _invalid(spark, sf_dir):
 
 
 def _fact(spark, sf_dir):
-    return star.fact_event(_valid(spark, sf_dir))
+    # join-free formulation (star.fact_event_fast): identical output to
+    # the reference-shaped join build, one shuffle instead of six
+    return star.fact_event_fast(_valid(spark, sf_dir))
+
+
+def _warehouse_views(spark, sf_dir):
+    """The layer dict schema_tests expects, built from the memoized
+    valid layer (dims included)."""
+    valid = _valid(spark, sf_dir)
+    return {
+        "stg_logistics_events": _stg(spark, sf_dir),
+        "int_valid_logistics_events": valid,
+        "int_invalid_logistics_events": _invalid(spark, sf_dir),
+        "dim_time": star.dim_time(valid),
+        "dim_location": star.dim_location(valid),
+        "dim_status": star.dim_status(valid),
+        "dim_carrier": star.dim_carrier(valid),
+        "dim_order": star.dim_order(valid),
+        "fact_event": _fact(spark, sf_dir),
+    }
 
 
 def _q(fn):
@@ -229,6 +249,22 @@ register(
     oracles.INGEST_ANTIJOIN_SQL,
 )
 
+register(
+    "dbt_schema_tests",
+    _q(
+        lambda spark, sf: schema_tests.star_schema_tests(
+            _warehouse_views(spark, sf)
+        )
+    ),
+    oracles.SCHEMA_TESTS_SQL,
+)
+
+register(
+    "gen_synthetic_events",
+    _q(lambda spark, sf: generator.synthetic_events(spark, 10000)),
+    generator.SYNTHETIC_EVENTS_SQL,
+)
+
 # --- general analytics over the TPC-H-ish tables ---------------------------
 
 register(
@@ -334,6 +370,10 @@ register(
     "emb_neardup_cosine",
     _q(lambda spark, sf: llm_sim.embedding_neardup(_emb(spark, sf))),
     llm_sim.EMBEDDING_NEARDUP_SQL,
+)
+register(
+    "emb_neardup_cosine_fast",  # BLAS block product: last-ulp vs SQL → rows-only
+    _q(lambda spark, sf: llm_sim.embedding_neardup_fast(_emb(spark, sf))),
 )
 register(
     "multimodal_extract",

@@ -101,6 +101,39 @@ def test_build_warehouse_end_to_end(spark):
     assert wh["dq_invalid_delivery_summary"].collect()[0].invalid_reason == "INVALID_WEIGHT"
 
 
+def test_write_gold_partitions_fact_by_date(spark, tmp_path):
+    from logistics_data_pipeline_spark.pipeline import write_gold
+
+    bronze = make_bronze(
+        spark,
+        [row(), row(event_id="e2", ingestion_timestamp=datetime(2026, 1, 2))],
+    )
+    wh = build_warehouse(bronze, persist=False)
+    write_gold(wh, str(tmp_path / "gold"))
+    fact = spark.read.parquet(str(tmp_path / "gold/fact_event"))
+    assert fact.count() == 2
+    assert "ingest_date" in fact.columns
+    # partition pruning works: directory layout is ingest_date=...
+    dirs = {p.name for p in (tmp_path / "gold/fact_event").iterdir() if p.is_dir()}
+    assert "ingest_date=2026-01-01" in dirs and "ingest_date=2026-01-02" in dirs
+
+
+def test_fact_fast_equals_join_build(spark):
+    bronze = make_bronze(
+        spark,
+        [
+            row(),
+            row(event_id="e2", order_id="o2", timestamp="2024-01-06T09:00:00",
+                estimated_delivery="2024-01-08"),
+            row(event_id="e3", order_id="o2", timestamp="2024-01-09T09:00:00",
+                estimated_delivery="2024-01-10"),
+        ],
+    )
+    a = build_warehouse(bronze, persist=False, fast_fact=True)["fact_event"]
+    b = build_warehouse(bronze, persist=False, fast_fact=False)["fact_event"]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_incremental_insert_idempotent(spark, sf_dir):
     from logistics_data_pipeline_spark.adapters.testdata import load_table
 

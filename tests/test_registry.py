@@ -13,6 +13,7 @@ ROWS_ONLY_OK: set[str] = {
     "docs_neardup_minhash",  # LSH banding over xxhash64
     "docs_simhash",  # xxhash64 signatures
     "emb_knn_ivf",  # approximate probe subset
+    "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
 }
 
 

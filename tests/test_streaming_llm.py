@@ -118,6 +118,22 @@ def test_knn_ivf_matches_bruteforce_top1_mostly(spark, sf_dir):
     assert bf == ivf
 
 
+def test_embedding_neardup_fast_matches_exact(spark, sf_dir):
+    """The BLAS block-product path must emit the same pairs as the
+    exact expression path (lowered threshold so the set is non-empty)."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        embedding_neardup,
+        embedding_neardup_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in embedding_neardup(emb, 0.35).collect()}
+    fast = {(r.a_id, r.b_id) for r in embedding_neardup_fast(emb, 0.35).collect()}
+    assert exact == fast
+    assert len(exact) > 0
+
+
 def test_multimodal_extract_batch_shape(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", "s1", 11)],
