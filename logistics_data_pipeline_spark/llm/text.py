@@ -127,6 +127,62 @@ FROM (
 """.strip()
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document, fully relational (explode →
+    per-doc term counts → corpus document frequency → smooth-idf join →
+    window top-k). The same shape pyspark.ml's HashingTF+IDF computes,
+    kept exact/un-hashed so the oracle can verify it.
+
+    Scale: two hash aggregations (doc-term, term) + a broadcast join of
+    the term-df table; the window partitions by doc_id.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()  # scalar: one lightweight job, broadcast as literal
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+docfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+""".strip()
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint over whitespace-normalized,
     lowercased text (MD5 content hash + a 64-bit bucket prefix) — the

@@ -160,6 +160,88 @@ ORDER BY revenue DESC, n_name ASC
 """.strip()
 
 
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical rollup (event_type × day → subtotals → grand total)
+    via GROUP BY ROLLUP — the hypertable-style pre-aggregation pattern;
+    Catalyst expands it into one pass with grouping-id."""
+    # date as ISO string: rollup NULLs make pandas upcast real date
+    # columns inconsistently between engines (datetime64 vs object)
+    return (
+        events.rollup(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("event_date").asc_nulls_first(),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type ASC NULLS FIRST, event_date ASC NULLS FIRST
+""".strip()
+
+
+def events_value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact per-type quantiles of the value column (continuous
+    interpolation — Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+    At 100 TB use approx_percentile; the exact form is the oracle-able
+    correctness baseline."""
+    pcts = [0.25, 0.5, 0.9, 0.99]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in pcts
+            ],
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+def events_approx_distinct(events: DataFrame) -> DataFrame:
+    """HLL-sketch distinct counts next to exact ones — the 100 TB
+    pattern for cardinality dashboards (no oracle: sketch estimates are
+    engine-specific; the exact column is unit-tested instead)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SESSION_GAP_S = 1800
 
 

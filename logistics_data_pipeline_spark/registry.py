@@ -302,6 +302,28 @@ register(
     _q(lambda spark, sf: analytics.user_sessions(load_table(spark, sf, "events"))),
     analytics.USER_SESSIONS_SQL,
 )
+register(
+    "events_rollup",
+    _q(lambda spark, sf: analytics.events_rollup(load_table(spark, sf, "events"))),
+    analytics.EVENTS_ROLLUP_SQL,
+)
+register(
+    "events_value_quantiles",
+    _q(
+        lambda spark, sf: analytics.events_value_quantiles(
+            load_table(spark, sf, "events")
+        )
+    ),
+    analytics.EVENTS_QUANTILES_SQL,
+)
+register(
+    "events_approx_distinct",  # HLL sketch: engine-specific estimates → rows-only
+    _q(
+        lambda spark, sf: analytics.events_approx_distinct(
+            load_table(spark, sf, "events")
+        )
+    ),
+)
 
 # --- LLM data-pipeline extensions (BASELINE.json north_star) ---------------
 
@@ -351,6 +373,11 @@ register(
     "docs_fingerprint",
     _q(lambda spark, sf: llm_text.fingerprint(_docs(spark, sf))),
     llm_text.FINGERPRINT_SQL,
+)
+register(
+    "docs_tfidf_top_terms",
+    _q(lambda spark, sf: llm_text.tfidf_top_terms(_docs(spark, sf))),
+    llm_text.TFIDF_TOP_TERMS_SQL,
 )
 register(
     "emb_vector_norms",

@@ -14,6 +14,7 @@ ROWS_ONLY_OK: set[str] = {
     "docs_simhash",  # xxhash64 signatures
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
+    "events_approx_distinct",  # HLL sketch estimates are engine-specific
 }
 
 
