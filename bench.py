@@ -33,6 +33,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
     "events_user_sessions",
     "docs_exact_dedup",
     "docs_neardup_ngram",

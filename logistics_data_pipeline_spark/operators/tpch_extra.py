@@ -1,0 +1,488 @@
+"""Extended TPC-H-shaped analytic suite over the testdata tables,
+adapted to the reduced schemas (no partsupp, no commit/receipt dates,
+no comment columns — see TESTDATA.md). Widens the engine's demonstrated
+operator surface beyond analytics.py (q1/q3/q5) with the join/subquery
+shapes the classic queries exercise:
+
+    q4   EXISTS           -> left-semi join with an extra-key predicate
+    q6   filter+agg       -> full predicate pushdown to the parquet scan
+    q7   nation pairs     -> role-playing dim joined twice + inequality
+    q9   profit rollup    -> LIKE filter + multi-join + year extraction
+    q10  returned items   -> big-big join, wide group-by, top-k
+    q13  cust distribution-> LEFT OUTER join + count(col) + re-aggregation
+    q14  promo revenue    -> conditional-aggregate ratio
+    q16  supplier counts  -> anti-join exclusion + COUNT(DISTINCT)
+    q18  large orders     -> HAVING on a grouped sum, join back (semi)
+    q19  disjunctive rev  -> OR-of-conjunctions predicate join
+    q22  idle customers   -> scalar-subquery threshold + anti-join
+
+Numeric determinism follows analytics.py: money sums in DECIMAL(18,2)
+(order-independent) cast to double at the end; ratios computed in
+double and rounded to 6dp identically in Spark and the DuckDB oracle.
+
+Scale notes (100 TB): every small side (nation, filtered part splits,
+the q18 key set) is explicitly broadcast; the lineitem⋈orders backbones
+shuffle once on the order key and AQE handles skew. q6 is the pushdown
+showcase — the three predicates and two projected columns reach the
+parquet reader, so the scan cost is O(selected row-groups), not O(table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
+# --- q4: order-priority count with EXISTS ----------------------------------
+
+Q4_START, Q4_END = "1997-01-01", "1997-07-01"
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Orders in a window having ≥1 lineitem shipped after the order
+    date (the commit<receipt EXISTS of classic Q4, adapted to the
+    columns present). The EXISTS becomes a left-semi join whose
+    condition carries the non-equi predicate."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(Q4_START)) & (F.col("o_orderdate") < _ts(Q4_END))
+    )
+    sl = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            sl,
+            (o.o_orderkey == sl.l_orderkey) & (sl.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q4_END} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
+# --- q6: forecast revenue change (pure filter + scalar agg) ----------------
+
+Q6_START, Q6_END = "1997-01-01", "1998-01-01"
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Scalar revenue from discounted small-quantity lines: all three
+    predicates and both columns push down to the parquet scan."""
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(Q6_START))
+        & (F.col("l_shipdate") < _ts(Q6_END))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast("decimal(18,4)")
+    return f.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_END} 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""".strip()
+
+
+# --- q7: volume shipping between nation pairs ------------------------------
+
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+
+
+def q7_nation_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Yearly shipped volume between distinct (supplier, customer)
+    nation pairs. The nation dim plays two roles — joined once to the
+    supplier side, once to the customer side — both broadcast; the
+    inequality predicate filters the pairs after both resolutions."""
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(Q7_START)) & (F.col("l_shipdate") < _ts(Q7_END))
+    )
+    return (
+        l.join(orders.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q7_END} 00:00:00'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""".strip()
+
+
+# --- q9: product-type profit rollup ----------------------------------------
+
+
+def q9_product_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Profit by supplier nation × ship year for parts whose name
+    contains 'widget' (classic Q9's '%green%' LIKE, minus the missing
+    ps_supplycost term). The part filter broadcasts; extraction of the
+    year happens post-join so the grouping key set stays small."""
+    p = F.broadcast(
+        part.filter(F.col("p_name").contains("widget")).select("p_partkey")
+    )
+    return (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+""".strip()
+
+
+# --- q10: returned-item reporting ------------------------------------------
+
+Q10_START, Q10_END = "1997-10-01", "1998-01-01"
+
+
+def q10_returned_items(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in a quarter."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(Q10_START)) & (F.col("o_orderdate") < _ts(Q10_END))
+    )
+    l = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q10_END} 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""".strip()
+
+
+# --- q13: customer order-count distribution --------------------------------
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distribution of orders-per-customer including zero-order
+    customers: LEFT OUTER join, count of the nullable side's key, then
+    re-aggregate the counts."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+
+# --- q14: promotion revenue share ------------------------------------------
+
+Q14_START, Q14_END = "1997-09-01", "1997-10-01"
+
+
+def q14_promo_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Share of one month's revenue from PROMO-type parts: a
+    conditional aggregate over a broadcast lineitem⋈part join; numerator
+    and denominator summed exactly (decimal), divided once in double."""
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(Q14_START)) & (F.col("l_shipdate") < _ts(Q14_END))
+    )
+    joined = l.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(DEC))
+    agged = joined.agg(
+        F.sum(promo).cast("double").alias("promo"),
+        F.sum(_rev()).cast("double").alias("total"),
+    )
+    return agged.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_revenue_pct"),
+        F.col("total").alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(100.0 * promo / total, 6) AS promo_revenue_pct,
+       total AS total_revenue
+FROM (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q14_END} 00:00:00'
+)
+""".strip()
+
+
+# --- q16: supplier counts per part spec with exclusion ---------------------
+
+
+def q16_supplier_counts(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) bucket, excluding one
+    brand and suppliers in deficit (the NOT IN 'complaints' exclusion of
+    classic Q16, keyed on s_acctbal < 0 since comments don't exist).
+    The exclusion is a broadcast anti-join; supply relationships come
+    from lineitem (no partsupp table)."""
+    bad = F.broadcast(
+        supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    p = F.broadcast(
+        part.filter(
+            (F.col("p_brand") != "Brand#11") & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""".strip()
+
+
+# --- q18: large-volume customers -------------------------------------------
+
+Q18_MIN_QTY = 150
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (HAVING on a
+    grouped sum), joined back to orders/customer for reporting. The
+    qualifying key set is tiny → broadcast semi-join into the fact."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""".strip()
+
+
+# --- q19: disjunctive-predicate revenue ------------------------------------
+
+
+def q19_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Revenue under an OR-of-conjunctions across both join sides —
+    the planner keeps the equi-join on partkey and evaluates the
+    disjunction as a post-join filter (brand/size from part, quantity
+    from lineitem)."""
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 5)) & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 10)) & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 15)) & (qty >= 20) & (qty <= 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""".strip()
+
+
+# --- q22: idle high-balance customers --------------------------------------
+
+
+Q22_IDLE_SINCE = "2000-01-01"
+
+
+def q22_idle_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with above-average positive balance and no RECENT
+    orders (none since Q22_IDLE_SINCE — the testdata has essentially no
+    fully order-less customers, so classic Q22's 'no orders' would be
+    empty): the scalar threshold is an exact decimal-sum / count
+    division (bit-identical across engines, unlike a float AVG), the
+    no-recent-orders test a left anti-join, grouped by market segment."""
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    srow = pos.agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("s"),
+        F.count("*").alias("n"),
+    ).head()
+    threshold = srow["s"] / srow["n"]
+    recent = orders.filter(F.col("o_orderdate") >= _ts(Q22_IDLE_SINCE))
+    return (
+        customer.filter(F.col("c_acctbal") > threshold)
+        .join(recent.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_IDLE_SINCE} 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""".strip()

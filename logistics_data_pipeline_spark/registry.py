@@ -49,6 +49,7 @@ from .llm import similarity as llm_sim
 from .llm import text as llm_text
 from .operators import analytics
 from .operators import dq_summary as dqs
+from .operators import tpch_extra as tx
 from .operators import kpi, monitoring, quality, schema_tests, staging, star, validity
 from .sources import generator
 from .sources.bronze import incremental_insert
@@ -296,6 +297,87 @@ register(
         )
     ),
     analytics.Q5_SQL,
+)
+
+
+def _t(spark, sf, *names):
+    return [load_table(spark, sf, n) for n in names]
+
+
+register(
+    "tpch_q4_order_priority",
+    _q(lambda spark, sf: tx.q4_order_priority(*_t(spark, sf, "orders", "lineitem"))),
+    tx.Q4_SQL,
+)
+register(
+    "tpch_q6_forecast_revenue",
+    _q(lambda spark, sf: tx.q6_forecast_revenue(load_table(spark, sf, "lineitem"))),
+    tx.Q6_SQL,
+)
+register(
+    "tpch_q7_nation_volume",
+    _q(
+        lambda spark, sf: tx.q7_nation_volume(
+            *_t(spark, sf, "nation", "customer", "supplier", "orders", "lineitem")
+        )
+    ),
+    tx.Q7_SQL,
+)
+register(
+    "tpch_q9_product_profit",
+    _q(
+        lambda spark, sf: tx.q9_product_profit(
+            *_t(spark, sf, "nation", "supplier", "part", "lineitem")
+        )
+    ),
+    tx.Q9_SQL,
+)
+register(
+    "tpch_q10_returned_items",
+    _q(
+        lambda spark, sf: tx.q10_returned_items(
+            *_t(spark, sf, "nation", "customer", "orders", "lineitem")
+        )
+    ),
+    tx.Q10_SQL,
+)
+register(
+    "tpch_q13_customer_distribution",
+    _q(lambda spark, sf: tx.q13_customer_distribution(*_t(spark, sf, "customer", "orders"))),
+    tx.Q13_SQL,
+)
+register(
+    "tpch_q14_promo_revenue",
+    _q(lambda spark, sf: tx.q14_promo_revenue(*_t(spark, sf, "part", "lineitem"))),
+    tx.Q14_SQL,
+)
+register(
+    "tpch_q16_supplier_counts",
+    _q(
+        lambda spark, sf: tx.q16_supplier_counts(
+            *_t(spark, sf, "part", "supplier", "lineitem")
+        )
+    ),
+    tx.Q16_SQL,
+)
+register(
+    "tpch_q18_large_orders",
+    _q(
+        lambda spark, sf: tx.q18_large_orders(
+            *_t(spark, sf, "customer", "orders", "lineitem")
+        )
+    ),
+    tx.Q18_SQL,
+)
+register(
+    "tpch_q19_disjunctive_revenue",
+    _q(lambda spark, sf: tx.q19_disjunctive_revenue(*_t(spark, sf, "part", "lineitem"))),
+    tx.Q19_SQL,
+)
+register(
+    "tpch_q22_idle_customers",
+    _q(lambda spark, sf: tx.q22_idle_customers(*_t(spark, sf, "customer", "orders"))),
+    tx.Q22_SQL,
 )
 register(
     "events_user_sessions",
