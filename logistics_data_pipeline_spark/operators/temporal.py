@@ -1,0 +1,185 @@
+"""Temporal / semi-structured operators over the events table: as-of
+join, tumbling-window aggregation, day × type pivot, JSON property
+extraction.
+
+The as-of join is the one operator here Spark lacks as a primitive
+(DuckDB ships ASOF JOIN; Flink has temporal joins). The scalable
+formulation is NOT a range join (which explodes to O(probe × candidate)
+pairs before picking the max): tag both sides, union, and take a
+running last-non-null over a window partitioned by the join key and
+ordered by time. One shuffle on user_id, O(n log n) per partition,
+no pair blow-up — survives 100 TB where a backward range join dies.
+
+Pivot uses an explicit value list so Spark skips the extra distinct-
+values job (a full scan at scale) and the output schema is static.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "pageview", "purchase", "signup"]
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def asof_join_prior_signup(events: DataFrame) -> DataFrame:
+    """For every purchase event: the user's most recent signup event at
+    or before the purchase time (NULLs where none precede).
+
+    Union-window formulation: signup rows carry their own ts/id as
+    candidate columns, purchase rows carry NULL candidates; a
+    last-non-null window over (user_id ORDER BY ts, is_probe) makes each
+    purchase row see exactly the latest candidate ≤ its ts. Ties
+    (signup.ts == purchase.ts) sort candidate-first, matching ASOF's
+    inclusive <= bound.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        "value",
+        F.lit(None).cast("bigint").alias("cand_id"),
+        F.lit(None).cast("timestamp").alias("cand_ts"),
+    ).unionByName(
+        signups.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("signup_event_id").alias("cand_id"),
+            F.col("ts").alias("cand_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("signup_event_id", F.last("cand_id", ignorenulls=True).over(w))
+        .withColumn("signup_ts", F.last("cand_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "value", "signup_event_id", "signup_ts")
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.event_id AS signup_event_id, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+ORDER BY p.event_id
+""".strip()
+
+
+# --- tumbling windows (batch twin of the streaming agg) --------------------
+
+
+def tumbling_window_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Per-type counts and value sums in tumbling event-time windows —
+    the batch twin of streaming/windowed.py (same plan minus the
+    watermark; Structured Streaming's windowed agg is verified against
+    this in tests)."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""".strip()
+
+
+# --- day × event_type pivot ------------------------------------------------
+
+
+def daily_type_pivot(events: DataFrame) -> DataFrame:
+    """Events per day pivoted to one column per event type. The value
+    list is pinned (EVENT_TYPES) so no distinct-scan job runs and the
+    schema is static; empty cells coalesce to 0 like SQL's FILTER."""
+    p = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
+    ).orderBy("event_date")
+
+
+DAILY_TYPE_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'pageview') AS pageview,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
+FROM events
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
+# --- JSON property extraction ----------------------------------------------
+
+
+def props_json_stats(events: DataFrame) -> DataFrame:
+    """Parse the JSON props column (k: int) and aggregate per type —
+    semi-structured extraction stays JVM-side via get_json_object (no
+    Python UDF), so it pipelines inside whole-stage codegen."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type,
+       SUM(k) AS sum_k,
+       COUNT(k) AS n_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""".strip()

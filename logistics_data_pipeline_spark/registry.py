@@ -49,10 +49,12 @@ from .llm import similarity as llm_sim
 from .llm import text as llm_text
 from .operators import analytics
 from .operators import dq_summary as dqs
+from .operators import temporal
 from .operators import tpch_extra as tx
 from .operators import kpi, monitoring, quality, schema_tests, staging, star, validity
 from .sources import generator
 from .sources.bronze import incremental_insert
+from .streaming import windowed as streaming_windowed
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -378,6 +380,35 @@ register(
     "tpch_q22_idle_customers",
     _q(lambda spark, sf: tx.q22_idle_customers(*_t(spark, sf, "customer", "orders"))),
     tx.Q22_SQL,
+)
+register(
+    "stream_sessionize_closed",
+    _q(
+        lambda spark, sf: streaming_windowed.sessionize_closed_batch(
+            spark, load_table(spark, sf, "events")
+        )
+    ),
+    streaming_windowed.SESSIONIZE_CLOSED_SQL,
+)
+register(
+    "events_asof_join",
+    _q(lambda spark, sf: temporal.asof_join_prior_signup(load_table(spark, sf, "events"))),
+    temporal.ASOF_JOIN_SQL,
+)
+register(
+    "events_tumbling_windows",
+    _q(lambda spark, sf: temporal.tumbling_window_counts(load_table(spark, sf, "events"))),
+    temporal.TUMBLING_WINDOW_SQL,
+)
+register(
+    "events_daily_type_pivot",
+    _q(lambda spark, sf: temporal.daily_type_pivot(load_table(spark, sf, "events"))),
+    temporal.DAILY_TYPE_PIVOT_SQL,
+)
+register(
+    "events_props_json_stats",
+    _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
+    temporal.PROPS_JSON_SQL,
 )
 register(
     "events_user_sessions",

@@ -1,0 +1,242 @@
+"""Structured Streaming analytics over the events stream: watermarked
+tumbling-window aggregation and custom stateful sessionization
+(applyInPandasWithState).
+
+Both have exact batch twins (operators/temporal.tumbling_window_counts,
+operators/analytics.user_sessions) and the tests assert stream == batch
+on the same data — the streaming layer adds incremental/stateful
+execution, not new semantics.
+
+Scale notes: the windowed agg is the canonical shuffle-once streaming
+plan (partial aggregation per input partition, final agg per
+(window, type) key); the watermark bounds state to windows younger than
+the lateness budget, so state size is O(types × windows-in-horizon),
+independent of stream length. Sessionization state is one small tuple
+per active user key, dropped as sessions close; with event-time timeouts
+it stays bounded at any user cardinality because Spark shards the state
+store by key hash.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+SESSION_GAP_S = 1800  # same 30-min gap as the batch sessionizer
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+# Spark's default JSON timestamp pattern truncates to milliseconds;
+# full microsecond precision must survive the dump -> stream round-trip
+# or sessions drift from the batch/oracle by sub-ms amounts.
+JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def events_file_stream(spark: SparkSession, json_dir: str, max_files: int = 10) -> DataFrame:
+    """File-based stream of event JSON (testable stand-in for Kafka;
+    swap in streaming/ingest.kafka_stream_source for a broker)."""
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("timestampFormat", JSON_TS_FMT)
+        .json(json_dir)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window per-type counts/sums — identical
+    aggregation expressions to the batch twin; the watermark lets Spark
+    finalize and evict windows older than the lateness budget."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# state: open session for the user (epoch micros to stay timezone-proof;
+# value total in integer cents so accumulation is exact and matches a
+# DECIMAL(18,2)-sum oracle bit-for-bit regardless of arrival order)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events (sorted by event time) into the
+    user's open session; emit every session closed by a >30 min gap,
+    keep the still-open one in state. Arrow-batched: no per-row Python
+    overhead beyond the sort."""
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n_ev, cents = state.get
+    else:
+        start_us = last_us = -1
+        n_ev, cents = 0, 0
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)  # ns -> us
+            c = int(round(float(value) * 100))  # 2dp values -> exact cents
+            if start_us < 0:
+                start_us, last_us, n_ev, cents = t_us, t_us, 1, c
+            elif t_us - last_us > SESSION_GAP_S * _US:
+                closed.append((user_id, start_us, last_us, n_ev, cents / 100.0))
+                start_us, last_us, n_ev, cents = t_us, t_us, 1, c
+            else:
+                last_us, n_ev, cents = t_us, n_ev + 1, cents + c
+
+    state.update((start_us, last_us, n_ev, cents))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with a 30-min
+    inactivity gap, emitting sessions as they close. State is one open-
+    session tuple per user, checkpointed with the query (restart-safe —
+    tested)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str, checkpoint_dir: str
+) -> Any:
+    """Drain the stream into an in-memory table with availableNow (the
+    bounded-run mode, §2.9) and block until done."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def sessionize_closed_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-checkable wrapper: round-trip the events table through the
+    real streaming sessionizer (JSON dump → file stream →
+    applyInPandasWithState → availableNow drain) and return the closed
+    sessions as a static DataFrame. The DuckDB oracle is the equivalent
+    islands SQL minus each user's final (still-open) session."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="sessionize_")
+    src = f"{work}/src"
+    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).option("timestampFormat", JSON_TS_FMT).json(src)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        sessionize_stream(events_file_stream(spark, src)),
+        name,
+        "append",
+        f"{work}/ckpt",
+    )
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+SESSIONIZE_CLOSED_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM tagged
+),
+agg AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+ORDER BY user_id, session_start
+""".strip()

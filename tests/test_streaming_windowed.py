@@ -1,0 +1,119 @@
+"""Streaming analytics == batch analytics on the same data: the
+watermarked windowed agg and the stateful sessionizer must reproduce
+their batch twins (operators/temporal, operators/analytics), and the
+sessionizer's state must survive a checkpointed restart."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_spark.adapters.testdata import load_table
+from logistics_data_pipeline_spark.operators.analytics import user_sessions
+from logistics_data_pipeline_spark.operators.temporal import tumbling_window_counts
+from logistics_data_pipeline_spark.streaming.windowed import (
+    JSON_TS_FMT,
+    events_file_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_counts,
+)
+
+STREAM_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _dump_events_json(spark, sf_dir, out_dir, n_files=1):
+    ev = load_table(spark, sf_dir, "events").select(*STREAM_COLS)
+    ev.repartition(n_files).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FMT
+    ).json(str(out_dir))
+    return ev
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    src = tmp_path / "stream_src"
+    _dump_events_json(spark, sf_dir, src)
+    stream = windowed_counts(events_file_stream(spark, str(src)))
+    run_to_memory(stream, "win_counts", "complete", str(tmp_path / "ckpt"))
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in tumbling_window_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir, tmp_path):
+    """One availableNow drain: every session the batch sessionizer finds
+    is emitted closed except each user's final (still-open) one."""
+    src = tmp_path / "stream_src"
+    _dump_events_json(spark, sf_dir, src)
+    q = sessionize_stream(events_file_stream(spark, str(src)))
+    run_to_memory(q, "sessions", "append", str(tmp_path / "ckpt"))
+    closed = spark.table("sessions")
+    closed_per_user = {
+        r.user_id: r.n for r in closed.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in user_sessions(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert len(batch) > 0
+    for user_id, (n_sessions, n_events) in batch.items():
+        assert closed_per_user.get(user_id, 0) == n_sessions - 1, user_id
+    # closed-session events + one open session's events account for all
+    emitted = {r.user_id: r.s for r in closed.groupBy("user_id").agg(F.sum("n_events").alias("s")).collect()}
+    for user_id, (_, n_events) in batch.items():
+        assert emitted.get(user_id, 0) < n_events
+
+
+def test_sessionize_stream_restart_closes_session(spark, tmp_path):
+    """State survives a checkpointed restart: a late file that breaches
+    the gap closes the session opened in the first run."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": i, "ts": ts, "user_id": 7, "event_type": "click", "value": v}
+                )
+                for i, (ts, v) in enumerate(rows)
+            )
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # memory sink can't recover a checkpoint; the restart test needs
+        # a durable (file) sink
+        q = (
+            sessionize_stream(events_file_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        from logistics_data_pipeline_spark.streaming.windowed import SESSION_OUTPUT_SCHEMA
+
+        return spark.read.schema(SESSION_OUTPUT_SCHEMA).parquet(out)
+
+    write("a.json", [("2024-01-01T00:00:00.000000Z", 1.5), ("2024-01-01T00:10:00.000000Z", 2.5)])
+    assert drain().count() == 0  # session still open
+
+    write("b.json", [("2024-01-01T03:00:00.000000Z", 9.0)])
+    rows = drain().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 7 and r.n_events == 2 and r.total_value == 4.0
+    assert r.session_start.isoformat().startswith("2024-01-01T00:00")
+    assert r.session_end.isoformat().startswith("2024-01-01T00:10")
