@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# 0.4 keeps the registered query non-trivial on the synthetic
+# embeddings (random vectors rarely exceed ~0.5 cosine; 0.95 matched
+# nothing, making the oracle check vacuous).
+NEARDUP_THRESHOLD = 0.4
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -191,7 +196,7 @@ def knn_ivf(
     )
 
 
-def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_neardup(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. Exact all-pairs above a
     threshold; at 100 TB scale the same output is produced by LSH
     bucketing first — here the corpus side stays partitioned and only
@@ -212,7 +217,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     return pairs.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
 
 
-def embedding_neardup_fast(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_neardup_fast(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
     """Vectorized embedding near-dup: the corpus matrix is broadcast and
     each partition computes a BLAS block product A·Bᵀ via mapInPandas.
 
@@ -268,12 +273,12 @@ def embedding_neardup_fast(emb: DataFrame, threshold: float = 0.95) -> DataFrame
     )
 
 
-EMBEDDING_NEARDUP_SQL = """
+EMBEDDING_NEARDUP_SQL = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()

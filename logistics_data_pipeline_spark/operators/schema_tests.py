@@ -67,6 +67,32 @@ def relationships(
     return _one(name, orphans)
 
 
+def relationships_onepass(
+    fact: DataFrame, fks: list[tuple[str, DataFrame, str, str]]
+) -> DataFrame:
+    """All FK-integrity tests in ONE scan of the fact: broadcast-left-
+    join each (tiny) dim's key set, count unmatched non-null FKs as one
+    row of sums, then unpivot to (test_name, violations) rows. Replaces
+    N anti-join scans of the fact with one — the difference between N
+    full passes and one at 100 TB."""
+    joined = fact
+    flags = []
+    for i, (fk, parent, pk, name) in enumerate(fks):
+        keys = F.broadcast(parent.select(F.col(pk).alias(f"__pk_{i}")).distinct())
+        joined = joined.join(keys, F.col(fk) == F.col(f"__pk_{i}"), "left")
+        flags.append(
+            F.sum(
+                F.when(F.col(fk).isNotNull() & F.col(f"__pk_{i}").isNull(), 1).otherwise(0)
+            ).alias(name)
+        )
+    row = joined.agg(*flags)
+    names = [name for *_, name in fks]
+    stack_expr = ", ".join(f"'{n}', {n}" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack_expr}) as (test_name, violations)"
+    ).select("test_name", F.col("violations").cast("bigint").alias("violations"))
+
+
 def star_schema_tests(wh: dict[str, DataFrame]) -> DataFrame:
     """The full schema.yml suite over a built warehouse dict
     (pipeline.build_warehouse output)."""
@@ -96,17 +122,22 @@ def star_schema_tests(wh: dict[str, DataFrame]) -> DataFrame:
         tests.append(not_null(wh[dim], sk, f"{dim}_{sk}_not_null"))
         tests.append(unique(wh[dim], sk, f"{dim}_{sk}_unique"))
         tests.append(unique(wh[dim], nk, f"{dim}_{nk}_unique"))
-    for fk, dim, pk in [
-        ("order_sk", "dim_order", "order_sk"),
-        ("time_sk", "dim_time", "time_sk"),
-        ("status_sk", "dim_status", "status_sk"),
-        ("origin_location_sk", "dim_location", "location_sk"),
-        ("destination_location_sk", "dim_location", "location_sk"),
-        ("carrier_sk", "dim_carrier", "carrier_sk"),
-    ]:
-        tests.append(
-            relationships(fact, fk, wh[dim], pk, f"fact_{fk}_relationship")
+    tests.append(
+        relationships_onepass(
+            fact,
+            [
+                (fk, wh[dim], pk, f"fact_{fk}_relationship")
+                for fk, dim, pk in [
+                    ("order_sk", "dim_order", "order_sk"),
+                    ("time_sk", "dim_time", "time_sk"),
+                    ("status_sk", "dim_status", "status_sk"),
+                    ("origin_location_sk", "dim_location", "location_sk"),
+                    ("destination_location_sk", "dim_location", "location_sk"),
+                    ("carrier_sk", "dim_carrier", "carrier_sk"),
+                ]
+            ],
         )
+    )
     out = tests[0]
     for t in tests[1:]:
         out = out.unionByName(t)
