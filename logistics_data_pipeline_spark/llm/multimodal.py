@@ -115,3 +115,129 @@ SELECT doc_id AS media_id,
        'text/plain' AS mime
 FROM documents
 """.strip()
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 8) -> DataFrame:
+    """Resize step with the real Spark plumbing and a STUB kernel.
+
+    A production kernel decodes and resamples pixels (PIL/torchvision —
+    absent here; see ``decode_image``). The deterministic stand-in
+    cycles the payload bytes to exactly width×height bytes, so the
+    output (dims, size, checksum) is byte-reproducible by the SQL
+    oracle. Embarrassingly parallel mapInPandas: no shuffle, one Arrow
+    batch per task.
+    """
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            def _cycle(b: bytes) -> bytes:
+                b = bytes(b)
+                if not b:
+                    return b"\x00" * target
+                reps = -(-target // len(b))  # ceil
+                return (b * reps)[:target]
+
+            resized = pdf["content"].map(_cycle)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes_out": resized.map(len).astype("int64"),
+                    "resized_checksum": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+# width*height = 256 bytes; text is ASCII so string repeat/substr
+# reproduces the byte cycling exactly.
+MEDIA_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(32 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_bytes_out,
+       md5(substr(repeat(text, CAST(ceil(256.0 / length(text)) AS BIGINT)), 1, 256)) AS resized_checksum
+FROM documents
+""".strip()
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling with the real one-to-many Spark plumbing and a
+    STUB kernel: a production kernel seeks ffmpeg keyframes; the
+    stand-in treats the payload as fixed 256-byte frames and emits every
+    k-th one (a row explosion inside mapInPandas — the same batch shape
+    a video pipeline produces). Partition count is inherited from the
+    source; repartition upstream if frame fan-out skews task sizes."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sums, totals = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = -(-len(b) // FRAME_BYTES) if b else 0
+                for i in range(0, n_frames, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]).hexdigest()
+                    )
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id, text, CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text, n_frames, unnest(range(0, n_frames)) AS i FROM f
+)
+SELECT doc_id AS media_id,
+       i AS frame_index,
+       md5(substr(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_checksum,
+       n_frames
+FROM idx
+WHERE i % 4 = 0
+""".strip()

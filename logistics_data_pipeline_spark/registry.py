@@ -520,3 +520,13 @@ register(
     _q(lambda spark, sf: llm_mm.multimodal_extract(_docs(spark, sf))),
     llm_mm.MULTIMODAL_EXTRACT_SQL,
 )
+register(
+    "multimodal_resize",
+    _q(lambda spark, sf: llm_mm.resize_media(llm_mm.docs_as_media(_docs(spark, sf)))),
+    llm_mm.MEDIA_RESIZE_SQL,
+)
+register(
+    "multimodal_frame_sample",
+    _q(lambda spark, sf: llm_mm.sample_frames(llm_mm.docs_as_media(_docs(spark, sf)))),
+    llm_mm.FRAME_SAMPLE_SQL,
+)

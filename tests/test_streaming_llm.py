@@ -134,6 +134,29 @@ def test_embedding_neardup_fast_matches_exact(spark, sf_dir):
     assert len(exact) > 0
 
 
+def test_multimodal_resize_and_frames(spark):
+    from logistics_data_pipeline_spark.llm.multimodal import (
+        docs_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    text = "ab" * 300  # 600 bytes -> 3 frames of 256 (last partial)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s1", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = docs_as_media(docs)
+    r = resize_media(media).collect()[0]
+    assert r.n_bytes_out == 256 and r.width == 32 and r.height == 8
+    import hashlib
+
+    assert r.resized_checksum == hashlib.md5((text * 1).encode()[:256]).hexdigest()
+    frames = sample_frames(media, every=2).collect()
+    assert [f.frame_index for f in frames] == [0, 2]
+    assert all(f.n_frames == 3 for f in frames)
+
+
 def test_multimodal_extract_batch_shape(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", "s1", 11)],
