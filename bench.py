@@ -38,6 +38,10 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
     "events_user_sessions",
+    "events_asof_join",
+    "events_tumbling_windows",
+    "events_rollup",
+    "multimodal_frame_sample",
     "docs_exact_dedup",
     "docs_neardup_ngram",
     "docs_neardup_minhash",
