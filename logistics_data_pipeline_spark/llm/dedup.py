@@ -246,3 +246,78 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     return agg.select(
         "doc_id", sig.alias("simhash"), (sig % F.lit(1024)).alias("simhash_bucket")
     )
+
+
+def neardup_components(
+    docs: DataFrame, threshold: float = 0.7, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-duplicate graph (the cluster
+    step of corpus dedup: keep one doc per component). Iterative
+    hash-min label propagation — each round every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds.
+
+    This is the one genuinely iterative algorithm in the engine:
+    ``localCheckpoint(eager=True)`` truncates the lineage every round
+    (without it the plan doubles per iteration and the driver dies at
+    ~15 rounds), and the convergence probe is an intentional per-round
+    action. At 100 TB the same loop runs with edges/labels partitioned
+    on node id; rounds are self-joins on that key, so co-partitioning
+    makes each round one shuffle of the (small) frontier.
+    """
+    pairs = neardup_ngram(docs, threshold).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b_id == labels.doc_id)
+            .groupBy("a_id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.a_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+# Recursive-CTE oracle: min reachable doc_id per node == the hash-min
+# fixpoint. The pair query is the NEARDUP_NGRAM_SQL text nested as a
+# derived table (DuckDB permits WITH inside a subquery).
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({NEARDUP_NGRAM_SQL}) q
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""".strip()

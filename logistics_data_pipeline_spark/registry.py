@@ -460,6 +460,11 @@ register(
     llm_dedup.NEARDUP_NGRAM_SQL,
 )
 register(
+    "docs_neardup_components",
+    _q(lambda spark, sf: llm_dedup.neardup_components(_docs(spark, sf))),
+    llm_dedup.NEARDUP_COMPONENTS_SQL,
+)
+register(
     "docs_neardup_minhash",  # LSH banding: not SQL-expressible → rows-only
     _q(lambda spark, sf: llm_dedup.neardup_minhash(_docs(spark, sf))),
 )

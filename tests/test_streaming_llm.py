@@ -98,6 +98,25 @@ def test_minhash_agrees_with_exact_on_clear_cases(spark):
     assert got == {(1, 2)}
 
 
+def test_neardup_components_transitive_chain(spark):
+    """d1~d2 and d2~d3 pair up but d1~d3 does not — the component still
+    unifies all three (label propagation transitivity); d4 is alone."""
+    from logistics_data_pipeline_spark.llm.dedup import neardup_components
+
+    w = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[0:28])),
+            (2, " ".join(w[5:33])),
+            (3, " ".join(w[10:38])),
+            (4, " ".join(f"z{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.component for r in neardup_components(docs, 0.6).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_simhash_identical_docs_same_signature(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
