@@ -286,3 +286,105 @@ FROM (
 GROUP BY user_id
 ORDER BY user_id
 """.strip()
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer by price — the canonical ROW_NUMBER
+    top-N-per-group: one shuffle on the partition key, rank evaluated
+    streaming within each partition (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk
+""".strip()
+
+
+def trailing_revenue_7d(orders: DataFrame) -> DataFrame:
+    """Per-customer daily order totals with a trailing 7-day RANGE
+    window (event-time range frame, not row frame — days with no orders
+    still age out). The range key is integer days-since-epoch because
+    Spark's rangeBetween is numeric; sums stay in DECIMAL inside the
+    frame for order-independence."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day_num")
+    daily = (
+        orders.groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("order_date"), day
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("day_total_dec"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_custkey",
+        "order_date",
+        F.col("day_total_dec").cast("double").alias("day_total"),
+        F.sum("day_total_dec").over(w).cast("double").alias("trailing_7d"),
+    ).orderBy("o_custkey", "order_date")
+
+
+TRAILING_REVENUE_SQL = """
+WITH daily AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS order_date,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total_dec
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT o_custkey, order_date,
+       CAST(day_total_dec AS DOUBLE) AS day_total,
+       CAST(SUM(day_total_dec) OVER (PARTITION BY o_custkey ORDER BY day_num
+                                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d
+FROM daily
+ORDER BY o_custkey, order_date
+""".strip()
+
+
+def salted_type_stats(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-stage salted aggregation: pre-aggregate on (key, salt) so a
+    pathologically hot key spreads over n_salts reducers, then combine
+    the partials. Output is identical to the direct groupBy (the oracle
+    is the plain GROUP BY); at 100 TB this is the manual fallback when
+    AQE skew-join splitting can't help an aggregation."""
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast(DEC)).alias("val_dec"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("val_dec").cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".strip()

@@ -416,6 +416,21 @@ register(
     analytics.USER_SESSIONS_SQL,
 )
 register(
+    "orders_top_per_customer",
+    _q(lambda spark, sf: analytics.top_orders_per_customer(load_table(spark, sf, "orders"))),
+    analytics.TOP_ORDERS_SQL,
+)
+register(
+    "orders_trailing_revenue_7d",
+    _q(lambda spark, sf: analytics.trailing_revenue_7d(load_table(spark, sf, "orders"))),
+    analytics.TRAILING_REVENUE_SQL,
+)
+register(
+    "events_salted_type_stats",
+    _q(lambda spark, sf: analytics.salted_type_stats(load_table(spark, sf, "events"))),
+    analytics.SALTED_TYPE_STATS_SQL,
+)
+register(
     "events_rollup",
     _q(lambda spark, sf: analytics.events_rollup(load_table(spark, sf, "events"))),
     analytics.EVENTS_ROLLUP_SQL,
