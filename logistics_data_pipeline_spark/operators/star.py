@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.core import dow_sunday0, surrogate_key
@@ -223,4 +223,38 @@ def fact_event(
         )
         .otherwise(F.lit(False))
         .alias("is_late_delivery"),
+    )
+
+
+def dim_order_scd2(valid: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 on order status — versioned
+    rows with effective_from/effective_to/is_current (an operator the
+    reference's append-only star lacks, but any warehouse user needs).
+
+    Change detection (lag) collapses consecutive same-status events;
+    effective ranges come from lead over the collapsed set. Timestamps
+    stay the reference's ISO STRINGS — lexicographic order ≡ temporal
+    (SURVEY.md §1.2), so the versioning is byte-faithful to the
+    reference's comparison semantics. One shuffle on order_id; both
+    windows share it.
+    """
+    w = Window.partitionBy("order_id").orderBy("timestamp", "event_id")
+    changes = (
+        valid.select("order_id", "status", "timestamp", "event_id")
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+        )
+    )
+    w2 = Window.partitionBy("order_id").orderBy("timestamp", "event_id")
+    return (
+        changes.select(
+            "order_id",
+            "status",
+            F.col("timestamp").alias("effective_from"),
+            F.lead("timestamp").over(w2).alias("effective_to"),
+            F.lead("timestamp").over(w2).isNull().alias("is_current"),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .orderBy("order_id", "version")
     )

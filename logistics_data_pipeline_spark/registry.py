@@ -307,6 +307,28 @@ def _t(spark, sf, *names):
 
 
 register(
+    "dim_order_scd2",
+    _q(lambda spark, sf: star.dim_order_scd2(_valid(spark, sf))),
+    oracles.q(
+        """
+SELECT order_id, status,
+       "timestamp" AS effective_from,
+       LEAD("timestamp") OVER w AS effective_to,
+       LEAD("timestamp") OVER w IS NULL AS is_current,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version
+FROM (
+  SELECT * FROM (
+    SELECT order_id, status, "timestamp", event_id,
+           LAG(status) OVER (PARTITION BY order_id
+                             ORDER BY "timestamp", event_id) AS prev_status
+    FROM valid) x
+  WHERE prev_status IS NULL OR status <> prev_status) ch
+WINDOW w AS (PARTITION BY order_id ORDER BY "timestamp", event_id)
+ORDER BY order_id, version
+"""
+    ),
+)
+register(
     "tpch_q4_order_priority",
     _q(lambda spark, sf: tx.q4_order_priority(*_t(spark, sf, "orders", "lineitem"))),
     tx.Q4_SQL,

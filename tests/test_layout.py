@@ -1,0 +1,47 @@
+"""Physical-layout behaviors: bucketed joins plan no shuffle; small-file
+compaction preserves rows while collapsing files."""
+
+from __future__ import annotations
+
+import glob
+
+from logistics_data_pipeline_spark.adapters.testdata import load_table
+from logistics_data_pipeline_spark.sources.bucketed import (
+    bucketed_join,
+    compact_parquet,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", buckets=4)
+    write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", buckets=4)
+    # keep the broadcast planner away so the join strategy under test
+    # is sort-merge over buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_parquet_collapses_small_files(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    small = str(tmp_path / "small")
+    events.repartition(20).write.parquet(small)
+    assert len(glob.glob(f"{small}/part-*.parquet")) == 20
+    out = str(tmp_path / "compacted")
+    files = compact_parquet(spark, small, out, target_rows_per_file=10_000_000)
+    assert files == 1
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 1
+    assert spark.read.parquet(out).count() == events.count()

@@ -121,3 +121,30 @@ def test_dim_status_excludes_empty(spark):
     valid = _valid(spark, {}, {"status": "Delivered"})
     names = {r.status_name for r in dim_status(valid).collect()}
     assert names == {"In Transit", "Delivered"}
+
+
+def test_dim_order_scd2_collapses_runs_and_versions(spark):
+    from logistics_data_pipeline_spark.operators.star import dim_order_scd2
+
+    rows = [
+        # order A: Created -> Created (dup run) -> Transit -> Delivered
+        ("e1", "A", "2024-01-01T08:00:00", "Order Created"),
+        ("e2", "A", "2024-01-01T09:00:00", "Order Created"),
+        ("e3", "A", "2024-01-01T10:00:00", "In Transit"),
+        ("e4", "A", "2024-01-02T10:00:00", "Delivered"),
+        # order B: single event
+        ("e5", "B", "2024-01-01T12:00:00", "Picked Up"),
+    ]
+    valid = spark.createDataFrame(
+        rows, ["event_id", "order_id", "timestamp", "status"]
+    )
+    got = dim_order_scd2(valid).collect()
+    a = [r for r in got if r.order_id == "A"]
+    assert [(r.status, r.version) for r in a] == [
+        ("Order Created", 1), ("In Transit", 2), ("Delivered", 3)
+    ]
+    assert a[0].effective_from == "2024-01-01T08:00:00"
+    assert a[0].effective_to == "2024-01-01T10:00:00"  # run collapsed: e2 absorbed
+    assert a[2].effective_to is None and a[2].is_current
+    b = [r for r in got if r.order_id == "B"]
+    assert len(b) == 1 and b[0].is_current and b[0].version == 1
