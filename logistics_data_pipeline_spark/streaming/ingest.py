@@ -58,18 +58,44 @@ def kafka_stream_source(
     return parsed.filter(F.col("e").isNotNull()).select("e.*")
 
 
+def drop_corrupt(events: DataFrame) -> DataFrame:
+    """PERMISSIVE-mode JSON decode turns corrupt payloads into all-null
+    rows (the reference logs-and-skips them, consumer_to_minio.py:94-97);
+    a valid wire event always carries event_id, so null-id rows are the
+    corrupt ones."""
+    return events.filter(F.col("event_id").isNotNull())
+
+
 def bronze_sink(
     events: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     dedup: bool = True,
     available_now: bool = True,
+    watermark: str | None = None,
+    event_time_col: str = "timestamp",
 ) -> StreamingQuery:
     """Write the event stream to bronze parquet with checkpointed
     exactly-once semantics; availableNow reproduces the bounded-run DAG
-    mode."""
+    mode.
+
+    ``watermark`` switches in-flight dedup from ``dropDuplicates``
+    (state grows with every event_id ever seen — fine for a bounded
+    run, fatal for a perpetual 100 TB stream) to
+    ``dropDuplicatesWithinWatermark`` (state bounded to the lateness
+    horizon; correct as long as duplicates arrive within it, which
+    Kafka redeliveries do)."""
     if dedup:
-        events = events.dropDuplicates(["event_id"])
+        if watermark is not None:
+            events = events.withColumn(
+                "__event_time", F.to_timestamp(F.col(event_time_col))
+            )
+            events = events.withWatermark("__event_time", watermark)
+            events = events.dropDuplicatesWithinWatermark(["event_id"]).drop(
+                "__event_time"
+            )
+        else:
+            events = events.dropDuplicates(["event_id"])
     writer = (
         events.writeStream.format("parquet")
         .option("path", out_dir)

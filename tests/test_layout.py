@@ -45,3 +45,28 @@ def test_compact_parquet_collapses_small_files(spark, sf_dir, tmp_path):
     assert files == 1
     assert len(glob.glob(f"{out}/part-*.parquet")) == 1
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_gold_fact_partition_pruning(spark, sf_dir, tmp_path):
+    """write_gold partitions fact by ingest_date; a date-filtered read
+    must prune partitions at plan time (PartitionFilters reach the
+    scan), so time-ranged analytics touch only their slice."""
+    from logistics_data_pipeline_spark.adapters.testdata import bronze_events
+    from logistics_data_pipeline_spark.pipeline import build_warehouse, write_gold
+
+    wh = build_warehouse(bronze_events(spark, sf_dir), persist=False)
+    gold = str(tmp_path / "gold")
+    write_gold(wh, gold)
+    fact = spark.read.parquet(f"{gold}/fact_event")
+    n_parts = fact.select("ingest_date").distinct().count()
+    assert n_parts > 1
+    one_day = fact.filter(fact.ingest_date == "2026-01-01")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ingest_date" in plan
+    assert one_day.count() > 0
+    # the pruned scan reads fewer files than the full one
+    import glob
+
+    total_files = len(glob.glob(f"{gold}/fact_event/*/*.parquet"))
+    day_files = len(glob.glob(f"{gold}/fact_event/ingest_date=2026-01-01/*.parquet"))
+    assert 0 < day_files < total_files

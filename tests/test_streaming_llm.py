@@ -187,3 +187,38 @@ def test_multimodal_extract_batch_shape(spark):
     import hashlib
 
     assert r.checksum == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_watermarked_dedup_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the lateness
+    horizon are dropped; state stays bounded (the perpetual-stream mode
+    of the ingest leg)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [dict(WIRE_ROW, event_id=f"e{i}") for i in range(8)]
+    _write_json(src, "a.json", rows[:5] + rows[3:5])  # dups inside one file
+    _write_json(src, "b.json", rows[4:])              # e4..e7, e4 again late
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    q = bronze_sink(
+        file_stream_source(spark, str(src)), out, ckpt, watermark="1 hour"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("event_id").distinct().count() == 8
+
+
+def test_corrupt_json_rows_are_dropped(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    good = [dict(WIRE_ROW, event_id=f"e{i}") for i in range(3)]
+    lines = [json.dumps(good[0]), "{this is not json", json.dumps(good[1]),
+             '"just a string"', json.dumps(good[2])]
+    (src / "a.json").write_text("\n".join(lines))
+    from logistics_data_pipeline_spark.streaming.ingest import drop_corrupt
+
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    q = bronze_sink(drop_corrupt(file_stream_source(spark, str(src))), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r.event_id for r in got.collect()) == ["e0", "e1", "e2"]
