@@ -183,3 +183,59 @@ FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM ev
 GROUP BY event_type
 ORDER BY event_type
 """.strip()
+
+
+# --- native session windows ------------------------------------------------
+
+SESSION_GAP = "30 minutes"
+
+
+def session_window_stats(events: DataFrame) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window groupBy (the
+    merging-interval operator; same machinery Structured Streaming uses
+    for streaming session windows). Complements the lag/cumsum
+    formulation in analytics.user_sessions — same shuffle profile, but
+    the session merge happens inside the aggregation instead of two
+    window passes.
+
+    Closure semantics: session_window extends a session to
+    [ts, ts + gap), so a follow-up event at EXACTLY gap distance starts
+    a NEW session (>= closes); the oracle encodes >= on microseconds.
+    """
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR date_diff('microsecond',
+                               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events) t)
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""".strip()

@@ -27,6 +27,14 @@ the key → operator mapping:
     monitor_recent_events      O4
     dq_checks                  A13 A12
     ingest_dedup_antijoin      S9 J10
+
+Beyond the reference surface (SURVEY.md §8.2/§8.3): tpch_q* (14
+TPC-H-shaped analytics), events_* (sessionization ×2 incl. native
+session_window, rollup, quantiles, HLL, as-of join, tumbling windows,
+pivot, JSON, salted agg), orders_* (top-N per group, trailing RANGE
+window), dim_order_scd2, stream_sessionize_closed
+(applyInPandasWithState round-trip), docs_* / emb_* (dedup + similarity
++ text analysis), multimodal_* (binary + mapInPandas).
 """
 
 from __future__ import annotations
@@ -438,6 +446,11 @@ register(
     "events_props_json_stats",
     _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
     temporal.PROPS_JSON_SQL,
+)
+register(
+    "events_session_windows",
+    _q(lambda spark, sf: temporal.session_window_stats(load_table(spark, sf, "events"))),
+    temporal.SESSION_WINDOW_SQL,
 )
 register(
     "events_user_sessions",

@@ -68,3 +68,16 @@ def first_or_incremental_load(
         return
     existing = spark.table(table)
     incremental_insert(src, existing).write.insertInto(table)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str = "event_id") -> DataFrame:
+    """CDC-style MERGE emulation (no Delta in v1): updated rows replace
+    matching target rows, new rows append — i.e.
+    ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
+
+    Anti-join keeps unmatched target rows; union brings every update
+    row in. One shuffle on the key. With Delta/Iceberg this becomes a
+    native MERGE INTO with file-level pruning; semantics are identical.
+    """
+    kept = target.join(updates.select(key), on=key, how="left_anti")
+    return kept.unionByName(updates)

@@ -145,3 +145,16 @@ def test_incremental_insert_idempotent(spark, sf_dir):
     # re-inserting the union is a no-op
     again = incremental_insert(incoming, existing.unionByName(inserted))
     assert again.count() == 0
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    from logistics_data_pipeline_spark.sources.bronze import merge_upsert
+
+    target = spark.createDataFrame(
+        [("e1", "old"), ("e2", "old")], ["event_id", "status"]
+    )
+    updates = spark.createDataFrame(
+        [("e2", "new"), ("e3", "new")], ["event_id", "status"]
+    )
+    got = {r.event_id: r.status for r in merge_upsert(target, updates).collect()}
+    assert got == {"e1": "old", "e2": "new", "e3": "new"}
