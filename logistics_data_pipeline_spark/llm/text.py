@@ -202,3 +202,36 @@ SELECT doc_id,
        substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fingerprint_bucket
 FROM documents
 """.strip()
+
+
+def corpus_composition(docs: DataFrame) -> DataFrame:
+    """Corpus composition by (lang, source): the first dashboard any
+    training-data pipeline needs — doc counts, char volume, length
+    spread. One hash aggregation; at 100 TB add a date grain and feed
+    from the partitioned gold layer."""
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            F.round(F.sum(F.col("n_chars").cast("bigint")) / F.count("*"), 6).alias(
+                "avg_chars"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_COMPOSITION_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""".strip()

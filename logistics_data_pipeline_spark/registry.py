@@ -550,6 +550,11 @@ register(
     llm_text.FINGERPRINT_SQL,
 )
 register(
+    "docs_corpus_composition",
+    _q(lambda spark, sf: llm_text.corpus_composition(_docs(spark, sf))),
+    llm_text.CORPUS_COMPOSITION_SQL,
+)
+register(
     "docs_tfidf_top_terms",
     _q(lambda spark, sf: llm_text.tfidf_top_terms(_docs(spark, sf))),
     llm_text.TFIDF_TOP_TERMS_SQL,
