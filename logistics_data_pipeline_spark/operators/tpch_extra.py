@@ -15,6 +15,10 @@ shapes the classic queries exercise:
     q18  large orders     -> HAVING on a grouped sum, join back (semi)
     q19  disjunctive rev  -> OR-of-conjunctions predicate join
     q22  idle customers   -> scalar-subquery threshold + anti-join
+    q8   market share     -> conditional-aggregate ratio, one join tree
+    q15  top supplier     -> rank-over-aggregate (= MAX subquery, ties kept)
+    q17  small-qty rev    -> correlated per-part average, broadcast back
+    q21  waiting supplier -> EXISTS + NOT EXISTS as one grouped pass
 
 Numeric determinism follows analytics.py: money sums in DECIMAL(18,2)
 (order-independent) cast to double at the end; ratios computed in
@@ -485,4 +489,233 @@ WHERE c_acctbal > (
                     AND o.o_orderdate >= TIMESTAMP '{Q22_IDLE_SINCE} 00:00:00')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+""".strip()
+
+
+# --- q8: market share of one nation within a region -------------------------
+
+Q8_NATION, Q8_REGION = "NATION_3", "REGION_0"
+Q8_START, Q8_END = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Share of a region's yearly revenue supplied by one nation — a
+    ratio of two conditional aggregates over the same join tree (one
+    pass, no self-join). Customer nation scopes the region; supplier
+    nation decides the numerator."""
+    n_cust = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == Q8_REGION)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(Q8_START)) & (F.col("o_orderdate") < _ts(Q8_END))
+    )
+    joined = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _rev()
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0).cast(DEC)))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q8_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q8_END} 00:00:00'
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
+# --- q15: top supplier(s) by quarterly revenue ------------------------------
+
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Suppliers achieving the maximum quarterly revenue (classic Q15's
+    view + MAX subquery, expressed as a rank-over-aggregate — ties all
+    surface, matching the SQL's = MAX semantics)."""
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(Q15_START)) & (F.col("l_shipdate") < _ts(Q15_END))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_rev_dec"))
+    )
+    ranked = rev.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("total_rev_dec")))
+    ).filter(F.col("rk") == 1)
+    return (
+        ranked.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+ORDER BY s_suppkey
+""".strip()
+
+
+# --- q17: small-quantity revenue vs per-part average ------------------------
+
+
+def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Revenue locked in orders below 50% of each part's average
+    quantity (correlated scalar aggregate → per-part avg computed once
+    and broadcast back; the classic 'lost revenue in small orders').
+    Restricted to one brand like the original."""
+    p = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    )
+    li = lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)) / F.count("*")).alias("avg_qty_dec")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity").cast(DEC) < F.lit(0.5).cast("decimal(6,2)") * F.col("avg_qty_dec"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)) / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DECIMAL(18,2)) < (
+        SELECT CAST(0.5 AS DECIMAL(6,2)) * (SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""".strip()
+
+
+# --- q21: suppliers who alone shipped late on multi-supplier orders ---------
+
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(
+    nation: DataFrame, supplier: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Suppliers whose line shipped late (> 60 days after the order)
+    on a multi-supplier order where NO other supplier was late —
+    classic Q21's EXISTS + NOT EXISTS pair, expressed as one grouped
+    pass over the order's lines (late/total counts per supplier vs
+    order) instead of two correlated self-joins."""
+    l = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)).cast("int"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    culprit = (
+        l.filter(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprit.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+Q21_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_suppliers
+  FROM l GROUP BY 1
+)
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE is_late = 1) c
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_suppliers > 1 AND n_late_suppliers = 1
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC
 """.strip()

@@ -363,6 +363,15 @@ register(
     tx.Q7_SQL,
 )
 register(
+    "tpch_q8_market_share",
+    _q(
+        lambda spark, sf: tx.q8_market_share(
+            *_t(spark, sf, "region", "nation", "customer", "supplier", "orders", "lineitem")
+        )
+    ),
+    tx.Q8_SQL,
+)
+register(
     "tpch_q9_product_profit",
     _q(
         lambda spark, sf: tx.q9_product_profit(
@@ -391,6 +400,16 @@ register(
     tx.Q14_SQL,
 )
 register(
+    "tpch_q15_top_supplier",
+    _q(lambda spark, sf: tx.q15_top_supplier(*_t(spark, sf, "supplier", "lineitem"))),
+    tx.Q15_SQL,
+)
+register(
+    "tpch_q17_small_qty_revenue",
+    _q(lambda spark, sf: tx.q17_small_quantity_revenue(*_t(spark, sf, "part", "lineitem"))),
+    tx.Q17_SQL,
+)
+register(
     "tpch_q16_supplier_counts",
     _q(
         lambda spark, sf: tx.q16_supplier_counts(
@@ -412,6 +431,15 @@ register(
     "tpch_q19_disjunctive_revenue",
     _q(lambda spark, sf: tx.q19_disjunctive_revenue(*_t(spark, sf, "part", "lineitem"))),
     tx.Q19_SQL,
+)
+register(
+    "tpch_q21_waiting_suppliers",
+    _q(
+        lambda spark, sf: tx.q21_waiting_suppliers(
+            *_t(spark, sf, "nation", "supplier", "orders", "lineitem")
+        )
+    ),
+    tx.Q21_SQL,
 )
 register(
     "tpch_q22_idle_customers",
