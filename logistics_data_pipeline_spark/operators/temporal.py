@@ -239,3 +239,32 @@ FROM (
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """.strip()
+
+
+def daily_type_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (melt) the day × type matrix back to long form via
+    stack() — the wide→long inverse of daily_type_pivot, zero cells
+    included (so pivot∘unpivot is lossless)."""
+    wide = daily_type_pivot(events)
+    stack_expr = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "event_date",
+            f"stack({len(EVENT_TYPES)}, {stack_expr}) as (event_type, n_events)",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+DAILY_TYPE_UNPIVOT_SQL = """
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date FROM events),
+types AS (SELECT unnest(['click','error','pageview','purchase','signup']) AS event_type),
+counts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_date, t.event_type, COALESCE(c.n, 0) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.event_date = d.event_date AND c.event_type = t.event_type
+ORDER BY d.event_date, t.event_type
+""".strip()

@@ -471,6 +471,11 @@ register(
     temporal.DAILY_TYPE_PIVOT_SQL,
 )
 register(
+    "events_daily_type_unpivot",
+    _q(lambda spark, sf: temporal.daily_type_unpivot(load_table(spark, sf, "events"))),
+    temporal.DAILY_TYPE_UNPIVOT_SQL,
+)
+register(
     "events_props_json_stats",
     _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
     temporal.PROPS_JSON_SQL,
