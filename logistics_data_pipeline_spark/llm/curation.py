@@ -1,0 +1,172 @@
+"""Dataset-curation operators for LLM training pipelines (driver
+mandate, BASELINE.json north_star): deterministic train/val/test
+splits, source-mixture reweighting, and an inverted token index.
+
+All JVM-side built-ins in the per-row hot path — the only
+higher-order-function use is post-aggregation over the (tiny) vocab
+table, where the interpreted-HOF penalty is irrelevant. Each operator
+has a DuckDB oracle twin (*_SQL constants) over the driver's
+``documents`` view.
+
+Scale notes (100 TB):
+- split_assign is a stateless per-row projection — no shuffle, no
+  state, stable under any repartitioning, and reproducible across
+  engines because md5 is md5. This is how real corpora pin eval sets.
+- mixture_weights aggregates to one row per source (dozens) before any
+  windowing, so the "global total" window is over a trivially small
+  frame — never over the raw table.
+- inverted_index shuffles once on (token, doc) then once on token; the
+  df >= 2 and alphabetic-token filters run before the second shuffle
+  to cut the long tail of hapax tokens (the bulk of any vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- deterministic train/val/test split -----------------------------------
+
+# 4 hex chars of md5 = 65,536 uniform buckets; thresholds are computed
+# in Python and compared as strings (both engines compare hex
+# lexicographically, and both produce identical lowercase md5 hex).
+_BUCKETS = 16**4
+
+
+def _hex_threshold(frac: float) -> str:
+    return format(int(_BUCKETS * frac), "04x")
+
+
+def split_assign(docs: DataFrame, test_frac: float = 0.1, val_frac: float = 0.1) -> DataFrame:
+    """Assign every document a deterministic train/val/test split from
+    the first 4 hex chars of md5(doc_id) — content-independent, stable
+    under re-runs, re-shards, and engine changes."""
+    test_thr = _hex_threshold(test_frac)
+    val_thr = _hex_threshold(test_frac + val_frac)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket_hex"),
+        F.when(bucket < test_thr, "test")
+        .when(bucket < val_thr, "val")
+        .otherwise("train")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def _split_sql(test_frac: float = 0.1, val_frac: float = 0.1) -> str:
+    test_thr = _hex_threshold(test_frac)
+    val_thr = _hex_threshold(test_frac + val_frac)
+    return f"""
+SELECT doc_id,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket_hex,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{test_thr}' THEN 'test'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{val_thr}' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+""".strip()
+
+
+SPLIT_ASSIGN_SQL = _split_sql()
+
+
+# --- source-mixture reweighting --------------------------------------------
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source sampling weights to rebalance the corpus to a uniform
+    source mixture: weight = (total/k)/n_source (>1 = upsample), plus
+    the capped single-pass sampling probability."""
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    k = F.count("*").over(w)
+    target = total.cast("double") / k
+    weight = target / F.col("n_docs")
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / total.cast("double"), 6).alias("corpus_share"),
+            F.round(F.lit(1.0) / k, 6).alias("target_share"),
+            F.round(weight, 6).alias("sampling_weight"),
+            F.round(F.least(weight, F.lit(1.0)), 6).alias("sample_prob"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source,
+       n_docs,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS corpus_share,
+       ROUND(1.0 / COUNT(*) OVER (), 6) AS target_share,
+       ROUND((CAST(SUM(n_docs) OVER () AS DOUBLE) / COUNT(*) OVER ()) / n_docs, 6)
+         AS sampling_weight,
+       ROUND(LEAST((CAST(SUM(n_docs) OVER () AS DOUBLE) / COUNT(*) OVER ()) / n_docs, 1.0), 6)
+         AS sample_prob
+FROM per_source
+ORDER BY source
+""".strip()
+
+
+# --- inverted token index ---------------------------------------------------
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """token -> (document frequency, total term frequency, sorted
+    posting list) for alphabetic tokens appearing in >= 2 documents.
+
+    Two shuffles: (token, doc_id) partial counts (map-side combine
+    collapses repeats within a doc), then token. The posting list is
+    emitted as a comma-joined string so the oracle compare is exact.
+    """
+    tok = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    per_doc = (
+        docs.select("doc_id", tok)
+        .filter(F.col("token").rlike("^[a-z]+$"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("_postings"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+        .select(
+            "token",
+            "doc_freq",
+            "total_tf",
+            F.expr("array_join(transform(_postings, x -> cast(x as string)), ',')").alias(
+                "postings"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+INVERTED_INDEX_SQL = r"""
+WITH per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+  WHERE regexp_full_match(token, '[a-z]+')
+  GROUP BY token, doc_id
+)
+SELECT token,
+       COUNT(*) AS doc_freq,
+       SUM(tf) AS total_tf,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM per_doc
+GROUP BY token
+HAVING COUNT(*) >= 2
+ORDER BY token
+""".strip()

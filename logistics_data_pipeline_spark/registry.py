@@ -51,6 +51,7 @@ from .adapters.testdata import (
     bronze_events,
     load_table,
 )
+from .llm import curation as llm_cur
 from .llm import dedup as llm_dedup
 from .llm import multimodal as llm_mm
 from .llm import similarity as llm_sim
@@ -591,6 +592,21 @@ register(
     "docs_tfidf_top_terms",
     _q(lambda spark, sf: llm_text.tfidf_top_terms(_docs(spark, sf))),
     llm_text.TFIDF_TOP_TERMS_SQL,
+)
+register(
+    "docs_split_assign",
+    _q(lambda spark, sf: llm_cur.split_assign(_docs(spark, sf))),
+    llm_cur.SPLIT_ASSIGN_SQL,
+)
+register(
+    "docs_mixture_weights",
+    _q(lambda spark, sf: llm_cur.mixture_weights(_docs(spark, sf))),
+    llm_cur.MIXTURE_WEIGHTS_SQL,
+)
+register(
+    "docs_inverted_index",
+    _q(lambda spark, sf: llm_cur.inverted_index(_docs(spark, sf))),
+    llm_cur.INVERTED_INDEX_SQL,
 )
 register(
     "emb_vector_norms",
