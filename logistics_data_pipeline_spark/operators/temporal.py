@@ -268,3 +268,117 @@ FROM days d CROSS JOIN types t
 LEFT JOIN counts c ON c.event_date = d.event_date AND c.event_type = t.event_type
 ORDER BY d.event_date, t.event_type
 """.strip()
+
+
+def daily_type_cube(events: DataFrame) -> DataFrame:
+    """GROUP BY CUBE(day, type): all four grouping combinations in one
+    pass (per-cell, per-day, per-type, grand total), with explicit
+    grouping() flags so subtotal rows are unambiguous even if a real
+    NULL ever appears in a grouping column. Spark expands the cube
+    map-side — one shuffle for all 4 groupings, not 4 scans."""
+    base = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_type", "value"
+    )
+    return (
+        base.cube("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+            F.grouping("event_date").alias("g_date"),
+            F.grouping("event_type").alias("g_type"),
+        )
+        .orderBy("g_date", "g_type", "event_date", "event_type")
+    )
+
+
+DAILY_TYPE_CUBE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       CAST(GROUPING(strftime(ts, '%Y-%m-%d')) AS INT) AS g_date,
+       CAST(GROUPING(event_type) AS INT) AS g_type
+FROM events
+GROUP BY CUBE(strftime(ts, '%Y-%m-%d'), event_type)
+ORDER BY g_date, g_type, event_date, event_type
+""".strip()
+
+
+# --- bucketed interval (band) join ----------------------------------------
+
+ATTRIBUTION_MINUTES = 30
+
+
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """Per purchase: how many clicks the same user made in the
+    preceding 30 minutes (exclusive start, inclusive purchase time).
+
+    This is a range join — naively O(clicks x purchases) per user. The
+    scalable formulation quantizes time into window-sized buckets: a
+    30-min lookback can only overlap 2 buckets, so each purchase is
+    expanded to its <=2 candidate buckets and joined to clicks on
+    (user_id, bucket) EQUALITY, then the exact ts-range predicate
+    filters the small candidate set. Pair count is bounded by events
+    per (user, bucket) — no quadratic blow-up at 100 TB, and the join
+    stays a hash join Catalyst can plan normally.
+    """
+    win_s = ATTRIBUTION_MINUTES * 60
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    p_bucketed = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.unix_timestamp("ts") - win_s) / win_s),
+                    F.floor(F.unix_timestamp("ts") / win_s),
+                )
+            )
+        ),
+    )
+    c_bucketed = clicks.withColumn(
+        "bucket", F.floor(F.unix_timestamp("click_ts") / win_s)
+    )
+    matched = (
+        p_bucketed.join(c_bucketed, ["user_id", "bucket"])
+        .filter(
+            (F.col("click_ts") > F.col("ts") - F.expr(f"INTERVAL {win_s} SECONDS"))
+            & (F.col("click_ts") <= F.col("ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        purchases.join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_prior_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+PURCHASE_CLICK_ATTRIBUTION_SQL = f"""
+WITH purchases AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.purchase_id, COUNT(*) AS n
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts > p.ts - INTERVAL {ATTRIBUTION_MINUTES} MINUTE
+   AND c.click_ts <= p.ts
+  GROUP BY p.purchase_id
+)
+SELECT p.purchase_id, p.user_id, p.ts, COALESCE(m.n, 0) AS n_prior_clicks
+FROM purchases p LEFT JOIN matched m ON m.purchase_id = p.purchase_id
+ORDER BY p.purchase_id
+""".strip()

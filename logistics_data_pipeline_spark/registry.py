@@ -477,6 +477,16 @@ register(
     temporal.DAILY_TYPE_UNPIVOT_SQL,
 )
 register(
+    "events_daily_type_cube",
+    _q(lambda spark, sf: temporal.daily_type_cube(load_table(spark, sf, "events"))),
+    temporal.DAILY_TYPE_CUBE_SQL,
+)
+register(
+    "events_click_attribution",
+    _q(lambda spark, sf: temporal.purchase_click_attribution(load_table(spark, sf, "events"))),
+    temporal.PURCHASE_CLICK_ATTRIBUTION_SQL,
+)
+register(
     "events_props_json_stats",
     _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
     temporal.PROPS_JSON_SQL,
