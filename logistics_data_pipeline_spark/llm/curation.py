@@ -170,3 +170,97 @@ GROUP BY token
 HAVING COUNT(*) >= 2
 ORDER BY token
 """.strip()
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+SAMPLE_PER_SOURCE = 5
+
+
+def stratified_sample(docs: DataFrame, per_source: int = SAMPLE_PER_SOURCE) -> DataFrame:
+    """Fixed-size per-source sample, selected by md5(doc_id) rank —
+    deterministic and engine-independent (the distributed analogue of
+    seeded reservoir sampling, reproducible across re-runs/re-shards).
+    One shuffle on source; rank is a window over each stratum."""
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.select("source", "doc_id", rank.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= per_source)
+        .orderBy("source", "sample_rank")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT source, doc_id, sample_rank
+FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {SAMPLE_PER_SOURCE}
+ORDER BY source, sample_rank
+""".strip()
+
+
+# --- repetition quality signals (Gopher-style) ------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document bigram repetition signals: total bigrams, the top
+    bigram's share, and the fraction of bigram occurrences belonging to
+    a repeated bigram — the standard cheap boilerplate/spam detectors.
+
+    Bigrams via posexplode + window lead (whole-stage codegen; the
+    array-HOF formulation runs interpreted and is ~15x slower at scale,
+    see dedup.shingle_rows)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    bigrams = (
+        toks.select("doc_id", F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n"))
+        .filter(F.col("_n").isNotNull())
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    total = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            total.alias("n_bigrams"),
+            F.max("c").alias("max_bigram_count"),
+            F.round(F.max("c") / total.cast("double"), 6).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                / total.cast("double"),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH bi AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bigram
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents))
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram)
+SELECT doc_id,
+       SUM(c) AS n_bigrams,
+       MAX(c) AS max_bigram_count,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac,
+       ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / CAST(SUM(c) AS DOUBLE), 6)
+         AS dup_bigram_frac
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()

@@ -282,3 +282,38 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding vectors, in long form
+    (label, dimension position, mean component) — the k-means/IVF
+    assignment primitive (knn_ivf's coarse quantizer is this same
+    computation over learned clusters).
+
+    posexplode keeps the whole pipeline in codegen (array HOFs run
+    interpreted); the single shuffle is on (label, pos), ~labels x dim
+    groups regardless of corpus size, so partial aggregation collapses
+    the map side at 100 TB."""
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, pos, COUNT(*) AS n_vectors,
+       ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val
+FROM (SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings)
+GROUP BY label, pos
+ORDER BY label, pos
+""".strip()

@@ -619,6 +619,21 @@ register(
     llm_cur.INVERTED_INDEX_SQL,
 )
 register(
+    "docs_stratified_sample",
+    _q(lambda spark, sf: llm_cur.stratified_sample(_docs(spark, sf))),
+    llm_cur.STRATIFIED_SAMPLE_SQL,
+)
+register(
+    "docs_repetition_stats",
+    _q(lambda spark, sf: llm_cur.repetition_stats(_docs(spark, sf))),
+    llm_cur.REPETITION_STATS_SQL,
+)
+register(
+    "emb_label_centroids",
+    _q(lambda spark, sf: llm_sim.label_centroids(_emb(spark, sf))),
+    llm_sim.LABEL_CENTROIDS_SQL,
+)
+register(
     "emb_vector_norms",
     _q(lambda spark, sf: llm_sim.vector_norms(_emb(spark, sf))),
     llm_sim.VECTOR_NORMS_SQL,
