@@ -1,0 +1,195 @@
+"""Unit tests for dataset-curation operators (llm/curation.py) and the
+temporal band-join / cube additions — fixture-level semantics that the
+sf0.01 oracle gate can't pin down (boundaries, determinism, totality).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_spark.llm import curation
+from logistics_data_pipeline_spark.operators import temporal
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word text sample "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        F.lit(20).alias("n_chars"),
+    )
+
+
+class TestSplitAssign:
+    def test_totality_and_determinism(self, spark):
+        docs = _docs(spark)
+        a = curation.split_assign(docs).collect()
+        b = curation.split_assign(docs).collect()
+        assert a == b
+        assert len(a) == 200
+        assert {r.split for r in a} <= {"train", "val", "test"}
+
+    def test_fractions_roughly_honored(self, spark):
+        counts = {
+            r.split: r.n
+            for r in curation.split_assign(_docs(spark, 1000))
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # md5 buckets are uniform: 10% +- a generous binomial margin
+        assert 60 <= counts.get("test", 0) <= 140
+        assert 60 <= counts.get("val", 0) <= 140
+        assert counts["train"] >= 700
+
+    def test_split_is_content_independent(self, spark):
+        docs = _docs(spark)
+        relabeled = docs.withColumn("text", F.lit("totally different"))
+        orig = {r.doc_id: r.split for r in curation.split_assign(docs).collect()}
+        new = {r.doc_id: r.split for r in curation.split_assign(relabeled).collect()}
+        assert orig == new
+
+
+class TestStratifiedSample:
+    def test_at_most_k_per_stratum_and_deterministic(self, spark):
+        docs = _docs(spark)
+        out = curation.stratified_sample(docs, per_source=3)
+        per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        assert all(r.n == 3 for r in per)  # 50 docs/source, so exactly k
+        assert out.collect() == curation.stratified_sample(docs, per_source=3).collect()
+
+    def test_small_stratum_keeps_all(self, spark):
+        docs = _docs(spark, 2)  # sources "0" and "1", one doc each
+        out = curation.stratified_sample(docs, per_source=5).collect()
+        assert len(out) == 2
+        assert all(r.sample_rank == 1 for r in out)
+
+
+class TestRepetitionStats:
+    def test_hand_computed_bigrams(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "all words differ here now")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in curation.repetition_stats(docs).collect()}
+        # doc 1: bigrams = ab, ba, ab, ba, ab -> n=5, max=3, all repeated
+        assert rows[1].n_bigrams == 5
+        assert rows[1].max_bigram_count == 3
+        assert abs(rows[1].top_bigram_frac - 0.6) < 1e-9
+        assert rows[1].dup_bigram_frac == 1.0
+        # doc 2: 4 distinct bigrams, none repeated
+        assert rows[2].n_bigrams == 4
+        assert rows[2].max_bigram_count == 1
+        assert rows[2].dup_bigram_frac == 0.0
+
+    def test_single_token_doc_has_no_row(self, spark):
+        docs = spark.createDataFrame([(1, "lonely")], ["doc_id", "text"])
+        assert curation.repetition_stats(docs).count() == 0
+
+
+class TestMixtureWeights:
+    def test_uniform_target_math(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "big" if i < 30 else "small", 1) for i in range(40)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = {r.source: r for r in curation.mixture_weights(docs).collect()}
+        # target = 40/2 = 20 docs/source
+        assert rows["big"].n_docs == 30 and rows["small"].n_docs == 10
+        assert abs(rows["big"].sampling_weight - 20 / 30) < 1e-6
+        assert abs(rows["small"].sampling_weight - 2.0) < 1e-6
+        assert rows["big"].sample_prob == rows["big"].sampling_weight
+        assert rows["small"].sample_prob == 1.0  # upsampling capped
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_df_filtered(self, spark):
+        docs = spark.createDataFrame(
+            [(3, "apple banana"), (1, "apple apple"), (2, "banana x9")],
+            ["doc_id", "text"],
+        )
+        rows = {r.token: r for r in curation.inverted_index(docs).collect()}
+        assert set(rows) == {"apple", "banana"}  # x9 non-alpha, df=1 dropped
+        assert rows["apple"].postings == "1,3"
+        assert rows["apple"].doc_freq == 2 and rows["apple"].total_tf == 3
+
+
+class TestClickAttribution:
+    def test_window_boundaries_and_bucket_crossing(self, spark):
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ev(eid, uid, typ, offset_s):
+            return (eid, t0 + dt.timedelta(seconds=offset_s), uid, typ, 1.0, "{}")
+
+        events = spark.createDataFrame(
+            [
+                ev(100, 1, "purchase", 0),
+                ev(1, 1, "click", 0),  # at purchase ts: counted (inclusive)
+                ev(2, 1, "click", -1800),  # exactly -30min: excluded (exclusive)
+                ev(3, 1, "click", -1799),  # just inside window
+                ev(4, 1, "click", -1),  # inside, same bucket as purchase
+                ev(5, 1, "click", -3000),  # before window
+                ev(6, 1, "click", 10),  # after purchase
+                ev(7, 2, "click", -5),  # other user
+                ev(101, 2, "purchase", 0),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        rows = {
+            r.purchase_id: r.n_prior_clicks
+            for r in temporal.purchase_click_attribution(events).collect()
+        }
+        assert rows[100] == 3  # clicks 1, 3, 4
+        assert rows[101] == 1  # click 7
+
+    def test_purchase_with_no_clicks_kept_at_zero(self, spark):
+        events = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1), 9, "purchase", 1.0, "{}")],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        rows = temporal.purchase_click_attribution(events).collect()
+        assert len(rows) == 1 and rows[0].n_prior_clicks == 0
+
+
+class TestPivotUnpivotRoundTrip:
+    def test_unpivot_restores_long_form_with_zeros(self, spark):
+        events = spark.createDataFrame(
+            [
+                (1, dt.datetime(2026, 1, 1, 8), 1, "click", 1.0, "{}"),
+                (2, dt.datetime(2026, 1, 1, 9), 1, "click", 1.0, "{}"),
+                (3, dt.datetime(2026, 1, 2, 8), 2, "signup", 1.0, "{}"),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        out = {
+            (r.event_date, r.event_type): r.n_events
+            for r in temporal.daily_type_unpivot(events).collect()
+        }
+        # 2 days x 5 types, zero cells materialized
+        assert len(out) == 10
+        assert out[("2026-01-01", "click")] == 2
+        assert out[("2026-01-02", "signup")] == 1
+        assert out[("2026-01-01", "purchase")] == 0
+
+
+class TestCube:
+    def test_grand_total_and_marginals(self, spark):
+        events = spark.createDataFrame(
+            [
+                (1, dt.datetime(2026, 1, 1, 8), 1, "click", 2.0, "{}"),
+                (2, dt.datetime(2026, 1, 2, 9), 1, "click", 3.0, "{}"),
+                (3, dt.datetime(2026, 1, 1, 10), 2, "signup", 5.0, "{}"),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        rows = temporal.daily_type_cube(events).collect()
+        grand = [r for r in rows if r.g_date == 1 and r.g_type == 1]
+        assert len(grand) == 1 and grand[0].n_events == 3 and grand[0].total_value == 10.0
+        by_type = {
+            r.event_type: r.n_events for r in rows if r.g_date == 1 and r.g_type == 0
+        }
+        assert by_type == {"click": 2, "signup": 1}
+        assert len(rows) == 3 + 2 + 2 + 1  # cells + day marginals + type marginals + grand
