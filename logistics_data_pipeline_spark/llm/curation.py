@@ -264,3 +264,82 @@ FROM cnt
 GROUP BY doc_id
 ORDER BY doc_id
 """.strip()
+
+
+# --- composite quality filter (validity-split pattern for documents) --------
+
+MIN_TOKENS = 20
+MIN_TTR = 0.35
+MAX_DUP_BIGRAM = 0.5
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Keep/drop verdict per document from the cheap quality signals,
+    with a first-true-wins reason — the documents-table analogue of the
+    reference's validity split + priority CASE labeling
+    (int_invalid_logistics_events.SQL:35-61 shape, applied to corpus
+    curation).
+
+    Signals come from one token pass (counts + distinct) and one bigram
+    pass (repetition_stats), joined on doc_id; docs too short to have
+    bigrams are repetition-clean by definition (coalesce 0)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    base = docs.select("doc_id", n_tokens.alias("n_tokens"), F.round(ttr, 6).alias("ttr"))
+    rep = repetition_stats(docs).select("doc_id", "dup_bigram_frac")
+    joined = base.join(rep, "doc_id", "left").withColumn(
+        "dup_bigram_frac", F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "TOO_SHORT")
+        .when(F.col("ttr") < MIN_TTR, "LOW_DIVERSITY")
+        .when(F.col("dup_bigram_frac") > MAX_DUP_BIGRAM, "REPETITIVE")
+        .otherwise(None)
+    )
+    return (
+        joined.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         ROUND(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS ttr
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+bi AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bigram
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents))
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram),
+rep AS (
+  SELECT doc_id,
+         ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / CAST(SUM(c) AS DOUBLE), 6)
+           AS dup_bigram_frac
+  FROM cnt GROUP BY doc_id
+),
+joined AS (
+  SELECT b.doc_id, b.n_tokens, b.ttr,
+         COALESCE(r.dup_bigram_frac, 0.0) AS dup_bigram_frac
+  FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id
+)
+SELECT doc_id, n_tokens, ttr, dup_bigram_frac,
+       CASE WHEN n_tokens < {MIN_TOKENS} THEN 'TOO_SHORT'
+            WHEN ttr < {MIN_TTR} THEN 'LOW_DIVERSITY'
+            WHEN dup_bigram_frac > {MAX_DUP_BIGRAM} THEN 'REPETITIVE'
+            ELSE NULL END AS drop_reason,
+       (CASE WHEN n_tokens < {MIN_TOKENS} THEN 'TOO_SHORT'
+             WHEN ttr < {MIN_TTR} THEN 'LOW_DIVERSITY'
+             WHEN dup_bigram_frac > {MAX_DUP_BIGRAM} THEN 'REPETITIVE'
+             ELSE NULL END) IS NULL AS keep
+FROM joined
+ORDER BY doc_id
+""".strip()

@@ -388,3 +388,53 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """.strip()
+
+
+# --- customer lifetime-value deciles (NTILE) --------------------------------
+
+
+def customer_ltv_deciles(orders: DataFrame) -> DataFrame:
+    """Per-customer total spend bucketed into NTILE(10) deciles, with
+    per-decile customer counts and spend stats. Money sums in
+    DECIMAL(18,2) (FP sum order varies across engines); the NTILE
+    ordering is (ltv, custkey) so ties break deterministically.
+
+    The global NTILE is a single-partition sort over one row per
+    customer — already reduced by the first agg; at extreme customer
+    cardinality swap for percent_rank over range bounds or
+    approx-quantile cut points."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv")
+    )
+    decile = F.ntile(10).over(Window.orderBy("ltv", "o_custkey"))
+    return (
+        spend.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.min("ltv").cast("double"), 2).alias("min_ltv"),
+            F.round(F.max("ltv").cast("double"), 2).alias("max_ltv"),
+            F.round(F.sum("ltv").cast("double"), 2).alias("total_ltv"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_LTV_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
+  FROM orders GROUP BY o_custkey
+),
+bucketed AS (
+  SELECT o_custkey, ltv, NTILE(10) OVER (ORDER BY ltv, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(MIN(ltv) AS DOUBLE), 2) AS min_ltv,
+       ROUND(CAST(MAX(ltv) AS DOUBLE), 2) AS max_ltv,
+       ROUND(CAST(SUM(ltv) AS DOUBLE), 2) AS total_ltv
+FROM bucketed
+GROUP BY decile
+ORDER BY decile
+""".strip()

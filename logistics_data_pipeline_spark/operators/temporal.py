@@ -382,3 +382,109 @@ SELECT p.purchase_id, p.user_id, p.ts, COALESCE(m.n, 0) AS n_prior_clicks
 FROM purchases p LEFT JOIN matched m ON m.purchase_id = p.purchase_id
 ORDER BY p.purchase_id
 """.strip()
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity date,
+    counted on each later active day as (cohort_date, day_offset).
+
+    Two shuffles: per-user first date, then the (cohort, offset) count.
+    The (user_id, day) distinct and the first-date agg share the
+    user_id clustering, and the final matrix is tiny (days^2), so the
+    reduce side never concentrates — cohort analytics at any scale."""
+    user_first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("active_date")).distinct()
+    return (
+        activity.join(user_first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+SELECT fu.cohort_date,
+       CAST(date_diff('day', fu.cohort_date, act.active_date) AS INT) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM act JOIN fu ON act.user_id = fu.user_id
+GROUP BY fu.cohort_date, day_offset
+ORDER BY fu.cohort_date, day_offset
+""".strip()
+
+
+# --- signup -> purchase conversion funnel -----------------------------------
+
+FUNNEL_DAYS = 7
+
+
+def signup_purchase_funnel(events: DataFrame) -> DataFrame:
+    """One-row funnel: total users, users who signed up, and users whose
+    first purchase landed within 7 days of their first signup, plus the
+    conversion ratios. Per-user mins first (high-cardinality shuffle),
+    then a broadcast-sized join of two per-user aggregates — never a
+    row-level event-to-event join."""
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    converted = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_signup"))
+            & (F.col("ts") <= F.col("first_signup") + F.expr(f"INTERVAL {FUNNEL_DAYS} DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # three single-row aggregates cross-joined — fully lazy, no driver
+    # actions; each input collapses map-side before the 1-row join
+    totals = (
+        events.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(first_signup.agg(F.count("*").alias("n_signed_up")))
+        .crossJoin(converted.agg(F.count("*").alias("n_converted")))
+    )
+    return totals.select(
+        "n_users",
+        "n_signed_up",
+        "n_converted",
+        F.round(F.col("n_signed_up") / F.col("n_users").cast("double"), 6).alias(
+            "signup_rate"
+        ),
+        F.round(F.col("n_converted") / F.col("n_signed_up").cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+SIGNUP_FUNNEL_SQL = f"""
+WITH fs AS (SELECT user_id, MIN(ts) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN fs ON e.user_id = fs.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= fs.first_signup
+    AND e.ts <= fs.first_signup + INTERVAL {FUNNEL_DAYS} DAY
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM fs) AS n_signed_up,
+       (SELECT COUNT(*) FROM conv) AS n_converted,
+       ROUND((SELECT COUNT(*) FROM fs)
+             / CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS DOUBLE), 6)
+         AS signup_rate,
+       ROUND((SELECT COUNT(*) FROM conv)
+             / CAST((SELECT COUNT(*) FROM fs) AS DOUBLE), 6) AS conversion_rate
+""".strip()

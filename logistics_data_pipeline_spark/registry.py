@@ -487,6 +487,21 @@ register(
     temporal.PURCHASE_CLICK_ATTRIBUTION_SQL,
 )
 register(
+    "events_retention_cohorts",
+    _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
+    temporal.RETENTION_COHORTS_SQL,
+)
+register(
+    "events_signup_funnel",
+    _q(lambda spark, sf: temporal.signup_purchase_funnel(load_table(spark, sf, "events"))),
+    temporal.SIGNUP_FUNNEL_SQL,
+)
+register(
+    "orders_ltv_deciles",
+    _q(lambda spark, sf: analytics.customer_ltv_deciles(load_table(spark, sf, "orders"))),
+    analytics.CUSTOMER_LTV_DECILES_SQL,
+)
+register(
     "events_props_json_stats",
     _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
     temporal.PROPS_JSON_SQL,
@@ -617,6 +632,11 @@ register(
     "docs_inverted_index",
     _q(lambda spark, sf: llm_cur.inverted_index(_docs(spark, sf))),
     llm_cur.INVERTED_INDEX_SQL,
+)
+register(
+    "docs_quality_filter",
+    _q(lambda spark, sf: llm_cur.quality_filter(_docs(spark, sf))),
+    llm_cur.QUALITY_FILTER_SQL,
 )
 register(
     "docs_stratified_sample",
