@@ -34,7 +34,10 @@ session_window, rollup, quantiles, HLL, as-of join, tumbling windows,
 pivot, JSON, salted agg), orders_* (top-N per group, trailing RANGE
 window), dim_order_scd2, stream_sessionize_closed
 (applyInPandasWithState round-trip), docs_* / emb_* (dedup + similarity
-+ text analysis), multimodal_* (binary + mapInPandas).
++ text analysis + curation: splits, mixture weights, inverted index,
+stratified sampling, repetition stats, quality filter, label
+centroids), multimodal_* (binary + mapInPandas), plus cube/unpivot,
+band-join attribution, retention cohorts, funnel, LTV deciles.
 """
 
 from __future__ import annotations
