@@ -317,3 +317,57 @@ FROM (SELECT label,
 GROUP BY label, pos
 ORDER BY label, pos
 """.strip()
+
+
+def semantic_neardup_enriched(emb: DataFrame, docs: DataFrame) -> DataFrame:
+    """Embedding near-dup pairs joined back to document metadata on both
+    sides (vec_id == doc_id) — the cross-table step a semantic-dedup
+    pipeline runs before deciding keepers. The (tiny) pair set probes
+    the documents table twice via aliased joins; at scale the pair side
+    is the broadcast side."""
+    pairs = embedding_neardup(emb)
+    a_meta = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("source").alias("a_source"),
+    )
+    b_meta = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("source").alias("b_source"),
+    )
+    return (
+        pairs.join(a_meta, "a_id")
+        .join(b_meta, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cosine",
+            "a_lang",
+            "b_lang",
+            "a_source",
+            "b_source",
+            (F.col("a_source") == F.col("b_source")).alias("same_source"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+SEMANTIC_NEARDUP_ENRICHED_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_THRESHOLD}
+)
+SELECT p.a_id, p.b_id, p.cosine,
+       da.lang AS a_lang, db.lang AS b_lang,
+       da.source AS a_source, db.source AS b_source,
+       da.source = db.source AS same_source
+FROM pairs p
+JOIN documents da ON da.doc_id = p.a_id
+JOIN documents db ON db.doc_id = p.b_id
+ORDER BY p.a_id, p.b_id
+""".strip()

@@ -235,3 +235,48 @@ FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
 """.strip()
+
+
+def token_setops(docs: DataFrame, lang_a: str = "en", lang_b: str = "de") -> DataFrame:
+    """Vocabulary comparison between two language slices via the SQL
+    set operators: tokens in both (INTERSECT), and each side's
+    exclusives (EXCEPT). Spark plans these as aggregate/anti patterns
+    over a hash shuffle — no custom machinery — and the per-slice
+    DISTINCT collapses map-side before the set op shuffles."""
+
+    def vocab(lang):
+        return (
+            docs.filter(F.col("lang") == lang)
+            .select(F.explode(_tokens(F.col("text"))).alias("token"))
+            .filter(F.col("token").rlike("^[a-z]+$"))
+            .distinct()
+        )
+    va, vb = vocab(lang_a), vocab(lang_b)
+    return (
+        va.intersect(vb).select("token", F.lit("both").alias("relation"))
+        .unionByName(va.subtract(vb).select("token", F.lit(f"{lang_a}_only").alias("relation")))
+        .unionByName(vb.subtract(va).select("token", F.lit(f"{lang_b}_only").alias("relation")))
+        .orderBy("relation", "token")
+    )
+
+
+TOKEN_SETOPS_SQL = r"""
+WITH va AS (
+  SELECT DISTINCT token
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE lang = 'en')
+  WHERE regexp_full_match(token, '[a-z]+')
+),
+vb AS (
+  SELECT DISTINCT token
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE lang = 'de')
+  WHERE regexp_full_match(token, '[a-z]+')
+)
+SELECT token, 'both' AS relation FROM (SELECT token FROM va INTERSECT SELECT token FROM vb)
+UNION ALL
+SELECT token, 'en_only' AS relation FROM (SELECT token FROM va EXCEPT SELECT token FROM vb)
+UNION ALL
+SELECT token, 'de_only' AS relation FROM (SELECT token FROM vb EXCEPT SELECT token FROM va)
+ORDER BY relation, token
+""".strip()

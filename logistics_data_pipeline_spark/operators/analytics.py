@@ -438,3 +438,43 @@ FROM bucketed
 GROUP BY decile
 ORDER BY decile
 """.strip()
+
+
+# --- fixed-width value histogram --------------------------------------------
+
+HIST_BIN_WIDTH = 50.0
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Fixed-width histogram of event values: one map-side floor()
+    projection + a tiny groupBy — the distributed histogram pattern
+    (never a sort, never a collect; bin count is data-independent)."""
+    bin_no = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("int")
+    return (
+        events.select(bin_no.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN_WIDTH).alias("bin_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bin")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS INT) AS bin,
+       CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS INT) * {HIST_BIN_WIDTH} AS bin_start,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY bin
+ORDER BY bin
+""".strip()

@@ -488,3 +488,44 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
        ROUND((SELECT COUNT(*) FROM conv)
              / CAST((SELECT COUNT(*) FROM fs) AS DOUBLE), 6) AS conversion_rate
 """.strip()
+
+
+# --- inter-arrival gap statistics (lag windows) -----------------------------
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user event inter-arrival gaps via lag(): event count, mean /
+    min / max gap in seconds. One shuffle on user_id; the window sort is
+    per-user local. Ties order by (ts, event_id) so the lag sequence is
+    deterministic in any engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        events.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.min("gap_s"), 6).alias("min_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERARRIVAL_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_s
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(AVG(gap_s), 6) AS mean_gap_s,
+       ROUND(MIN(gap_s), 6) AS min_gap_s,
+       ROUND(MAX(gap_s), 6) AS max_gap_s
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+""".strip()

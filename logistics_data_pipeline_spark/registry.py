@@ -505,6 +505,16 @@ register(
     analytics.CUSTOMER_LTV_DECILES_SQL,
 )
 register(
+    "events_interarrival_stats",
+    _q(lambda spark, sf: temporal.interarrival_stats(load_table(spark, sf, "events"))),
+    temporal.INTERARRIVAL_STATS_SQL,
+)
+register(
+    "events_value_histogram",
+    _q(lambda spark, sf: analytics.value_histogram(load_table(spark, sf, "events"))),
+    analytics.VALUE_HISTOGRAM_SQL,
+)
+register(
     "events_props_json_stats",
     _q(lambda spark, sf: temporal.props_json_stats(load_table(spark, sf, "events"))),
     temporal.PROPS_JSON_SQL,
@@ -617,6 +627,11 @@ register(
     llm_text.CORPUS_COMPOSITION_SQL,
 )
 register(
+    "docs_token_setops",
+    _q(lambda spark, sf: llm_text.token_setops(_docs(spark, sf))),
+    llm_text.TOKEN_SETOPS_SQL,
+)
+register(
     "docs_tfidf_top_terms",
     _q(lambda spark, sf: llm_text.tfidf_top_terms(_docs(spark, sf))),
     llm_text.TFIDF_TOP_TERMS_SQL,
@@ -674,6 +689,15 @@ register(
     "emb_neardup_cosine",
     _q(lambda spark, sf: llm_sim.embedding_neardup(_emb(spark, sf))),
     llm_sim.EMBEDDING_NEARDUP_SQL,
+)
+register(
+    "emb_semantic_neardup_enriched",
+    _q(
+        lambda spark, sf: llm_sim.semantic_neardup_enriched(
+            _emb(spark, sf), _docs(spark, sf)
+        )
+    ),
+    llm_sim.SEMANTIC_NEARDUP_ENRICHED_SQL,
 )
 register(
     "emb_neardup_cosine_fast",  # BLAS block product: last-ulp vs SQL → rows-only
