@@ -343,3 +343,54 @@ SELECT doc_id, n_tokens, ttr, dup_bigram_frac,
 FROM joined
 ORDER BY doc_id
 """.strip()
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Deliberately simple, engine-portable patterns (same regex dialect in
+# Spark's Java regex and DuckDB's RE2 for these constructs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact email/phone-shaped substrings and report counts — the
+    mandatory pre-training scrub pass. Pure regexp_replace /
+    regexp_count projections: JVM-side, no shuffle, linear scan that
+    parallelizes by input split at any scale. The scrubbed text is
+    fingerprinted (md5) so the oracle compares content without hauling
+    full text through the hash compare."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE)
+        ).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.length(scrubbed) != F.length("text")).alias("was_scrubbed"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, text,
+         regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+         no_email
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(scrubbed) AS scrubbed_md5,
+       len(scrubbed) != len(text) AS was_scrubbed
+FROM s2
+ORDER BY doc_id
+""".strip()

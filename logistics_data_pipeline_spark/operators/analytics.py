@@ -478,3 +478,36 @@ FROM events
 GROUP BY bin
 ORDER BY bin
 """.strip()
+
+
+# --- distribution-rank windows (percent_rank / cume_dist) -------------------
+
+
+def order_price_ranks(orders: DataFrame) -> DataFrame:
+    """Each order's price position within its priority class:
+    percent_rank and cume_dist windows — the distribution-rank family
+    the other window ops (row_number/ntile/lag/range) don't touch.
+    One shuffle on o_orderpriority; per-class local sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        )
+        .filter(F.col("o_orderkey") % 100 == 0)  # stable subsample keeps output bounded
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_PRICE_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(percent_rank() OVER w, 6) AS price_percent_rank,
+       ROUND(cume_dist() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+QUALIFY o_orderkey % 100 = 0
+ORDER BY o_orderkey
+""".strip()

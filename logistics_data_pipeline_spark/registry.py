@@ -500,6 +500,11 @@ register(
     temporal.SIGNUP_FUNNEL_SQL,
 )
 register(
+    "orders_price_ranks",
+    _q(lambda spark, sf: analytics.order_price_ranks(load_table(spark, sf, "orders"))),
+    analytics.ORDER_PRICE_RANKS_SQL,
+)
+register(
     "orders_ltv_deciles",
     _q(lambda spark, sf: analytics.customer_ltv_deciles(load_table(spark, sf, "orders"))),
     analytics.CUSTOMER_LTV_DECILES_SQL,
@@ -655,6 +660,11 @@ register(
     "docs_quality_filter",
     _q(lambda spark, sf: llm_cur.quality_filter(_docs(spark, sf))),
     llm_cur.QUALITY_FILTER_SQL,
+)
+register(
+    "docs_pii_scrub",
+    _q(lambda spark, sf: llm_cur.pii_scrub(_docs(spark, sf))),
+    llm_cur.PII_SCRUB_SQL,
 )
 register(
     "docs_stratified_sample",

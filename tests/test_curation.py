@@ -193,3 +193,26 @@ class TestCube:
         }
         assert by_type == {"click": 2, "signup": 1}
         assert len(rows) == 3 + 2 + 2 + 1  # cells + day marginals + type marginals + grand
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "contact me at alice@example.com or +1 (555) 123-4567 ok"),
+                (2, "no pii here at all"),
+                (3, "two mails a@b.io c@d.org"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in curation.pii_scrub(docs).collect()}
+        assert rows[1].n_emails == 1 and rows[1].n_phones == 1 and rows[1].was_scrubbed
+        assert rows[2].n_emails == 0 and rows[2].n_phones == 0 and not rows[2].was_scrubbed
+        assert rows[3].n_emails == 2
+
+    def test_scrubbed_hash_stable_and_pii_free(self, spark):
+        docs = spark.createDataFrame([(1, "mail alice@example.com end")], ["doc_id", "text"])
+        import hashlib
+
+        expected = hashlib.md5(b"mail <EMAIL> end").hexdigest()
+        assert curation.pii_scrub(docs).collect()[0].scrubbed_md5 == expected
