@@ -240,3 +240,58 @@ FROM agg
 WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 ORDER BY user_id, session_start
 """.strip()
+
+
+# --- stream-stream interval join -------------------------------------------
+
+ATTRIBUTION_MINUTES = 30  # same lookback as the batch twin
+ATTRIBUTION_WATERMARK = "2 hours"
+
+
+def click_attribution_pairs_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: each purchase paired with the
+    same user's clicks from the preceding 30 minutes (exclusive start,
+    inclusive purchase instant) — the streaming twin of
+    operators/temporal.purchase_click_attribution (its bucketed batch
+    formulation); the test asserts pair-for-pair equality.
+
+    Both sides are watermarked so Spark can bound join state: a
+    buffered click is dropped once the watermark passes c_ts + 30 min
+    (no future purchase can reach back to it), and purchases age out
+    symmetrically. State is O(events within the lateness horizon),
+    independent of stream length. Inner join: zero-click purchases are
+    the batch twin's left-join tail; a streaming left-outer would hold
+    their null rows until the watermark advances past the bound, which
+    a finite replay never reaches.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", ATTRIBUTION_WATERMARK)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", ATTRIBUTION_WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts > p_ts - INTERVAL {ATTRIBUTION_MINUTES} MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "click_id",
+        "c_ts",
+    )

@@ -117,3 +117,34 @@ def test_sessionize_stream_restart_closes_session(spark, tmp_path):
     assert r.user_id == 7 and r.n_events == 2 and r.total_value == 4.0
     assert r.session_start.isoformat().startswith("2024-01-01T00:00")
     assert r.session_end.isoformat().startswith("2024-01-01T00:10")
+
+
+def test_stream_stream_interval_join_matches_batch_attribution(spark, sf_dir, tmp_path):
+    from logistics_data_pipeline_spark.operators.temporal import (
+        purchase_click_attribution,
+    )
+    from logistics_data_pipeline_spark.streaming.windowed import (
+        click_attribution_pairs_stream,
+    )
+
+    src = tmp_path / "ssj_src"
+    _dump_events_json(spark, sf_dir, src, n_files=4)
+    stream = click_attribution_pairs_stream(events_file_stream(spark, str(src)))
+    run_to_memory(stream, "ssj_pairs", "append", str(tmp_path / "ssj_ckpt"))
+    pairs = spark.table("ssj_pairs")
+    got = {
+        (r.purchase_id, r.n): None
+        for r in pairs.groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.purchase_id, r.n_prior_clicks): None
+        for r in purchase_click_attribution(
+            load_table(spark, sf_dir, "events")
+        )
+        .filter(F.col("n_prior_clicks") > 0)  # inner join drops zero-click tail
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
