@@ -371,3 +371,57 @@ JOIN documents da ON da.doc_id = p.a_id
 JOIN documents db ON db.doc_id = p.b_id
 ORDER BY p.a_id, p.b_id
 """.strip()
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Per-vector scalar quantization to int8 codes (long form:
+    vec_id, pos, code) — the memory-compression step ANN indexes run
+    before serving (PQ/SQ family).
+
+    posexplode + a per-vector min/max agg joined back on vec_id: both
+    sides of the join share the vec_id clustering, and codes use
+    floor() (not round()) so Spark and the oracle agree bit-for-bit
+    regardless of the engines' rounding modes. Constant vectors
+    (hi == lo) map to code 0."""
+    exploded = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", "pos", F.col("val").cast("double").alias("val")
+    )
+    stats = exploded.groupBy("vec_id").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+            F.lit(255),
+        )
+    )
+    return (
+        exploded.join(stats, "vec_id")
+        .select(
+            "vec_id",
+            "pos",
+            (scaled - 128).cast("int").alias("code"),
+            F.round("lo", 6).alias("scale_lo"),
+            F.round("hi", 6).alias("scale_hi"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH exploded AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+stats AS (SELECT vec_id, MIN(val) AS lo, MAX(val) AS hi FROM exploded GROUP BY vec_id)
+SELECT e.vec_id, e.pos,
+       CAST((CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(FLOOR((e.val - s.lo) / (s.hi - s.lo) * 256), 255)
+             END) - 128 AS INT) AS code,
+       ROUND(s.lo, 6) AS scale_lo,
+       ROUND(s.hi, 6) AS scale_hi
+FROM exploded e JOIN stats s ON e.vec_id = s.vec_id
+ORDER BY e.vec_id, e.pos
+""".strip()

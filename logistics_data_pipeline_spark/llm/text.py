@@ -280,3 +280,64 @@ UNION ALL
 SELECT token, 'de_only' AS relation FROM (SELECT token FROM vb EXCEPT SELECT token FROM va)
 ORDER BY relation, token
 """.strip()
+
+
+NGRAM_MIN_COUNT = 3
+
+
+def bigram_lm_counts(docs: DataFrame) -> DataFrame:
+    """Corpus-level bigram language-model counts with the unigram
+    context totals and conditional probability — the classic
+    count-based LM table (and the shape of any n-gram novelty /
+    contamination scorer). Bigrams via posexplode + lead stay in
+    codegen; rare bigrams are cut at NGRAM_MIN_COUNT before the final
+    sort so the long tail never reaches it."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .filter(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("n_context"))
+    return (
+        big.filter(F.col("n_bigram") >= NGRAM_MIN_COUNT)
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_context",
+            F.round(F.col("n_bigram") / F.col("n_context").cast("double"), 6).alias(
+                "p_w2_given_w1"
+            ),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks
+  WHERE regexp_full_match(t[i + 1], '[a-z]+') AND regexp_full_match(t[i + 2], '[a-z]+')
+),
+big AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM pairs GROUP BY w1, w2),
+uni AS (SELECT w1, COUNT(*) AS n_context FROM pairs GROUP BY w1)
+SELECT b.w1, b.w2, b.n_bigram, u.n_context,
+       ROUND(b.n_bigram / CAST(u.n_context AS DOUBLE), 6) AS p_w2_given_w1
+FROM big b JOIN uni u ON b.w1 = u.w1
+WHERE b.n_bigram >= {NGRAM_MIN_COUNT}
+ORDER BY b.w1, b.w2
+""".strip()

@@ -632,6 +632,11 @@ register(
     llm_text.CORPUS_COMPOSITION_SQL,
 )
 register(
+    "docs_bigram_lm_counts",
+    _q(lambda spark, sf: llm_text.bigram_lm_counts(_docs(spark, sf))),
+    llm_text.BIGRAM_LM_SQL,
+)
+register(
     "docs_token_setops",
     _q(lambda spark, sf: llm_text.token_setops(_docs(spark, sf))),
     llm_text.TOKEN_SETOPS_SQL,
@@ -699,6 +704,11 @@ register(
     "emb_neardup_cosine",
     _q(lambda spark, sf: llm_sim.embedding_neardup(_emb(spark, sf))),
     llm_sim.EMBEDDING_NEARDUP_SQL,
+)
+register(
+    "emb_quantize_int8",
+    _q(lambda spark, sf: llm_sim.quantize_int8(_emb(spark, sf))),
+    llm_sim.QUANTIZE_INT8_SQL,
 )
 register(
     "emb_semantic_neardup_enriched",
