@@ -378,17 +378,19 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     vec_id, pos, code) — the memory-compression step ANN indexes run
     before serving (PQ/SQ family).
 
-    posexplode + a per-vector min/max agg joined back on vec_id: both
-    sides of the join share the vec_id clustering, and codes use
+    Shuffle-free: array_min/array_max are native codegen expressions
+    (unlike lambda HOFs), so the per-vector range rides the same
+    projection as the posexplode — no aggregation, no join-back, the
+    whole quantization is a map-side scan at any scale. Codes use
     floor() (not round()) so Spark and the oracle agree bit-for-bit
     regardless of the engines' rounding modes. Constant vectors
     (hi == lo) map to code 0."""
-    exploded = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
-        "vec_id", "pos", F.col("val").cast("double").alias("val")
-    )
-    stats = exploded.groupBy("vec_id").agg(
-        F.min("val").alias("lo"), F.max("val").alias("hi")
-    )
+    exploded = emb.select(
+        "vec_id",
+        F.array_min("embedding").cast("double").alias("lo"),
+        F.array_max("embedding").cast("double").alias("hi"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
     scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
             F.floor((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
@@ -396,8 +398,7 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
         )
     )
     return (
-        exploded.join(stats, "vec_id")
-        .select(
+        exploded.select(
             "vec_id",
             "pos",
             (scaled - 128).cast("int").alias("code"),
