@@ -305,10 +305,14 @@ def bigram_lm_counts(docs: DataFrame) -> DataFrame:
         .filter(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
-    uni = pairs.groupBy("w1").agg(F.count("*").alias("n_context"))
+    # context totals as a window over the bigram counts (they partition
+    # the pair set) — saves a second scan of pairs and the join-back;
+    # computed BEFORE the min-count cut so rare bigrams still count
+    # toward their context
+    n_context = F.sum("n_bigram").over(Window.partitionBy("w1"))
     return (
-        big.filter(F.col("n_bigram") >= NGRAM_MIN_COUNT)
-        .join(uni, "w1")
+        big.withColumn("n_context", n_context)
+        .filter(F.col("n_bigram") >= NGRAM_MIN_COUNT)
         .select(
             "w1",
             "w2",
