@@ -511,3 +511,65 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 QUALIFY o_orderkey % 100 = 0
 ORDER BY o_orderkey
 """.strip()
+
+
+# --- z-score anomaly detection ----------------------------------------------
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def value_anomalies(events: DataFrame) -> DataFrame:
+    """Events whose value is a >3-sigma outlier within their event
+    type. Moments are accumulated as DECIMAL sums (sum, sum of squares)
+    so mean/variance are exact and identical in any engine — built-in
+    stddev aggregates vary in summation order and can flip a rounded
+    z-score at the last decimal. One shuffle on event_type for the tiny
+    moment table, broadcast back over the scan."""
+    dec = "decimal(28,6)"
+    moments = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s1"),
+        F.sum((F.col("value").cast(dec) * F.col("value").cast(dec))).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = moments.select(
+        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.round(z, 6)) > ZSCORE_THRESHOLD)
+        .orderBy("event_id")
+    )
+
+
+VALUE_ANOMALIES_SQL = f"""
+WITH moments AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mean_v,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+              / (n - 1)) AS std_v
+  FROM moments
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mean_v) / s.std_v, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS(ROUND((e.value - s.mean_v) / s.std_v, 6)) > {ZSCORE_THRESHOLD}
+ORDER BY e.event_id
+""".strip()

@@ -515,6 +515,11 @@ register(
     temporal.INTERARRIVAL_STATS_SQL,
 )
 register(
+    "events_value_anomalies",
+    _q(lambda spark, sf: analytics.value_anomalies(load_table(spark, sf, "events"))),
+    analytics.VALUE_ANOMALIES_SQL,
+)
+register(
     "events_value_histogram",
     _q(lambda spark, sf: analytics.value_histogram(load_table(spark, sf, "events"))),
     analytics.VALUE_HISTOGRAM_SQL,
