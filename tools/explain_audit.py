@@ -1,71 +1,88 @@
-"""Plan audit: print the formatted physical plan of selected registry
-queries and grep-check the properties that matter at 100 TB —
-predicate pushdown reaching the parquet scan, broadcast joins on dim
-sides, whole-stage codegen coverage, no Cartesian products.
+"""Plan audit: print `explain("formatted")` for registry queries and
+flag scale smells — cartesian/nested-loop joins, un-pruned scans, and
+row-at-a-time Python evals in the hot path.
 
 Usage:
-    python tools/explain_audit.py [names...]     # default: audit set
+    python tools/explain_audit.py [names...]          # audit (default: bench HEADLINE set)
+    python tools/explain_audit.py --full [names...]   # also dump the formatted plans
 """
 
 from __future__ import annotations
 
-import io
 import os
+import re
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import HEADLINE  # noqa: E402
 from logistics_data_pipeline_spark import registry  # noqa: E402
 from logistics_data_pipeline_spark.session import get_spark  # noqa: E402
 
-# query -> properties its plan must exhibit
-EXPECT: dict[str, list[str]] = {
-    # NB: "[codegen id: N]" markers only appear in post-execution AQE
-    # plans; pre-execution formatted plans omit them, so codegen
-    # coverage isn't assertable here.
-    "tpch_q6_forecast_revenue": [
-        "PushedFilters: [IsNotNull(l_shipdate)",
-        "Output [2]: [l_extendedprice",  # column pruning to the 2 used cols
-    ],
-    "tpch_q3_shipping_priority": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
-    "tpch_q5_local_supplier_volume": ["BroadcastHashJoin"],
-    "tpch_q4_order_priority": ["BroadcastHashJoin", "LeftSemi"],
-    "tpch_q16_supplier_counts": ["LeftAnti", "BroadcastHashJoin"],
-    "kpi_carrier_performance": ["BroadcastHashJoin"],
-    "events_asof_join": ["Window"],
-    "fact_event": [],
-    "monitor_ingest_trend": ["TakeOrderedAndProject"],
+SMELLS = {
+    "CartesianProduct": "cartesian product",
+    "BroadcastNestedLoopJoin": "nested-loop join",
+    "BatchEvalPython": "row-at-a-time Python UDF",
+}
+
+# Reviewed plans where a marker is the DESIGNED strategy, not a smell:
+ALLOWED = {
+    # single-row scalar aggregates cross-joined into the report row
+    "dq_checks": {"nested-loop join"},
+    # tiny broadcast query side vs corpus scan — BNLJ is the point
+    "emb_knn_bruteforce": {"nested-loop join"},
+    "emb_neardup_cosine": {"nested-loop join"},
+    # full-width re-insert: the anti-join output IS every column
+    "ingest_dedup_antijoin": {"wide scan"},
+    "monitor_recent_events": {"wide scan"},
+    "bronze_events": {"wide scan"},
+    "stg_events": {"wide scan"},
+    "valid_events": {"wide scan"},
+    "invalid_events": {"wide scan"},
+    "fact_event": {"wide scan"},
+    "events_signup_funnel": {"nested-loop join"},  # three 1-row aggs cross-joined
+    "emb_knn_ivf": {"nested-loop join"},  # broadcast probe side, as bruteforce
+    "emb_semantic_neardup_enriched": {"nested-loop join"},  # neardup pair gen
+    "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
 
+def audit(name: str, df, full: bool) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = [label for marker, label in SMELLS.items() if marker in plan]
+    # un-pruned scan: a FileScan reading every column of a wide table
+    # (the bracketed output list is never truncated, unlike ReadSchema)
+    for cols in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+        n = len([c for c in cols.split(",") if c.strip()])
+        if n >= 6:
+            flags.append("wide scan")
+            break
+    allowed = ALLOWED.get(name, set())
+    flags = [f for f in flags if f not in allowed]
+    exchanges = plan.count("Exchange")
+    print(f"{name:38s} exchanges={exchanges:2d} "
+          + (f"SMELLS: {', '.join(flags)}" if flags else "clean"))
+    if full:
+        df.explain("formatted")
+    return flags
+
+
 def main() -> None:
-    names = sys.argv[1:] or list(EXPECT)
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("explain-audit")
     qs = registry.queries()
-    failures = []
+    names = args or [n for n in HEADLINE if n in qs]
+    flagged = 0
     for name in names:
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        print(f"{'=' * 20} {name} {'=' * 20}")
-        print(plan)
-        for want in EXPECT.get(name, []):
-            if want not in plan:
-                failures.append((name, want))
-                print(f"!! MISSING: {want}")
-        if "CartesianProduct" in plan:
-            failures.append((name, "no CartesianProduct"))
-            print("!! UNEXPECTED CartesianProduct")
-    if failures:
-        print("\nAUDIT FAILURES:")
-        for name, want in failures:
-            print(f"  {name}: {want}")
-        sys.exit(1)
-    print("\nplan audit: all expectations present")
+        try:
+            flagged += bool(audit(name, qs[name](spark, sf_dir), full))
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:38s} ERROR building plan: {exc}")
+            flagged += 1
+    print(f"\n{len(names) - flagged}/{len(names)} clean")
+    sys.exit(1 if flagged else 0)
 
 
 if __name__ == "__main__":
