@@ -101,3 +101,58 @@ def test_estimated_delivery_validity_is_lexicographic(spark, event_dt, day_offse
     n_valid = valid_events(stg).count()
     assert n_valid == (1 if est >= ts else 0)
     assert n_valid == (1 if day_offset > 0 else 0)  # same-day → invalid
+
+
+# --- curation-operator properties ------------------------------------------
+
+
+@st.composite
+def _doc_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", "x1"]), min_size=1, max_size=12)
+        )
+        rows.append((draw(st.integers(min_value=-(2**40), max_value=2**40)), " ".join(words)))
+    # doc_ids unique (primary-key invariant of the documents table)
+    seen, out = set(), []
+    for did, text in rows:
+        if did not in seen:
+            seen.add(did)
+            out.append((did, text))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_doc_rows())
+def test_split_assign_partitions_any_doc_ids(spark, rows):
+    from logistics_data_pipeline_spark.llm.curation import split_assign
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_assign(docs).collect()
+    # totality: every doc assigned exactly once, to a real split
+    assert sorted(r.doc_id for r in out) == sorted(d for d, _ in rows)
+    assert all(r.split in ("train", "val", "test") for r in out)
+    # bucket is pure in doc_id: recompute expectation in Python
+    import hashlib
+
+    for r in out:
+        assert r.bucket_hex == hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4]
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_doc_rows())
+def test_repetition_stats_invariants(spark, rows):
+    from logistics_data_pipeline_spark.llm.curation import repetition_stats
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in repetition_stats(docs).collect():
+        assert 1 <= r.max_bigram_count <= r.n_bigrams
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        # a repeated top bigram implies repeated mass at least its share
+        if r.max_bigram_count > 1:
+            assert r.dup_bigram_frac >= r.top_bigram_frac - 1e-9
+        else:
+            assert r.dup_bigram_frac == 0.0
