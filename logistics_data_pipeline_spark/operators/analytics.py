@@ -573,3 +573,83 @@ FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE ABS(ROUND((e.value - s.mean_v) / s.std_v, 6)) > {ZSCORE_THRESHOLD}
 ORDER BY e.event_id
 """.strip()
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """RFM segmentation: per-customer recency (days before the corpus's
+    last order date), frequency, and DECIMAL monetary total, each coded
+    into quartiles (1 = weakest, 4 = strongest) plus the combined
+    segment string. Reference date = MAX(o_orderdate) so the query is
+    deterministic (never wall-clock). One shuffle to the per-customer
+    grain; the three NTILE windows share one global sort partition over
+    the already-reduced customer rows."""
+    ref = F.max(F.max("o_orderdate")).over(Window.partitionBy())
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        ref.alias("ref_date"),
+    )
+    rfm = per_cust.select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "frequency",
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+    )
+    # low recency is GOOD: order descending so quartile 4 = most recent
+    r_q = F.ntile(4).over(Window.orderBy(F.desc("recency_days"), "o_custkey"))
+    f_q = F.ntile(4).over(Window.orderBy(F.asc("frequency"), "o_custkey"))
+    m_q = F.ntile(4).over(Window.orderBy(F.asc("monetary"), "o_custkey"))
+    return (
+        rfm.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r_q.alias("r_quartile"),
+            f_q.alias("f_quartile"),
+            m_q.alias("m_quartile"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders))
+              AS INT) AS recency_days,
+         frequency,
+         ROUND(CAST(monetary AS DOUBLE), 2) AS monetary
+  FROM per_cust
+),
+coded AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency ASC, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary ASC, o_custkey) AS m_quartile
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR)
+         || CAST(m_quartile AS VARCHAR) AS segment
+FROM coded
+ORDER BY o_custkey
+""".strip()

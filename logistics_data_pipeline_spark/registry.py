@@ -505,6 +505,11 @@ register(
     analytics.ORDER_PRICE_RANKS_SQL,
 )
 register(
+    "orders_customer_rfm",
+    _q(lambda spark, sf: analytics.customer_rfm(load_table(spark, sf, "orders"))),
+    analytics.CUSTOMER_RFM_SQL,
+)
+register(
     "orders_ltv_deciles",
     _q(lambda spark, sf: analytics.customer_ltv_deciles(load_table(spark, sf, "orders"))),
     analytics.CUSTOMER_LTV_DECILES_SQL,
