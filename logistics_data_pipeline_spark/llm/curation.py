@@ -394,3 +394,88 @@ SELECT doc_id,
 FROM s2
 ORDER BY doc_id
 """.strip()
+
+
+# --- train/test decontamination ---------------------------------------------
+
+DECONTAM_NGRAM = 5
+CONTAM_FRAC = 0.1
+
+
+def decontamination(docs: DataFrame) -> DataFrame:
+    """Train-split documents scored for eval-set leakage: the fraction
+    of a train doc's word-5-gram shingles that also appear in any
+    val/test document (the standard pre-training decontamination scan).
+
+    The eval shingle set is DISTINCT and keyed by shingle, so the
+    overlap check is an equality join on the shingle hash — candidate
+    volume is bounded by shared shingles, never |train| x |eval|. At
+    corpus scale the eval side is tiny (held-out fraction) and
+    broadcastable."""
+    from .dedup import shingle_rows
+
+    splits = split_assign(docs).select("doc_id", "split")
+    sh = shingle_rows(docs, n=DECONTAM_NGRAM).join(splits, "doc_id")
+    eval_shingles = (
+        sh.filter(F.col("split") != "train").select("s").distinct()
+    )
+    train_sh = sh.filter(F.col("split") == "train")
+    overlap = (
+        train_sh.join(F.broadcast(eval_shingles), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    totals = train_sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles").cast("double")
+    return (
+        totals.join(overlap, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(frac, 6).alias("contamination_frac"),
+            (frac > CONTAM_FRAC).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATION_SQL = rf"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_hex_threshold(0.1)}' THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_hex_threshold(0.2)}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT t.doc_id,
+         t.toks[i + 1] || ' ' || t.toks[i + 2] || ' ' || t.toks[i + 3]
+           || ' ' || t.toks[i + 4] || ' ' || t.toks[i + 5] AS s
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(0, len(t.toks) - {DECONTAM_NGRAM - 1})) AS i) ix
+),
+tagged AS (SELECT sh.doc_id, sh.s, sp.split FROM sh JOIN splits sp ON sp.doc_id = sh.doc_id),
+eval_sh AS (SELECT DISTINCT s FROM tagged WHERE split != 'train'),
+train_sh AS (SELECT doc_id, s FROM tagged WHERE split = 'train'),
+overlap AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM train_sh t JOIN eval_sh e ON t.s = e.s
+  GROUP BY t.doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id)
+SELECT tt.doc_id, tt.n_shingles,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(o.n_overlap, 0) / CAST(tt.n_shingles AS DOUBLE), 6)
+         AS contamination_frac,
+       COALESCE(o.n_overlap, 0) / CAST(tt.n_shingles AS DOUBLE) > {CONTAM_FRAC}
+         AS is_contaminated
+FROM totals tt LEFT JOIN overlap o ON o.doc_id = tt.doc_id
+ORDER BY tt.doc_id
+""".strip()

@@ -677,6 +677,11 @@ register(
     llm_cur.QUALITY_FILTER_SQL,
 )
 register(
+    "docs_decontamination",
+    _q(lambda spark, sf: llm_cur.decontamination(_docs(spark, sf))),
+    llm_cur.DECONTAMINATION_SQL,
+)
+register(
     "docs_pii_scrub",
     _q(lambda spark, sf: llm_cur.pii_scrub(_docs(spark, sf))),
     llm_cur.PII_SCRUB_SQL,
