@@ -93,32 +93,36 @@ GROUP BY md5(text)
 
 def neardup_ngram(docs: DataFrame, threshold: float = 0.7, n: int = 3) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard, generated via
-    an inverted-index join (only docs sharing ≥1 shingle pair up)."""
-    ex = shingle_rows(docs, n)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    an inverted-index join (only docs sharing ≥1 shingle pair up).
+
+    Each shingle row carries its document's shingle count via a window
+    count riding the doc_id partitioning shingle_rows already has — so
+    no separate sizes aggregate and no join-back: the set sizes arrive
+    at the pair groupBy for free (plan went from 4 evaluations of the
+    shingle pipeline + 2 extra join shuffles to 2 and 0)."""
+    w = Window.partitionBy("doc_id")
+    ex = shingle_rows(docs, n).withColumn("sz", F.count("*").over(w))
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count("*").cast("bigint").alias("intersection"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
-        .select(
-            "a_id",
-            "b_id",
-            "intersection",
-            F.round(
-                F.col("intersection").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("intersection")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").cast("bigint").alias("intersection"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
         )
+    )
+    j = pairs.select(
+        "a_id",
+        "b_id",
+        "intersection",
+        F.round(
+            F.col("intersection").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("intersection")),
+            6,
+        ).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= threshold)
 
