@@ -170,8 +170,23 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """MinHash+LSH near-dup: banded candidate generation, then exact
     Jaccard verification of candidates (output: confirmed pairs with
-    estimated and exact similarity)."""
-    sig = minhash_signatures(docs)
+    estimated and exact similarity).
+
+    The per-doc table (64 minhashes + the shingle set for
+    verification) is built in ONE aggregation and persisted: without
+    that, Catalyst re-evaluates the shingle pipeline for each of its
+    four consumers (both band self-join sides + both verification
+    joins) — no ReuseExchange across aliased branches. The persisted
+    table is one row per doc, trivially cacheable at any scale."""
+    sh = shingle_rows(docs, 3)
+    h = F.pmod(F.xxhash64(F.col("s"), F.lit(SEED)), F.lit(_P))
+    mins = [
+        F.min(F.pmod(F.lit(2 * i + 1) * h + F.lit(i * 7919 + 1), F.lit(_P))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins, F.collect_set("s").alias("shingles")).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -202,15 +217,15 @@ def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard (no false positives)
-    sh = shingle_frame(docs)
+    # verify candidates with exact shingle Jaccard (no false positives);
+    # shingle sets come from the same persisted sig table
     verified = (
         candidates.join(
-            sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a")),
+            sig.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a")),
             "a_id",
         )
         .join(
-            sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b")),
+            sig.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b")),
             "b_id",
         )
         .select(
