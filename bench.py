@@ -50,6 +50,14 @@ HEADLINE = [
     "emb_neardup_cosine_fast",
     "dbt_schema_tests",
     "gen_synthetic_events",
+    "events_click_attribution",
+    "events_retention_cohorts",
+    "events_value_anomalies",
+    "orders_customer_rfm",
+    "docs_split_assign",
+    "docs_quality_filter",
+    "docs_decontamination",
+    "emb_quantize_int8",
 ]
 
 
