@@ -529,3 +529,56 @@ FROM gaps
 GROUP BY user_id
 ORDER BY user_id
 """.strip()
+
+
+# --- event-type transition matrix -------------------------------------------
+
+
+def type_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order transition counts/probabilities between consecutive
+    event types within each user's timeline (the Markov-chain view of
+    user behavior). lag() over (user_id ORDER BY ts, event_id) — ties
+    deterministic, one shuffle; the matrix itself is types x types,
+    constant size at any scale, so the row-count window for the
+    probabilities is trivial."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", F.lag("event_type").over(w).alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    total_from = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / total_from.cast("double"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TYPE_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions / CAST(SUM(n_transitions)
+             OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+FROM counts
+ORDER BY from_type, to_type
+""".strip()

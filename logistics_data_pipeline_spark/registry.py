@@ -515,6 +515,11 @@ register(
     analytics.CUSTOMER_LTV_DECILES_SQL,
 )
 register(
+    "events_type_transitions",
+    _q(lambda spark, sf: temporal.type_transition_matrix(load_table(spark, sf, "events"))),
+    temporal.TYPE_TRANSITION_SQL,
+)
+register(
     "events_interarrival_stats",
     _q(lambda spark, sf: temporal.interarrival_stats(load_table(spark, sf, "events"))),
     temporal.INTERARRIVAL_STATS_SQL,
