@@ -653,3 +653,58 @@ SELECT o_custkey, recency_days, frequency, monetary,
 FROM coded
 ORDER BY o_custkey
 """.strip()
+
+
+# --- hierarchical geo rollup ------------------------------------------------
+
+
+def revenue_geo_rollup(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                       region: DataFrame) -> DataFrame:
+    """Supplier revenue rolled up the region > nation hierarchy
+    (GROUP BY ROLLUP over a joined star): per-nation rows, per-region
+    subtotals, and the grand total, with grouping flags. The dims
+    broadcast; the single big-side shuffle is the rollup aggregation,
+    which Spark expands map-side (one pass, not one scan per level).
+    Each revenue factor casts to DECIMAL before the multiply (the
+    module-wide money convention) so every level sums identically in
+    any engine."""
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            rev.alias("rev"),
+        )
+        .rollup("region", "nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.grouping("region").alias("g_region"),
+            F.grouping("nation").alias("g_nation"),
+        )
+        .orderBy("g_region", "g_nation", "region", "nation")
+    )
+
+
+REVENUE_GEO_ROLLUP_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       CAST(GROUPING(n.n_name) AS INT) AS g_nation
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+ORDER BY g_region, g_nation, region, nation
+""".strip()

@@ -505,6 +505,18 @@ register(
     analytics.ORDER_PRICE_RANKS_SQL,
 )
 register(
+    "revenue_geo_rollup",
+    _q(
+        lambda spark, sf: analytics.revenue_geo_rollup(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+    ),
+    analytics.REVENUE_GEO_ROLLUP_SQL,
+)
+register(
     "orders_customer_rfm",
     _q(lambda spark, sf: analytics.customer_rfm(load_table(spark, sf, "orders"))),
     analytics.CUSTOMER_RFM_SQL,
