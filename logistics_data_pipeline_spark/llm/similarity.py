@@ -125,12 +125,179 @@ WHERE rank <= 5
 """.strip()
 
 
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 4, seed: int = 7
+):
+    """Sampled k-means coarse quantizer (Lloyd iterations, cosine
+    assignment): returns a normalized ``n_cells × dim`` numpy centroid
+    matrix. This is the learned-cells primitive real IVF indexes train.
+
+    Scale shape: the driver only ever holds k×d floats (the centroids —
+    bounded by the index config, independent of corpus size). Each
+    iteration is one Arrow map pass over the corpus emitting per-batch
+    PARTIAL per-cell sums in long form (cell, pos, psum, pcnt) — at most
+    k·d rows per batch — followed by one tiny groupBy; the corpus is
+    never collected, broadcast, or shuffled. Initialization is a
+    deterministic hash-ordered sample (top-k by xxhash64 — TakeOrdered,
+    no global sort shuffle)."""
+    import numpy as np
+
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("psum", T.DoubleType()),
+            T.StructField("pcnt", T.LongType()),
+        ]
+    )
+
+    for _ in range(iters):
+        cmat = cents  # closure-captured k×d matrix (tiny, task-shipped)
+
+        def _partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cell = np.argmax(mn @ cmat.T, axis=1)
+                kdim, dim = cmat.shape
+                sums = np.zeros((kdim, dim))
+                np.add.at(sums, cell, m)
+                cnts = np.bincount(cell, minlength=kdim)
+                nz = np.nonzero(cnts)[0]
+                cells = np.repeat(nz, dim)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype(np.int32),
+                        "pos": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                        "psum": sums[nz].ravel(),
+                        "pcnt": np.repeat(cnts[nz], dim).astype(np.int64),
+                    }
+                )
+
+        agg = (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(_partials, schema=part_schema)
+            .groupBy("cell", "pos")
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in agg:
+            new[r.cell, r.pos] = r.s / r.n
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        cents = new / np.where(norms == 0, 1.0, norms)
+    return cents
+
+
+def assign_cells(emb: DataFrame, centroids, top: int = 1) -> DataFrame:
+    """Map each vector to its ``top`` closest centroid cells by cosine
+    (one Arrow pass, no shuffle): rows (vec_id, cell, cell_rank)."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cell_rank", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ cmat.T
+            order = np.argsort(-sims, axis=1)[:, :top]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, order.shape[1]),
+                    "cell": order.ravel().astype(np.int32),
+                    "cell_rank": np.tile(
+                        np.arange(1, order.shape[1] + 1, dtype=np.int32),
+                        len(ids),
+                    ),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _assign, schema=assign_schema
+    )
+
+
 def knn_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 3,
+    n_cells: int = 16,
+    iters: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k with a LEARNED coarse quantizer: sampled
+    k-means cells (``kmeans_centroids``), corpus assigned to its nearest
+    cell, each query probing only its ``nprobe`` closest cells — the
+    classic recall/throughput trade, now with real trained cells instead
+    of the labels-as-cells stand-in (kept as ``knn_ivf_labels`` for the
+    recall-baseline test). Rows-only driver check (approximate by
+    construction)."""
+    cents = kmeans_centroids(emb, n_cells=n_cells, iters=iters)
+    corpus_cells = assign_cells(
+        emb.filter(F.col("vec_id") >= n_queries), cents, top=1
+    ).select("vec_id", "cell")
+    query_cells = assign_cells(
+        emb.filter(F.col("vec_id") < n_queries), cents, top=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    queries = F.broadcast(
+        _with_norm(
+            emb.filter(F.col("vec_id") < n_queries), "query_id", "q", "qn"
+        ).join(query_cells, "query_id")
+    )
+    candidates = _with_norm(
+        emb.filter(F.col("vec_id") >= n_queries), "neighbor_id", "c", "cn"
+    ).join(
+        corpus_cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    scored = queries.join(candidates, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )  # corpus rows carry exactly one cell → each (query, neighbor) scores once
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_ivf_labels(
     emb: DataFrame, n_queries: int = 10, k: int = 5, nprobe: int = 3
 ) -> DataFrame:
     """IVF approximate top-k: per-label centroids as coarse cells; each
-    query probes only its nprobe nearest cells. Same output shape as
-    brute force (approximate recall — rows-only driver check)."""
+    query probes only its nprobe closest cells. Kept as the recall
+    BASELINE the learned-cells ``knn_ivf`` must match or beat."""
     # centroids: mean per (label, dimension) — posexplode + groupBy is
     # the scalable way to average vectors without collecting them
     pos = emb.select(
@@ -196,79 +363,272 @@ def knn_ivf(
     )
 
 
-def embedding_neardup(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Exact all-pairs above a
-    threshold; at 100 TB scale the same output is produced by LSH
-    bucketing first — here the corpus side stays partitioned and only
-    pairs in the upper triangle are scored."""
-    # Explicit partition count: the probe side is tiny (n rows) but the
-    # pair OUTPUT is O(n²) — AQE would coalesce by input size and run
-    # the whole quadratic loop in one task. Norms are hoisted out of the
-    # O(n²) pair loop.
-    a = _with_norm(emb.repartition(64, "vec_id"), "a_id", "va", "na")
-    b = F.broadcast(_with_norm(emb, "b_id", "vb", "nb"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
-        "a_id",
-        "b_id",
+def _block_pair_sides(
+    emb: DataFrame, n_blocks: int
+) -> tuple[DataFrame, DataFrame]:
+    """Block-pair decomposition of the all-pairs upper triangle.
+
+    Each vector lands in block ``g = vec_id mod G``; the G·(G+1)/2
+    unordered block pairs (p ≤ q) partition the n² pair space. A row in
+    block g is replicated to the LEFT side of keys (g, q≥g) and the
+    RIGHT side of keys (p≤g, g), so every unordered vector pair meets in
+    exactly one key group — twice (both orientations) when p == q, once
+    when p < q. Downstream keeps ``l_id < r_id`` for same-block groups
+    and normalizes ids with least/greatest for cross-block groups.
+
+    This is the scale-correct shape for an *exact* low-threshold cosine
+    join: the O(n²) compute is irreducible, but it distributes as
+    equi-join key groups (plain hash join — no BroadcastNestedLoopJoin,
+    no driver collect, no whole-corpus broadcast) with per-row
+    replication factor G+1. At cluster scale pick
+    G ≈ ceil(sqrt(n·d / per-task flop budget)); G=8 keeps the 36 key
+    groups comfortably parallel on local[32].
+    """
+    base = _with_norm(emb, "id", "v", "nrm").withColumn(
+        "g", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+    )
+    left = base.select(
+        F.col("id").alias("l_id"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("ln_"),
+        F.col("g").alias("p"),
+        F.explode(F.sequence(F.col("g"), F.lit(n_blocks - 1))).alias("q"),
+    )
+    right = base.select(
+        F.col("id").alias("r_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rn"),
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("p"),
+        F.col("g").alias("q"),
+    )
+    return left, right
+
+
+def embedding_neardup(
+    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD, n_blocks: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact threshold join via
+    block-pair decomposition (see ``_block_pair_sides``).
+
+    Why not LSH here: at threshold 0.4 (θ ≈ 66°) over a random-vector
+    background (θ ≈ 90°) the per-bit agreement probabilities are 0.63 vs
+    0.50 — signed-random-projection banding that keeps recall ≈ 1 admits
+    most random pairs too (e.g. r=4, b=16: recall ≈ 0.94 but ~64% of all
+    pairs become candidates), so it cannot make an *exact* oracle-checked
+    operator cheaper. The scalable exact form is instead to distribute
+    the irreducible O(n²) work as equi-join block pairs; the approximate
+    LSH path (selective when real corpora have near-dups at θ ≤ 30°)
+    is ``embedding_neardup_lsh``.
+    """
+    left, right = _block_pair_sides(emb, n_blocks)
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    # Explicit repartition on the join key: the replicated input is tiny
+    # by bytes, so AQE would coalesce the exchange to 1 partition even
+    # though the join OUTPUT (and per-group pair loop) is quadratic.
+    left = left.repartition(n_groups, "p", "q")
+    pairs = left.join(right, ["p", "q"]).filter(
+        (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
+    )
+    scored = pairs.select(
+        F.least("l_id", "r_id").alias("a_id"),
+        F.greatest("l_id", "r_id").alias("b_id"),
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            _dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn")), 6
         ).alias("cosine"),
     )
-    return pairs.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
+    return scored.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
 
 
-def embedding_neardup_fast(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
-    """Vectorized embedding near-dup: the corpus matrix is broadcast and
-    each partition computes a BLAS block product A·Bᵀ via mapInPandas.
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("a_id", T.LongType()),
+        T.StructField("b_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
 
-    This is the 100 TB-scale formulation (~100× the interpreted
-    expression path): per-executor work is one matrix multiply per Arrow
-    batch, no shuffle. Kept rows-only for the driver (BLAS pairwise
-    summation can differ from sequential SQL summation in the last ulp,
-    so a value-hash against the SQL oracle would be flaky); the exact
+
+def embedding_neardup_fast(
+    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD, n_blocks: int = 8
+) -> DataFrame:
+    """Vectorized embedding near-dup: the same block-pair decomposition
+    as ``embedding_neardup``, with each key group's L×R similarity tile
+    computed as one BLAS matrix product inside ``applyInPandas``.
+
+    Fully distributed: rows shuffle once on the block-pair key, every
+    executor multiplies only its (n/G × n/G) tile — no driver-side
+    ``collect()``, no whole-corpus broadcast (the round-1 formulation
+    collected the corpus to the driver; that caps out around 10⁷ vectors
+    and is gone). Kept rows-only for the driver (BLAS pairwise summation
+    can differ from sequential SQL summation in the last ulp, so a
+    value-hash against the SQL oracle would be flaky); the exact
     ``embedding_neardup`` formulation remains the oracle-checked twin —
     a unit test asserts both emit the same pairs.
     """
     import numpy as np
     import pandas as pd
 
-    small = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in small], dtype=np.int64)
-    m = np.array([r.embedding for r in small], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((ids, m))
+    sides = _tagged_block_sides(emb, n_blocks)
+    n_groups = n_blocks * (n_blocks + 1) // 2
 
-    out_schema = T.StructType(
-        [
-            T.StructField("a_id", T.LongType()),
-            T.StructField("b_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-
-    def _block(batches):
-        b_ids, bm = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ bm.T
-            ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+    def _tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lmask = pdf["side"].to_numpy() == 0
+        lpdf, rpdf = pdf[lmask], pdf[~lmask]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
             )
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": b_ids[bi],
-                    "cosine": np.round(sims[ai, bi], 6),
-                }
-            )
+        l_ids = lpdf["id"].to_numpy(dtype=np.int64)
+        r_ids = rpdf["id"].to_numpy(dtype=np.int64)
+        lm = np.array(list(lpdf["v"]), dtype=np.float64)
+        rm = np.array(list(rpdf["v"]), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        keep = sims >= threshold
+        if pdf["p"].iat[0] == pdf["q"].iat[0]:
+            keep &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(keep)
+        la, rb = l_ids[li], r_ids[ri]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(la, rb),
+                "b_id": np.maximum(la, rb),
+                "cosine": np.round(sims[li, ri], 6),
+            }
+        )
 
     return (
-        emb.select("vec_id", "embedding")
-        .repartition(64, "vec_id")
-        .mapInPandas(_block, schema=out_schema)
+        sides.repartition(n_groups, "p", "q")
+        .groupBy("p", "q")
+        .applyInPandas(_tile, schema=_PAIR_SCHEMA)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _tagged_block_sides(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """Union of both block-pair sides with a side tag and raw vectors —
+    the grouped-BLAS input shape (norms are recomputed vectorized inside
+    the tile product, cheaper than shipping them)."""
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("g"),
+    )
+    left = base.select(
+        "id",
+        "v",
+        F.lit(0).alias("side"),
+        F.col("g").alias("p"),
+        F.explode(F.sequence(F.col("g"), F.lit(n_blocks - 1))).alias("q"),
+    )
+    right = base.select(
+        "id",
+        "v",
+        F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("p"),
+        F.col("g").alias("q"),
+    )
+    return left.unionByName(right.select(*left.columns))
+
+
+SRP_SEED = 20260813
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_bits: int = 64,
+    band_bits: int = 4,
+    seed: int = SRP_SEED,
+) -> DataFrame:
+    """Approximate near-dup via signed-random-projection (hyperplane)
+    LSH: band the sign bits of seeded Gaussian projections, self-join on
+    (band, bucket) for candidates, then verify candidates with the exact
+    cosine — output is a subset of ``embedding_neardup`` (verified
+    exact), missing only pairs no band agreed on.
+
+    Selectivity is a function of the angle gap. P[bit agrees] =
+    1 − θ/π; a band of r bits matches with p^r and b bands give
+    recall 1 − (1 − p^r)^b. At θ ≤ 30° (true near-dup corpora,
+    cosine ≥ 0.87) r=4/b=16 gives recall > 0.9999 while admitting
+    ~6% of random pairs; at this table's registered threshold 0.4
+    (θ ≈ 66°, barely off the 90° background) the same banding still
+    recalls ≈ 0.94 of threshold pairs but admits most random pairs —
+    the honest reading is that LSH buys nothing for low thresholds,
+    which is why the *exact* operators use block-pair decomposition
+    instead. Registered rows-only (approximate by construction); a unit
+    test pins measured recall vs the exact twin.
+
+    Scale shape: one Arrow pass for signatures (BLAS sign bits, seeded
+    hyperplanes regenerated per executor — nothing shipped), one
+    equi-join on (band, bucket), distinct, then an exact verify join —
+    every stage key-partitioned, nothing driver-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_bands = n_bits // band_bits
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def _signatures(batches):
+        hyper = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if hyper is None:
+                hyper = np.random.default_rng(seed).standard_normal(
+                    (m.shape[1], n_bits)
+                )
+            bits = (m @ hyper >= 0).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"vec_id": [], "band": [], "bucket": []}
+            for band in range(n_bands):
+                chunk = bits[:, band * band_bits : (band + 1) * band_bits]
+                out["vec_id"].append(ids)
+                out["band"].append(np.full(len(ids), band, dtype=np.int32))
+                out["bucket"].append(chunk @ weights)
+            yield pd.DataFrame(
+                {k: np.concatenate(v) for k, v in out.items()}
+            )
+
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        _signatures, schema=sig_schema
+    )
+    a = sigs.select(
+        F.col("band"), F.col("bucket"), F.col("vec_id").alias("a_id")
+    )
+    b = sigs.select(
+        F.col("band"), F.col("bucket"), F.col("vec_id").alias("b_id")
+    )
+    candidates = (
+        a.repartition(32, "band", "bucket")
+        .join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = _with_norm(emb, "a_id", "va", "na")
+    vb = _with_norm(emb, "b_id", "vb", "nb")
+    return (
+        candidates.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
         .orderBy("a_id", "b_id")
     )
 

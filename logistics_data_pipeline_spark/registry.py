@@ -771,6 +771,19 @@ register(
     llm_mm.FRAME_SAMPLE_SQL,
 )
 
+register(
+    "emb_neardup_lsh",  # SRP-LSH candidate gen (seeded hyperplanes) + exact verify → rows-only
+    _q(lambda spark, sf: llm_sim.embedding_neardup_lsh(_emb(spark, sf))),
+)
+register(
+    "emb_kmeans_cells",  # iterative Lloyd quantizer: not SQL-expressible → rows-only
+    _q(
+        lambda spark, sf: llm_sim.assign_cells(
+            _emb(spark, sf), llm_sim.kmeans_centroids(_emb(spark, sf))
+        )
+    ),
+)
+
 # --- registration order ----------------------------------------------------
 #
 # The driver's correctness harness verifies the FIRST 50 registered keys

@@ -14,6 +14,8 @@ ROWS_ONLY_OK: set[str] = {
     "docs_simhash",  # xxhash64 signatures
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
+    "emb_neardup_lsh",  # SRP-LSH candidate recall < 1 by construction
+    "emb_kmeans_cells",  # iterative Lloyd assignment
     "events_approx_distinct",  # HLL sketch estimates are engine-specific
 }
 

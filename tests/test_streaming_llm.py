@@ -128,13 +128,56 @@ def test_simhash_identical_docs_same_signature(spark):
 
 
 def test_knn_ivf_matches_bruteforce_top1_mostly(spark, sf_dir):
-    """IVF with nprobe=10 (all cells) must equal brute force exactly."""
+    """IVF probing every learned cell must equal brute force exactly
+    (probing all cells removes the approximation)."""
     from logistics_data_pipeline_spark.adapters.testdata import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     bf = {(r.query_id, r.rank): r.neighbor_id for r in knn_bruteforce(emb).collect()}
-    ivf = {(r.query_id, r.rank): r.neighbor_id for r in knn_ivf(emb, nprobe=10).collect()}
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_ivf(emb, nprobe=16, n_cells=16).collect()
+    }
     assert bf == ivf
+
+
+def test_knn_ivf_kmeans_recall_beats_labels_baseline(spark, sf_dir):
+    """Learned k-means cells at the real operating point (nprobe=3) must
+    match or beat the labels-as-cells stand-in on recall@5 vs brute
+    force (VERDICT r1 #9). Deterministic: seeded init + fixed data."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import knn_ivf_labels
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_kmeans = recall(knn_ivf(emb, nprobe=3, n_cells=10))
+    r_labels = recall(knn_ivf_labels(emb, nprobe=3))
+    assert r_kmeans >= r_labels
+    assert r_kmeans > 0.3  # sane floor: learned cells find a real share
+
+
+def test_embedding_neardup_lsh_is_verified_subset_with_recall(spark, sf_dir):
+    """SRP-LSH candidates are exact-verified, so the output must be a
+    SUBSET of the exact pair set with identical cosines; measured recall
+    at threshold 0.35 is pinned (deterministic: seeded hyperplanes)."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id): r.cosine for r in embedding_neardup(emb, 0.35).collect()}
+    lsh = {(r.a_id, r.b_id): r.cosine for r in embedding_neardup_lsh(emb, 0.35).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    assert len(lsh) / len(exact) >= 0.8  # r=4,b=16 at θ≈66°: ~0.94 expected
 
 
 def test_embedding_neardup_fast_matches_exact(spark, sf_dir):

@@ -31,7 +31,6 @@ ALLOWED = {
     "dq_checks": {"nested-loop join"},
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
-    "emb_neardup_cosine": {"nested-loop join"},
     # full-width re-insert: the anti-join output IS every column
     "ingest_dedup_antijoin": {"wide scan"},
     "monitor_recent_events": {"wide scan"},
@@ -41,8 +40,6 @@ ALLOWED = {
     "invalid_events": {"wide scan"},
     "fact_event": {"wide scan"},
     "events_signup_funnel": {"nested-loop join"},  # three 1-row aggs cross-joined
-    "emb_knn_ivf": {"nested-loop join"},  # broadcast probe side, as bruteforce
-    "emb_semantic_neardup_enriched": {"nested-loop join"},  # neardup pair gen
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
@@ -56,6 +53,19 @@ def audit(name: str, df, full: bool) -> list[str]:
         n = len([c for c in cols.split(",") if c.strip()])
         if n >= 6:
             flags.append("wide scan")
+            break
+    # unpartitioned window: WindowExec with an empty partitionSpec runs
+    # the whole input through ONE task — a total sort at scale. The node
+    # prints as `Window [fns], [partSpec], [orderSpec]` but OMITS empty
+    # specs, so an unpartitioned ordered window shows exactly two
+    # bracket groups with sort directions in the last one.
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = re.findall(r"\[[^\[\]]*\]", m.group(1))
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
+            flags.append("unpartitioned window")
             break
     allowed = ALLOWED.get(name, set())
     flags = [f for f in flags if f not in allowed]
