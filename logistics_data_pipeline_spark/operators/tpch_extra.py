@@ -575,10 +575,11 @@ Q15_START, Q15_END = "1997-01-01", "1997-04-01"
 
 def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Suppliers achieving the maximum quarterly revenue (classic Q15's
-    view + MAX subquery, expressed as a rank-over-aggregate — ties all
-    surface, matching the SQL's = MAX semantics)."""
-    from pyspark.sql import Window
-
+    view + MAX subquery): the max is a 1-row scalar aggregate broadcast
+    into an equality join — ties all surface, matching the SQL's = MAX
+    semantics. (The round-1 rank() over a GLOBAL window funneled every
+    supplier row through one task; the scalar-max join keeps the
+    per-supplier aggregate fully partitioned at any scale.)"""
     rev = (
         lineitem.filter(
             (F.col("l_shipdate") >= _ts(Q15_START)) & (F.col("l_shipdate") < _ts(Q15_END))
@@ -586,11 +587,12 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev_dec"))
     )
-    ranked = rev.withColumn(
-        "rk", F.rank().over(Window.orderBy(F.desc("total_rev_dec")))
-    ).filter(F.col("rk") == 1)
+    mx = rev.agg(F.max("total_rev_dec").alias("_max_rev"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_rev_dec") == F.col("_max_rev")
+    ).drop("_max_rev")
     return (
-        ranked.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

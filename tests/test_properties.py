@@ -156,3 +156,35 @@ def test_repetition_stats_invariants(spark, rows):
             assert r.dup_bigram_frac >= r.top_bigram_frac - 1e-9
         else:
             assert r.dup_bigram_frac == 0.0
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_exact_ntile_matches_window_ntile(spark, vals, k):
+    """The distributed exact_ntile must be bit-identical to the global
+    NTILE window for any data size/bucket count, including n < k and
+    heavy ties (tie-broken by the unique id column)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.operators.analytics import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    want = {
+        (r.id, r.b)
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    got = {
+        (r.id, r.b)
+        for r in exact_ntile(
+            df, k, [F.col("v").asc(), F.col("id").asc()], "b", n_parts=4
+        ).collect()
+    }
+    assert got == want
