@@ -91,17 +91,44 @@ GROUP BY md5(text)
 """.strip()
 
 
-def neardup_ngram(docs: DataFrame, threshold: float = 0.7, n: int = 3) -> DataFrame:
+MAX_SHINGLE_DF = 1000
+
+
+def neardup_ngram(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard, generated via
     an inverted-index join (only docs sharing ≥1 shingle pair up).
 
-    Each shingle row carries its document's shingle count via a window
-    count riding the doc_id partitioning shingle_rows already has — so
-    no separate sizes aggregate and no join-back: the set sizes arrive
-    at the pair groupBy for free (plan went from 4 evaluations of the
-    shingle pipeline + 2 extra join shuffles to 2 and 0)."""
+    Document-frequency cap (the 100 TB guard): a shingle appearing in
+    d documents fans out d² rows in the self-join, so one boilerplate
+    phrase ("all rights reserved…") turns the inverted index quadratic.
+    Shingles with DF > max_df are dropped BEFORE pairing (anti-join
+    against the tiny hot-shingle list); they carry no Jaccard
+    discrimination at that frequency anyway — this is what production
+    dedup (e.g. suffix-array/minhash pipelines) does. Jaccard is then
+    measured in the filtered shingle space (both intersection and set
+    sizes exclude hot shingles), and the oracle SQL applies the SAME
+    cap, so the check stays hash-exact rather than tolerating recall
+    drift. Per-group fan-out is bounded by max_df².
+
+    Each surviving shingle row carries its document's (post-filter) set
+    size via a window count — no separate sizes aggregate or join-back:
+    the sizes arrive at the pair groupBy for free."""
+    ex0 = shingle_rows(docs, n)
+    hot = (
+        ex0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
     w = Window.partitionBy("doc_id")
-    ex = shingle_rows(docs, n).withColumn("sz", F.count("*").over(w))
+    ex = ex0.join(F.broadcast(hot), "s", "left_anti").withColumn(
+        "sz", F.count("*").over(w)
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -127,7 +154,7 @@ def neardup_ngram(docs: DataFrame, threshold: float = 0.7, n: int = 3) -> DataFr
     return j.filter(F.col("jaccard") >= threshold)
 
 
-NEARDUP_NGRAM_SQL = r"""
+NEARDUP_NGRAM_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
 ),
@@ -139,8 +166,12 @@ sh AS (
               ELSE [] END AS shingles
   FROM toks
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex AS (  -- same document-frequency cap as the engine: hot shingles never pair
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS intersection
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id

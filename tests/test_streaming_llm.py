@@ -88,6 +88,26 @@ def test_neardup_ngram_finds_shifted_copy(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_neardup_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    """Adversarial corpus: every doc shares one boilerplate phrase. With
+    the DF cap the hot shingles never enter the pair join (bounded
+    fan-out instead of |postings|² rows), so docs related ONLY through
+    boilerplate emit no pair; genuinely near-identical docs still pair
+    via their discriminative shingles."""
+    boiler = "all rights reserved by the publisher"
+    n_docs = 40
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i} end{i}") for i in range(n_docs)]
+    # two true near-dups sharing discriminative content beyond the boilerplate
+    rows += [(100, boiler + " alpha beta gamma delta epsilon zeta"),
+             (101, boiler + " alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.a_id, r.b_id) for r in neardup_ngram(docs, 0.3, max_df=10).collect()}
+    assert got == {(100, 101)}
+    # uncapped, the boilerplate shingles pair every doc with every other
+    uncapped = neardup_ngram(docs, 0.3, max_df=10**9).count()
+    assert uncapped > len(got)
+
+
 def test_minhash_agrees_with_exact_on_clear_cases(spark):
     base = " ".join(f"w{i}" for i in range(60))
     docs = spark.createDataFrame(
