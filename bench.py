@@ -6,6 +6,9 @@ Prints ONE JSON line:
 
 Each query executes end-to-end (plan → shuffle → sink) via the `noop`
 writer so results are computed but never collected to the driver.
+Per-query time is the MEDIAN OF 3 runs (run-to-run variance at sf0.1
+is ±20%; a single noisy run against a 2× gate would false-fail), so
+`value` is the sum of medians.
 """
 
 from __future__ import annotations
@@ -71,11 +74,15 @@ def main() -> None:
     # Warm the JVM/session so the first timed query doesn't pay startup.
     qs["bronze_events"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

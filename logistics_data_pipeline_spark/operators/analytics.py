@@ -645,14 +645,18 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     already-reduced customer rows beat one total sort funneled through
     a single task at scale; output stays bit-identical to the oracle's
     NTILE(4) windows."""
-    ref = F.max(F.max("o_orderdate")).over(Window.partitionBy())
+    # reference date = one-row scalar aggregate broadcast back on a
+    # dummy equality key: a hash join, never a global window over the
+    # (unbounded) customer grain
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date")).withColumn(
+        "_k", F.lit(1)
+    )
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-        ref.alias("ref_date"),
     )
-    rfm = per_cust.select(
+    rfm = per_cust.withColumn("_k", F.lit(1)).join(F.broadcast(ref), "_k").select(
         "o_custkey",
         F.datediff("ref_date", "last_order").alias("recency_days"),
         "frequency",
