@@ -479,3 +479,86 @@ SELECT tt.doc_id, tt.n_shingles,
 FROM totals tt LEFT JOIN overlap o ON o.doc_id = tt.doc_id
 ORDER BY tt.doc_id
 """.strip()
+
+
+PACK_CAPACITY = 256
+PACK_GROUPS = 16
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = PACK_CAPACITY, n_groups: int = PACK_GROUPS
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed-capacity
+    training sequences (capacity in whitespace tokens) — the batching
+    step an LLM training pipeline runs after curation so short docs
+    share a context window instead of wasting padding.
+
+    Global next-fit is inherently sequential, so the scalable shape is
+    hierarchical: docs hash into ``n_groups`` independent pack groups
+    (doc_id mod — engine-portable, deterministic) and next-fit runs
+    WITHIN each group in doc_id order as one Arrow batch per group via
+    ``applyInPandas``. Groups pack in parallel at any scale (pick
+    n_groups ≈ executor count × a few); sequence ids are unique as
+    (pack_group, seq_in_group). Rule: a doc opens a new sequence iff
+    the current one is non-empty and would overflow; oversized docs
+    (> capacity) occupy a sequence alone. The oracle replays the same
+    recurrence as a recursive CTE, so the check is hash-exact."""
+    import pandas as pd
+
+    out_schema = (
+        "doc_id bigint, pack_group int, seq_in_group int, "
+        "n_tokens bigint, fill_after bigint"
+    )
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("int").alias("pack_group"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, fill = 1, 0
+        seqs, fills = [], []
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > capacity:
+                seq += 1
+                fill = int(t)
+            else:
+                fill += int(t)
+            seqs.append(seq)
+            fills.append(fill)
+        pdf["seq_in_group"] = pd.Series(seqs, dtype="int32")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf[["doc_id", "pack_group", "seq_in_group", "n_tokens", "fill_after"]]
+
+    return (
+        base.groupBy("pack_group")
+        .applyInPandas(_pack, schema=out_schema)
+        .orderBy("doc_id")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_GROUPS} AS INT) AS pack_group,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {PACK_GROUPS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed(pack_group, rn, doc_id, n_tokens, seq_in_group, fill_after) AS (
+  SELECT pack_group, rn, doc_id, n_tokens, 1, n_tokens
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill_after + t.n_tokens > {PACK_CAPACITY}
+              THEN p.seq_in_group + 1 ELSE p.seq_in_group END,
+         CASE WHEN p.fill_after + t.n_tokens > {PACK_CAPACITY}
+              THEN t.n_tokens ELSE p.fill_after + t.n_tokens END
+  FROM packed p JOIN t ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+)
+SELECT doc_id, pack_group, CAST(seq_in_group AS INT) AS seq_in_group,
+       n_tokens, fill_after
+FROM packed
+ORDER BY doc_id
+""".strip()

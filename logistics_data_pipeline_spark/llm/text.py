@@ -345,3 +345,91 @@ FROM big b JOIN uni u ON b.w1 = u.w1
 WHERE b.n_bigram >= {NGRAM_MIN_COUNT}
 ORDER BY b.w1, b.w2
 """.strip()
+
+
+def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document average log-probability under the corpus's add-one-
+    smoothed bigram LM — the count-based perplexity proxy quality
+    filters use (docs far below the corpus average are boilerplate,
+    noise, or wrong-language).
+
+    Model trained and applied in one lineage: bigram counts c(w1,w2)
+    with window-carried context totals c(w1) (same partition-riding
+    trick as ``bigram_lm_counts``), vocabulary size V as a 1-row scalar
+    aggregate broadcast on a dummy key (never a global window), then
+    logp = ln((c12 + 1)/(c1 + V)) per doc bigram and a per-doc average.
+    Every shuffle is keyed (bigram, then doc_id); each doc's bigrams
+    are ≥1 in the corpus counts by construction, so the smoothing never
+    meets an unseen pair. Docs with < 2 alpha tokens have no bigrams
+    and drop out (inner join) — mirrored in the oracle."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .filter(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    )
+    vocab = (
+        pairs.select(F.col("w1").alias("tok"))
+        .union(pairs.select(F.col("w2").alias("tok")))
+        .agg(F.countDistinct("tok").alias("v"))
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks
+  WHERE regexp_full_match(t[i + 1], '[a-z]+') AND regexp_full_match(t[i + 2], '[a-z]+')
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT w1 AS tok FROM pairs UNION ALL SELECT w2 FROM pairs)
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((b.c12 + 1) / CAST(u.c1 + vocab.v AS DOUBLE))), 6) AS avg_logprob
+FROM pairs p
+JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN uni u ON p.w1 = u.w1
+CROSS JOIN vocab
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""".strip()

@@ -783,6 +783,20 @@ register(
         )
     ),
 )
+register(
+    "docs_pack_sequences",
+    _q(lambda spark, sf: llm_cur.pack_sequences(_docs(spark, sf))),
+    llm_cur.PACK_SEQUENCES_SQL,
+)
+register(
+    "docs_bigram_logprob",
+    _q(lambda spark, sf: llm_text.doc_bigram_logprob(_docs(spark, sf))),
+    llm_text.DOC_BIGRAM_LOGPROB_SQL,
+)
+register(
+    "emb_pq_codes",  # iterative per-subspace Lloyd training → rows-only
+    _q(lambda spark, sf: llm_sim.pq_codes(_emb(spark, sf))),
+)
 
 # --- registration order ----------------------------------------------------
 #

@@ -216,3 +216,40 @@ class TestPiiScrub:
 
         expected = hashlib.md5(b"mail <EMAIL> end").hexdigest()
         assert curation.pii_scrub(docs).collect()[0].scrubbed_md5 == expected
+
+
+def test_pack_sequences_next_fit_semantics(spark):
+    """Within a pack group, docs pack in doc_id order; a doc opens a new
+    sequence iff the current one would overflow; oversized docs sit
+    alone (possibly overflowing). Single group => fully deterministic."""
+    from logistics_data_pipeline_spark.llm.curation import pack_sequences
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(0, words(100)), (16, words(100)), (32, words(100)),  # 100+100 fit, 3rd spills
+         (48, words(300)),                                      # oversized: alone
+         (64, words(10))],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.seq_in_group, r.fill_after)
+           for r in pack_sequences(docs, capacity=256, n_groups=16).collect()}
+    assert got == {0: (1, 100), 16: (1, 200), 32: (2, 100),
+                   48: (3, 300), 64: (4, 10)}
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    """Docs in different hash groups never share a sequence id space;
+    every non-oversized sequence respects capacity."""
+    from logistics_data_pipeline_spark.llm.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1 + i % 40))) for i in range(80)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, capacity=64, n_groups=4).collect()
+    assert {r.pack_group for r in rows} == {0, 1, 2, 3}
+    assert all(r.pack_group == r.doc_id % 4 for r in rows)
+    # fill_after never exceeds capacity unless the doc alone exceeds it
+    assert all(r.fill_after <= 64 or r.n_tokens > 64 for r in rows)

@@ -285,3 +285,37 @@ def test_corrupt_json_rows_are_dropped(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert sorted(r.event_id for r in got.collect()) == ["e0", "e1", "e2"]
+
+
+def test_doc_bigram_logprob_scores_repetition_above_novelty(spark):
+    """A doc made of corpus-frequent bigrams must outscore a doc of
+    one-off bigrams (that is the point of a perplexity filter)."""
+    from logistics_data_pipeline_spark.llm.text import doc_bigram_logprob
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(5)]
+        + [(99, "zq xv jk wm pl qn")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.avg_logprob for r in doc_bigram_logprob(docs).collect()}
+    assert got[0] == got[4]  # identical docs, identical scores
+    assert got[0] > got[99]
+
+
+def test_pq_codes_training_reduces_quantization_error(spark, sf_dir):
+    """Trained PQ codebooks must not quantize worse than their sampled
+    initialization, codes stay in [0, n_cells), and every vector emits
+    one code per subspace."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = pq_codes(emb, n_subspaces=8, n_cells=16, iters=3).collect()
+    init = pq_codes(emb, n_subspaces=8, n_cells=16, iters=0).collect()
+    n_vec = emb.count()
+    assert len(trained) == n_vec * 8
+    assert all(0 <= r.code < 16 for r in trained)
+    err_trained = sum(r.sq_err for r in trained)
+    err_init = sum(r.sq_err for r in init)
+    assert err_trained <= err_init
