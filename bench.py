@@ -57,10 +57,17 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_value_anomalies",
     "orders_customer_rfm",
+    "orders_ltv_deciles",
     "docs_split_assign",
     "docs_quality_filter",
     "docs_decontamination",
+    "docs_pack_sequences",
+    "docs_bigram_logprob",
     "emb_quantize_int8",
+    "emb_neardup_cosine",
+    "emb_neardup_lsh",
+    "emb_kmeans_cells",
+    "emb_pq_codes",
 ]
 
 
