@@ -777,3 +777,80 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)
 ORDER BY g_region, g_nation, region, nation
 """.strip()
+
+
+# --- exact heavy hitters via mergeable Misra-Gries + verify ----------------
+
+HH_SUPPORT = 0.008
+
+
+def heavy_hitters(events: DataFrame, support: float = HH_SUPPORT) -> DataFrame:
+    """EXACT frequent items (users with ≥ support fraction of all
+    events) computed the way a 100 TB pipeline must: a per-partition
+    Misra-Gries summary with k = ⌈1/support⌉ counters (one Arrow pass,
+    O(k) state per partition) yields a CANDIDATE set that provably
+    contains every global heavy hitter — if a user's global count
+    exceeds n/k, its count exceeds n_p/k in at least one partition —
+    then a second pass counts ONLY the candidates exactly (broadcast
+    semi-join + keyed aggregation) and filters by the true threshold.
+    Sketch recall is guaranteed, the verify step removes false
+    positives, so the composite is exact and the plain GROUP BY /
+    HAVING oracle hash-matches. Never a global sort, never a full
+    distinct aggregation wider than the candidate set.
+
+    MG merge is the summary-mergeable form: add batch counts, and when
+    more than k counters survive, subtract the (k+1)-th largest count
+    from all and drop non-positives (vectorized per Arrow batch)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    k = int(math.ceil(1.0 / support))
+
+    def _mg(batches):
+        counts: "pd.Series | None" = None
+        for pdf in batches:
+            batch = pdf["user_id"].value_counts()
+            counts = batch if counts is None else counts.add(batch, fill_value=0)
+            if len(counts) > k:
+                s = np.partition(counts.to_numpy(), -(k + 1))[-(k + 1)]
+                counts = counts - s
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({"user_id": counts.index.to_numpy(dtype=np.int64)})
+
+    candidates = (
+        events.select("user_id")
+        .mapInPandas(_mg, schema="user_id bigint")
+        .distinct()
+    )
+    total = events.agg(F.count("*").alias("n_total")).withColumn("_k", F.lit(1))
+    return (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .filter(F.col("n_events") >= F.lit(support) * F.col("n_total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tot AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(COUNT(*) / CAST(tot.n_total AS DOUBLE), 6) AS share
+FROM events, tot
+GROUP BY user_id, tot.n_total
+HAVING COUNT(*) >= {HH_SUPPORT} * tot.n_total
+ORDER BY user_id
+""".strip()

@@ -582,3 +582,49 @@ SELECT from_type, to_type, n_transitions,
 FROM counts
 ORDER BY from_type, to_type
 """.strip()
+
+
+def hopping_window_counts(events: DataFrame) -> DataFrame:
+    """Per-type counts/value sums in HOPPING (sliding) 10-minute
+    event-time windows with a 5-minute slide — each event lands in
+    width/slide = 2 overlapping windows. Spark's native ``window()``
+    generator expands the windows JVM-side (no UDF, no explode of a
+    constructed array); the shuffle key is (window, type), so partial
+    aggregation collapses the map side exactly as the tumbling case.
+    The oracle replays the window arithmetic on the epoch-second grid."""
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOPPING_WINDOW_SQL = """
+WITH hopped AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 * 1000000)
+           AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 2)) AS j)
+)
+SELECT window_start,
+       window_start + INTERVAL 10 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM hopped
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+""".strip()

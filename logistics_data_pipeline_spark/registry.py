@@ -797,6 +797,16 @@ register(
     "emb_pq_codes",  # iterative per-subspace Lloyd training → rows-only
     _q(lambda spark, sf: llm_sim.pq_codes(_emb(spark, sf))),
 )
+register(
+    "events_hopping_windows",
+    _q(lambda spark, sf: temporal.hopping_window_counts(load_table(spark, sf, "events"))),
+    temporal.HOPPING_WINDOW_SQL,
+)
+register(
+    "events_heavy_hitters",
+    _q(lambda spark, sf: analytics.heavy_hitters(load_table(spark, sf, "events"))),
+    analytics.HEAVY_HITTERS_SQL,
+)
 
 # --- registration order ----------------------------------------------------
 #

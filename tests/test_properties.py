@@ -188,3 +188,28 @@ def test_exact_ntile_matches_window_ntile(spark, vals, k):
         ).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_exact_on_skewed_multipartition_corpus(spark):
+    """A heavy user spread thinly across many partitions must still
+    surface (MG candidate recall), and near-threshold users must be
+    resolved exactly by the verify pass — compare against a driver-side
+    exact count."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    # 2000 events: user 1 has 5% (spread), users 2..11 ~1.05% each,
+    # the rest long tail — support 0.02 keeps only user 1
+    rows = [(i, 1) for i in range(100)]
+    rows += [(1000 + i, 2 + i % 10) for i in range(210)]
+    rows += [(10_000 + i, 100 + i) for i in range(1690)]
+    df = (
+        spark.createDataFrame(rows, ["event_id", "user_id"])
+        .repartition(16, "event_id")  # scatter every user across partitions
+    )
+    got = {(r.user_id, r.n_events) for r in heavy_hitters(df, support=0.02).collect()}
+    assert got == {(1, 100)}
+    # lower support: the ten 21-count users clear 1% exactly
+    got2 = {r.user_id for r in heavy_hitters(df, support=0.01).collect()}
+    assert got2 == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11}
