@@ -50,12 +50,17 @@ def _pick(values: list[str], salt: int):
     return F.element_at(arr, (_h(salt) % len(values) + 1).cast("int"))
 
 
-def synthetic_events(spark: SparkSession, n: int, window_s: int = 30 * 86400) -> DataFrame:
-    """S2: n deterministic wire-schema events (no ingestion_timestamp)."""
+def synthetic_events(
+    spark: SparkSession, n: int, window_s: int = 30 * 86400, start: int = 0
+) -> DataFrame:
+    """S2: n deterministic wire-schema events (no ingestion_timestamp).
+    ``start`` offsets the id range so successive serving calls
+    (sources/api.py) yield fresh-but-reproducible rows; the registered
+    oracle query uses the default start=0."""
     ts = F.to_timestamp(F.lit(GEN_BASE_TS)) + F.make_interval(
         secs=(_h(1) % window_s).cast("int")
     )
-    return spark.range(n).select(
+    return spark.range(start, start + n).select(
         F.md5(F.concat(F.lit("evt-"), F.col("id").cast("string"))).alias("event_id"),
         F.concat(
             F.lit("ORD-"),

@@ -37,3 +37,48 @@ def test_query_runs_on_smallest_sf(spark, sf_dir, name):
 
 def test_flagship_nonempty(spark, sf_dir):
     assert registry.flagship(spark, sf_dir).count() > 0
+
+
+def test_generator_http_api_parity(spark):
+    """Reference src/api/generator.py surface: /health, POST /generate
+    (201, one wire event), /generate-batch with count validated to
+    1..1000 (400 outside), successive calls yielding fresh rows."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from logistics_data_pipeline_spark.sources.api import GeneratorAPI
+
+    api = GeneratorAPI(spark)
+    port = api.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path):
+        req = urllib.request.Request(base + path, method="POST", data=b"")
+        with urllib.request.urlopen(req) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/health") as r:
+            assert r.status == 200
+        code, one = post("/generate")
+        assert code == 201
+        wire_cols = {
+            "event_id", "order_id", "timestamp", "status", "origin",
+            "destination", "carrier_name", "latitude", "longitude",
+            "weight_kg", "estimated_delivery",
+        }
+        assert set(one["data"]) == wire_cols
+        code, batch = post("/generate-batch?count=5")
+        assert code == 201 and batch["count"] == 5 and len(batch["data"]) == 5
+        # fresh rows: no id reuse across calls
+        ids = {one["data"]["event_id"]} | {e["event_id"] for e in batch["data"]}
+        assert len(ids) == 6
+        for bad in ("0", "1001", "x"):
+            try:
+                post(f"/generate-batch?count={bad}")
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        api.stop()
