@@ -29,8 +29,10 @@ from pyspark.sql import types as T
 NEARDUP_THRESHOLD = 0.4
 
 def _dot(a, b):
+    """Dot product of two DOUBLE arrays (cast upstream — ``_with_norm``
+    pre-casts once per vector so pair loops never re-cast)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -47,13 +49,17 @@ def _norm(a):
 
 
 def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
-    """Project (id, vec, l2norm): the norm is computed once per vector
-    instead of once per pair — the HOF fold is interpreted (not
-    codegen'd), so hoisting it out of the pair join is a 3× cut on the
-    hot path. Values are bit-identical to inline computation."""
+    """Project (id, vec-as-double, l2norm): the norm AND the f32→f64
+    element casts are done once per vector instead of once per pair —
+    the HOF fold is interpreted (not codegen'd), so hoisting both out
+    of the pair join cuts the hot path hard. The dot product then
+    multiplies already-double elements in the same order, so scores are
+    bit-identical to inline computation (the pre-cast changes WHERE the
+    cast happens, not the arithmetic)."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.select(
         F.col("vec_id").alias(id_alias),
-        F.col("embedding").alias(vec_alias),
+        vec_d.alias(vec_alias),
         _norm(F.col("embedding")).alias(norm_alias),
     )
 
