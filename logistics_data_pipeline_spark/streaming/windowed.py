@@ -92,6 +92,33 @@ def windowed_counts(
     )
 
 
+def hopping_windowed_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked HOPPING-window (10 min width / 5 min slide) per-type
+    counts/sums — streaming twin of temporal.hopping_window_counts;
+    identical aggregation expressions, each event contributing to the
+    same two overlapping windows, state evicted past the watermark."""
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -148,3 +148,24 @@ def test_stream_stream_interval_join_matches_batch_attribution(spark, sf_dir, tm
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_hopping_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Overlapping (sliding) windows through Structured Streaming must
+    finalize to exactly the batch hopping aggregation."""
+    from logistics_data_pipeline_spark.operators.temporal import hopping_window_counts
+    from logistics_data_pipeline_spark.streaming.windowed import hopping_windowed_counts
+
+    src = tmp_path / "stream_src"
+    _dump_events_json(spark, sf_dir, src)
+    stream = hopping_windowed_counts(events_file_stream(spark, str(src)))
+    run_to_memory(stream, "hop_counts", "complete", str(tmp_path / "ckpt"))
+    got = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.total_value)
+        for r in spark.table("hop_counts").collect()
+    }
+    want = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.total_value)
+        for r in hopping_window_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(want) > 0
