@@ -371,3 +371,48 @@ FROM reach
 GROUP BY node
 ORDER BY doc_id
 """.strip()
+
+
+def dedup_keeper(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Keeper selection over the near-dup components — the step that
+    turns dedup ANALYSIS into the deduped CORPUS: within each connected
+    component keep the longest document (chars desc, doc_id asc as the
+    deterministic tie-break), mark the rest as drops.
+
+    One partitioned window over (component) after the component join —
+    no global sort, no collect; at 100 TB the window key is the
+    component id, whose partitions are the duplicate clusters
+    themselves. The oracle recomputes components via the recursive CTE
+    and replays the same FIRST_VALUE window."""
+    comp = neardup_components(docs, threshold)
+    sized = comp.join(
+        docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
+    )
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("_len"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keeper = F.first("doc_id").over(w)
+    return (
+        sized.select(
+            "doc_id",
+            "component",
+            keeper.alias("keeper_doc_id"),
+            (F.col("doc_id") == keeper).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEPER_SQL = f"""
+WITH comp AS ({NEARDUP_COMPONENTS_SQL})
+SELECT d.doc_id, c.component,
+       FIRST_VALUE(d.doc_id) OVER w AS keeper_doc_id,
+       d.doc_id = FIRST_VALUE(d.doc_id) OVER w AS is_keeper
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WINDOW w AS (PARTITION BY c.component
+             ORDER BY length(d.text) DESC, d.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY d.doc_id
+""".strip()

@@ -803,6 +803,11 @@ register(
     temporal.HOPPING_WINDOW_SQL,
 )
 register(
+    "docs_dedup_keeper",
+    _q(lambda spark, sf: llm_dedup.dedup_keeper(_docs(spark, sf))),
+    llm_dedup.DEDUP_KEEPER_SQL,
+)
+register(
     "events_heavy_hitters",
     _q(lambda spark, sf: analytics.heavy_hitters(load_table(spark, sf, "events"))),
     analytics.HEAVY_HITTERS_SQL,

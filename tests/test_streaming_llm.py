@@ -319,3 +319,22 @@ def test_pq_codes_training_reduces_quantization_error(spark, sf_dir):
     err_trained = sum(r.sq_err for r in trained)
     err_init = sum(r.sq_err for r in init)
     assert err_trained <= err_init
+
+
+def test_dedup_keeper_picks_longest_per_component(spark):
+    """Chained near-dups unify into one component; the longest doc is
+    the keeper; the unrelated doc keeps itself."""
+    from logistics_data_pipeline_spark.llm.dedup import dedup_keeper
+
+    w = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[0:28])),
+            (2, " ".join(w[5:33]) + " longest extra tail"),
+            (3, " ".join(w[10:38])),
+            (4, " ".join(f"z{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.keeper_doc_id, r.is_keeper) for r in dedup_keeper(docs, 0.6).collect()}
+    assert got == {1: (2, False), 2: (2, True), 3: (2, False), 4: (4, True)}
