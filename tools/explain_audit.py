@@ -29,6 +29,12 @@ SMELLS = {
 ALLOWED = {
     # single-row scalar aggregates cross-joined into the report row
     "dq_checks": {"nested-loop join"},
+    # 1-row scalar aggregate broadcast on a dummy equality key: Catalyst
+    # folds lit==lit to TRUE, so the plan prints as a BNLJ — but the
+    # build side is exactly one row (a map-side constant append)
+    "orders_customer_rfm": {"nested-loop join"},  # corpus max order date
+    "docs_bigram_logprob": {"nested-loop join"},  # vocabulary size V
+    "events_heavy_hitters": {"nested-loop join"},  # total event count
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     # full-width re-insert: the anti-join output IS every column
