@@ -858,6 +858,15 @@ _ROUND2_WINDOW = [
     "multimodal_extract",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # round-2 additions (mandate-class: dedup/ANN/curation + sketches)
+    "emb_neardup_lsh",
+    "emb_kmeans_cells",
+    "emb_pq_codes",
+    "docs_pack_sequences",
+    "docs_bigram_logprob",
+    "docs_dedup_keeper",
+    "events_heavy_hitters",
+    "events_hopping_windows",
     # flagship analytics that sat past round 1's window
     "events_signup_funnel",
     "orders_price_ranks",
@@ -867,17 +876,14 @@ _ROUND2_WINDOW = [
     "events_type_transitions",
     "events_interarrival_stats",
     "events_value_anomalies",
-    "events_value_histogram",
-    "events_props_json_stats",
     "events_session_windows",
-    "events_user_sessions",
-    "orders_top_per_customer",
-    "orders_trailing_revenue_7d",
-    "events_salted_type_stats",
-    "events_rollup",
-    "events_value_quantiles",
     "events_approx_distinct",
 ]
+# Still never driver-verified after round 2 (locally oracle-green +
+# pytest-locked) — rotate these into the window in round 3:
+# events_value_histogram, events_props_json_stats, events_user_sessions,
+# orders_top_per_customer, orders_trailing_revenue_7d,
+# events_salted_type_stats, events_rollup, events_value_quantiles
 
 
 def _apply_registration_order() -> None:
