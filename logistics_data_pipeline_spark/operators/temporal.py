@@ -628,3 +628,30 @@ FROM hopped
 GROUP BY 1, 2, 3
 ORDER BY 1, 3
 """.strip()
+
+
+def window_unique_users(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Exact distinct users per tumbling window, in the two-stage shape
+    that scales: an explicit (window, user) dedup shuffle first, then a
+    plain COUNT(*) — both stages get map-side partial aggregation,
+    whereas a direct COUNT(DISTINCT) plans an Expand + one wide
+    aggregation whose distinct state can't combine map-side. Same
+    result, bounded per-task state."""
+    win = F.window("ts", f"{minutes} minutes")
+    per_user = events.select(
+        win.alias("w"), "user_id"
+    ).select(F.col("w.start").alias("window_start"), "user_id").distinct()
+    return (
+        per_user.groupBy("window_start")
+        .agg(F.count("*").cast("bigint").alias("unique_users"))
+        .orderBy("window_start")
+    )
+
+
+WINDOW_UNIQUE_USERS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events
+GROUP BY 1
+ORDER BY 1
+""".strip()

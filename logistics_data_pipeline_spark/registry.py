@@ -879,6 +879,12 @@ _ROUND2_WINDOW = [
     "events_session_windows",
     "events_approx_distinct",
 ]
+register(
+    "events_window_unique_users",
+    _q(lambda spark, sf: temporal.window_unique_users(load_table(spark, sf, "events"))),
+    temporal.WINDOW_UNIQUE_USERS_SQL,
+)
+
 # Still never driver-verified after round 2 (locally oracle-green +
 # pytest-locked) — rotate these into the window in round 3:
 # events_value_histogram, events_props_json_stats, events_user_sessions,
