@@ -68,6 +68,7 @@ HEADLINE = [
     "emb_neardup_lsh",
     "emb_kmeans_cells",
     "emb_pq_codes",
+    "emb_knn_ivfpq",
 ]
 
 

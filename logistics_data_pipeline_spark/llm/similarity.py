@@ -938,3 +938,145 @@ def pq_codes(
         .mapInPandas(_assign, schema=out_schema)
         .orderBy("vec_id", "subspace")
     )
+
+
+def pq_assign_packed(emb: DataFrame, books) -> DataFrame:
+    """Per-vector packed PQ codes (vec_id, codes array<int>) against
+    trained codebooks — one shuffle-free Arrow pass. Vectors are
+    L2-normalized before coding (the IVF-PQ index quantizes the unit
+    sphere so ADC inner products approximate cosine)."""
+    import numpy as np
+
+    n_sub, _, dsub = books.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(X), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(_assign, schema=out_schema)
+
+
+def knn_ivfpq(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 8,
+    n_cells: int = 16,
+    n_subspaces: int = 16,
+    pq_cells: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """The full ANN index stack: IVF coarse cells (sampled k-means)
+    restrict the scan to nprobe probe lists, and PQ codes + an ADC
+    (asymmetric distance computation) lookup table score candidates
+    without touching the original vectors — the FAISS-style
+    IVF{n_cells},PQ{n_subspaces} serving shape.
+
+    Scale: the index is (vec_id, cell, codes[S]) — S bytes-ish per
+    vector instead of 4·d — built in two Arrow passes; queries carry a
+    tiny S×k lookup table each (inner products of the normalized query
+    subvectors against the codebooks, computed inside the Arrow batch
+    from the broadcast-joined query vector), so candidate scoring is
+    ONE np.take + sum per batch, no original-vector reads. Approximate
+    on two axes (probe subset + quantization), so rows-only; the recall
+    test pins quality vs brute force. This variant codes raw normalized
+    vectors (IVF-Flat+PQ); residual coding would add one subtraction
+    per vector at build, same serving shape. Defaults (16 subspaces ×
+    16 cells = 64 bits/vector) measure recall@5 ≈ 0.4 on the synthetic
+    RANDOM corpus — the hardest case for PQ, since i.i.d. dimensions
+    have no correlated structure to exploit; real embedding manifolds
+    quantize far better at the same bit budget."""
+    import numpy as np
+
+    cents = kmeans_centroids(emb, n_cells=n_cells, iters=iters)
+    books = pq_codebooks(emb, n_subspaces=n_subspaces, n_cells=pq_cells, iters=iters)
+
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    index = pq_assign_packed(corpus, books).join(
+        assign_cells(corpus, cents, top=1).select("vec_id", "cell"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    q_cells = assign_cells(queries, cents, top=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q_vecs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    joined = index.join(
+        F.broadcast(q_cells.join(q_vecs, "query_id")), "cell"
+    ).select("query_id", "q", F.col("vec_id").alias("neighbor_id"), "codes")
+
+    n_sub, _, dsub = books.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_score", T.DoubleType()),
+        ]
+    )
+
+    def _adc(batches):
+        import pandas as pd
+
+        luts: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_n, out_s = [], [], []
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts.get(qid)
+                if lut is None:
+                    qv = np.asarray(grp["q"].iloc[0], dtype=np.float64)
+                    qv /= np.linalg.norm(qv)
+                    # lut[s, c] = <q_s, codebook[s][c]>
+                    lut = np.stack(
+                        [
+                            books[s] @ qv[s * dsub : (s + 1) * dsub]
+                            for s in range(n_sub)
+                        ]
+                    )
+                    luts[qid] = lut
+                codes = np.array(list(grp["codes"]), dtype=np.int64)  # (m, S)
+                scores = lut[np.arange(n_sub)[None, :], codes].sum(axis=1)
+                out_q.append(np.full(len(codes), qid, dtype=np.int64))
+                out_n.append(grp["neighbor_id"].to_numpy(dtype=np.int64))
+                out_s.append(np.round(scores, 6))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = joined.mapInPandas(_adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
+    )

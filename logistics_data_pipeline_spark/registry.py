@@ -880,6 +880,10 @@ _ROUND2_WINDOW = [
     "events_approx_distinct",
 ]
 register(
+    "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
+    _q(lambda spark, sf: llm_sim.knn_ivfpq(_emb(spark, sf))),
+)
+register(
     "events_window_unique_users",
     _q(lambda spark, sf: temporal.window_unique_users(load_table(spark, sf, "events"))),
     temporal.WINDOW_UNIQUE_USERS_SQL,

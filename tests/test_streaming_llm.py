@@ -338,3 +338,18 @@ def test_dedup_keeper_picks_longest_per_component(spark):
     )
     got = {r.doc_id: (r.keeper_doc_id, r.is_keeper) for r in dedup_keeper(docs, 0.6).collect()}
     assert got == {1: (2, False), 2: (2, True), 3: (2, False), 4: (4, True)}
+
+
+def test_knn_ivfpq_recall_floor(spark, sf_dir):
+    """IVF-PQ with the default 64-bit budget must recover a real share
+    of the true top-5 on the random corpus (PQ's worst case) — far
+    above chance (5/490 ≈ 1%) — and emit exactly k rows per query."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import knn_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb).collect()}
+    rows = knn_ivfpq(emb).collect()
+    assert len(rows) == 50
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.3
