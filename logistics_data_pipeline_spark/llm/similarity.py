@@ -391,7 +391,9 @@ def _block_pair_sides(
     groups comfortably parallel on local[32].
     """
     base = _with_norm(emb, "id", "v", "nrm").withColumn(
-        "g", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+        # hash-based block: uniform regardless of the id distribution
+        # (sequential, sparse, or clustered ids all balance)
+        "g", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
     left = base.select(
         F.col("id").alias("l_id"),
@@ -519,7 +521,7 @@ def _tagged_block_sides(emb: DataFrame, n_blocks: int) -> DataFrame:
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v"),
-        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("g"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int").alias("g"),
     )
     left = base.select(
         "id",
