@@ -29,12 +29,14 @@ from pyspark.sql.streaming import StreamingQuery
 from ..schemas import WIRE_EVENT_SCHEMA
 
 
-def file_stream_source(spark: SparkSession, json_dir: str) -> DataFrame:
+def file_stream_source(
+    spark: SparkSession, json_dir: str, max_files: int = 4
+) -> DataFrame:
     """File-based stream of JSON event payloads (testable stand-in for
     the Kafka topic; same wire schema)."""
     return (
         spark.readStream.schema(WIRE_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files)
         .json(json_dir)
     )
 
@@ -130,3 +132,57 @@ def micro_batch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str, key: str = "event_id"):
+    """Exactly-once streaming MERGE into a keyed parquet table via
+    ``foreachBatch`` + atomic version swap — the CDC-apply leg
+    (reference's warehouse upsert, streaming-shaped).
+
+    Each micro-batch merges into the current table version with
+    ``merge_upsert`` (anti-join + union, one key shuffle) and writes a
+    NEW version directory named by batch_id, then atomically repoints a
+    ``_CURRENT`` marker (write-temp + os.replace). Replayed batches
+    after a restart rewrite the same version directory and repoint to
+    the same place — idempotent by batch_id, which is exactly the
+    contract foreachBatch requires for exactly-once sinks without a
+    transactional table format. With Delta/Iceberg this collapses to a
+    native ``MERGE INTO``; semantics are identical.
+    """
+    import os
+
+    from ..sources.bronze import merge_upsert
+
+    marker = os.path.join(table_dir, "_CURRENT")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        current = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                current = fh.read().strip()
+        if current and os.path.isdir(current):
+            merged = merge_upsert(spark.read.parquet(current), batch, key)
+        else:
+            merged = batch
+        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_dir)
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_table(spark, table_dir: str) -> DataFrame:
+    """Read the current version of an ``upsert_sink`` table."""
+    import os
+
+    with open(os.path.join(table_dir, "_CURRENT")) as fh:
+        return spark.read.parquet(fh.read().strip())

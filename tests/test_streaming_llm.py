@@ -353,3 +353,33 @@ def test_knn_ivfpq_recall_floor(spark, sf_dir):
     assert len(rows) == 50
     got = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(got & truth) / len(truth) >= 0.3
+
+
+def test_streaming_upsert_sink_merges_and_restarts_idempotently(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the later batch's rows
+    must win; a checkpointed restart with no new input must change
+    nothing (foreachBatch idempotency by batch_id)."""
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_json(src, "a.json", [dict(WIRE_ROW, event_id=f"e{i}", weight_kg=1.0) for i in range(6)])
+    _write_json(src, "b.json", [dict(WIRE_ROW, event_id=f"e{i}", weight_kg=9.0) for i in range(4, 10)])
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    q = upsert_sink(
+        file_stream_source(spark, str(src), max_files=1), table, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+    assert len(got) == 10
+    assert got["e0"] == 1.0 and got["e5"] == 9.0 and got["e9"] == 9.0
+    # restart: no new files -> table unchanged
+    q2 = upsert_sink(
+        file_stream_source(spark, str(src), max_files=1), table, ckpt
+    )
+    q2.awaitTermination(120)
+    got2 = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+    assert got2 == got
