@@ -1082,3 +1082,45 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_score", "rank")
     )
+
+
+TRUNC_DIM = 16
+
+
+def prefix_truncate(emb: DataFrame, dim: int = TRUNC_DIM) -> DataFrame:
+    """Matryoshka-style prefix truncation: keep the first ``dim``
+    components and L2-renormalize — the cheap-serving trick for
+    MRL-trained embeddings (coarse search on the prefix, full-dim
+    rescoring of survivors). Shuffle-free map-side projection; the
+    renormalized components are rounded to 6 dp on both engines so the
+    array value-hash is stable."""
+    sliced = F.slice(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")), 1, dim
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(sliced, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.lit(dim).alias("dim"),
+        F.round(nrm, 6).alias("prefix_norm"),
+        F.transform(sliced, lambda x: F.round(x / nrm, 6)).alias("unit_prefix"),
+    ).orderBy("vec_id")
+
+
+PREFIX_TRUNCATE_SQL = f"""
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{TRUNC_DIM}], x -> CAST(x AS DOUBLE)) AS p
+  FROM embeddings
+),
+n AS (SELECT vec_id, p, sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm FROM t)
+SELECT vec_id,
+       {TRUNC_DIM} AS dim,
+       ROUND(nrm, 6) AS prefix_norm,
+       list_transform(p, x -> ROUND(x / nrm, 6)) AS unit_prefix
+FROM n
+ORDER BY vec_id
+""".strip()

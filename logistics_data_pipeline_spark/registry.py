@@ -884,6 +884,11 @@ register(
     _q(lambda spark, sf: llm_sim.knn_ivfpq(_emb(spark, sf))),
 )
 register(
+    "emb_prefix_truncate",
+    _q(lambda spark, sf: llm_sim.prefix_truncate(_emb(spark, sf))),
+    llm_sim.PREFIX_TRUNCATE_SQL,
+)
+register(
     "events_window_unique_users",
     _q(lambda spark, sf: temporal.window_unique_users(load_table(spark, sf, "events"))),
     temporal.WINDOW_UNIQUE_USERS_SQL,
