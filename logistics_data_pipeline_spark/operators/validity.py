@@ -32,10 +32,11 @@ INVALID_REASONS = [
 ]
 
 
-def valid_events(stg: DataFrame) -> DataFrame:
-    """P3: rows passing all 5 validity rules."""
+def valid_predicate() -> Column:
+    """P3's 5-rule conjunction as a reusable expression (NULL-valued for
+    rows with NULL inputs — filter() drops those, matching SQL WHERE)."""
     c = F.col
-    return stg.filter(
+    return (
         (c("weight_kg") > 0)
         & c("latitude").isNotNull()
         & c("longitude").isNotNull()
@@ -47,6 +48,11 @@ def valid_events(stg: DataFrame) -> DataFrame:
         & c("destination").isNotNull()
         & (c("destination") != "")
     )
+
+
+def valid_events(stg: DataFrame) -> DataFrame:
+    """P3: rows passing all 5 validity rules."""
+    return stg.filter(valid_predicate())
 
 
 def _flags() -> dict[str, Column]:
@@ -65,30 +71,30 @@ def _flags() -> dict[str, Column]:
     }
 
 
+def invalid_reason_expr() -> Column:
+    """P5-P6 as one expression: the priority-CASE label, non-NULL
+    exactly when some validity flag fires (i.e. for the invalid set) —
+    lets single-scan consumers derive invalid membership + label
+    without building the invalid DataFrame."""
+    flags = _flags()
+    reason = None
+    for (name, expr), label in zip(flags.items(), INVALID_REASONS):
+        reason = (
+            F.when(expr, label) if reason is None else reason.when(expr, label)
+        )
+    return reason
+
+
 def invalid_events(stg: DataFrame) -> DataFrame:
     """P4–P6: flag, keep rows violating ≥1 rule, label with priority CASE.
 
     Output column set matches the reference's ``labelled`` CTE: the
     ``timestamp`` column and the boolean flags are dropped.
     """
-    flags = _flags()
-    flagged = stg
-    for name, expr in flags.items():
-        flagged = flagged.withColumn(name, expr)
-    invalid = flagged.filter(
-        flags_col("is_invalid_weight")
-        | flags_col("is_missing_coordinates")
-        | flags_col("is_invalid_delivery")
-        | flags_col("is_missing_status")
-        | flags_col("is_missing_location")
-    )
-    reason = (
-        F.when(F.col("is_invalid_weight"), "INVALID_WEIGHT")
-        .when(F.col("is_missing_coordinates"), "MISSING_COORDINATES")
-        .when(F.col("is_invalid_delivery"), "INVALID_ESTIMATED_DELIVERY")
-        .when(F.col("is_missing_status"), "MISSING_STATUS")
-        .when(F.col("is_missing_location"), "MISSING_LOCATION")
-    )
+    # the priority CASE is non-NULL exactly when some flag fires, so the
+    # "violates ≥1 rule" filter and the label are one expression
+    reason = invalid_reason_expr()
+    invalid = stg.filter(reason.isNotNull())
     return invalid.select(
         "event_id",
         "order_id",
@@ -103,7 +109,3 @@ def invalid_events(stg: DataFrame) -> DataFrame:
         "ingestion_timestamp",
         reason.alias("invalid_reason"),
     )
-
-
-def flags_col(name: str) -> Column:
-    return F.col(name)
