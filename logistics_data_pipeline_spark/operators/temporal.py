@@ -655,3 +655,44 @@ FROM events
 GROUP BY 1
 ORDER BY 1
 """.strip()
+
+
+def daily_type_grouping_sets(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((date), (type), ()) — the hand-picked
+    subtotal lattice (rollup/cube's general form; Catalyst expands all
+    three into ONE Expand + hash aggregate pass, same as the rollup
+    operator). GROUPING() flags disambiguate real NULLs from subtotal
+    rows. Expressed through the SQL gateway — the engine's DataFrame
+    and SQL surfaces share Catalyst, so this also exercises the
+    view-registration path."""
+    ev = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "value",
+    )
+    ev.createOrReplaceTempView("_gs_events_input")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_date, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_value,
+               CAST(GROUPING(event_date) AS INT) AS g_date,
+               CAST(GROUPING(event_type) AS INT) AS g_type
+        FROM _gs_events_input
+        GROUP BY GROUPING SETS ((event_date), (event_type), ())
+        ORDER BY g_date, g_type, event_date, event_type
+        """
+    )
+
+
+DAILY_TYPE_GROUPING_SETS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       CAST(GROUPING(strftime(ts, '%Y-%m-%d')) AS INT) AS g_date,
+       CAST(GROUPING(event_type) AS INT) AS g_type
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')), (event_type), ())
+ORDER BY g_date, g_type, event_date, event_type
+""".strip()

@@ -889,6 +889,11 @@ register(
     llm_sim.PREFIX_TRUNCATE_SQL,
 )
 register(
+    "events_grouping_sets",
+    _q(lambda spark, sf: temporal.daily_type_grouping_sets(load_table(spark, sf, "events"))),
+    temporal.DAILY_TYPE_GROUPING_SETS_SQL,
+)
+register(
     "events_window_unique_users",
     _q(lambda spark, sf: temporal.window_unique_users(load_table(spark, sf, "events"))),
     temporal.WINDOW_UNIQUE_USERS_SQL,
