@@ -213,3 +213,63 @@ def test_heavy_hitters_exact_on_skewed_multipartition_corpus(spark):
     # lower support: the ten 21-count users clear 1% exactly
     got2 = {r.user_id for r in heavy_hitters(df, support=0.01).collect()}
     assert got2 == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11}
+
+
+@given(
+    users=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    support_pct=st.sampled_from([2, 5, 10, 25]),
+)
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_matches_exact_count_for_any_distribution(
+    spark, users, support_pct
+):
+    """MG + verify must equal the plain exact GROUP BY/HAVING answer on
+    arbitrary distributions and partitionings."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    support = support_pct / 100.0
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(users)], ["event_id", "user_id"]
+    ).repartition(8, "event_id")
+    got = {(r.user_id, r.n_events) for r in heavy_hitters(df, support).collect()}
+    n = len(users)
+    from collections import Counter
+
+    want = {
+        (u, c) for u, c in Counter(users).items() if c >= support * n
+    }
+    assert got == want
+
+
+@given(
+    token_counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_matches_python_next_fit(spark, token_counts):
+    """The grouped Arrow packer must replay plain next-fit per group."""
+    from logistics_data_pipeline_spark.llm.curation import pack_sequences
+
+    cap, groups = 32, 4
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(token_counts)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.pack_group, r.seq_in_group, r.fill_after)
+        for r in pack_sequences(docs, capacity=cap, n_groups=groups).collect()
+    }
+    # pure-python reference, per group in doc_id order
+    want = {}
+    for g in range(groups):
+        seq, fill = 1, 0
+        for i, n in enumerate(token_counts):
+            if i % groups != g:
+                continue
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            want[i] = (g, seq, fill)
+    assert got == want
