@@ -298,6 +298,50 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     )
 
 
+def label_propagation(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by hash-min label propagation over an
+    undirected pair list: ``nodes`` = (node_id), ``pairs`` = (a_id,
+    b_id). Converges to component = MIN(node_id) reachable, in
+    O(diameter) rounds; ``localCheckpoint(eager=True)`` truncates the
+    lineage each round. Shared by the text near-dup components and the
+    embedding semantic-dedup keeper — any pair generator plugs in."""
+    edges = (
+        pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .unionByName(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node_id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node_id == nbr_min.a, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def neardup_components(
     docs: DataFrame, threshold: float = 0.7, max_iter: int = 20
 ) -> DataFrame:
@@ -316,37 +360,12 @@ def neardup_components(
     makes each round one shuffle of the (small) frontier.
     """
     pairs = neardup_ngram(docs, threshold).select("a_id", "b_id")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.b_id == labels.doc_id)
-            .groupBy("a_id")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.a_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.orderBy("doc_id")
+    labels = label_propagation(
+        docs.select(F.col("doc_id").alias("node_id")), pairs, max_iter
+    )
+    return labels.select(
+        F.col("node_id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
 
 
 # Recursive-CTE oracle: min reachable doc_id per node == the hash-min

@@ -1124,3 +1124,47 @@ SELECT vec_id,
 FROM n
 ORDER BY vec_id
 """.strip()
+
+
+def semantic_dedup_keeper(
+    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Semantic dedup end-to-end over the embedding space: exact
+    cosine near-dup pairs (block-pair equi-join) → connected components
+    (shared hash-min ``label_propagation``) → keeper = the minimum
+    vec_id per component. Because hash-min converges to exactly that
+    minimum, the component label IS the keeper id — no extra window.
+    Oracle replays the pair SQL + recursive reachability CTE."""
+    from .dedup import label_propagation
+
+    pairs = embedding_neardup(emb, threshold).select("a_id", "b_id")
+    labels = label_propagation(
+        emb.select(F.col("vec_id").alias("node_id")), pairs
+    )
+    return labels.select(
+        F.col("node_id").alias("vec_id"),
+        "component",
+        (F.col("node_id") == F.col("component")).alias("is_keeper"),
+    ).orderBy("vec_id")
+
+
+SEMANTIC_DEDUP_KEEPER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({EMBEDDING_NEARDUP_SQL}) q
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS component,
+       node = MIN(lbl) AS is_keeper
+FROM reach
+GROUP BY node
+ORDER BY vec_id
+""".strip()

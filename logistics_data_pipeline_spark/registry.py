@@ -889,6 +889,11 @@ register(
     llm_sim.PREFIX_TRUNCATE_SQL,
 )
 register(
+    "emb_semantic_dedup_keeper",
+    _q(lambda spark, sf: llm_sim.semantic_dedup_keeper(_emb(spark, sf))),
+    llm_sim.SEMANTIC_DEDUP_KEEPER_SQL,
+)
+register(
     "events_grouping_sets",
     _q(lambda spark, sf: temporal.daily_type_grouping_sets(load_table(spark, sf, "events"))),
     temporal.DAILY_TYPE_GROUPING_SETS_SQL,
