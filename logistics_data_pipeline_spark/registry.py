@@ -30,14 +30,19 @@ the key → operator mapping:
 
 Beyond the reference surface (SURVEY.md §8.2/§8.3): tpch_q* (14
 TPC-H-shaped analytics), events_* (sessionization ×2 incl. native
-session_window, rollup, quantiles, HLL, as-of join, tumbling windows,
-pivot, JSON, salted agg), orders_* (top-N per group, trailing RANGE
-window), dim_order_scd2, stream_sessionize_closed
-(applyInPandasWithState round-trip), docs_* / emb_* (dedup + similarity
-+ text analysis + curation: splits, mixture weights, inverted index,
-stratified sampling, repetition stats, quality filter, label
-centroids), multimodal_* (binary + mapInPandas), plus cube/unpivot,
-band-join attribution, retention cohorts, funnel, LTV deciles.
+session_window, rollup/cube/grouping-sets, quantiles, HLL, as-of join,
+tumbling/hopping windows, pivot, JSON, salted agg, Misra-Gries heavy
+hitters, windowed distinct users), orders_* (top-N per group, trailing
+RANGE window, RFM/LTV via distributed exact_ntile), dim_order_scd2,
+stream_sessionize_closed (applyInPandasWithState round-trip), docs_* /
+emb_* (dedup: exact, n-gram DF-capped, MinHash-LSH, SimHash,
+components + keeper; similarity: brute force, k-means IVF, IVF-PQ ADC,
+SRP-LSH, block-pair exact/BLAS near-dup, PQ codes, prefix truncation,
+semantic dedup keeper; text: stats, lang-ID, TF-IDF, bigram LM +
+per-doc log-prob; curation: splits, mixture weights, inverted index,
+stratified sampling, repetition stats, quality filter, PII scrub,
+decontamination, sequence packing), multimodal_* (binary +
+mapInPandas), plus band-join attribution, retention cohorts, funnel.
 """
 
 from __future__ import annotations
