@@ -163,7 +163,7 @@ WITH per_doc AS (
 )
 SELECT token,
        COUNT(*) AS doc_freq,
-       SUM(tf) AS total_tf,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
        array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM per_doc
 GROUP BY token
@@ -255,7 +255,7 @@ WITH bi AS (
 ),
 cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram)
 SELECT doc_id,
-       SUM(c) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
        MAX(c) AS max_bigram_count,
        ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac,
        ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / CAST(SUM(c) AS DOUBLE), 6)

@@ -227,7 +227,7 @@ def corpus_composition(docs: DataFrame) -> DataFrame:
 CORPUS_COMPOSITION_SQL = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
        ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars

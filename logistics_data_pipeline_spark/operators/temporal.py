@@ -176,7 +176,7 @@ def props_json_stats(events: DataFrame) -> DataFrame:
 
 PROPS_JSON_SQL = """
 SELECT event_type,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        COUNT(k) AS n_k,
        ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
 FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

@@ -46,6 +46,26 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return ndf
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family, checked BEFORE norm_frame's coercion.
+
+    The driver's value hash is dtype-sensitive: DuckDB SUM(BIGINT) returns
+    HUGEINT which pandas materializes as float64 while Spark emits int64 —
+    numerically equal, hash-different. Round 2 shipped three such failures
+    because norm_frame coerced both sides to a common dtype first. Family
+    mismatches must therefore FAIL here even when every value compares equal.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(oracle_df):
@@ -54,6 +74,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if sc != oc:
         problems.append(f"columns: spark={sc} oracle={oc}")
         return problems
+    numeric = {"int", "float", "bool"}
+    for c in sc:
+        fa, fb = dtype_family(spark_df[c]), dtype_family(oracle_df[c])
+        if fa != fb and (fa in numeric or fb in numeric):
+            problems.append(
+                f"col {c}: dtype family mismatch spark={fa}({spark_df[c].dtype}) "
+                f"oracle={fb}({oracle_df[c].dtype}) — driver hash WILL fail"
+            )
     if problems:
         return problems
     s, o = norm_frame(spark_df), norm_frame(oracle_df)
