@@ -142,12 +142,24 @@ def upsert_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str, key: str
     Each micro-batch merges into the current table version with
     ``merge_upsert`` (anti-join + union, one key shuffle) and writes a
     NEW version directory named by batch_id, then atomically repoints a
-    ``_CURRENT`` marker (write-temp + os.replace). Replayed batches
-    after a restart rewrite the same version directory and repoint to
-    the same place — idempotent by batch_id, which is exactly the
-    contract foreachBatch requires for exactly-once sinks without a
-    transactional table format. With Delta/Iceberg this collapses to a
-    native ``MERGE INTO``; semantics are identical.
+    ``_CURRENT`` marker (write-temp + os.replace). Idempotent by
+    batch_id — exactly the contract foreachBatch requires for
+    exactly-once sinks without a transactional table format. Two replay
+    windows exist after a crash, and both are handled:
+
+    * crash BEFORE the marker repoint: the replayed batch re-merges
+      against the previous version and overwrites its own (possibly
+      partial) version directory — safe, versions never overwrite the
+      directory they read from;
+    * crash AFTER the repoint but before the streaming checkpoint
+      commits: the marker already names this batch's version, so the
+      merge is already applied; re-running it would make Spark
+      overwrite the very path it is reading (runtime error, wedged
+      query). Detected by comparing the marker to ``version_dir`` and
+      skipped outright.
+
+    With Delta/Iceberg this collapses to a native ``MERGE INTO``;
+    semantics are identical.
     """
     import os
 
@@ -161,11 +173,13 @@ def upsert_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str, key: str
         if os.path.exists(marker):
             with open(marker) as fh:
                 current = fh.read().strip()
+        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
+        if current == version_dir and os.path.isdir(version_dir):
+            return  # batch already fully applied; replay after marker repoint
         if current and os.path.isdir(current):
             merged = merge_upsert(spark.read.parquet(current), batch, key)
         else:
             merged = batch
-        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
         merged.write.mode("overwrite").parquet(version_dir)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

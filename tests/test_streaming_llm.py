@@ -383,3 +383,41 @@ def test_streaming_upsert_sink_merges_and_restarts_idempotently(spark, tmp_path)
     q2.awaitTermination(120)
     got2 = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
     assert got2 == got
+
+
+def test_streaming_upsert_sink_survives_replay_after_marker_repoint(spark, tmp_path):
+    """Crash window the sink exists for: marker repointed to v{batch_id}
+    but the streaming checkpoint never committed. Simulated faithfully by
+    deleting the last ``commits/<id>`` file — on restart Spark replays
+    that batch while _CURRENT already names its version directory. The
+    old code re-merged and overwrote the path it was reading (runtime
+    error, permanently wedged query); the fix detects the already-applied
+    batch and skips."""
+    import os
+
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_json(src, "a.json", [dict(WIRE_ROW, event_id=f"e{i}", weight_kg=1.0) for i in range(6)])
+    _write_json(src, "b.json", [dict(WIRE_ROW, event_id=f"e{i}", weight_kg=9.0) for i in range(4, 10)])
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    q = upsert_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q.awaitTermination(120)
+    got = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar would block the re-commit rename
+        os.remove(crc)
+
+    q2 = upsert_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    got2 = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+    assert got2 == got
