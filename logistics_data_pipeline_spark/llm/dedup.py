@@ -272,9 +272,22 @@ def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     return verified.filter(F.col("jaccard") >= threshold).orderBy("a_id", "b_id")
 
 
-def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
     """SimHash signature: per-bit majority vote over token xxhash64.
-    48 bits keeps every intermediate within a signed 64-bit range."""
+    48 bits keeps every intermediate within a signed 64-bit range.
+
+    ``simhash_bands`` holds the signature sliced into ``bands``
+    contiguous r = bits/bands bit slices, each tagged with its band
+    index (band_key = band·2^r + slice) so keys never collide across
+    bands. Candidate generation for hamming near-dup is explode +
+    equi-join on the band key: two signatures at hamming distance
+    ≤ bands−1 differ in at most bands−1 slices, so AT LEAST ONE slice
+    is untouched and they share a band key — the pigeonhole guarantee
+    a low-bits ``% 1024`` bucket does not have (a single low-bit flip
+    would separate hamming-distance-1 twins; VERDICT r2 #4)."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    r = bits // bands
     toks = docs.repartition("doc_id").select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
@@ -293,8 +306,20 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term
+    agg = agg.withColumn("_sig", sig)
+    band_keys = F.array(
+        *[
+            (
+                F.lit(b_idx * (1 << r)).cast("bigint")
+                + F.shiftright(F.col("_sig"), b_idx * r).bitwiseAND(
+                    F.lit((1 << r) - 1)
+                )
+            ).cast("bigint")
+            for b_idx in range(bands)
+        ]
+    )
     return agg.select(
-        "doc_id", sig.alias("simhash"), (sig % F.lit(1024)).alias("simhash_bucket")
+        "doc_id", F.col("_sig").alias("simhash"), band_keys.alias("simhash_bands")
     )
 
 

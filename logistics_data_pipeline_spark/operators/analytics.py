@@ -410,15 +410,24 @@ def exact_ntile(
     function of (rank, n, k), so the output is bit-identical to the
     window form the oracle runs.
 
-    The range exchange is persisted because its partitioner SAMPLES the
-    key distribution: the offset-count job and the final query must see
-    the same boundaries. The cache holds one already-aggregated row per
-    key — the cache manager dedups by logical plan, so repeated runs
-    reuse one entry."""
+    The range exchange is ``localCheckpoint``-ed (eager) because its
+    partitioner SAMPLES the key distribution: the offset-count job and
+    the final query must see the SAME boundaries. A plain persist is
+    wrong on both failure modes (ADVICE r2): an evicted-then-recomputed
+    partition may resample different boundaries than the collected
+    offsets were built from (silent mis-bucketing), and the cache
+    manager pins the entry by logical plan so repeated registry runs
+    accumulate cached frames. Checkpointing truncates lineage — the
+    materialized blocks ARE the data, recompute cannot resample — and
+    the blocks are released by the ContextCleaner when the returned
+    frame goes out of scope. (On a multi-executor cluster, executor
+    loss fails the job instead of silently recomputing — the correct
+    trade for an exact-rank operator; use a reliable checkpoint dir if
+    that job-level retry is unacceptable.)"""
     ranked = (
         df.repartitionByRange(n_parts, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     pid_counts = sorted(
         (r["_pid"], r["cnt"])
@@ -633,18 +642,28 @@ ORDER BY e.event_id
 # --- RFM customer segmentation ----------------------------------------------
 
 
-def customer_rfm(orders: DataFrame) -> DataFrame:
+def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
     """RFM segmentation: per-customer recency (days before the corpus's
     last order date), frequency, and DECIMAL monetary total, each coded
     into quartiles (1 = weakest, 4 = strongest) plus the combined
     segment string. Reference date = MAX(o_orderdate) so the query is
-    deterministic (never wall-clock). One shuffle to the per-customer
-    grain; each quartile coding is an ``exact_ntile`` pass
-    (range-partitioned distributed rank — no global single-partition
-    window), joined back on the customer key. Three range exchanges of
-    already-reduced customer rows beat one total sort funneled through
-    a single task at scale; output stays bit-identical to the oracle's
-    NTILE(4) windows."""
+    deterministic (never wall-clock).
+
+    ONE-PASS quartile coding (VERDICT r2 #7 — was three separate
+    ``exact_ntile`` pipelines): the per-customer frame is
+    localCheckpoint-ed once, the three metrics are unioned into a long
+    (metric, skey, o_custkey) frame — each metric's sort direction
+    folded into a double sort key, order-preserving because recency/
+    frequency are < 2^53 ints and monetary is already a 2-dp double —
+    and a SINGLE range exchange on (metric, skey, o_custkey) ranks all
+    three codings together. Per-(partition, metric) counts are one
+    bounded collect (≤ rows-per-range-partition map entries, data-size
+    independent); global rank = partitioned row_number + offset; the
+    NTILE(4) bucket is the closed-form position function, bit-identical
+    to the oracle's three NTILE windows. A conditional-max rollup
+    pivots (o_custkey, metric, bucket) back to wide. vs the three-pass
+    shape: one range exchange of 3n reduced rows instead of three of n,
+    one job instead of three, and the orders aggregation runs once."""
     # reference date = one-row scalar aggregate broadcast back on a
     # dummy equality key: a hash join, never a global window over the
     # (unbounded) customer grain
@@ -656,24 +675,71 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    rfm = per_cust.withColumn("_k", F.lit(1)).join(F.broadcast(ref), "_k").select(
-        "o_custkey",
-        F.datediff("ref_date", "last_order").alias("recency_days"),
-        "frequency",
-        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+    rfm = (
+        per_cust.withColumn("_k", F.lit(1))
+        .join(F.broadcast(ref), "_k")
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        )
+        .localCheckpoint()  # reused by the rank pass AND the final join
     )
-    # low recency is GOOD: order descending so quartile 4 = most recent
-    quartiles = [
-        ("r_quartile", [F.col("recency_days").desc(), F.col("o_custkey").asc()]),
-        ("f_quartile", [F.col("frequency").asc(), F.col("o_custkey").asc()]),
-        ("m_quartile", [F.col("monetary").asc(), F.col("o_custkey").asc()]),
+    # low recency is GOOD: negate so ascending skey = descending recency
+    metric_keys = [
+        (0, "r_quartile", -F.col("recency_days").cast("double")),
+        (1, "f_quartile", F.col("frequency").cast("double")),
+        (2, "m_quartile", F.col("monetary")),
     ]
-    coded = rfm
-    for out_name, sort_cols in quartiles:
-        q = exact_ntile(rfm, 4, sort_cols, out_name).select("o_custkey", out_name)
-        coded = coded.join(q, "o_custkey")
+    long = None
+    for mid, _, skey in metric_keys:
+        part = rfm.select(
+            F.lit(mid).alias("metric"), skey.alias("skey"), "o_custkey"
+        )
+        long = part if long is None else long.unionAll(part)
+    ranked = (
+        long.repartitionByRange(n_parts, "metric", "skey", "o_custkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries (see exact_ntile)
+    )
+    pm_counts = ranked.groupBy("_pid", "metric").agg(
+        F.count("*").alias("cnt")
+    ).collect()
+    total = sum(r["cnt"] for r in pm_counts) // 3
+    offsets, acc = [], {0: 0, 1: 0, 2: 0}
+    for r in sorted(pm_counts, key=lambda r: (r["metric"], r["_pid"])):
+        offsets.append((r["_pid"], r["metric"], acc[r["metric"]]))
+        acc[r["metric"]] += r["cnt"]
+    off_df = F.broadcast(
+        rfm.sparkSession.createDataFrame(
+            offsets or [(0, 0, 0)], schema="_pid int, metric int, _off bigint"
+        )
+    )
+    w = Window.partitionBy("_pid", "metric").orderBy("skey", "o_custkey")
+    rank = F.row_number().over(w) + F.col("_off")
+    q, rem = divmod(total, 4)
+    if q == 0:
+        bucket = rank
+    else:
+        big = rem * (q + 1)
+        bucket = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+            rem + F.ceil((rank - big) / q)
+        )
+    coded = (
+        ranked.join(off_df, ["_pid", "metric"])
+        .select("o_custkey", "metric", bucket.cast("int").alias("bucket"))
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(F.when(F.col("metric") == mid, F.col("bucket"))).alias(out)
+                for mid, out, _ in metric_keys
+            ]
+        )
+    )
     return (
-        coded.select(
+        rfm.join(coded, "o_custkey")
+        .select(
             "o_custkey",
             "recency_days",
             "frequency",

@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects by default; read as long nanos and convert explicitly
     # (adapters/testdata.py handles the conversion per column).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The testdata's micros timestamps carry isAdjustedToUTC=false, which
+    # Spark ≥3.4 infers as TIMESTAMP_NTZ by default. Every operator (and
+    # the r1/r2 driver-green behavior) treats event time as TIMESTAMP_LTZ
+    # under the UTC session zone — same wall-clock values, but NTZ forbids
+    # the epoch casts (`CAST(ts AS BIGINT)`) the session/interarrival
+    # operators use. Read them as LTZ at the scan, not per-query.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

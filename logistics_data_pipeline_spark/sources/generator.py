@@ -122,10 +122,18 @@ def to_wire(events: DataFrame) -> DataFrame:
     )
 
 
+def kafka_sink_options(bootstrap: str, topic: str = "logistics-events") -> dict[str, str]:
+    """The exact option map the Kafka producer writes with (reference
+    generator.py:104-112: bootstrap + one target topic; the order_id
+    partitioning key rides in the ``key`` column from ``to_wire``, not
+    in config). Testable without a broker (VERDICT r2 #9)."""
+    return {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+
+
 def produce_to_kafka(events: DataFrame, bootstrap: str, topic: str = "logistics-events") -> None:
     """S1: batch-produce to Kafka (needs spark-sql-kafka on the
     classpath + a broker; config-gated, exercised only in integration
     environments)."""
-    to_wire(events).write.format("kafka").option(
-        "kafka.bootstrap.servers", bootstrap
-    ).option("topic", topic).save()
+    to_wire(events).write.format("kafka").options(
+        **kafka_sink_options(bootstrap, topic)
+    ).save()
