@@ -675,29 +675,36 @@ def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    rfm = (
-        per_cust.withColumn("_k", F.lit(1))
-        .join(F.broadcast(ref), "_k")
-        .select(
-            "o_custkey",
-            F.datediff("ref_date", "last_order").alias("recency_days"),
-            "frequency",
-            F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
-        )
-        .localCheckpoint()  # reused by the rank pass AND the final join
+    rfm = per_cust.withColumn("_k", F.lit(1)).join(F.broadcast(ref), "_k").select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "frequency",
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
     )
-    # low recency is GOOD: negate so ascending skey = descending recency
-    metric_keys = [
-        (0, "r_quartile", -F.col("recency_days").cast("double")),
-        (1, "f_quartile", F.col("frequency").cast("double")),
-        (2, "m_quartile", F.col("monetary")),
-    ]
-    long = None
-    for mid, _, skey in metric_keys:
-        part = rfm.select(
-            F.lit(mid).alias("metric"), skey.alias("skey"), "o_custkey"
-        )
-        long = part if long is None else long.unionAll(part)
+    # ONE scan of the per-customer frame: explode each row into its
+    # three (metric, skey) legs. The sort key doubles as the value
+    # carrier, so the wide row is rebuilt from the ranked frame itself
+    # — no second pass over rfm, no join back. Low recency is GOOD:
+    # negate (as int, so no -0.0) so ascending skey = descending
+    # recency.
+    long = rfm.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("metric"),
+                    (-F.col("recency_days")).cast("double").alias("skey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    F.col("frequency").cast("double").alias("skey"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"), F.col("monetary").alias("skey")
+                ),
+            )
+        ).alias("ms"),
+    ).select("o_custkey", F.col("ms.metric").alias("metric"), F.col("ms.skey").alias("skey"))
     ranked = (
         long.repartitionByRange(n_parts, "metric", "skey", "o_custkey")
         .withColumn("_pid", F.spark_partition_id())
@@ -712,7 +719,7 @@ def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
         offsets.append((r["_pid"], r["metric"], acc[r["metric"]]))
         acc[r["metric"]] += r["cnt"]
     off_df = F.broadcast(
-        rfm.sparkSession.createDataFrame(
+        orders.sparkSession.createDataFrame(
             offsets or [(0, 0, 0)], schema="_pid int, metric int, _off bigint"
         )
     )
@@ -726,27 +733,21 @@ def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
         bucket = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
             rem + F.ceil((rank - big) / q)
         )
-    coded = (
+
+    def _pick(mid, col):
+        return F.max(F.when(F.col("metric") == mid, col))
+
+    return (
         ranked.join(off_df, ["_pid", "metric"])
-        .select("o_custkey", "metric", bucket.cast("int").alias("bucket"))
+        .select("o_custkey", "metric", "skey", bucket.cast("int").alias("bucket"))
         .groupBy("o_custkey")
         .agg(
-            *[
-                F.max(F.when(F.col("metric") == mid, F.col("bucket"))).alias(out)
-                for mid, out, _ in metric_keys
-            ]
-        )
-    )
-    return (
-        rfm.join(coded, "o_custkey")
-        .select(
-            "o_custkey",
-            "recency_days",
-            "frequency",
-            "monetary",
-            "r_quartile",
-            "f_quartile",
-            "m_quartile",
+            _pick(0, (-F.col("skey")).cast("int")).alias("recency_days"),
+            _pick(1, F.col("skey").cast("bigint")).alias("frequency"),
+            _pick(2, F.col("skey")).alias("monetary"),
+            _pick(0, F.col("bucket")).alias("r_quartile"),
+            _pick(1, F.col("bucket")).alias("f_quartile"),
+            _pick(2, F.col("bucket")).alias("m_quartile"),
         )
         .withColumn(
             "segment",
