@@ -562,3 +562,74 @@ SELECT doc_id, pack_group, CAST(seq_in_group AS INT) AS seq_in_group,
 FROM packed
 ORDER BY doc_id
 """.strip()
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking: split each document into
+    ``chunk``-token windows advancing by ``stride`` tokens (overlap =
+    chunk − stride) — the retrieval/embedding prep step that turns long
+    documents into model-sized passages while preserving cross-boundary
+    context. The final window may be short; a doc never emits zero
+    chunks. n_chunks = 1 if n ≤ chunk else ceil((n−chunk)/stride)+1,
+    so every token is covered and no window starts past the text.
+
+    Scale: map-only — tokenize, explode a per-row index sequence,
+    slice. No shuffle, no state; parallelizes by input split, so it
+    survives any corpus size (each task holds one row's tokens at a
+    time). Whitespace tokens, case preserved (chunk text must round-
+    trip into the corpus verbatim, unlike the lowercased stats ops)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(chunk)) / F.lit(float(stride))).cast("int") + F.lit(1),
+    )
+    piece = F.slice(toks, F.col("chunk_id") * stride + 1, chunk)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(1,
+           CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) + 1
+         ))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_id
+""".strip()

@@ -1232,3 +1232,71 @@ FROM reach
 GROUP BY node
 ORDER BY vec_id
 """.strip()
+
+
+DIM_STATS_SCALE = 1_000_000
+
+
+def dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics (mean/std/min/max) — the
+    feature-scaling pass that precedes whitening, scalar quantization
+    ranges, or PQ subspace balancing.
+
+    Exactness across engines: floating sums are order-dependent, so a
+    naive AVG over a shuffled corpus is not reproducible bit-for-bit.
+    Elements are instead quantized to exact integer microunits with
+    FLOOR(v·10⁶) — multiply and floor are deterministic IEEE ops, no
+    round-half ties — summed exactly as BIGINT, and the moments are
+    derived from those integer sums with an identical double expression
+    tree on both engines. min/max are pure selection over exact values.
+    One posexplode + one hash aggregation on the dimension key: ~d
+    groups, map-side partials, no window, no skew (every vector
+    contributes to every dimension uniformly). BIGINT q² sums bound:
+    |v| ≤ 21 up to ~2×10¹⁰ rows; swap to DECIMAL accumulators past
+    that."""
+    q = F.floor(
+        F.col("v").cast("double") * F.lit(float(DIM_STATS_SCALE))
+    ).cast("bigint")
+    n = F.count("*")
+    s1 = F.sum(F.col("q"))
+    s2 = F.sum(F.col("q") * F.col("q"))
+    mean_q = s1.cast("double") / n
+    var_q = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (
+        n - F.lit(1)
+    )
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .select("dim", F.col("v").cast("double").alias("v"), q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            (mean_q / DIM_STATS_SCALE).alias("mean_v"),
+            (F.sqrt(var_q) / DIM_STATS_SCALE).alias("std_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+DIM_STATS_SQL = f"""
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+qx AS (
+  SELECT dim, v, CAST(FLOOR(v * {DIM_STATS_SCALE}.0) AS BIGINT) AS q FROM x
+)
+SELECT CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {DIM_STATS_SCALE} AS mean_v,
+       sqrt((CAST(SUM(q * q) AS DOUBLE)
+             - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) / {DIM_STATS_SCALE} AS std_v,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v
+FROM qx
+GROUP BY dim
+ORDER BY dim
+""".strip()

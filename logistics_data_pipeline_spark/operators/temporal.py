@@ -696,3 +696,88 @@ FROM events
 GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')), (event_type), ())
 ORDER BY g_date, g_type, event_date, event_type
 """.strip()
+
+
+HOT_WINDOW_TOP_K = 20
+HOT_WINDOW_BEFORE_S = 300   # window = [minute - 5 min, minute + 6 min)
+HOT_WINDOW_AFTER_S = 360
+_RJ_BIN_S = 60
+
+
+def hot_window_range_join(events: DataFrame, top_k: int = HOT_WINDOW_TOP_K) -> DataFrame:
+    """Interval × point RANGE JOIN, bin-decomposed: the ``top_k``
+    busiest minutes (ties broken by minute) each define a surrounding
+    [minute−5 min, minute+6 min) incident window; count events and
+    distinct users inside every window.
+
+    Scale shape: a range predicate has no equi-key, and the naive plan
+    is a broadcast nested-loop (dies when the interval side grows) or a
+    cartesian. The scalable decomposition: slice time into fixed
+    ``_RJ_BIN_S``-second bins, explode each interval into the ≤11 bins
+    it covers, bin-key each point with integer division, equi-JOIN on
+    the bin key, then apply the exact range predicate. Every
+    (interval, point) pair meets in exactly one bin (a point has ONE
+    bin), so no dedup pass is needed; both sides shuffle-partition by
+    bin, so the join stays a hash join at any interval count. Interval
+    discovery (minute counts → top-k) is an aggregation plus a
+    TakeOrdered — never a global window."""
+    mi = F.date_trunc("minute", F.col("ts"))
+    hot = (
+        events.groupBy(mi.alias("mi"))
+        .agg(F.count("*").alias("n_minute"))
+        .orderBy(F.desc("n_minute"), F.asc("mi"))
+        .limit(top_k)
+    )
+    iv = hot.select(
+        (F.col("mi") - F.expr(f"INTERVAL {HOT_WINDOW_BEFORE_S} SECONDS")).alias("w_start"),
+        (F.col("mi") + F.expr(f"INTERVAL {HOT_WINDOW_AFTER_S} SECONDS")).alias("w_end"),
+        "n_minute",
+    )
+    iv_bins = iv.select(
+        "w_start",
+        "w_end",
+        "n_minute",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_start").cast("long") / _RJ_BIN_S),
+                F.floor((F.col("w_end").cast("long") - 1) / _RJ_BIN_S),
+            )
+        ).alias("bin"),
+    )
+    pts = events.select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("ts").cast("long") / _RJ_BIN_S).alias("bin"),
+    )
+    return (
+        iv_bins.join(pts, "bin")
+        .filter((F.col("p_ts") >= F.col("w_start")) & (F.col("p_ts") < F.col("w_end")))
+        .groupBy("w_start", "w_end", "n_minute")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
+    )
+
+
+HOT_WINDOW_RANGE_JOIN_SQL = f"""
+WITH hot AS (
+  SELECT date_trunc('minute', ts) AS mi, COUNT(*) AS n_minute
+  FROM events GROUP BY 1
+  ORDER BY n_minute DESC, mi ASC
+  LIMIT {HOT_WINDOW_TOP_K}
+),
+iv AS (
+  SELECT mi - INTERVAL {HOT_WINDOW_BEFORE_S} SECOND AS w_start,
+         mi + INTERVAL {HOT_WINDOW_AFTER_S} SECOND AS w_end,
+         n_minute
+  FROM hot
+)
+SELECT iv.w_start, iv.w_end, iv.n_minute,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2, 3
+ORDER BY iv.w_start
+""".strip()

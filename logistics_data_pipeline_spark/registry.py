@@ -862,6 +862,10 @@ _ROUND3_WINDOW = [
     "docs_simhash",
     "emb_knn_ivf",
     "emb_neardup_cosine",
+    # new round-3 operators
+    "docs_chunking",
+    "events_range_join",
+    "emb_dim_stats",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -886,6 +890,24 @@ register(
     "events_window_unique_users",
     _q(lambda spark, sf: temporal.window_unique_users(load_table(spark, sf, "events"))),
     temporal.WINDOW_UNIQUE_USERS_SQL,
+)
+
+# --- round-3 additions ------------------------------------------------------
+
+register(
+    "docs_chunking",  # overlapping token-window passages (map-only)
+    _q(lambda spark, sf: llm_cur.doc_chunks(_docs(spark, sf))),
+    llm_cur.DOC_CHUNKS_SQL,
+)
+register(
+    "events_range_join",  # interval × point join via bin decomposition
+    _q(lambda spark, sf: temporal.hot_window_range_join(load_table(spark, sf, "events"))),
+    temporal.HOT_WINDOW_RANGE_JOIN_SQL,
+)
+register(
+    "emb_dim_stats",  # per-dimension moments over exact integer microunits
+    _q(lambda spark, sf: llm_sim.dim_stats(_emb(spark, sf))),
+    llm_sim.DIM_STATS_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -517,3 +517,72 @@ def test_kafka_source_and_sink_option_contracts(spark):
     payload = json.loads(wire[0].value)
     assert payload["order_id"] == wire[0].key
     assert set(payload) == {f.name for f in ev.schema.fields}
+
+
+def test_doc_chunks_overlap_and_coverage(spark):
+    """100 tokens at chunk=64/stride=48 -> exactly 2 chunks: [0,64) and
+    [48,100); consecutive chunks overlap by chunk-stride tokens and the
+    union covers every token. A short doc emits exactly one chunk."""
+    from logistics_data_pipeline_spark.llm.curation import doc_chunks
+
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "only three tokens")], ["doc_id", "text"]
+    )
+    rows = {(r.doc_id, r.chunk_id): r for r in doc_chunks(docs).collect()}
+    assert {k for k in rows} == {(1, 0), (1, 1), (2, 0)}
+    c0, c1 = rows[(1, 0)].chunk_text.split(" "), rows[(1, 1)].chunk_text.split(" ")
+    assert c0 == toks[0:64] and c1 == toks[48:100]
+    assert rows[(1, 0)].n_tokens == 64 and rows[(1, 1)].n_tokens == 52
+    assert c0[48:] == c1[:16]  # 16-token overlap
+    assert rows[(2, 0)].chunk_text == "only three tokens"
+
+
+def test_hot_window_range_join_counts_crafted_bursts(spark):
+    """Two bursts at known minutes; every event inside [minute-5min,
+    minute+6min) must be counted, including ones in neighbouring
+    minutes, and boundary events obey the half-open interval."""
+    from logistics_data_pipeline_spark.operators.temporal import (
+        hot_window_range_join,
+    )
+
+    rows = []
+    # burst A: 5 events at 10:00, plus one at 09:55:00 (inside, boundary)
+    # and one at 09:54:59 (outside)
+    for i in range(5):
+        rows.append((i, "2024-01-01 10:00:10", 100 + i))
+    rows.append((10, "2024-01-01 09:55:00", 200))
+    rows.append((11, "2024-01-01 09:54:59", 201))
+    # burst B: 3 events at 12:00, plus one at 12:05:59 (inside: < 12:06)
+    # and one at 12:06:00 (outside)
+    for i in range(3):
+        rows.append((20 + i, "2024-01-01 12:00:20", 300))
+    rows.append((30, "2024-01-01 12:05:59", 301))
+    rows.append((31, "2024-01-01 12:06:00", 302))
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, ts, u in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        str(r.w_start): (r.n_minute, r.n_events, r.n_users)
+        for r in hot_window_range_join(ev, top_k=2).collect()
+    }
+    assert got["2024-01-01 09:55:00"] == (5, 6, 6)  # 5 burst + 09:55:00
+    assert got["2024-01-01 11:55:00"] == (3, 4, 2)  # 3 burst + 12:05:59
+
+
+def test_dim_stats_known_moments(spark):
+    """Three 2-d vectors with hand-computable stats; microunit floor
+    quantization is exact for these values."""
+    from logistics_data_pipeline_spark.llm.similarity import dim_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0], "a"), (2, [2.0, 0.0], "a"), (3, [3.0, 2.0], "a")],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {r.dim: r for r in dim_stats(emb).collect()}
+    assert got[0].n_vecs == 3 and got[0].mean_v == 2.0 and got[0].std_v == 1.0
+    assert got[0].min_v == 1.0 and got[0].max_v == 3.0
+    assert got[1].mean_v == 0.0 and got[1].std_v == 2.0
