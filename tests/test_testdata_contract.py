@@ -1,0 +1,80 @@
+"""Contract tests over the driver-generated testdata.
+
+The driver regenerates /root/testdata between rounds, and physical
+parquet details can drift (round 3: timestamps switched from
+TIMESTAMP(NANOS) to TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+Spark infers as TIMESTAMP_NTZ — breaking every epoch-cast operator
+until NTZ inference was disabled at the session). These tests make the
+NEXT drift fail loudly in pytest instead of surfacing as a driver
+correctness failure on end-of-round state.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logistics_data_pipeline_spark.adapters.testdata import TABLES, load_table
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def test_all_tables_load_with_expected_columns(spark, sf_dir):
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        assert set(df.columns) >= EXPECTED_COLUMNS[t], (
+            f"{t}: missing {EXPECTED_COLUMNS[t] - set(df.columns)}"
+        )
+        assert df.limit(1).count() == 1, f"{t} is empty"
+
+
+@pytest.mark.parametrize(
+    "table,col", [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+)
+def test_time_columns_load_as_ltz_timestamp(spark, sf_dir, table, col):
+    """Every operator treats event time as TIMESTAMP (LTZ) under the UTC
+    session zone — the r1/r2 driver-green behavior. NTZ would break the
+    epoch casts (`ts.cast('long')`) in session/interarrival/range-join
+    operators; a bigint here means the nanos adapter path regressed."""
+    dtype = dict(load_table(spark, sf_dir, table).dtypes)[col]
+    assert dtype == "timestamp", f"{table}.{col} loaded as {dtype}"
+    # and the epoch cast the temporal operators rely on must analyze
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, table).select(
+        F.col(col).cast("long")
+    ).limit(1).collect()
+
+
+def test_embeddings_are_float_arrays(spark, sf_dir):
+    dtype = dict(load_table(spark, sf_dir, "embeddings").dtypes)["embedding"]
+    assert dtype in ("array<float>", "array<double>"), dtype
