@@ -633,3 +633,53 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM idx
 ORDER BY doc_id, chunk_id
 """.strip()
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """The end-to-end corpus curation DAG as ONE composed query:
+    quality filter → exact-dedup keeper selection → deterministic
+    split assignment — what a user actually runs to turn a raw crawl
+    into training data, demonstrating that the individual operators
+    compose without materialization barriers (Catalyst plans the whole
+    chain; every stage is a map or a doc_id/content-hash hash join, so
+    the composition inherits each stage's scale shape).
+
+    Output: one row per SURVIVING document (quality-kept AND the
+    md5-content keeper of its duplicate group) with its provenance
+    columns, how many copies it represents, and its train/val/test
+    split."""
+    kept = docs.join(
+        quality_filter(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    from .dedup import exact_dedup
+
+    groups = exact_dedup(kept).select(
+        F.col("keeper_doc_id").alias("doc_id"), "n_copies"
+    )
+    final = kept.join(groups, "doc_id")
+    return (
+        final.join(split_assign(final).select("doc_id", "split"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_copies", "split")
+        .orderBy("doc_id")
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH qf AS ({{QUALITY}}),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+),
+groups AS (
+  SELECT MIN(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.lang, k.source, k.n_chars, g.n_copies,
+       CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_threshold(0.1)}' THEN 'test'
+            WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_threshold(0.2)}' THEN 'val'
+            ELSE 'train' END AS split
+FROM kept k JOIN groups g ON g.keeper_doc_id = k.doc_id
+ORDER BY k.doc_id
+""".strip().replace("{QUALITY}", QUALITY_FILTER_SQL)

@@ -866,6 +866,7 @@ _ROUND3_WINDOW = [
     "docs_chunking",
     "events_range_join",
     "emb_dim_stats",
+    "docs_curation_pipeline",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -908,6 +909,11 @@ register(
     "emb_dim_stats",  # per-dimension moments over exact integer microunits
     _q(lambda spark, sf: llm_sim.dim_stats(_emb(spark, sf))),
     llm_sim.DIM_STATS_SQL,
+)
+register(
+    "docs_curation_pipeline",  # quality -> dedup keeper -> split, composed
+    _q(lambda spark, sf: llm_cur.curation_pipeline(_docs(spark, sf))),
+    llm_cur.CURATION_PIPELINE_SQL,
 )
 
 def _apply_registration_order() -> None:

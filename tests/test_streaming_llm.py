@@ -586,3 +586,26 @@ def test_dim_stats_known_moments(spark):
     assert got[0].n_vecs == 3 and got[0].mean_v == 2.0 and got[0].std_v == 1.0
     assert got[0].min_v == 1.0 and got[0].max_v == 3.0
     assert got[1].mean_v == 0.0 and got[1].std_v == 2.0
+
+
+def test_curation_pipeline_filters_dedups_and_splits(spark):
+    """Composed pipeline: repetitive/short docs drop at quality, exact
+    duplicates collapse to the min-id keeper carrying n_copies, and
+    every survivor gets a deterministic split."""
+    from logistics_data_pipeline_spark.llm.curation import curation_pipeline
+
+    good = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "web", len(good)),
+            (2, good, "en", "web", len(good)),          # exact dup of 1
+            (3, "too short", "en", "web", 9),            # TOO_SHORT
+            (4, "spam " * 30, "en", "web", 150),         # LOW_DIVERSITY
+            (5, " ".join(f"w{i}" for i in range(40)), "de", "books", 200),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r.doc_id: r for r in curation_pipeline(docs).collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1].n_copies == 2 and rows[5].n_copies == 1
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
