@@ -394,7 +394,7 @@ ORDER BY event_type
 
 
 def exact_ntile(
-    df: DataFrame, n_buckets: int, sort_cols, out_name: str, n_parts: int = 32
+    df: DataFrame, n_buckets: int, sort_cols, out_name: str, n_parts: int | None = None
 ) -> DataFrame:
     """NTILE(k) over a TOTAL order (tie-free sort key) without a global
     single-partition window — the scale-safe replacement for
@@ -423,7 +423,14 @@ def exact_ntile(
     frame goes out of scope. (On a multi-executor cluster, executor
     loss fails the job instead of silently recomputing — the correct
     trade for an exact-rank operator; use a reliable checkpoint dir if
-    that job-level retry is unacceptable.)"""
+    that job-level retry is unacceptable.)
+
+    ``n_parts`` defaults to the session's ``spark.sql.shuffle.partitions``
+    so the range exchange scales with the deployment (a hardcoded 32
+    serializes a 1000-executor cluster); the offset collect stays
+    bounded at one count per partition."""
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     ranked = (
         df.repartitionByRange(n_parts, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -642,7 +649,7 @@ ORDER BY e.event_id
 # --- RFM customer segmentation ----------------------------------------------
 
 
-def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
+def customer_rfm(orders: DataFrame, n_parts: int | None = None) -> DataFrame:
     """RFM segmentation: per-customer recency (days before the corpus's
     last order date), frequency, and DECIMAL monetary total, each coded
     into quartiles (1 = weakest, 4 = strongest) plus the combined
@@ -687,6 +694,10 @@ def customer_rfm(orders: DataFrame, n_parts: int = 32) -> DataFrame:
     # — no second pass over rfm, no join back. Low recency is GOOD:
     # negate (as int, so no -0.0) so ascending skey = descending
     # recency.
+    if n_parts is None:
+        n_parts = int(
+            orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     long = rfm.select(
         "o_custkey",
         F.explode(

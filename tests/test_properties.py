@@ -273,3 +273,37 @@ def test_pack_sequences_matches_python_next_fit(spark, token_counts):
                 fill += n
             want[i] = (g, seq, fill)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8)
+)
+def test_doc_chunks_invariants_for_any_doc_length(spark, lengths):
+    """For any corpus: (a) every token of every doc appears in at least
+    one chunk, in order; (b) consecutive chunks overlap by exactly
+    chunk-stride tokens (except a short final window); (c) chunk count
+    matches the closed form; (d) no chunk exceeds the window size."""
+    from logistics_data_pipeline_spark.llm.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(n))) for i, n in enumerate(lengths)],
+        ["doc_id", "text"],
+    )
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in doc_chunks(docs).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        assert r.n_tokens == len(by_doc[r.doc_id][r.chunk_id]) <= CHUNK_TOKENS
+    for i, n in enumerate(lengths):
+        toks = [f"d{i}t{j}" for j in range(n)]
+        chunks = by_doc[i]
+        expect = 1 if n <= CHUNK_TOKENS else -((n - CHUNK_TOKENS) // -CHUNK_STRIDE) + 1
+        assert sorted(chunks) == list(range(expect))
+        for cid, piece in chunks.items():
+            assert piece == toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
+        covered = sorted({cid * CHUNK_STRIDE + k for cid, p in chunks.items() for k in range(len(p))})
+        assert covered == list(range(n))
