@@ -460,3 +460,68 @@ WINDOW w AS (PARTITION BY c.component
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY d.doc_id
 """.strip()
+
+
+BATCH_MOD = 5
+
+
+def incremental_dedup(docs: DataFrame, batch_mod: int = BATCH_MOD) -> DataFrame:
+    """Incremental exact dedup: classify a NEW batch of documents
+    against the already-ingested corpus without reprocessing the corpus
+    — the production shape for deduplicating the next crawl (the corpus
+    side reduces to its distinct content hashes; nothing old is
+    re-scored). Batch membership is simulated deterministically as
+    ``doc_id % batch_mod == 0``.
+
+    Verdicts: ``DUP_OF_CORPUS`` (content hash already ingested),
+    ``DUP_IN_BATCH`` (first occurrence inside the batch wins by min
+    doc_id), ``NEW`` (safe to ingest). Scale: one hash aggregation per
+    side plus two hash-partitioned joins on the content hash; at 100 TB
+    the corpus-hash side is an incremental table you maintain, not a
+    rescan (same left-anti idea as the bronze ingest dedup,
+    sources/bronze.py)."""
+    h = F.md5(F.col("text"))
+    new = docs.filter(F.col("doc_id") % batch_mod == 0).select(
+        "doc_id", h.alias("text_hash")
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % batch_mod != 0)
+        .select(h.alias("text_hash"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    keeper = new.groupBy("text_hash").agg(F.min("doc_id").alias("batch_keeper"))
+    return (
+        new.join(corpus, "text_hash", "left")
+        .join(keeper, "text_hash")
+        .select(
+            "doc_id",
+            "text_hash",
+            F.when(F.col("in_corpus").isNotNull(), "DUP_OF_CORPUS")
+            .when(F.col("doc_id") != F.col("batch_keeper"), "DUP_IN_BATCH")
+            .otherwise("NEW")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH newb AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % {BATCH_MOD} = 0
+),
+corp AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % {BATCH_MOD} <> 0
+),
+keep AS (
+  SELECT text_hash, MIN(doc_id) AS batch_keeper FROM newb GROUP BY text_hash
+)
+SELECT n.doc_id, n.text_hash,
+       CASE WHEN c.text_hash IS NOT NULL THEN 'DUP_OF_CORPUS'
+            WHEN n.doc_id <> k.batch_keeper THEN 'DUP_IN_BATCH'
+            ELSE 'NEW' END AS verdict
+FROM newb n
+LEFT JOIN corp c ON c.text_hash = n.text_hash
+JOIN keep k ON k.text_hash = n.text_hash
+ORDER BY n.doc_id
+""".strip()

@@ -1468,3 +1468,96 @@ FROM qx
 GROUP BY dim
 ORDER BY dim
 """.strip()
+
+
+PREFIX_FILTER_THRESHOLD = 0.1
+
+
+def embedding_neardup_prefix(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    prefix_dim: int = TRUNC_DIM,
+    prefix_threshold: float = PREFIX_FILTER_THRESHOLD,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Two-stage near-dup: a CHEAP Matryoshka-prefix cosine filter
+    (first ``prefix_dim`` components) gates the expensive full-dim
+    verify — the coarse-then-refine serving trick for MRL-trained
+    embeddings, applied to the pair join. Rejected pairs cost a
+    prefix_dim-element fold instead of the full d-element one, and with
+    MRL embeddings (information front-loaded) the prefix filter is
+    nearly lossless.
+
+    Unlike SRP-LSH, the filter is a DETERMINISTIC pure function of the
+    vectors, so the whole two-stage result is SQL-expressible and the
+    operator is value-hash oracle-checked even though it is recall-
+    approximate vs ``embedding_neardup`` (on the synthetic RANDOM
+    corpus — no MRL structure, the worst case — a unit test pins
+    measured recall). Same block-pair equi-join decomposition as the
+    exact twin: O(n²) pair flow, hash-join groups, no BNLJ, no
+    broadcast corpus."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        vec_d.alias("v"),
+        _norm(F.col("embedding")).alias("nrm"),
+        F.slice(vec_d, 1, prefix_dim).alias("pv"),
+        _norm(F.slice(vec_d, 1, prefix_dim)).alias("pn"),
+    ).withColumn(
+        "g", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    left = base.select(
+        F.col("id").alias("l_id"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("ln_"),
+        F.col("pv").alias("lpv"),
+        F.col("pn").alias("lpn"),
+        F.col("g").alias("p"),
+        F.explode(F.sequence(F.col("g"), F.lit(n_blocks - 1))).alias("q"),
+    )
+    right = base.select(
+        F.col("id").alias("r_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rn"),
+        F.col("pv").alias("rpv"),
+        F.col("pn").alias("rpn"),
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("p"),
+        F.col("g").alias("q"),
+    )
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    left = left.repartition(n_groups, "p", "q")
+    pairs = left.join(right, ["p", "q"]).filter(
+        (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
+    )
+    prefix_cos = F.round(
+        _dot(F.col("lpv"), F.col("rpv")) / (F.col("lpn") * F.col("rpn")), 6
+    )
+    survivors = pairs.withColumn("prefix_cosine", prefix_cos).filter(
+        F.col("prefix_cosine") >= prefix_threshold
+    )
+    scored = survivors.select(
+        F.least("l_id", "r_id").alias("a_id"),
+        F.greatest("l_id", "r_id").alias("b_id"),
+        "prefix_cosine",
+        F.round(
+            _dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn")), 6
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
+
+
+EMBEDDING_NEARDUP_PREFIX_SQL = f"""
+SELECT a_id, b_id, prefix_cosine, cosine
+FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(list_cosine_similarity(
+             list_slice(CAST(a.embedding AS DOUBLE[]), 1, {TRUNC_DIM}),
+             list_slice(CAST(b.embedding AS DOUBLE[]), 1, {TRUNC_DIM})), 6)
+           AS prefix_cosine,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE prefix_cosine >= {PREFIX_FILTER_THRESHOLD} AND cosine >= {NEARDUP_THRESHOLD}
+ORDER BY a_id, b_id
+""".strip()

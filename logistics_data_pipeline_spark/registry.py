@@ -867,6 +867,8 @@ _ROUND3_WINDOW = [
     "events_range_join",
     "emb_dim_stats",
     "docs_curation_pipeline",
+    "docs_incremental_dedup",
+    "emb_neardup_prefix",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -914,6 +916,16 @@ register(
     "docs_curation_pipeline",  # quality -> dedup keeper -> split, composed
     _q(lambda spark, sf: llm_cur.curation_pipeline(_docs(spark, sf))),
     llm_cur.CURATION_PIPELINE_SQL,
+)
+register(
+    "docs_incremental_dedup",  # new batch vs ingested corpus, no rescan
+    _q(lambda spark, sf: llm_dedup.incremental_dedup(_docs(spark, sf))),
+    llm_dedup.INCREMENTAL_DEDUP_SQL,
+)
+register(
+    "emb_neardup_prefix",  # Matryoshka-prefix coarse filter + exact verify
+    _q(lambda spark, sf: llm_sim.embedding_neardup_prefix(_emb(spark, sf))),
+    llm_sim.EMBEDDING_NEARDUP_PREFIX_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -609,3 +609,50 @@ def test_curation_pipeline_filters_dedups_and_splits(spark):
     assert set(rows) == {1, 5}
     assert rows[1].n_copies == 2 and rows[5].n_copies == 1
     assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+def test_incremental_dedup_verdicts(spark):
+    """doc_ids 0,5,10,15 are the 'new batch'; 0 duplicates corpus text,
+    5/10 duplicate each other in-batch (min id keeps), 15 is new."""
+    from logistics_data_pipeline_spark.llm.dedup import incremental_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "already ingested content"),
+            (5, "fresh batch duplicate"),
+            (10, "fresh batch duplicate"),
+            (15, "genuinely new content"),
+            (1, "already ingested content"),   # corpus
+            (2, "other corpus content"),       # corpus
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.verdict for r in incremental_dedup(docs).collect()}
+    assert got == {
+        0: "DUP_OF_CORPUS",
+        5: "NEW",
+        10: "DUP_IN_BATCH",
+        15: "NEW",
+    }
+
+
+def test_embedding_neardup_prefix_is_verified_subset_with_recall(spark):
+    """Prefix-filtered pairs are exact-verified, so they must be a
+    SUBSET of the exact pair set with identical full-dim cosines;
+    measured recall on the random corpus (worst case — no MRL
+    structure) must stay >= 0.9."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        embedding_neardup,
+        embedding_neardup_prefix,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {(r.a_id, r.b_id): r.cosine for r in embedding_neardup(emb).collect()}
+    pref = {
+        (r.a_id, r.b_id): r.cosine for r in embedding_neardup_prefix(emb).collect()
+    }
+    assert set(pref) <= set(exact)
+    for pair, cos in pref.items():
+        assert cos == exact[pair]
+    assert len(pref) / len(exact) >= 0.9
