@@ -71,6 +71,13 @@ HEADLINE = [
     "emb_kmeans_cells",
     "emb_pq_codes",
     "emb_knn_ivfpq",
+    # round-3 additions
+    "docs_chunking",
+    "events_range_join",
+    "emb_dim_stats",
+    "docs_curation_pipeline",
+    "docs_incremental_dedup",
+    "emb_neardup_prefix",
 ]
 
 
