@@ -50,6 +50,11 @@ def main() -> None:
         f"{'srp-lsh near-dup @0.35':32s} pair recall = "
         f"{lsh_pairs / exact_pairs:.3f} ({lsh_pairs}/{exact_pairs})"
     )
+    prefix_pairs = sim.embedding_neardup_prefix(emb, 0.35).count()
+    print(
+        f"{'matryoshka-prefix near-dup @0.35':32s} pair recall = "
+        f"{prefix_pairs / exact_pairs:.3f} ({prefix_pairs}/{exact_pairs})"
+    )
 
 
 if __name__ == "__main__":

@@ -112,6 +112,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=0,
+        metavar="N",
+        help="check only the FIRST N registered keys — mirrors the "
+        "driver's per-round verification window (N=50)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -130,6 +138,8 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(queries)
+    if args.window:
+        names = names[: args.window]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         fn = queries[name]
