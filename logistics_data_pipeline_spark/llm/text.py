@@ -433,3 +433,48 @@ CROSS JOIN vocab
 GROUP BY p.doc_id
 ORDER BY p.doc_id
 """.strip()
+
+
+def text_normalize(docs: DataFrame) -> DataFrame:
+    """Pre-tokenization text cleanup: strip C0/C1 control characters,
+    collapse runs of whitespace to single spaces, and trim — the
+    canonical normalization pass before tokenizing/hashing so that
+    formatting noise (tabs, CRLF, double spaces) doesn't split the
+    dedup hash space or inflate token counts. Map-only (one
+    regexp_replace chain inside whole-stage codegen, no shuffle);
+    emits the cleaned text plus how much was removed, so a pipeline
+    can route heavily-mangled docs to review. Unicode NFC/NFKC folding
+    is deliberately out of scope: Spark has no JVM-side normalizer
+    expression and a Python UDF here would put an interpreter in the
+    hottest map of the pipeline — run it in the (Arrow-batched)
+    multimodal/codec stage instead if required."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\x00-\x1F\x7F-\x9F]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+        (F.length("text") - F.length(cleaned)).cast("bigint").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F-\x9F]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS text_clean
+  FROM documents
+)
+SELECT doc_id, text_clean,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(text_clean) AS BIGINT) AS n_chars_clean,
+       CAST(length(text) - length(text_clean) AS BIGINT) AS n_removed
+FROM c
+ORDER BY doc_id
+""".strip()

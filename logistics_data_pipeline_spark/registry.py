@@ -869,6 +869,7 @@ _ROUND3_WINDOW = [
     "docs_curation_pipeline",
     "docs_incremental_dedup",
     "emb_neardup_prefix",
+    "docs_text_normalize",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -926,6 +927,11 @@ register(
     "emb_neardup_prefix",  # Matryoshka-prefix coarse filter + exact verify
     _q(lambda spark, sf: llm_sim.embedding_neardup_prefix(_emb(spark, sf))),
     llm_sim.EMBEDDING_NEARDUP_PREFIX_SQL,
+)
+register(
+    "docs_text_normalize",  # control-char strip + whitespace collapse
+    _q(lambda spark, sf: llm_text.text_normalize(_docs(spark, sf))),
+    llm_text.TEXT_NORMALIZE_SQL,
 )
 
 def _apply_registration_order() -> None:

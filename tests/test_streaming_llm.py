@@ -656,3 +656,16 @@ def test_embedding_neardup_prefix_is_verified_subset_with_recall(spark):
     for pair, cos in pref.items():
         assert cos == exact[pair]
     assert len(pref) / len(exact) >= 0.9
+
+
+def test_text_normalize_strips_controls_and_collapses_whitespace(spark):
+    from logistics_data_pipeline_spark.llm.text import text_normalize
+
+    docs = spark.createDataFrame(
+        [(1, "a\tb\r\nc\x00d   e "), (2, "clean text")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in text_normalize(docs).collect()}
+    assert got[1].text_clean == "a b c d e"
+    assert got[1].n_chars_raw == 13 and got[1].n_chars_clean == 9
+    assert got[1].n_removed == 4
+    assert got[2].text_clean == "clean text" and got[2].n_removed == 0
