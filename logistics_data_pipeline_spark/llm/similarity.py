@@ -30,7 +30,17 @@ NEARDUP_THRESHOLD = 0.4
 
 def _dot(a, b):
     """Dot product of two DOUBLE arrays (cast upstream — ``_with_norm``
-    pre-casts once per vector so pair loops never re-cast)."""
+    pre-casts once per vector so pair loops never re-cast).
+
+    Measured dead end (round 3, don't retry): unrolling this fold into
+    a 64-term ``element_at(a,i)*element_at(b,i)`` codegen chain to
+    escape the interpreted HOF path made the pair queries ~5× SLOWER
+    (emb_neardup_cosine 3.9 s → 19 s at sf0.1) — the giant expression
+    trips codegen's method-size fallback into per-expression
+    interpretation with 128 bounds-checked array accesses. The fold's
+    tight interpreted loop is the fastest hash-exact formulation;
+    the BLAS ``applyInPandas`` tile path stays the rows-only fast
+    twin."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
