@@ -210,3 +210,70 @@ def read_upsert_table(spark, table_dir: str) -> DataFrame:
 
     with open(os.path.join(table_dir, "_CURRENT")) as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def rollup_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "timestamp",
+) -> StreamingQuery:
+    """Continuous-aggregate maintenance (the hypertable-rollup shape):
+    each micro-batch reduces to per-minute partial aggregates, which
+    MERGE ADDITIVELY into a versioned rollup table — counts and sums
+    add, so the maintained table always equals the batch GROUP BY of
+    everything ingested (a stream==batch test pins this), without ever
+    re-reading raw history.
+
+    Scale: the batch side reduces BEFORE the merge (map-side partials
+    → one tiny per-minute frame), and the merge joins aggregate-to-
+    aggregate on the minute key — state is the rollup's cardinality
+    (minutes), not the event volume. Exactly-once by batch_id with the
+    same versioned-directory + _CURRENT marker discipline (and the
+    same two crash-replay windows) as ``upsert_sink``; with
+    Delta/Iceberg this collapses to MERGE INTO with += updates."""
+    import os
+
+    marker = os.path.join(table_dir, "_CURRENT")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.withColumn("minute", F.date_trunc("minute", F.to_timestamp(F.col(time_col))))
+            .groupBy("minute")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(F.col("weight_kg").cast("double")).alias("sum_weight"),
+            )
+        )
+        current = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                current = fh.read().strip()
+        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
+        if current == version_dir and os.path.isdir(version_dir):
+            return  # replay after marker repoint: already applied
+        if current and os.path.isdir(current):
+            prev = spark.read.parquet(current)
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("minute")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_weight").alias("sum_weight"),
+                )
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_dir)
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -669,3 +669,50 @@ def test_text_normalize_strips_controls_and_collapses_whitespace(spark):
     assert got[1].n_chars_raw == 13 and got[1].n_chars_clean == 9
     assert got[1].n_removed == 4
     assert got[2].text_clean == "clean text" and got[2].n_removed == 0
+
+
+def test_rollup_sink_matches_batch_groupby_and_restarts_idempotently(spark, tmp_path):
+    """Continuous aggregate: after streaming N files (one micro-batch
+    each), the maintained rollup equals the batch GROUP BY over all
+    input; a checkpointed restart with no new input changes nothing."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        read_upsert_table,
+        rollup_sink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows_a = [
+        dict(WIRE_ROW, event_id=f"a{i}", timestamp="2024-01-05T08:00:30", weight_kg=1.0)
+        for i in range(4)
+    ]
+    rows_b = [
+        dict(WIRE_ROW, event_id=f"b{i}", timestamp="2024-01-05T08:00:45", weight_kg=2.0)
+        for i in range(3)
+    ] + [
+        dict(WIRE_ROW, event_id=f"c{i}", timestamp="2024-01-05T09:10:00", weight_kg=0.5)
+        for i in range(2)
+    ]
+    _write_json(src, "a.json", rows_a)
+    _write_json(src, "b.json", rows_b)
+    table, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    q = rollup_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q.awaitTermination(120)
+    got = {
+        str(r.minute): (r.n_events, r.sum_weight)
+        for r in read_upsert_table(spark, table).collect()
+    }
+    # batch truth: 08:00 -> 7 events (4*1.0 + 3*2.0 = 10.0); 09:10 -> 2 (1.0)
+    assert got == {
+        "2024-01-05 08:00:00": (7, 10.0),
+        "2024-01-05 09:10:00": (2, 1.0),
+    }
+    q2 = rollup_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        str(r.minute): (r.n_events, r.sum_weight)
+        for r in read_upsert_table(spark, table).collect()
+    }
+    assert got2 == got
