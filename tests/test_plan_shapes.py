@@ -112,3 +112,41 @@ def test_quantile_queries_have_no_global_windows(spark, sf_dir):
         load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "lineitem")
     )
     assert not _has_unpartitioned_window(_plan(q15))
+
+
+def test_range_join_is_bin_hash_join_not_nested_loop(spark, sf_dir):
+    """The interval × point range join must plan as an equi-join on the
+    bin key — never the BroadcastNestedLoopJoin a raw BETWEEN predicate
+    produces."""
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(temporal.hot_window_range_join(events))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_doc_chunks_is_shuffle_free_before_presentation_sort(spark, sf_dir):
+    """Chunking is map-only: tokenize + explode + slice. The ONLY
+    exchange in the plan is the final presentation orderBy's range
+    exchange — no aggregation or join shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(curation.doc_chunks(docs))
+    assert plan.count("Exchange") <= 1, plan
+    assert "rangepartitioning" in plan or "Exchange" not in plan, plan
+
+
+def test_dim_stats_reads_only_embedding(spark, sf_dir):
+    from logistics_data_pipeline_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schemas = _read_schemas(similarity.dim_stats(emb))
+    assert schemas and all("label" not in s for s in schemas), schemas
+
+
+def test_incremental_dedup_is_hash_joins_on_content_hash(spark, sf_dir):
+    from logistics_data_pipeline_spark.llm import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.incremental_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
