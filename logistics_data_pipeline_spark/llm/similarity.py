@@ -1571,3 +1571,51 @@ FROM (
 WHERE prefix_cosine >= {PREFIX_FILTER_THRESHOLD} AND cosine >= {NEARDUP_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+def whiten(emb: DataFrame) -> DataFrame:
+    """Per-dimension standardization (whitening without rotation):
+    element i becomes (v_i − mean_i)/std_i, rounded to 6 dp — the
+    preprocessing step before scalar quantization or PQ subspace
+    balancing when dimensions have unequal spread.
+
+    Scale: the stats come from ``dim_stats`` (one posexplode
+    aggregation) and collapse to d rows — a BOUNDED driver collect
+    (same class as the k×d centroid collects) shipped back as literal
+    arrays, so the transform itself is a pure map over the corpus
+    with a two-arg ``transform`` lambda (no join, no shuffle, no
+    per-row Python). Zero-variance dimensions map to NULL (NULLIF
+    semantics, mirrored in the oracle) rather than ±inf."""
+    stats = sorted(
+        dim_stats(emb).select("dim", "mean_v", "std_v").collect(),
+        key=lambda r: r.dim,
+    )
+    means = F.array(*[F.lit(float(r.mean_v)) for r in stats])
+    stds = F.array(
+        *[F.lit(None).cast("double") if r.std_v == 0 else F.lit(float(r.std_v)) for r in stats]
+    )
+    w = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.round(
+            (x.cast("double") - F.element_at(means, i + 1))
+            / F.element_at(stds, i + 1),
+            6,
+        ),
+    )
+    return emb.select("vec_id", w.alias("whitened")).orderBy("vec_id")
+
+
+WHITEN_SQL = f"""
+WITH stats AS ({DIM_STATS_SQL}),
+x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       list(ROUND((v - s.mean_v) / NULLIF(s.std_v, 0), 6) ORDER BY x.dim)
+         AS whitened
+FROM x JOIN stats s ON s.dim = x.dim
+GROUP BY vec_id
+ORDER BY vec_id
+""".strip()

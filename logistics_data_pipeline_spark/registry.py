@@ -881,6 +881,7 @@ _ROUND3_WINDOW = [
     "docs_incremental_dedup",
     "emb_neardup_prefix",
     "docs_text_normalize",
+    "emb_whitening",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -943,6 +944,11 @@ register(
     "docs_text_normalize",  # control-char strip + whitespace collapse
     _q(lambda spark, sf: llm_text.text_normalize(_docs(spark, sf))),
     llm_text.TEXT_NORMALIZE_SQL,
+)
+register(
+    "emb_whitening",  # per-dimension standardization via dim_stats
+    _q(lambda spark, sf: llm_sim.whiten(_emb(spark, sf))),
+    llm_sim.WHITEN_SQL,
 )
 
 def _apply_registration_order() -> None:

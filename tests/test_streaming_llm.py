@@ -716,3 +716,17 @@ def test_rollup_sink_matches_batch_groupby_and_restarts_idempotently(spark, tmp_
         for r in read_upsert_table(spark, table).collect()
     }
     assert got2 == got
+
+
+def test_whiten_standardizes_each_dimension(spark):
+    from logistics_data_pipeline_spark.llm.similarity import whiten
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 10.0], "a"), (2, [2.0, 10.0], "a"), (3, [3.0, 10.0], "a")],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {r.vec_id: r.whitened for r in whiten(emb).collect()}
+    # dim 0: mean 2, std 1 -> standardized to [-1, 0, 1]
+    assert [got[i][0] for i in (1, 2, 3)] == [-1.0, 0.0, 1.0]
+    # dim 1 is constant: zero variance -> NULL, never +-inf
+    assert all(got[i][1] is None for i in (1, 2, 3))
