@@ -78,6 +78,8 @@ HEADLINE = [
     "docs_curation_pipeline",
     "docs_incremental_dedup",
     "emb_neardup_prefix",
+    "docs_text_normalize",
+    "emb_whitening",
 ]
 
 
