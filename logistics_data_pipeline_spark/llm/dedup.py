@@ -525,3 +525,63 @@ LEFT JOIN corp c ON c.text_hash = n.text_hash
 JOIN keep k ON k.text_hash = n.text_hash
 ORDER BY n.doc_id
 """.strip()
+
+
+def dedup_cluster_stats(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Duplication report over the near-dup components: how many
+    clusters exist at each size, how many documents they hold, and what
+    fraction of the corpus each size class would DROP under
+    keep-one-per-cluster dedup — the number a corpus owner actually
+    asks for ("how duplicated is my data, and what does dedup cost
+    me?").
+
+    One aggregation over the component labels (cluster size), one over
+    the sizes (histogram), plus a broadcast scalar for the corpus
+    total; inherits ``neardup_components``' scale shape (O(diameter)
+    label-propagation rounds, equi-joins only)."""
+    comp = neardup_components(docs, threshold)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    total = docs.agg(F.count("*").alias("n_total")).withColumn("_k", F.lit(1))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint"))
+        .withColumn(
+            "n_dropped_by_dedup",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("bigint"),
+        )
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "n_dropped_by_dedup",
+            F.round(
+                F.col("n_dropped_by_dedup").cast("double") / F.col("n_total"), 6
+            ).alias("drop_frac_of_corpus"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_STATS_SQL = f"""
+WITH comp AS ({NEARDUP_COMPONENTS_SQL}),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+),
+hist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped_by_dedup,
+       ROUND(CAST((cluster_size - 1) * n_clusters AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents), 6) AS drop_frac_of_corpus
+FROM hist
+ORDER BY cluster_size
+""".strip()

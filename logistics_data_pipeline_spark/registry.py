@@ -882,6 +882,7 @@ _ROUND3_WINDOW = [
     "emb_neardup_prefix",
     "docs_text_normalize",
     "emb_whitening",
+    "docs_dedup_cluster_stats",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -949,6 +950,11 @@ register(
     "emb_whitening",  # per-dimension standardization via dim_stats
     _q(lambda spark, sf: llm_sim.whiten(_emb(spark, sf))),
     llm_sim.WHITEN_SQL,
+)
+register(
+    "docs_dedup_cluster_stats",  # duplication report over near-dup components
+    _q(lambda spark, sf: llm_dedup.dedup_cluster_stats(_docs(spark, sf))),
+    llm_dedup.DEDUP_CLUSTER_STATS_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -730,3 +730,24 @@ def test_whiten_standardizes_each_dimension(spark):
     assert [got[i][0] for i in (1, 2, 3)] == [-1.0, 0.0, 1.0]
     # dim 1 is constant: zero variance -> NULL, never +-inf
     assert all(got[i][1] is None for i in (1, 2, 3))
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    """3 docs forming one near-dup chain + 1 singleton -> histogram has
+    a size-3 cluster (drops 2) and a size-1 cluster (drops 0)."""
+    from logistics_data_pipeline_spark.llm.dedup import dedup_cluster_stats
+
+    w = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[0:28])),
+            (2, " ".join(w[5:33])),
+            (3, " ".join(w[10:38])),
+            (4, " ".join(f"z{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.cluster_size: r for r in dedup_cluster_stats(docs, 0.6).collect()}
+    assert got[3].n_clusters == 1 and got[3].n_dropped_by_dedup == 2
+    assert got[1].n_clusters == 1 and got[1].n_dropped_by_dedup == 0
+    assert got[3].drop_frac_of_corpus == 0.5
