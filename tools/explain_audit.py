@@ -35,6 +35,7 @@ ALLOWED = {
     "orders_customer_rfm": {"nested-loop join"},  # corpus max order date
     "docs_bigram_logprob": {"nested-loop join"},  # vocabulary size V
     "events_heavy_hitters": {"nested-loop join"},  # total event count
+    "docs_dedup_cluster_stats": {"nested-loop join"},  # corpus doc count
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     # full-width re-insert: the anti-join output IS every column
