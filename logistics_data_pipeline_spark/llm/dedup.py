@@ -273,8 +273,14 @@ def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
 
 
 def simhash(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
-    """SimHash signature: per-bit majority vote over token xxhash64.
-    48 bits keeps every intermediate within a signed 64-bit range.
+    """SimHash signature: per-bit majority vote over a 48-bit token
+    hash (first 12 hex chars of md5, parsed to bigint). 48 bits keeps
+    every intermediate within a signed 64-bit range, and the md5-prefix
+    hash — unlike ``xxhash64`` — is reproducible in ANSI SQL, so the
+    signatures are oracle-checkable bit for bit (``SIMHASH_LONG_SQL``).
+    xxhash64 would be marginally cheaper per token at 100 TB; swapping
+    the hash is the one-line ``h`` expression below, everything
+    downstream is hash-agnostic.
 
     ``simhash_bands`` holds the signature sliced into ``bands``
     contiguous r = bits/bands bit slices, each tagged with its band
@@ -287,12 +293,14 @@ def simhash(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
     would separate hamming-distance-1 twins; VERDICT r2 #4)."""
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
+    if bits > 48:
+        raise ValueError("bits > 48 would overflow the 12-hex-char md5 prefix")
     r = bits // bands
     toks = docs.repartition("doc_id").select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"), F.lit(SEED))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -321,6 +329,73 @@ def simhash(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
     return agg.select(
         "doc_id", F.col("_sig").alias("simhash"), band_keys.alias("simhash_bands")
     )
+
+
+def simhash_long(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
+    """Driver-hashable shape of ``simhash``: one row per (doc_id,
+    band_idx) instead of the ``simhash_bands`` array column, which is
+    unsortable in the harness canonicalizer. posexplode is a generator
+    (no exchange), so the plan cost is identical."""
+    return (
+        simhash(docs, bits, bands)
+        .select(
+            "doc_id",
+            "simhash",
+            F.posexplode("simhash_bands").alias("band_idx", "band_key"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("band_idx").cast("long").alias("band_idx"),
+            "band_key",
+        )
+        .orderBy("doc_id", "band_idx")
+    )
+
+
+def _simhash_long_sql(bits: int = 48, bands: int = 6) -> str:
+    """DuckDB twin of ``simhash_long``, generated for the same
+    (bits, bands) the Spark side uses — the per-bit vote columns and
+    the signature reassembly mirror the Spark expression tree, with
+    the token hash reproduced as CAST('0x' || md5-prefix AS BIGINT)
+    (12 hex chars = 48 bits, exactly the Spark ``conv`` expression)."""
+    r = bits // bands
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = "\n         + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))), 1, 12) AS BIGINT) AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {sig} AS simhash
+  FROM votes
+),
+b AS (SELECT unnest(range({bands})) AS band_idx)
+SELECT s.doc_id,
+       s.simhash,
+       CAST(b.band_idx AS BIGINT) AS band_idx,
+       CAST(b.band_idx * {1 << r} AS BIGINT)
+         + ((s.simhash >> CAST(b.band_idx * {r} AS INTEGER)) & {(1 << r) - 1}) AS band_key
+FROM sigs s CROSS JOIN b
+ORDER BY doc_id, band_idx
+""".strip()
+
+
+SIMHASH_LONG_SQL = _simhash_long_sql()
 
 
 def label_propagation(

@@ -1352,7 +1352,34 @@ def prefix_truncate(emb: DataFrame, dim: int = TRUNC_DIM) -> DataFrame:
     ).orderBy("vec_id")
 
 
-PREFIX_TRUNCATE_SQL = f"""
+def prefix_truncate_long(emb: DataFrame, dim: int = TRUNC_DIM) -> DataFrame:
+    """Driver-hashable shape of ``prefix_truncate``: one row per
+    (vec_id, pos) instead of an array column. Array-typed outputs are
+    unsortable/unhashable in the harness canonicalizer (pandas raises
+    ``TypeError: unhashable type: 'numpy.ndarray'``), so the registered
+    query emits long format; the array form stays available for
+    programmatic use. Still a shuffle-free map (posexplode is a
+    generator, not an exchange)."""
+    return (
+        prefix_truncate(emb, dim)
+        .select(
+            "vec_id",
+            F.lit(dim).cast("long").alias("dim"),
+            "prefix_norm",
+            F.posexplode("unit_prefix").alias("pos", "value"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            "prefix_norm",
+            F.col("pos").cast("long").alias("pos"),
+            "value",
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+PREFIX_TRUNCATE_LONG_SQL = f"""
 WITH t AS (
   SELECT vec_id,
          list_transform(embedding[1:{TRUNC_DIM}], x -> CAST(x AS DOUBLE)) AS p
@@ -1360,11 +1387,12 @@ WITH t AS (
 ),
 n AS (SELECT vec_id, p, sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm FROM t)
 SELECT vec_id,
-       {TRUNC_DIM} AS dim,
+       CAST({TRUNC_DIM} AS BIGINT) AS dim,
        ROUND(nrm, 6) AS prefix_norm,
-       list_transform(p, x -> ROUND(x / nrm, 6)) AS unit_prefix
+       CAST(generate_subscripts(p, 1) - 1 AS BIGINT) AS pos,
+       ROUND(unnest(p) / nrm, 6) AS value
 FROM n
-ORDER BY vec_id
+ORDER BY vec_id, pos
 """.strip()
 
 
@@ -1592,7 +1620,13 @@ def whiten(emb: DataFrame) -> DataFrame:
     )
     means = F.array(*[F.lit(float(r.mean_v)) for r in stats])
     stds = F.array(
-        *[F.lit(None).cast("double") if r.std_v == 0 else F.lit(float(r.std_v)) for r in stats]
+        *[
+            # std_v is None on a single-vector corpus (sample variance
+            # divides by n-1 = 0) — propagate NULL exactly like std_v == 0
+            # (NULLIF semantics in the oracle).
+            F.lit(None).cast("double") if not r.std_v else F.lit(float(r.std_v))
+            for r in stats
+        ]
     )
     w = F.transform(
         F.col("embedding"),
@@ -1605,7 +1639,21 @@ def whiten(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", w.alias("whitened")).orderBy("vec_id")
 
 
-WHITEN_SQL = f"""
+def whiten_long(emb: DataFrame) -> DataFrame:
+    """Driver-hashable shape of ``whiten``: one row per (vec_id, pos).
+    Same rationale as ``prefix_truncate_long`` — array columns crash
+    the harness canonicalizer, so the registered query explodes the
+    whitened vector; NULL elements (zero-variance dims) survive
+    posexplode as NULL-valued rows on both engines."""
+    return (
+        whiten(emb)
+        .select("vec_id", F.posexplode("whitened").alias("pos", "value"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
+        .orderBy("vec_id", "pos")
+    )
+
+
+WHITEN_LONG_SQL = f"""
 WITH stats AS ({DIM_STATS_SQL}),
 x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1613,9 +1661,8 @@ x AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list(ROUND((v - s.mean_v) / NULLIF(s.std_v, 0), 6) ORDER BY x.dim)
-         AS whitened
+       CAST(x.dim AS BIGINT) AS pos,
+       ROUND((v - s.mean_v) / NULLIF(s.std_v, 0), 6) AS value
 FROM x JOIN stats s ON s.dim = x.dim
-GROUP BY vec_id
-ORDER BY vec_id
+ORDER BY vec_id, pos
 """.strip()

@@ -646,8 +646,9 @@ register(
     _q(lambda spark, sf: llm_dedup.neardup_minhash(_docs(spark, sf))),
 )
 register(
-    "docs_simhash",  # xxhash64 signatures: not SQL-expressible → rows-only
-    _q(lambda spark, sf: llm_dedup.simhash(_docs(spark, sf))),
+    "docs_simhash",  # md5-prefix token hash → signatures are SQL-reproducible
+    _q(lambda spark, sf: llm_dedup.simhash_long(_docs(spark, sf))),
+    llm_dedup.SIMHASH_LONG_SQL,
 )
 register(
     "docs_text_stats",
@@ -832,66 +833,38 @@ register(
 # --- registration order ----------------------------------------------------
 #
 # The driver's correctness harness verifies the FIRST 50 registered keys
-# per round, evaluated on the END-of-round repo state. Round 1 covered
-# the reference pipeline + TPC-H + events core; round 2 rotated the LLM
-# data-pipeline suite + flagship analytics to the front (all green except
-# three oracle dtype bugs, fixed this round). Round 3's window: the three
-# hash-fail retries, every key that has never had a driver CORRECTNESS
-# row, canaries over operators rewritten in rounds 2-3 (so regressions
-# stay visible to the hard signal), and new round-3 ops. Slots past this
-# list fill with previously-verified keys in stable order, which makes
-# them re-verification canaries rather than dead weight.
+# per round, evaluated on the END-of-round repo state. Rounds 1-3 rotated
+# every registered key through the window at least once (122/122 have a
+# driver CORRECTNESS row). From round 4 the window is regressions-first
+# (VERDICT r3 #4): this round's fixes and rewrites, then standing
+# canaries, with the remaining slots filling from stable registration
+# order (reference-core keys first) as re-verification canaries.
 #
-# Keys NEW this round MUST be appended to _ROUND3_WINDOW (not just
-# register()-ed) or they won't enter the driver window until round 4.
+# Keys NEW this round MUST be appended to _ROUND4_WINDOW (not just
+# register()-ed) or they won't enter the driver window until round 5.
 
-_ROUND3_WINDOW = [
-    # retries: round-2 hash-fails, root-caused to oracle HUGEINT sums
-    "docs_corpus_composition",
-    "docs_inverted_index",
-    "docs_repetition_stats",
-    # never driver-verified (8 analytics held since round 1)
-    "events_value_histogram",
-    "events_props_json_stats",
-    "events_user_sessions",
-    "orders_top_per_customer",
-    "orders_trailing_revenue_7d",
-    "events_salted_type_stats",
-    "events_rollup",
-    "events_value_quantiles",
-    # never driver-verified (registered late in round 2)
-    "emb_knn_ivfpq",
+_ROUND4_WINDOW = [
+    # retries: round-3 driver-canon crashes, reshaped to long format
+    # (arrays are unhashable in the harness canonicalizer)
     "emb_prefix_truncate",
-    "emb_semantic_dedup_keeper",
-    "events_grouping_sets",
-    "events_window_unique_users",
-    # canaries: operators rewritten in round 2/3 whose regressions must
-    # stay inside the hard signal (ADVICE r2: don't rotate all of these out)
+    "emb_whitening",
+    "docs_simhash",
+    # standing canaries: operators rewritten or perf-touched in rounds 2-4
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
     "orders_customer_rfm",
-    "docs_simhash",
     "emb_knn_ivf",
     "emb_neardup_cosine",
-    # new round-3 operators
-    "docs_chunking",
-    "events_range_join",
-    "emb_dim_stats",
-    "docs_curation_pipeline",
-    "docs_incremental_dedup",
-    "emb_neardup_prefix",
-    "docs_text_normalize",
-    "emb_whitening",
-    "docs_dedup_cluster_stats",
+    "docs_neardup_minhash",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
     _q(lambda spark, sf: llm_sim.knn_ivfpq(_emb(spark, sf))),
 )
 register(
-    "emb_prefix_truncate",
-    _q(lambda spark, sf: llm_sim.prefix_truncate(_emb(spark, sf))),
-    llm_sim.PREFIX_TRUNCATE_SQL,
+    "emb_prefix_truncate",  # long (vec_id, pos, value) — arrays crash driver canon
+    _q(lambda spark, sf: llm_sim.prefix_truncate_long(_emb(spark, sf))),
+    llm_sim.PREFIX_TRUNCATE_LONG_SQL,
 )
 register(
     "emb_semantic_dedup_keeper",
@@ -947,9 +920,9 @@ register(
     llm_text.TEXT_NORMALIZE_SQL,
 )
 register(
-    "emb_whitening",  # per-dimension standardization via dim_stats
-    _q(lambda spark, sf: llm_sim.whiten(_emb(spark, sf))),
-    llm_sim.WHITEN_SQL,
+    "emb_whitening",  # per-dim standardization, long (vec_id, pos, value) shape
+    _q(lambda spark, sf: llm_sim.whiten_long(_emb(spark, sf))),
+    llm_sim.WHITEN_LONG_SQL,
 )
 register(
     "docs_dedup_cluster_stats",  # duplication report over near-dup components
@@ -959,9 +932,9 @@ register(
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND3_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND3_WINDOW names unregistered keys: {missing}"
-    order = _ROUND3_WINDOW + [k for k in _QUERIES if k not in _ROUND3_WINDOW]
+    missing = [k for k in _ROUND4_WINDOW if k not in _QUERIES]
+    assert not missing, f"_ROUND4_WINDOW names unregistered keys: {missing}"
+    order = _ROUND4_WINDOW + [k for k in _QUERIES if k not in _ROUND4_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

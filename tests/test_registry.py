@@ -11,7 +11,6 @@ from logistics_data_pipeline_spark import registry
 # else must have one. Keep in sync with registry registrations.
 ROWS_ONLY_OK: set[str] = {
     "docs_neardup_minhash",  # LSH banding over xxhash64
-    "docs_simhash",  # xxhash64 signatures
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
     "emb_neardup_lsh",  # SRP-LSH candidate recall < 1 by construction

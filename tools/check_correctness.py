@@ -23,7 +23,16 @@ import pandas as pd
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Canonicalize for order-insensitive compare: sort columns by name,
-    normalize dtypes, sort rows by all columns."""
+    normalize dtypes, sort rows by all columns.
+
+    Object columns are sorted RAW, exactly like the driver's ``_canon``
+    (``sort_values`` → ``Categorical`` factorization). Round 3 shipped
+    three keys whose array-typed outputs crashed the driver with
+    ``TypeError: unhashable type: 'numpy.ndarray'`` while this replica
+    printed ok, because it pre-stringified list columns "for
+    sortability" — a replica more lenient than the gate it mirrors is
+    worse than none (VERDICT r3 #2). Non-hashable values must raise
+    here, the same TypeError the driver raises."""
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
@@ -37,9 +46,7 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
             s = s.astype("int64")
         elif pd.api.types.is_bool_dtype(s):
             s = s.astype("bool")
-        else:
-            # dates, strings, lists -> string repr for sortability
-            s = s.map(lambda v: None if v is None else str(v))
+        # dates/strings/lists: raw — the driver does not stringify either
         out[c] = s
     ndf = pd.DataFrame(out)
     ndf = ndf.sort_values(by=list(ndf.columns), na_position="first").reset_index(drop=True)
@@ -152,6 +159,18 @@ def main() -> int:
             continue
         t1 = time.time()
         if name not in oracles:
+            # The driver canonicalizes the Spark frame even for rows-only
+            # keys (docs_simhash r3: spark_rows came back null because
+            # _canon crashed before counting) — so must we.
+            try:
+                norm_frame(sdf)
+            except TypeError as e:
+                print(
+                    f"FAIL  {name}: driver canonicalizer would crash "
+                    f"on the Spark output: {e}"
+                )
+                n_fail += 1
+                continue
             print(f"rows  {name}: {len(sdf)} rows (no oracle; rows-only) [{t1-t0:.1f}s]")
             n_rowsonly += 1
             continue
@@ -161,7 +180,10 @@ def main() -> int:
             print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        try:
+            problems = compare(name, sdf, odf)
+        except TypeError as e:
+            problems = [f"driver canonicalizer would crash: {e}"]
         if problems:
             n_fail += 1
             print(f"FAIL  {name} ({len(sdf)} vs {len(odf)} rows) [{t1-t0:.1f}s]")
