@@ -590,7 +590,7 @@ def doc_chunks(
         F.lit(1),
         F.ceil((n - F.lit(chunk)) / F.lit(float(stride))).cast("int") + F.lit(1),
     )
-    piece = F.slice(toks, F.col("chunk_id") * stride + 1, chunk)
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk)
     return (
         docs.select(
             "doc_id",
@@ -600,12 +600,8 @@ def doc_chunks(
         .select(
             "doc_id",
             "chunk_id",
-            F.size(F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.array_join(
-                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk), " "
-            ).alias("chunk_text"),
+            F.size(piece).cast("bigint").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
         )
         .orderBy("doc_id", "chunk_id")
     )

@@ -242,7 +242,9 @@ def assign_cells(emb: DataFrame, centroids, top: int = 1) -> DataFrame:
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = mn @ cmat.T
-            order = np.argsort(-sims, axis=1)[:, :top]
+            # stable: ties break to the lower cell index, matching the
+            # oracle's ORDER BY sim DESC, cell ASC (ivf_cell_assign)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
                 {
@@ -258,6 +260,76 @@ def assign_cells(emb: DataFrame, centroids, top: int = 1) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         _assign, schema=assign_schema
     )
+
+
+def ivf_cell_assign(emb: DataFrame) -> DataFrame:
+    """Oracle-checkable exact component of the IVF path (VERDICT r3 #5):
+    assign every vector to its nearest coarse cell by cosine, with the
+    cells PINNED to the per-label mean centroids — deterministic, unlike
+    the sampled k-means cells — exercising the same Arrow
+    ``assign_cells`` kernel ``knn_ivf`` uses in production.
+
+    The centroid collect is bounded (n_labels × d rows, rounded to 6 dp
+    by ``label_centroids`` so both engines start from identical cell
+    coordinates); centroid rows are L2-normalized so the kernel's dot
+    product IS cosine. Ties break to the smaller label on both engines
+    (stable argsort / ORDER BY sim DESC, cell_label ASC)."""
+    import numpy as np
+
+    rows = label_centroids(emb).collect()  # bounded: n_labels × d
+    labels = sorted({r.label for r in rows})
+    d = 1 + max(r.pos for r in rows)
+    cmat = np.zeros((len(labels), d), dtype=np.float64)
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        cmat[lab_idx[r.label], r.pos] = r.centroid_val
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    lab_arr = F.array(*[F.lit(int(lab)).cast("long") for lab in labels])
+    return (
+        assign_cells(emb, cmat, top=1)
+        .select(
+            "vec_id",
+            F.element_at(lab_arr, F.col("cell") + 1).alias("cell_label"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+IVF_CELL_ASSIGN_SQL = """
+WITH cent AS (
+  SELECT label AS cell_label, pos,
+         ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val
+  FROM (SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings)
+  GROUP BY label, pos
+),
+x AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+sims AS (
+  SELECT x.vec_id, c.cell_label,
+         SUM(x.v * c.centroid_val)
+           / (SQRT(SUM(x.v * x.v)) * SQRT(SUM(c.centroid_val * c.centroid_val)))
+           AS sim
+  FROM x JOIN cent c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cell_label
+),
+ranked AS (
+  SELECT vec_id, cell_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell_label ASC) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(cell_label AS BIGINT) AS cell_label
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+""".strip()
 
 
 def knn_ivf(

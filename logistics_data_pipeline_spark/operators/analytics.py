@@ -694,10 +694,6 @@ def customer_rfm(orders: DataFrame, n_parts: int | None = None) -> DataFrame:
     # — no second pass over rfm, no join back. Low recency is GOOD:
     # negate (as int, so no -0.0) so ascending skey = descending
     # recency.
-    if n_parts is None:
-        n_parts = int(
-            orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
     long = rfm.select(
         "o_custkey",
         F.explode(
@@ -716,6 +712,23 @@ def customer_rfm(orders: DataFrame, n_parts: int | None = None) -> DataFrame:
             )
         ).alias("ms"),
     ).select("o_custkey", F.col("ms.metric").alias("metric"), F.col("ms.skey").alias("skey"))
+    # Size the range exchange from Catalyst's own estimate: one range
+    # per ~64 MB of long rows, clamped to [1, shuffle.partitions]. At
+    # sf0.1 that is ONE partition (45k tiny rows) — a fixed 32 paid
+    # ~0.5 s in boundary sampling + task overhead for nothing (VERDICT
+    # r3 #6) — while at cluster scale the estimate grows with the
+    # customer grain and the clamp restores full parallelism. Offset
+    # arithmetic below is partition-count-agnostic (range order across
+    # _pid is all it needs).
+    if n_parts is None:
+        sp = int(orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            est = int(
+                str(long._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            n_parts = max(1, min(sp, (est + (64 << 20) - 1) // (64 << 20)))
+        except Exception:  # non-py4j session (connect): keep prior default
+            n_parts = sp
     ranked = (
         long.repartitionByRange(n_parts, "metric", "skey", "o_custkey")
         .withColumn("_pid", F.spark_partition_id())
