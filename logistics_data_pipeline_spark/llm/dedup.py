@@ -561,7 +561,12 @@ def incremental_dedup(docs: DataFrame, batch_mod: int = BATCH_MOD) -> DataFrame:
     side plus two hash-partitioned joins on the content hash; at 100 TB
     the corpus-hash side is an incremental table you maintain, not a
     rescan (same left-anti idea as the bronze ingest dedup,
-    sources/bronze.py)."""
+    sources/bronze.py). Bloom pre-filtering of the batch side comes
+    from Catalyst's InjectRuntimeFilter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, set in
+    session.RUNTIME_CONFS) rather than hand-rolled plumbing — batch
+    rows whose content hash is definitely not in the corpus never
+    reach the shuffle."""
     h = F.md5(F.col("text"))
     new = docs.filter(F.col("doc_id") % batch_mod == 0).select(
         "doc_id", h.alias("text_hash")

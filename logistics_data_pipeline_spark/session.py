@@ -30,6 +30,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas()/pandas-UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst-native bloom pre-filtering: InjectRuntimeFilter builds a
+    # bloom filter from the small side of a shuffle join and pushes it
+    # into the big side's scan — the idiomatic version of hand-rolled
+    # bloom membership for the incremental-dedup / anti-join shapes
+    # (llm/dedup.py::incremental_dedup, sources/bronze.py): at 100 TB
+    # the batch rows whose content hash is definitely-not-in-corpus
+    # never reach the shuffle. Explicit because the default has moved
+    # across Spark releases.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # The driver's testdata parquet stores TIMESTAMP(NANOS), which Spark
     # rejects by default; read as long nanos and convert explicitly
     # (adapters/testdata.py handles the conversion per column).

@@ -67,6 +67,21 @@ def events_file_stream(spark: SparkSession, json_dir: str, max_files: int = 10) 
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    key and drops re-deliveries inside the lateness budget — the step
+    that turns at-least-once transport (broker redelivery, producer
+    retry) into effectively-once ingest. Unlike ``dropDuplicates`` on a
+    stream, state holds only keys younger than the watermark, so it is
+    O(keys-in-horizon) and survives unbounded streams; the batch twin
+    is plain ``dropDuplicates`` (test asserts stream == batch on
+    identical duplicated input, where first-wins is value-neutral)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def windowed_counts(
     events: DataFrame, minutes: int = 60, watermark: str = "2 hours"
 ) -> DataFrame:

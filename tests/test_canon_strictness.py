@@ -54,6 +54,29 @@ def test_norm_frame_sorts_scalars_with_nulls():
     assert len(out) == 3
 
 
+def test_tracked_persists_are_released(spark, sf_dir):
+    """Operator-scoped persists (MinHash signature table) must register
+    with session.track_persist and be releasable between queries —
+    the round-3 hot-session degradation came from exactly these
+    accumulating for the session's lifetime."""
+    from logistics_data_pipeline_spark import registry, session
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.dedup import neardup_minhash
+
+    session.release_tracked_persists()
+    docs = load_table(spark, sf_dir, "documents")
+    neardup_minhash(docs).count()
+    assert len(session._TRACKED_PERSISTS) >= 1
+    tracked = list(session._TRACKED_PERSISTS)
+    released = registry.clear_session_caches(spark)
+    assert released >= 1
+    assert session._TRACKED_PERSISTS == []
+    from pyspark import StorageLevel
+
+    for df in tracked:
+        assert df.storageLevel == StorageLevel.NONE
+
+
 def test_no_registered_query_emits_complex_typed_columns(spark, sf_dir):
     """Schema-level gate over every registered key (including rows-only
     ones — the driver counts rows only AFTER canonicalizing, so an

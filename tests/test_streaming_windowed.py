@@ -14,6 +14,7 @@ from logistics_data_pipeline_spark.operators.analytics import user_sessions
 from logistics_data_pipeline_spark.operators.temporal import tumbling_window_counts
 from logistics_data_pipeline_spark.streaming.windowed import (
     JSON_TS_FMT,
+    dedup_stream,
     events_file_stream,
     run_to_memory,
     sessionize_stream,
@@ -45,6 +46,35 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in tumbling_window_counts(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_stream_drops_redeliveries_equals_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a redelivered stream must
+    equal batch dropDuplicates on the same data: duplicates are exact
+    row copies (as broker redelivery produces), so first-wins is
+    value-neutral and the comparison is deterministic."""
+    src = tmp_path / "stream_src"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(*STREAM_COLS)
+        .orderBy("event_id")
+        .limit(200)
+    )
+    # redeliver half the rows in a second file, a third of them twice
+    ev.coalesce(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FMT
+    ).json(str(src))
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").option(
+        "timestampFormat", JSON_TS_FMT
+    ).json(str(src))
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").option(
+        "timestampFormat", JSON_TS_FMT
+    ).json(str(src))
+    stream = dedup_stream(events_file_stream(spark, str(src)))
+    run_to_memory(stream, "dedup_out", "append", str(tmp_path / "ckpt"))
+    got = {tuple(r) for r in spark.table("dedup_out").select(*STREAM_COLS).collect()}
+    want = {tuple(r) for r in ev.dropDuplicates(["event_id"]).collect()}
+    assert got == want and len(want) == 200
 
 
 def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir, tmp_path):
