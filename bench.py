@@ -83,6 +83,8 @@ HEADLINE = [
     # round-4 additions
     "docs_simhash",
     "emb_ivf_cell_assign",
+    "docs_vocab_topk",
+    "events_funnel",
 ]
 
 

@@ -478,3 +478,48 @@ SELECT doc_id, text_clean,
 FROM c
 ORDER BY doc_id
 """.strip()
+
+
+VOCAB_TOP_K = 500
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens (lowercased) with occurrence and document frequencies — the
+    first artifact of tokenizer training and the denominator table for
+    stopword/quality heuristics.
+
+    Scale: explode → one hash aggregation on the token (map-side
+    partial aggregation collapses each input split to its distinct
+    tokens first), then a TakeOrdered top-k — no global sort, no
+    window; the full vocabulary never leaves the executors. Ties at
+    the boundary break by token ASC so the cut is deterministic on
+    both engines."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+VOCAB_TOPK_SQL = rf"""
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT {VOCAB_TOP_K}
+""".strip()

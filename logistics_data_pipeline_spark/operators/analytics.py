@@ -945,3 +945,133 @@ GROUP BY user_id, tot.n_total
 HAVING COUNT(*) >= {HH_SUPPORT} * tot.n_total
 ORDER BY user_id
 """.strip()
+
+
+# --- sequential conversion funnel -------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def user_funnel(events: DataFrame) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: a user
+    reaches step N only with an event strictly AFTER their step-N−1
+    time (first-touch semantics, so 'click before any view' does not
+    convert). Output: one row per step with reached-user counts and
+    conversion rates from the previous step and from the top.
+
+    Scale: three chained whole-partition window aggregations over ONE
+    hash exchange on user_id (same partitioning → Catalyst reuses the
+    exchange; no orderBy → no sort), then a per-user dedup aggregation
+    and a scalar rollup. Events per user bound the window frame; the
+    funnel math never leaves the executors until the 3-row result."""
+    w = Window.partitionBy("user_id")
+    df = events.withColumn(
+        "_t1",
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w),
+    )
+    df = df.withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1])
+                & (F.col("ts") > F.col("_t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "_t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2])
+                & (F.col("ts") > F.col("_t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("_t1").alias("t1"), F.max("_t2").alias("t2"), F.max("_t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("u1"),
+        F.count("t2").cast("bigint").alias("u2"),
+        F.count("t3").cast("bigint").alias("u3"),
+    )
+
+    def _rate(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).cast("double")
+
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+                    F.col("u1").alias("users"),
+                    F.lit(None).cast("double").alias("conv_from_prev"),
+                    _rate(F.col("u1"), F.col("u1")).alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[1]).alias("event_type"),
+                    F.col("u2").alias("users"),
+                    _rate(F.col("u2"), F.col("u1")).alias("conv_from_prev"),
+                    _rate(F.col("u2"), F.col("u1")).alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(3).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[2]).alias("event_type"),
+                    F.col("u3").alias("users"),
+                    _rate(F.col("u3"), F.col("u2")).alias("conv_from_prev"),
+                    _rate(F.col("u3"), F.col("u1")).alias("conv_from_start"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.event_type", "s.users", "s.conv_from_prev", "s.conv_from_start")
+    return rows.orderBy("step")
+
+
+USER_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, ANY_VALUE(s1.t1) AS t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, ANY_VALUE(s2.t1) AS t1, ANY_VALUE(s2.t2) AS t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT CAST(COUNT(t1) AS BIGINT) AS u1,
+         CAST(COUNT(t2) AS BIGINT) AS u2,
+         CAST(COUNT(t3) AS BIGINT) AS u3
+  FROM s3
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, u1 AS users,
+         CAST(NULL AS DOUBLE) AS conv_from_prev,
+         ROUND(CAST(u1 AS DOUBLE) / NULLIF(u1, 0), 6) AS conv_from_start
+  FROM c
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', u2,
+         ROUND(CAST(u2 AS DOUBLE) / NULLIF(u1, 0), 6),
+         ROUND(CAST(u2 AS DOUBLE) / NULLIF(u1, 0), 6)
+  FROM c
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', u3,
+         ROUND(CAST(u3 AS DOUBLE) / NULLIF(u2, 0), 6),
+         ROUND(CAST(u3 AS DOUBLE) / NULLIF(u1, 0), 6)
+  FROM c
+)
+ORDER BY step
+""".strip()

@@ -895,6 +895,8 @@ _ROUND4_WINDOW = [
     "docs_neardup_minhash",
     # new round-4 keys
     "emb_ivf_cell_assign",
+    "docs_vocab_topk",
+    "events_funnel",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -975,6 +977,16 @@ register(
     "emb_ivf_cell_assign",  # exact ANN-path component: pinned-cell argmax
     _q(lambda spark, sf: llm_sim.ivf_cell_assign(_emb(spark, sf))),
     llm_sim.IVF_CELL_ASSIGN_SQL,
+)
+register(
+    "docs_vocab_topk",  # tokenizer-prep vocabulary head (agg + TakeOrdered)
+    _q(lambda spark, sf: llm_text.vocab_topk(_docs(spark, sf))),
+    llm_text.VOCAB_TOPK_SQL,
+)
+register(
+    "events_funnel",  # sequential view->click->purchase conversion funnel
+    _q(lambda spark, sf: analytics.user_funnel(load_table(spark, sf, "events"))),
+    analytics.USER_FUNNEL_SQL,
 )
 
 def _apply_registration_order() -> None:

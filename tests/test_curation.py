@@ -253,3 +253,36 @@ def test_pack_sequences_groups_are_independent(spark):
     assert all(r.pack_group == r.doc_id % 4 for r in rows)
     # fill_after never exceeds capacity unless the doc alone exceeds it
     assert all(r.fill_after <= 64 or r.n_tokens > 64 for r in rows)
+
+
+def test_user_funnel_sequencing_semantics(spark):
+    """A click BEFORE any view must not convert; strict-after ordering
+    gates each step on the previous step's first-touch time."""
+    from datetime import datetime
+
+    from logistics_data_pipeline_spark.operators.analytics import user_funnel
+
+    def ev(i, u, typ, m):
+        return (i, datetime(2025, 1, 1, 0, m), u, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        # u2: click before view -> stops at view
+        ev(4, 2, "click", 0), ev(5, 2, "view", 1),
+        # u3: view+click, purchase BEFORE the click -> stops at click
+        ev(6, 3, "purchase", 0), ev(7, 3, "view", 1), ev(8, 3, "click", 2),
+        # u4: never views -> contributes nothing
+        ev(9, 4, "click", 0), ev(10, 4, "purchase", 1),
+        # u5: simultaneous view/click (strict > excludes the tie)
+        ev(11, 5, "view", 5), ev(12, 5, "click", 5),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r.step: (r.users, r.conv_from_prev, r.conv_from_start)
+           for r in user_funnel(events).collect()}
+    # views: u1,u2,u3,u5 = 4; clicks-after-view: u1,u3 = 2; purchases: u1
+    assert got[1] == (4, None, 1.0)
+    assert got[2] == (2, 0.5, 0.5)
+    assert got[3] == (1, 0.5, 0.25)
