@@ -85,6 +85,12 @@ HEADLINE = [
     "emb_ivf_cell_assign",
     "docs_vocab_topk",
     "events_funnel",
+    "docs_vocab_entropy",
+    "docs_zipf_fit",
+    "events_cms_freq",
+    "orders_price_percentiles",
+    "emb_mips_topk",
+    "docs_repeated_passages",
 ]
 
 

@@ -672,3 +672,71 @@ SELECT cluster_size, n_clusters,
 FROM hist
 ORDER BY cluster_size
 """.strip()
+
+
+PASSAGE_N = 8
+PASSAGE_TOP = 100
+
+
+def repeated_passages(
+    docs: DataFrame, n: int = PASSAGE_N, top: int = PASSAGE_TOP
+) -> DataFrame:
+    """Cross-document repeated passages: word ``n``-gram spans that
+    occur in ≥ 2 distinct documents, with document and occurrence
+    counts — the boilerplate/template detector (C4/Dolma-style "exact
+    substring" dedup at span granularity, the cheap distributed cousin
+    of suffix-array dedup). The output feeds a span-removal pass the
+    way the hot-shingle list feeds ``neardup_ngram``.
+
+    Scale: posexplode + per-doc ``lead`` window (codegen'd — see
+    ``shingle_rows`` for why the array-HOF formulation loses), then ONE
+    hash aggregation keyed by the span with map-side partials; spans
+    seen once — the overwhelming mass — collapse executor-side and the
+    HAVING drops them before the TakeOrdered top cut. Ties break by
+    passage text so the cut is deterministic on both engines."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    spans = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("passage"),
+        leads[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        spans.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage"))
+        .limit(top)
+    )
+
+
+REPEATED_PASSAGES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {PASSAGE_N}
+                     THEN list_transform(generate_series(1, len(t) - {PASSAGE_N - 1}),
+                            i -> concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(PASSAGE_N))}))
+                     ELSE [] END) AS passage
+  FROM toks
+)
+SELECT passage,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM sp
+GROUP BY passage
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
+LIMIT {PASSAGE_TOP}
+""".strip()

@@ -1738,3 +1738,58 @@ SELECT vec_id,
 FROM x JOIN stats s ON s.dim = x.dim
 ORDER BY vec_id, pos
 """.strip()
+
+
+def mips_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k by maximum inner product (MIPS) — the retrieval
+    scoring used when vector magnitude carries signal (recommendation
+    two-tower scores, unnormalized text encoders), where cosine top-k
+    gives a different ranking. Same broadcast-queries / scan-corpus
+    shape as ``knn_bruteforce``; only the score expression differs.
+
+    Scale: queries broadcast (n_queries × d floats), corpus scanned in
+    place with no shuffle besides the per-query top-k window over
+    n_queries partitions. The standard trick of reducing MIPS to cosine
+    by augmenting a dimension (sqrt(M²−‖x‖²)) is an index-side
+    transform; the exact scan is the oracle-checkable ground truth an
+    IVF-MIPS variant would be measured against."""
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("q"),
+        )
+    )
+    candidates = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
+    )
+    scored = queries.crossJoin(candidates).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q"), F.col("c")), 6).alias("inner_product"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("inner_product"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "inner_product", "rank")
+    )
+
+
+MIPS_TOPK_SQL = """
+SELECT query_id, neighbor_id, inner_product, CAST(rank AS INT) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])), 6) AS inner_product,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10 AND q.vec_id < 10
+)
+WHERE rank <= 5
+""".strip()

@@ -9,7 +9,7 @@ driver's ``documents`` view (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword set for quality scoring / language ID. Deliberately small and
@@ -522,4 +522,129 @@ FROM (
 GROUP BY tok
 ORDER BY n_occurrences DESC, tok ASC
 LIMIT {VOCAB_TOP_K}
+""".strip()
+
+
+def vocab_entropy(docs: DataFrame) -> DataFrame:
+    """Corpus unigram statistics in one row: token/type counts, hapax
+    fraction (types seen once — the long-tail mass a tokenizer's vocab
+    cut discards), Shannon entropy of the unigram distribution in nats,
+    and the redundancy 1 − H/ln(V) (0 = uniform vocabulary use). The
+    standard corpus-health panel before tokenizer training.
+
+    Scale: explode → one hash aggregation on the token (map-side
+    partials collapse repeats per split) → a second aggregation over
+    the vocabulary (|V| rows, corpus-size-independent). Entropy is
+    computed as ln(N) − Σ c·ln(c)/N so a single pass over the counts
+    suffices — no per-row division by a separately-computed total."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), _WS)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    c = F.col("c").cast("double")
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("hapax_frac"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(c * F.log(c)) / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+        F.round(
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(c * F.log(c)) / F.sum("c").cast("double")
+            )
+            # NULLIF: a one-type vocabulary has ln(V) = 0; NULL (not a
+            # divide-by-zero under ANSI mode) is the documented output
+            / F.nullif(F.log(F.count("*").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("efficiency"),
+    )
+
+
+VOCAB_ENTROPY_SQL = r"""
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS hapax_frac,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy_nats,
+       ROUND((LN(CAST(SUM(c) AS DOUBLE))
+              - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                / CAST(SUM(c) AS DOUBLE))
+             / NULLIF(LN(CAST(COUNT(*) AS DOUBLE)), 0), 6) AS efficiency
+FROM (
+  SELECT tok, COUNT(*) AS c
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+)
+""".strip()
+
+
+ZIPF_FIT_RANKS = 200
+
+
+def zipf_fit(docs: DataFrame, n_ranks: int = ZIPF_FIT_RANKS) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: OLS regression of
+    ln(frequency) on ln(rank) for the top ``n_ranks`` tokens. A natural
+    corpus shows slope ≈ −1; synthetic or templated text bends the
+    curve, making the slope a cheap generation-artifact detector.
+
+    Scale: reuses the ``vocab_topk`` shape (hash agg + TakeOrdered
+    top-k, deterministic tie-break) so only ``n_ranks`` rows ever leave
+    the executors; the rank window and the regression run over that
+    bounded head. The single-partition window is O(n_ranks), reviewed
+    in the plan-audit allowlist."""
+    head = (
+        vocab_topk(docs, n_ranks)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+            ),
+        )
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n_occurrences").cast("double"))
+    return head.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = rf"""
+WITH head AS (
+  SELECT tok, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok ASC) AS rank
+  FROM (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok ASC
+    LIMIT {ZIPF_FIT_RANKS}
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(regr_slope(LN(CAST(n_occurrences AS DOUBLE)),
+                        LN(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+       ROUND(regr_intercept(LN(CAST(n_occurrences AS DOUBLE)),
+                            LN(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
+       ROUND(regr_r2(LN(CAST(n_occurrences AS DOUBLE)),
+                     LN(CAST(rank AS DOUBLE))), 6) AS r2
+FROM head
 """.strip()

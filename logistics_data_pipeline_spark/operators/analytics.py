@@ -1075,3 +1075,151 @@ SELECT * FROM (
 )
 ORDER BY step
 """.strip()
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_USERS = 20
+
+
+def cms_user_freq(events: DataFrame) -> DataFrame:
+    """Count-min sketch frequency estimation: a CMS_DEPTH × CMS_WIDTH
+    sketch of per-user event counts, read back for the CMS_TOP_USERS
+    most active users next to their exact counts. The hash family is
+    the repo's md5-prefix (48-bit, seed-salted) so sketch contents are
+    bit-identical in ANSI SQL — the estimate column is oracle-checked,
+    not just the exact one, and ``cms_overestimate >= 0`` is a
+    structural invariant the oracle enforces for free.
+
+    Scale: the sketch is ONE hash aggregation to depth×width = 1024
+    cells (map-side partials collapse each split; the sketch never
+    grows with data). Reading it back broadcasts those 1024 rows to
+    the per-user side. The exact top-k is agg + TakeOrdered. At
+    100 TB the sketch aggregation is the only full-data pass, and it
+    reduces to a fixed-size table — the whole point of the sketch."""
+    seeds = F.explode(
+        F.array(*[F.lit(s) for s in range(CMS_DEPTH)])
+    ).alias("seed")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed"), F.col("user_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(CMS_WIDTH),
+    ).alias("bucket")
+    cells = (
+        events.select("user_id", seeds)
+        .select("seed", bucket)
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cell_count"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(CMS_TOP_USERS)
+    )
+    probes = top.select("user_id", "exact_count", seeds).select(
+        "user_id", "exact_count", "seed", bucket
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cell_count").cast("bigint").alias("cms_estimate"),
+        )
+        .withColumn(
+            "cms_overestimate",
+            (F.col("cms_estimate") - F.col("exact_count")).cast("bigint"),
+        )
+    )
+    return est.orderBy(F.desc("exact_count"), F.asc("user_id"))
+
+
+CMS_USER_FREQ_SQL = f"""
+WITH cells AS (
+  SELECT seed,
+         CAST('0x' || substring(md5(concat(seed, ':', user_id)), 1, 12)
+              AS BIGINT) % {CMS_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cell_count
+  FROM events, (SELECT unnest(range(0, {CMS_DEPTH})) AS seed)
+  GROUP BY 1, 2
+),
+top_users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id
+  ORDER BY exact_count DESC, user_id ASC
+  LIMIT {CMS_TOP_USERS}
+),
+probes AS (
+  SELECT t.user_id, t.exact_count, s.seed,
+         CAST('0x' || substring(md5(concat(s.seed, ':', t.user_id)), 1, 12)
+              AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM top_users t, (SELECT unnest(range(0, {CMS_DEPTH})) AS seed) s
+)
+SELECT p.user_id,
+       MAX(p.exact_count) AS exact_count,
+       CAST(MIN(c.cell_count) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell_count) - MAX(p.exact_count) AS BIGINT) AS cms_overestimate
+FROM probes p
+JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+GROUP BY p.user_id
+ORDER BY exact_count DESC, user_id ASC
+""".strip()
+
+
+PCTL_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def price_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of order value per order
+    priority, in long (priority, quantile, value) form. Exact — not
+    ``approx_percentile`` — so the oracle can hash-match it
+    (``quantile_cont`` uses the same linear interpolation).
+
+    Scale: ``percentile`` is a full-sort-per-group aggregate; with
+    5 priorities the group cardinality is tiny but each group's values
+    concentrate on few reducers. That is inherent to EXACT percentiles
+    (they need the whole group); the approximate path at 100 TB is
+    ``approx_percentile`` (tested in events_quantiles). Pairing both
+    keeps exact-but-heavy and approximate-but-mergeable on the menu."""
+    qs = F.array(*[F.lit(q) for q in PCTL_QS])
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(F.col("o_totalprice").cast("double"), qs).alias("vals"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.posexplode("vals").alias("q_idx", "value"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("q_idx").cast("bigint").alias("q_idx"),
+            F.round(F.col("value"), 4).alias("value"),
+        )
+        .orderBy("o_orderpriority", "q_idx")
+    )
+
+
+PRICE_PERCENTILES_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       {PCTL_QS!r}) AS vals
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders,
+       CAST(i.q_idx AS BIGINT) AS q_idx,
+       ROUND(CAST(g.vals[i.q_idx + 1] AS DOUBLE), 4) AS value
+FROM g, (SELECT unnest(range(0, {len(PCTL_QS)})) AS q_idx) i
+ORDER BY o_orderpriority, q_idx
+""".strip()

@@ -897,6 +897,12 @@ _ROUND4_WINDOW = [
     "emb_ivf_cell_assign",
     "docs_vocab_topk",
     "events_funnel",
+    "docs_vocab_entropy",
+    "docs_zipf_fit",
+    "events_cms_freq",
+    "emb_mips_topk",
+    "docs_repeated_passages",
+    "orders_price_percentiles",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -987,6 +993,36 @@ register(
     "events_funnel",  # sequential view->click->purchase conversion funnel
     _q(lambda spark, sf: analytics.user_funnel(load_table(spark, sf, "events"))),
     analytics.USER_FUNNEL_SQL,
+)
+register(
+    "docs_vocab_entropy",  # corpus unigram entropy / hapax panel (one row)
+    _q(lambda spark, sf: llm_text.vocab_entropy(_docs(spark, sf))),
+    llm_text.VOCAB_ENTROPY_SQL,
+)
+register(
+    "docs_zipf_fit",  # ln(freq) ~ ln(rank) OLS over the vocab head
+    _q(lambda spark, sf: llm_text.zipf_fit(_docs(spark, sf))),
+    llm_text.ZIPF_FIT_SQL,
+)
+register(
+    "events_cms_freq",  # count-min sketch, md5-hash family → oracle-exact
+    _q(lambda spark, sf: analytics.cms_user_freq(load_table(spark, sf, "events"))),
+    analytics.CMS_USER_FREQ_SQL,
+)
+register(
+    "orders_price_percentiles",  # exact interpolated per-group quantiles
+    _q(lambda spark, sf: analytics.price_percentiles(load_table(spark, sf, "orders"))),
+    analytics.PRICE_PERCENTILES_SQL,
+)
+register(
+    "emb_mips_topk",  # max-inner-product retrieval (unnormalized scoring)
+    _q(lambda spark, sf: llm_sim.mips_topk(_emb(spark, sf))),
+    llm_sim.MIPS_TOPK_SQL,
+)
+register(
+    "docs_repeated_passages",  # cross-doc 8-gram boilerplate spans
+    _q(lambda spark, sf: llm_dedup.repeated_passages(_docs(spark, sf))),
+    llm_dedup.REPEATED_PASSAGES_SQL,
 )
 
 def _apply_registration_order() -> None:

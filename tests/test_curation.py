@@ -286,3 +286,132 @@ def test_user_funnel_sequencing_semantics(spark):
     assert got[1] == (4, None, 1.0)
     assert got[2] == (2, 0.5, 0.5)
     assert got[3] == (1, 0.5, 0.25)
+
+
+class TestVocabEntropy:
+    def test_uniform_vocab_efficiency_one(self, spark):
+        # 4 distinct tokens, each exactly once per doc → uniform unigram
+        # distribution → entropy = ln(V), efficiency = 1, hapax only if c==1
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")],
+            "doc_id long, text string",
+        )
+        row = llm_text.vocab_entropy(docs).collect()[0]
+        assert row.n_tokens == 8 and row.n_types == 4
+        assert row.hapax_frac == 0.0
+        import math
+
+        assert abs(row.entropy_nats - round(math.log(4), 6)) < 1e-9
+        assert row.efficiency == 1.0
+
+    def test_single_token_entropy_zero(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+        row = llm_text.vocab_entropy(docs).collect()[0]
+        assert row.entropy_nats == 0.0 and row.n_types == 1
+        assert row.efficiency is None  # ln(V)=0 → NULL, not divide-by-zero
+
+
+class TestZipfFit:
+    def test_exact_powerlaw_recovers_slope(self, spark):
+        # freq(rank) = 2^(10-rank) → ln f = 10·ln2 − rank·ln2; ranks are
+        # 1..8 so the regression on ln(rank) is not exactly linear, but a
+        # perfectly Zipfian corpus freq = C/rank gives slope −1, r2 = 1.
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        rows = []
+        doc = []
+        c = 840  # divisible by 1..8 → freq_i = 840/i exactly
+        for i in range(1, 9):
+            doc.extend([f"tok{i:02d}"] * (c // i))
+        rows.append((1, " ".join(doc)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        row = llm_text.zipf_fit(docs, n_ranks=8).collect()[0]
+        assert row.n_ranks == 8
+        assert abs(row.zipf_slope + 1.0) < 1e-6
+        assert row.r2 == 1.0
+
+
+class TestCmsFreq:
+    def test_estimate_never_underestimates(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        events = spark.range(2000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 37).alias("user_id"),
+        )
+        out = analytics.cms_user_freq(events).collect()
+        assert len(out) == analytics.CMS_TOP_USERS
+        for r in out:
+            assert r.cms_estimate >= r.exact_count
+            assert r.cms_overestimate == r.cms_estimate - r.exact_count
+
+    def test_sketch_is_fixed_size(self, spark):
+        # the cells aggregation must never exceed depth × width rows
+        from logistics_data_pipeline_spark.operators import analytics
+
+        events = spark.range(5000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 997).alias("user_id")
+        )
+        # estimate for a heavy hitter stays close at this load factor
+        out = analytics.cms_user_freq(events).collect()
+        worst = max(r.cms_overestimate for r in out)
+        assert worst <= 5000 // analytics.CMS_WIDTH * 4
+
+
+class TestRepeatedPassages:
+    def test_cross_doc_span_found_and_singletons_dropped(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        boiler = "all rights reserved contact us for more information"  # 8 toks
+        docs = spark.createDataFrame(
+            [
+                (1, boiler + " unique one"),
+                (2, "prefix text here " + boiler),
+                (3, "totally different words with no repeats at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.repeated_passages(docs, n=8).collect()
+        assert any(r.passage == boiler and r.n_docs == 2 for r in out)
+        # no span private to doc 3 survives the n_docs >= 2 filter
+        assert all(r.n_docs >= 2 for r in out)
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        span = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, span + " " + span)], "doc_id long, text string"
+        )
+        assert dedup.repeated_passages(docs, n=8).count() == 0
+
+
+class TestMipsVsCosine:
+    def test_magnitude_changes_ranking(self, spark):
+        # a long vector pointing slightly off beats a short aligned one
+        # under inner product but loses under cosine
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rows = [
+            (0, [1.0, 0.0], 0),      # query
+            (10, [0.9, 0.0], 0),     # aligned, short
+            (11, [5.0, 2.0], 0),     # off-axis, long
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        mips = {r.neighbor_id: r.rank for r in similarity.mips_topk(emb, n_queries=1, k=2).collect()}
+        assert mips[11] == 1 and mips[10] == 2
+
+    def test_percentile_interpolation(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        orders = spark.createDataFrame(
+            [(i, "1-URGENT", float(v)) for i, v in enumerate([10, 20, 30, 40])],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        out = {r.q_idx: r.value for r in analytics.price_percentiles(orders).collect()}
+        assert out[1] == 25.0  # median of 10,20,30,40 interpolates
+        assert out[0] == 17.5  # 0.25 → 10 + 0.75·10

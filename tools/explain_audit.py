@@ -38,6 +38,10 @@ ALLOWED = {
     "docs_dedup_cluster_stats": {"nested-loop join"},  # corpus doc count
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
+    "emb_mips_topk": {"nested-loop join"},
+    # rank window over the TakeOrdered vocab head: input is capped at
+    # ZIPF_FIT_RANKS (200) rows before the window, so one task is right
+    "docs_zipf_fit": {"unpartitioned window"},
     # full-width re-insert: the anti-join output IS every column
     "ingest_dedup_antijoin": {"wide scan"},
     "monitor_recent_events": {"wide scan"},
