@@ -91,6 +91,8 @@ HEADLINE = [
     "orders_price_percentiles",
     "emb_mips_topk",
     "docs_repeated_passages",
+    "emb_covariance",
+    "emb_pca_project",
 ]
 
 

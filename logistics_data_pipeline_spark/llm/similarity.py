@@ -1793,3 +1793,165 @@ FROM (
 )
 WHERE rank <= 5
 """.strip()
+
+
+COV_SCALE = DIM_STATS_SCALE
+PCA_COMPONENTS = 8
+
+
+def dim_covariance(emb: DataFrame) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions in
+    long (dim_i, dim_j, cov) form — the input to PCA / full-matrix
+    whitening (``whiten`` standardizes per-dimension; the off-diagonal
+    structure here is what rotation-based transforms consume).
+
+    Exactness: same integer-microunit scheme as ``dim_stats`` — q =
+    FLOOR(v·10⁶) per element, Σqᵢqⱼ and Σqᵢ summed exactly as BIGINT,
+    covariance derived from the integer sums with one double expression
+    tree on both engines, so the result hash-matches despite being a
+    floating statistic. qᵢqⱼ ≤ ~4.4·10¹⁴ per term bounds exact BIGINT
+    sums to ~2×10⁴ rows per |v| ≤ 21 — plenty for the registered check;
+    past that swap the accumulators to DECIMAL(38,0) (same plan shape).
+
+    Scale: one shuffle co-partitions elements by vec_id for the
+    self-join (d² = 4096 pair rows per vector, generated executor-side),
+    then a hash aggregation onto d(d+1)/2 = 2080 keys with map-side
+    partials — output is O(d²), corpus-size-independent. The
+    Arrow-batched XᵀX partial-matrix pass (see ``kmeans_centroids``) is
+    the same computation without the d² row blow-up; this formulation is
+    the hash-exact, oracle-checkable twin."""
+    q = F.floor(F.col("v").cast("double") * F.lit(float(COV_SCALE))).cast(
+        "bigint"
+    )
+    elems = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select("vec_id", "dim", q.alias("q"))
+        .repartition("vec_id")
+    )
+    a, b = elems.alias("a"), elems.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.dim") <= F.col("b.dim")),
+    ).select(
+        F.col("a.dim").alias("dim_i"),
+        F.col("b.dim").alias("dim_j"),
+        F.col("a.q").alias("qi"),
+        F.col("b.q").alias("qj"),
+    )
+    n = F.count("*")
+    sij = F.sum(F.col("qi") * F.col("qj")).cast("double")
+    si = F.sum("qi").cast("double")
+    sj = F.sum("qj").cast("double")
+    cov = (sij - si * sj / n) / (n - F.lit(1)) / F.lit(float(COV_SCALE) ** 2)
+    return (
+        pairs.groupBy("dim_i", "dim_j")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            F.round(cov, 10).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+DIM_COVARIANCE_SQL = f"""
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {COV_SCALE}.0) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND((CAST(SUM(a.q * b.q) AS DOUBLE)
+              - CAST(SUM(a.q) AS DOUBLE) * CAST(SUM(b.q) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) / {float(COV_SCALE) ** 2}, 10) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+ORDER BY dim_i, dim_j
+""".strip()
+
+
+def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame:
+    """Project embeddings onto the corpus's top principal components,
+    long (vec_id, pc, score) output — the dimensionality-reduction pass
+    before a cheaper ANN index or a 2-D corpus map.
+
+    Rows-only by construction: the eigendecomposition is not
+    SQL-expressible, so the driver check is row-count only; the
+    semantics are pinned by pytest instead (component variance ordering
+    matches the eigenvalues, scores are centered, reconstruction error
+    shrinks as components are added — ``tests/test_curation.py``).
+
+    Scale: the covariance collect is d(d+1)/2 rows — O(config), not
+    O(data), same bounded-collect class as the k-means centroids. The
+    eigendecomposition is a d×d numpy ``eigh`` on the driver (d = 64 →
+    microseconds); eigenvector sign is pinned (largest-|component|
+    entry made positive) so the output is deterministic. The projection
+    itself is a pure map over the corpus: center by the broadcast mean,
+    fold the dot product per component — no shuffle, no Python in the
+    row path (the components enter the plan as array literals)."""
+    import numpy as np
+
+    cov_rows = dim_covariance(emb).collect()
+    d = max(r.dim_j for r in cov_rows) + 1
+    cmat = np.zeros((d, d))
+    for r in cov_rows:
+        cmat[r.dim_i, r.dim_j] = r.cov
+        cmat[r.dim_j, r.dim_i] = r.cov
+    # mean vector from the same microunit sums the covariance used
+    mean = np.zeros(d)
+    # recompute means exactly once (tiny agg — d groups)
+    mrows = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("v").cast("double") * F.lit(float(COV_SCALE))
+                    ).cast("bigint")
+                ).cast("double")
+                / F.count("*")
+                / F.lit(float(COV_SCALE))
+            ).alias("mean_v")
+        )
+        .collect()
+    )
+    for r in mrows:
+        mean[r.dim] = r.mean_v
+    evals, evecs = np.linalg.eigh(cmat)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (n_components, d)
+    for k in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[k]))
+        if comps[k, pivot] < 0:
+            comps[k] = -comps[k]
+
+    centered = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        - F.element_at(F.lit(mean.tolist()), i + 1),
+    )
+    scores = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        centered,
+                        F.lit(comps[k].tolist()),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for k in range(comps.shape[0])
+        ]
+    )
+    return (
+        emb.select("vec_id", F.posexplode(scores).alias("pc", "score"))
+        .select("vec_id", F.col("pc").cast("long").alias("pc"), "score")
+        .orderBy("vec_id", "pc")
+    )

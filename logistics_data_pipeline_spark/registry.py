@@ -903,6 +903,8 @@ _ROUND4_WINDOW = [
     "emb_mips_topk",
     "docs_repeated_passages",
     "orders_price_percentiles",
+    "emb_covariance",
+    "emb_pca_project",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1023,6 +1025,15 @@ register(
     "docs_repeated_passages",  # cross-doc 8-gram boilerplate spans
     _q(lambda spark, sf: llm_dedup.repeated_passages(_docs(spark, sf))),
     llm_dedup.REPEATED_PASSAGES_SQL,
+)
+register(
+    "emb_covariance",  # exact-microunit dim covariance (PCA/whitening input)
+    _q(lambda spark, sf: llm_sim.dim_covariance(_emb(spark, sf))),
+    llm_sim.DIM_COVARIANCE_SQL,
+)
+register(
+    "emb_pca_project",  # eigh on the bounded covariance → pure-map projection
+    _q(lambda spark, sf: llm_sim.pca_project(_emb(spark, sf))),
 )
 
 def _apply_registration_order() -> None:

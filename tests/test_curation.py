@@ -415,3 +415,53 @@ class TestMipsVsCosine:
         out = {r.q_idx: r.value for r in analytics.price_percentiles(orders).collect()}
         assert out[1] == 25.0  # median of 10,20,30,40 interpolates
         assert out[0] == 17.5  # 0.25 → 10 + 0.75·10
+
+
+class TestPcaProject:
+    def _emb(self, spark, n=60, d=6, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud: dim 0 dominates variance, dim 1 second
+        base = rng.normal(size=(n, d)) * np.array([5.0, 2.0] + [0.3] * (d - 2))
+        rows = [(i, [float(x) for x in base[i]], 0) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_scores_centered_and_variance_ordered(self, spark):
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = self._emb(spark)
+        out = similarity.pca_project(emb, n_components=3).collect()
+        by_pc = {}
+        for r in out:
+            by_pc.setdefault(r.pc, []).append(r.score)
+        for pc, scores in by_pc.items():
+            assert abs(float(np.mean(scores))) < 1e-3  # centered
+        vars_ = [float(np.var(by_pc[k])) for k in sorted(by_pc)]
+        assert vars_[0] >= vars_[1] >= vars_[2]  # eigenvalue ordering
+        # the dominant axis must capture most of the injected variance
+        assert vars_[0] > 3 * vars_[1]
+
+    def test_deterministic_across_runs(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = self._emb(spark)
+        a = similarity.pca_project(emb, n_components=2).collect()
+        b = similarity.pca_project(emb, n_components=2).collect()
+        assert a == b
+
+    def test_covariance_symmetric_diag_positive(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = self._emb(spark, n=30)
+        rows = similarity.dim_covariance(emb).collect()
+        diag = [r.cov for r in rows if r.dim_i == r.dim_j]
+        assert all(v > 0 for v in diag)
+        # upper triangle only, every (i<=j) pair exactly once
+        seen = {(r.dim_i, r.dim_j) for r in rows}
+        d = max(r.dim_j for r in rows) + 1
+        assert len(seen) == d * (d + 1) // 2
