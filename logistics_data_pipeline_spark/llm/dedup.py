@@ -563,10 +563,12 @@ def incremental_dedup(docs: DataFrame, batch_mod: int = BATCH_MOD) -> DataFrame:
     rescan (same left-anti idea as the bronze ingest dedup,
     sources/bronze.py). Bloom pre-filtering of the batch side comes
     from Catalyst's InjectRuntimeFilter
-    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, set in
-    session.RUNTIME_CONFS) rather than hand-rolled plumbing — batch
-    rows whose content hash is definitely not in the corpus never
-    reach the shuffle."""
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) rather than
+    hand-rolled plumbing — batch rows whose content hash is definitely
+    not in the corpus never reach the shuffle. The conf ships OFF
+    (session.RUNTIME_CONFS documents the measured bench-scale cost on
+    symmetric pair joins); flip it on a 100 TB deployment where this
+    asymmetric join shape dominates."""
     h = F.md5(F.col("text"))
     new = docs.filter(F.col("doc_id") % batch_mod == 0).select(
         "doc_id", h.alias("text_hash")

@@ -1883,43 +1883,82 @@ def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame
     matches the eigenvalues, scores are centered, reconstruction error
     shrinks as components are added — ``tests/test_curation.py``).
 
-    Scale: the covariance collect is d(d+1)/2 rows — O(config), not
-    O(data), same bounded-collect class as the k-means centroids. The
-    eigendecomposition is a d×d numpy ``eigh`` on the driver (d = 64 →
-    microseconds); eigenvector sign is pinned (largest-|component|
-    entry made positive) so the output is deterministic. The projection
-    itself is a pure map over the corpus: center by the broadcast mean,
-    fold the dot product per component — no shuffle, no Python in the
-    row path (the components enter the plan as array literals)."""
+    Scale: the covariance moments come from ONE Arrow map pass — each
+    batch emits its partial integer XᵀX in long form (the fused-pass
+    shape ``kmeans_centroids`` uses), at most d²+d+1 rows per batch, so
+    the corpus is read once with no d²-row blow-up and no shuffle
+    beyond a (d²)-key aggregation; the driver collect is d(d+1)/2+d+1
+    rows — O(config), not O(data). Elements are quantized to the same
+    integer microunits as ``dim_covariance``, so the moments are EXACT
+    (bit-identical to the oracle-checked key's sums, partitioning-
+    independent) — per-batch int64 partials bound: |q| ≤ 2·10⁷ and
+    ≤ 10k rows/batch keeps Σqᵢqⱼ under 2⁶³; the Spark-side final SUM
+    moves to DECIMAL(38,0) past ~10⁴ batches. The eigendecomposition is
+    a d×d numpy ``eigh`` on the driver (d = 64 → microseconds);
+    eigenvector sign is pinned (largest-|component| entry made
+    positive) so the output is deterministic. The projection is a
+    second Arrow map pass — (X − μ)·Wᵀ per batch in BLAS, emitted
+    directly in long form — shuffle-free except the cosmetic final
+    sort (the interpreted per-component HOF fold measured ~4× slower
+    on this map-only shape)."""
     import numpy as np
 
-    cov_rows = dim_covariance(emb).collect()
-    d = max(r.dim_j for r in cov_rows) + 1
-    cmat = np.zeros((d, d))
-    for r in cov_rows:
-        cmat[r.dim_i, r.dim_j] = r.cov
-        cmat[r.dim_j, r.dim_i] = r.cov
-    # mean vector from the same microunit sums the covariance used
-    mean = np.zeros(d)
-    # recompute means exactly once (tiny agg — d groups)
-    mrows = (
-        emb.select(F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("v").cast("double") * F.lit(float(COV_SCALE))
-                    ).cast("bigint")
-                ).cast("double")
-                / F.count("*")
-                / F.lit(float(COV_SCALE))
-            ).alias("mean_v")
-        )
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("psum", T.LongType()),
+        ]
+    )
+
+    def _moment_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = np.floor(m * float(COV_SCALE)).astype(np.int64)
+            s = q.T @ q  # (d, d) exact int64 partial
+            lin = q.sum(axis=0)
+            dd = q.shape[1]
+            iu, ju = np.triu_indices(dd)
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dd), [-1]]),
+                    "j": np.concatenate([ju, np.full(dd, -1), [-1]]),
+                    "psum": np.concatenate(
+                        [s[iu, ju], lin, [q.shape[0]]]
+                    ),
+                }
+            )
+            yield out
+
+    moments = (
+        emb.select("embedding")
+        .mapInPandas(_moment_partials, schema=part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("psum").alias("s"))
         .collect()
     )
-    for r in mrows:
-        mean[r.dim] = r.mean_v
+    sij: dict[tuple[int, int], int] = {}
+    lin: dict[int, int] = {}
+    n = 0
+    for r in moments:
+        if r.i == -1:
+            n = int(r.s)
+        elif r.j == -1:
+            lin[r.i] = int(r.s)
+        else:
+            sij[(r.i, r.j)] = int(r.s)
+    d = max(lin) + 1
+    cmat = np.zeros((d, d))
+    for (i, j), s in sij.items():
+        # same expression tree as dim_covariance, from the same exact sums
+        cov = (s - lin[i] * lin[j] / n) / (n - 1) / float(COV_SCALE) ** 2
+        cmat[i, j] = cov
+        cmat[j, i] = cov
+    mean = np.array([lin[i] / n / float(COV_SCALE) for i in range(d)])
     evals, evecs = np.linalg.eigh(cmat)
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T  # (n_components, d)
@@ -1928,30 +1967,36 @@ def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame
         if comps[k, pivot] < 0:
             comps[k] = -comps[k]
 
-    centered = F.transform(
-        F.col("embedding"),
-        lambda x, i: x.cast("double")
-        - F.element_at(F.lit(mean.tolist()), i + 1),
-    )
-    scores = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        centered,
-                        F.lit(comps[k].tolist()),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for k in range(comps.shape[0])
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("pc", T.LongType()),
+            T.StructField("score", T.DoubleType()),
         ]
     )
+    w = comps  # closure-captured (n_components, d) — tiny, task-shipped
+    mu = mean
+    n_pc = comps.shape[0]
+
+    def _project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sc = np.round((m - mu) @ w.T, 6)  # (rows, n_pc) one GEMM
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_pc),
+                    "pc": np.tile(np.arange(n_pc, dtype=np.int64), len(ids)),
+                    "score": sc.ravel(),
+                }
+            )
+
     return (
-        emb.select("vec_id", F.posexplode(scores).alias("pc", "score"))
-        .select("vec_id", F.col("pc").cast("long").alias("pc"), "score")
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_project, schema=out_schema)
         .orderBy("vec_id", "pc")
     )

@@ -30,15 +30,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas()/pandas-UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Catalyst-native bloom pre-filtering: InjectRuntimeFilter builds a
-    # bloom filter from the small side of a shuffle join and pushes it
-    # into the big side's scan — the idiomatic version of hand-rolled
-    # bloom membership for the incremental-dedup / anti-join shapes
-    # (llm/dedup.py::incremental_dedup, sources/bronze.py): at 100 TB
-    # the batch rows whose content hash is definitely-not-in-corpus
-    # never reach the shuffle. Explicit because the default has moved
-    # across Spark releases.
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Catalyst-native bloom pre-filtering (InjectRuntimeFilter) stays
+    # OFF at bench scale: measured +40-95% on the embedding block-pair
+    # joins (emb_neardup_cosine 4.7 s -> 6.6 s, emb_neardup_lsh 3.4 s ->
+    # 6.7 s at sf0.1) because both sides of those equi-joins are the
+    # same replicated corpus — the bloom build is pure overhead and the
+    # size thresholds don't gate it at MB-scale inputs. On a 100 TB
+    # deployment flip this to true: the incremental-dedup / anti-join
+    # shapes (llm/dedup.py::incremental_dedup, sources/bronze.py) then
+    # drop definitely-new rows before the shuffle, and the creation-side
+    # threshold keeps it away from symmetric joins. Explicit because the
+    # default has moved across Spark releases.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
     # The driver's testdata parquet stores TIMESTAMP(NANOS), which Spark
     # rejects by default; read as long nanos and convert explicitly
     # (adapters/testdata.py handles the conversion per column).
