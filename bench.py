@@ -93,6 +93,8 @@ HEADLINE = [
     "docs_repeated_passages",
     "emb_covariance",
     "emb_pca_project",
+    "multimodal_dup_groups",
+    "emb_triplet_mining",
 ]
 
 

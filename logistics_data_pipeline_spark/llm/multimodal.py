@@ -241,3 +241,55 @@ SELECT doc_id AS media_id,
 FROM idx
 WHERE i % 4 = 0
 """.strip()
+
+
+DUP_GROUPS_TOP = 50
+
+
+def media_dup_groups(docs: DataFrame, top: int = DUP_GROUPS_TOP) -> DataFrame:
+    """Exact byte-level duplicate groups over media payloads: group by
+    content checksum, report copy count, keeper (min media_id — the
+    same survivorship rule the text dedup uses), and the bytes that
+    deduplication reclaims. This is level-0 multimodal dedup (identical
+    files); perceptual near-dup sits above it the way MinHash sits
+    above exact text hashing.
+
+    Scale: the checksum is computed per row (map-only, JVM md5 over the
+    binary — no decode needed, so it works on any payload the codecs
+    can't parse), then ONE hash aggregation on the digest; group count
+    is bounded by distinct contents. The oracle md5s the text twin of
+    the same bytes (DuckDB's md5 is VARCHAR-only; payloads here are
+    UTF-8 text bytes by construction, reference checksum semantics in
+    ``extract_features``)."""
+    media = docs_as_media(docs)
+    return (
+        media.select(
+            "media_id",
+            F.md5(F.col("content")).alias("checksum"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keeper_id"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("checksum"))
+        .limit(top)
+    )
+
+
+MEDIA_DUP_GROUPS_SQL = f"""
+SELECT md5(text) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(strlen(text)) - MIN(strlen(text)) AS BIGINT) AS reclaimable_bytes
+FROM documents
+GROUP BY md5(text)
+ORDER BY n_copies DESC, checksum ASC
+LIMIT {DUP_GROUPS_TOP}
+""".strip()

@@ -2000,3 +2000,99 @@ def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame
         .mapInPandas(_project, schema=out_schema)
         .orderBy("vec_id", "pc")
     )
+
+
+TRIPLET_ANCHORS = 10
+
+
+def triplet_mining(emb: DataFrame, n_anchors: int = TRIPLET_ANCHORS) -> DataFrame:
+    """Hard-triplet mining for contrastive training: for each anchor
+    (vec_id < n_anchors), the most-similar SAME-label vector (hardest
+    positive would be the least similar — here we take the standard
+    nearest positive) and the most-similar DIFFERENT-label vector (the
+    hard negative), with the triplet margin positive−negative. Rows
+    where the margin is small or negative are the pairs a contrastive
+    fine-tune learns most from.
+
+    Scale: same broadcast-anchors / scan-corpus shape as
+    ``knn_bruteforce`` (anchors are index-config-sized); the per-anchor
+    argmax runs as two rank windows over n_anchors partitions. Ties
+    break by candidate id, so the mined triplets are deterministic and
+    the whole operator oracle-checks."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < n_anchors).select(
+            F.col("vec_id").alias("anchor_id"),
+            vec_d.alias("q"),
+            _norm(F.col("embedding")).alias("qn"),
+            F.col("label").alias("anchor_label"),
+        )
+    )
+    cands = emb.filter(F.col("vec_id") >= n_anchors).select(
+        F.col("vec_id").alias("cand_id"),
+        vec_d.alias("c"),
+        _norm(F.col("embedding")).alias("cn"),
+        F.col("label").alias("cand_label"),
+    )
+    scored = anchors.crossJoin(cands).select(
+        "anchor_id",
+        "anchor_label",
+        "cand_id",
+        (F.col("cand_label") == F.col("anchor_label")).alias("same"),
+        F.round(
+            _dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    pos = best.filter(F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+TRIPLET_MINING_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         (c.label = a.label) AS same,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings c
+    ON a.vec_id < {TRIPLET_ANCHORS} AND c.vec_id >= {TRIPLET_ANCHORS}
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY anchor_id, same
+           ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT p.anchor_id,
+       p.cand_id AS pos_id, p.cosine AS pos_cos,
+       n.cand_id AS neg_id, n.cosine AS neg_cos,
+       ROUND(p.cosine - n.cosine, 6) AS margin
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same AND p.rnk = 1 AND (NOT n.same) AND n.rnk = 1
+ORDER BY p.anchor_id
+""".strip()

@@ -905,6 +905,8 @@ _ROUND4_WINDOW = [
     "orders_price_percentiles",
     "emb_covariance",
     "emb_pca_project",
+    "multimodal_dup_groups",
+    "emb_triplet_mining",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1034,6 +1036,16 @@ register(
 register(
     "emb_pca_project",  # eigh on the bounded covariance → pure-map projection
     _q(lambda spark, sf: llm_sim.pca_project(_emb(spark, sf))),
+)
+register(
+    "multimodal_dup_groups",  # level-0 binary dedup: checksum groups + keeper
+    _q(lambda spark, sf: llm_mm.media_dup_groups(_docs(spark, sf))),
+    llm_mm.MEDIA_DUP_GROUPS_SQL,
+)
+register(
+    "emb_triplet_mining",  # nearest positive + hard negative per anchor
+    _q(lambda spark, sf: llm_sim.triplet_mining(_emb(spark, sf))),
+    llm_sim.TRIPLET_MINING_SQL,
 )
 
 def _apply_registration_order() -> None:

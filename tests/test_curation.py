@@ -465,3 +465,40 @@ class TestPcaProject:
         seen = {(r.dim_i, r.dim_j) for r in rows}
         d = max(r.dim_j for r in rows) + 1
         assert len(seen) == d * (d + 1) // 2
+
+
+class TestTripletMining:
+    def test_positive_same_label_negative_other_label(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rows = [
+            (0, [1.0, 0.0], 7),    # anchor, label 7
+            (10, [0.9, 0.1], 7),   # near positive
+            (11, [0.5, 0.5], 7),   # farther positive
+            (12, [1.0, 0.01], 3),  # VERY near but wrong label -> hard negative
+            (13, [-1.0, 0.0], 3),  # far negative
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = similarity.triplet_mining(emb, n_anchors=1).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.pos_id == 10 and r.neg_id == 12
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-9
+        # the mined negative is HARDER (more similar) than the far one
+        assert r.neg_cos > 0.9
+
+    def test_media_dup_groups_keeper_and_reclaim(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal
+
+        docs = spark.createDataFrame(
+            [(5, "same bytes", "web"), (2, "same bytes", "web"), (9, "unique", "web")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.checksum: r for r in multimodal.media_dup_groups(docs).collect()}
+        dup = [r for r in rows.values() if r.n_copies == 2][0]
+        assert dup.keeper_id == 2  # min media_id survives
+        assert dup.reclaimable_bytes == len("same bytes")
+        single = [r for r in rows.values() if r.n_copies == 1][0]
+        assert single.reclaimable_bytes == 0

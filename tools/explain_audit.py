@@ -39,6 +39,7 @@ ALLOWED = {
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
+    "emb_triplet_mining": {"nested-loop join"},
     # rank window over the TakeOrdered vocab head: input is capped at
     # ZIPF_FIT_RANKS (200) rows before the window, so one task is right
     "docs_zipf_fit": {"unpartitioned window"},
