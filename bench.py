@@ -95,6 +95,8 @@ HEADLINE = [
     "emb_pca_project",
     "multimodal_dup_groups",
     "emb_triplet_mining",
+    "docs_lang_source_chi2",
+    "orders_market_basket",
 ]
 
 

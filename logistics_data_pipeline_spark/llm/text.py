@@ -648,3 +648,97 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
                      LN(CAST(rank AS DOUBLE))), 6) AS r2
 FROM head
 """.strip()
+
+
+def lang_source_chi2(docs: DataFrame) -> DataFrame:
+    """Corpus-bias panel: Pearson chi-squared independence statistic of
+    the language × source contingency table, plus Cramér's V — the
+    one-number answer to "do my sources cover languages evenly or is
+    each language trapped in one source?", checked before fixing
+    mixture weights.
+
+    Scale: one hash aggregation to the contingency cells (|langs| ×
+    |sources| rows, corpus-size-independent), marginals by two window
+    sums over those cells (no re-scan), then a scalar fold. Everything
+    after the first aggregation is O(cells). Structural zeros matter:
+    the statistic must include every (lang, source) cell of the full
+    grid, not just observed ones — a perfectly-associated table gets
+    HALF its chi² from the empty cells (Cramér's V would top out at
+    1/√2 without them), so the observed counts left-join onto the
+    distinct-langs × distinct-sources cross (a tiny broadcast cross of
+    two config-sized distinct lists)."""
+    observed = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    grid = docs.select("lang").distinct().crossJoin(
+        F.broadcast(docs.select("source").distinct())
+    )
+    cells = grid.join(observed, ["lang", "source"], "left").select(
+        "lang", "source", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    with_exp = cells.select(
+        "lang",
+        "source",
+        "o",
+        (
+            F.sum("o").over(wl).cast("double")
+            * F.sum("o").over(ws).cast("double")
+            / F.sum("o").over(wall).cast("double")
+        ).alias("e"),
+        F.sum("o").over(wall).alias("n"),
+        F.count("*").over(wall).alias("n_cells"),
+        F.size(F.collect_set("lang").over(wall)).alias("n_langs"),
+        F.size(F.collect_set("source").over(wall)).alias("n_sources"),
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return with_exp.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("n_cells").cast("bigint").alias("n_cells"),
+        ((F.max("n_langs") - 1) * (F.max("n_sources") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / F.max("n").cast("double")
+                / F.least(F.max("n_langs") - 1, F.max("n_sources") - 1).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+LANG_SOURCE_CHI2_SQL = """
+WITH observed AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+cells AS (  -- full grid incl. structural zeros (see the Spark docstring)
+  SELECT g.lang, g.source, COALESCE(observed.o, 0) AS o
+  FROM (SELECT l.lang, s.source
+        FROM (SELECT DISTINCT lang FROM documents) l
+        CROSS JOIN (SELECT DISTINCT source FROM documents) s) g
+  LEFT JOIN observed ON observed.lang = g.lang AND observed.source = g.source
+),
+exp AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY lang) * CAST(SUM(o) OVER (PARTITION BY source) AS DOUBLE)
+           / SUM(o) OVER () AS e,
+         SUM(o) OVER () AS n,
+         COUNT(*) OVER () AS n_cells,
+         (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+         (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources
+  FROM cells
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(n_cells) AS BIGINT) AS n_cells,
+       CAST((MAX(n_langs) - 1) * (MAX(n_sources) - 1) AS BIGINT) AS dof,
+       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       ROUND(SQRT(SUM((o - e) * (o - e) / e) / CAST(MAX(n) AS DOUBLE)
+                  / LEAST(MAX(n_langs) - 1, MAX(n_sources) - 1)), 6) AS cramers_v
+FROM exp
+""".strip()

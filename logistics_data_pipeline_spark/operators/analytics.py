@@ -1223,3 +1223,95 @@ SELECT o_orderpriority, n_orders,
 FROM g, (SELECT unnest(range(0, {len(PCTL_QS)})) AS q_idx) i
 ORDER BY o_orderpriority, q_idx
 """.strip()
+
+
+BASKET_TOP = 50
+
+
+def market_basket_pairs(lineitem: DataFrame, top: int = BASKET_TOP) -> DataFrame:
+    """Co-purchase analysis: part pairs appearing in the same order,
+    with support (co-occurring orders) and lift (co-occurrence over the
+    independence expectation; > 1 means the parts travel together) —
+    the association-rule primitive over the order→parts basket.
+
+    Scale: pair generation is a self-join CO-PARTITIONED on l_orderkey,
+    so fan-out is bounded by (items-per-order)² within each key group —
+    the natural basket bound, not corpus-quadratic (same per-key-bound
+    argument as the dedup inverted index; a pathological mega-basket is
+    the skew to cap upstream). Marginals are one hash aggregation whose
+    output is |parts| rows, broadcast back onto the pair table. Lift is
+    exact rational arithmetic until one final double division. Top cut
+    deterministic by (support desc, part ids)."""
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .repartition("l_orderkey")
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_orders"))
+    )
+    marg = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("part_orders")
+    )
+    ma = marg.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("orders_a")
+    )
+    mb = marg.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("orders_b")
+    )
+    lift = F.round(
+        F.col("pair_orders").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("orders_a").cast("double") * F.col("orders_b").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .select(
+            "part_a", "part_b", "pair_orders", "orders_a", "orders_b",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS part_orders
+  FROM items GROUP BY l_partkey
+)
+SELECT part_a, part_b, pair_orders,
+       ma.part_orders AS orders_a, mb.part_orders AS orders_b,
+       ROUND(CAST(pair_orders AS DOUBLE) * n.n_orders
+             / (CAST(ma.part_orders AS DOUBLE) * mb.part_orders), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY pair_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+""".strip()

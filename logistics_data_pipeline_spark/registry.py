@@ -907,6 +907,8 @@ _ROUND4_WINDOW = [
     "emb_pca_project",
     "multimodal_dup_groups",
     "emb_triplet_mining",
+    "docs_lang_source_chi2",
+    "orders_market_basket",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1046,6 +1048,20 @@ register(
     "emb_triplet_mining",  # nearest positive + hard negative per anchor
     _q(lambda spark, sf: llm_sim.triplet_mining(_emb(spark, sf))),
     llm_sim.TRIPLET_MINING_SQL,
+)
+register(
+    "docs_lang_source_chi2",  # corpus-bias chi-squared + Cramér's V
+    _q(lambda spark, sf: llm_text.lang_source_chi2(_docs(spark, sf))),
+    llm_text.LANG_SOURCE_CHI2_SQL,
+)
+register(
+    "orders_market_basket",  # co-purchase pairs with support and lift
+    _q(
+        lambda spark, sf: analytics.market_basket_pairs(
+            load_table(spark, sf, "lineitem")
+        )
+    ),
+    analytics.MARKET_BASKET_SQL,
 )
 
 def _apply_registration_order() -> None:

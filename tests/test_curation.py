@@ -502,3 +502,63 @@ class TestTripletMining:
         assert dup.reclaimable_bytes == len("same bytes")
         single = [r for r in rows.values() if r.n_copies == 1][0]
         assert single.reclaimable_bytes == 0
+
+
+class TestChi2AndBasket:
+    def test_independent_table_chi2_zero(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        # perfectly independent 2x2: every (lang, source) cell equal
+        rows = [
+            (i, "t", lang, src, 1)
+            for i, (lang, src) in enumerate(
+                [(l, s) for l in ("en", "de") for s in ("a", "b")] * 10
+            )
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+        r = llm_text.lang_source_chi2(docs).collect()[0]
+        assert r.n_docs == 40 and r.n_cells == 4 and r.dof == 1
+        assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    def test_perfect_association_cramers_one(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        # each language locked to its own source -> V = 1
+        rows = [(i, "t", "en", "a", 1) for i in range(10)] + [
+            (i + 10, "t", "de", "b", 1) for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+        r = llm_text.lang_source_chi2(docs).collect()[0]
+        assert r.cramers_v == 1.0
+
+    def test_basket_lift_math(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # 4 orders; parts 1 and 2 always together, part 3 alone
+        rows = [
+            (1, 1), (1, 2),
+            (2, 1), (2, 2),
+            (3, 3),
+            (4, 3),
+        ]
+        lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        out = analytics.market_basket_pairs(lineitem).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.part_a, r.part_b) == (1, 2)
+        assert r.pair_orders == 2 and r.orders_a == 2 and r.orders_b == 2
+        # lift = P(ab)/(P(a)P(b)) = (2/4)/((2/4)(2/4)) = 2
+        assert r.lift == 2.0
+
+    def test_basket_dedups_within_order(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # the same part twice in one order must not double-count support
+        rows = [(1, 7), (1, 7), (1, 8)]
+        lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        r = analytics.market_basket_pairs(lineitem).collect()[0]
+        assert r.pair_orders == 1

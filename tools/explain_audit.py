@@ -40,6 +40,9 @@ ALLOWED = {
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
     "emb_triplet_mining": {"nested-loop join"},
+    # distinct-langs × distinct-sources grid cross (both sides are
+    # config-sized distinct lists; the zero-cell completion needs it)
+    "docs_lang_source_chi2": {"nested-loop join"},
     # rank window over the TakeOrdered vocab head: input is capped at
     # ZIPF_FIT_RANKS (200) rows before the window, so one task is right
     "docs_zipf_fit": {"unpartitioned window"},
