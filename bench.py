@@ -97,6 +97,7 @@ HEADLINE = [
     "emb_triplet_mining",
     "docs_lang_source_chi2",
     "orders_market_basket",
+    "events_hll_rollup",
 ]
 
 

@@ -1315,3 +1315,83 @@ CROSS JOIN n
 ORDER BY pair_orders DESC, part_a, part_b
 LIMIT {BASKET_TOP}
 """.strip()
+
+
+def hll_rollup(events: DataFrame) -> DataFrame:
+    """Re-aggregatable distinct counting: per-(type, day) HyperLogLog
+    sketches of the user set, MERGED upward to per-type and corpus
+    levels via ``hll_union_agg`` — the pre-aggregation pattern that
+    makes distinct-count rollups O(sketch) instead of O(users) at read
+    time (a hypertable continuous aggregate stores exactly these
+    sketches). Each level reports the sketch estimate next to the exact
+    distinct count so the error is visible in the result.
+
+    Rows-only by construction (sketch estimates are engine-specific);
+    pytest pins the load-bearing property instead: the union of the
+    daily sketches estimates EXACTLY what one direct sketch over the
+    same rows estimates (sketch-merge losslessness), and the relative
+    error stays inside HLL's nominal bound.
+
+    Scale: one hash aggregation to (type, day) sketches — map-side
+    partial sketch merges collapse each split — then the rollups touch
+    only sketch bytes (levels × types rows), never the raw users
+    again. The exact twins re-scan per level here for the honesty
+    column; a production rollup drops them."""
+    day = F.date_format("ts", "yyyy-MM-dd")
+    daily = events.groupBy(
+        F.col("event_type"), day.alias("event_date")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    daily_out = daily.select(
+        F.lit("type_day").alias("level"),
+        "event_type",
+        "event_date",
+        "n_exact",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_hll"),
+    )
+    by_type_sk = daily.groupBy("event_type").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    by_type_exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    type_out = by_type_sk.join(by_type_exact, "event_type").select(
+        F.lit("type").alias("level"),
+        "event_type",
+        F.lit(None).cast("string").alias("event_date"),
+        "n_exact",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_hll"),
+    )
+    global_out = (
+        daily.groupBy()
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(
+                events.agg(
+                    F.countDistinct("user_id").cast("bigint").alias("n_exact")
+                )
+            )
+        )
+        .select(
+            F.lit("all").alias("level"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("string").alias("event_date"),
+            "n_exact",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("n_hll"),
+        )
+    )
+    return (
+        daily_out.unionByName(type_out)
+        .unionByName(global_out)
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("n_hll") - F.col("n_exact")).cast("double")
+                / F.col("n_exact"),
+                6,
+            ),
+        )
+        .orderBy("level", "event_type", "event_date")
+    )

@@ -909,6 +909,7 @@ _ROUND4_WINDOW = [
     "emb_triplet_mining",
     "docs_lang_source_chi2",
     "orders_market_basket",
+    "events_hll_rollup",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1062,6 +1063,10 @@ register(
         )
     ),
     analytics.MARKET_BASKET_SQL,
+)
+register(
+    "events_hll_rollup",  # mergeable HLL distinct rollup (estimates engine-specific)
+    _q(lambda spark, sf: analytics.hll_rollup(load_table(spark, sf, "events"))),
 )
 
 def _apply_registration_order() -> None:

@@ -562,3 +562,39 @@ class TestChi2AndBasket:
         lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
         r = analytics.market_basket_pairs(lineitem).collect()[0]
         assert r.pair_orders == 1
+
+
+class TestHllRollup:
+    def test_sketch_merge_lossless_and_bounded_error(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        events = spark.range(20000).select(
+            F.col("id").alias("event_id"),
+            (F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.col("id") * 60).cast("timestamp").alias("ts"),
+            (F.col("id") % 1777).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, "click").otherwise("view").alias(
+                "event_type"
+            ),
+        )
+        out = analytics.hll_rollup(events).collect()
+        levels = {r.level for r in out}
+        assert levels == {"type_day", "type", "all"}
+        # merge losslessness: union of per-day sketches must equal a
+        # direct sketch over the same rows — compare at the type level
+        direct = {
+            r.event_type: r.est
+            for r in events.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id")
+                ).cast("bigint").alias("est")
+            )
+            .collect()
+        }
+        for r in out:
+            if r.level == "type":
+                assert r.n_hll == direct[r.event_type], r
+        # nominal HLL error bound (lgConfigK=12 -> ~1.6% sigma; allow 5%)
+        for r in out:
+            assert r.rel_error is not None and r.rel_error < 0.05, r

@@ -19,6 +19,7 @@ ROWS_ONLY_OK: set[str] = {
     "emb_knn_ivfpq",  # probe-subset + quantization, approximate by design
     "events_approx_distinct",  # HLL sketch estimates are engine-specific
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
+    "events_hll_rollup",  # HLL sketch estimates are engine-specific
 }
 
 

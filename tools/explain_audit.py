@@ -36,6 +36,7 @@ ALLOWED = {
     "docs_bigram_logprob": {"nested-loop join"},  # vocabulary size V
     "events_heavy_hitters": {"nested-loop join"},  # total event count
     "docs_dedup_cluster_stats": {"nested-loop join"},  # corpus doc count
+    "events_hll_rollup": {"nested-loop join"},  # 1-row global exact-distinct
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
