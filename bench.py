@@ -98,6 +98,8 @@ HEADLINE = [
     "docs_lang_source_chi2",
     "orders_market_basket",
     "events_hll_rollup",
+    "events_value_anomalies_mad",
+    "events_key_skew_stats",
 ]
 
 

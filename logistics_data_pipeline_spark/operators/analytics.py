@@ -1395,3 +1395,156 @@ def hll_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("level", "event_type", "event_date")
     )
+
+
+MAD_K = 3.5
+MAD_SCALE = 1.4826  # Φ⁻¹-consistent scale so MAD ≈ σ on normal data
+
+
+def value_anomalies_mad(events: DataFrame) -> DataFrame:
+    """Robust outliers per event type via the modified z-score
+    |x − median| / (1.4826·MAD) > 3.5 — the standard companion to the
+    3-sigma detector (``value_anomalies``): a burst of extreme values
+    drags mean/σ and hides itself, while median/MAD have a 50%
+    breakdown point and keep flagging.
+
+    Exactness: the per-type median and MAD are EXACT interpolated
+    percentiles (``percentile``/``quantile_cont``, same interpolation
+    both engines), so the rounded robust z-score hash-matches. Scale:
+    two grouped exact-percentile aggregations (the second over the
+    absolute deviations — needs the median joined back first) and one
+    broadcast join over the scan; exact medians are the honest cost
+    here, the mergeable approximation is ``approx_percentile`` (see
+    orders_price_percentiles' note)."""
+    med = events.groupBy("event_type").agg(
+        F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("med_v")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad_v")
+    )
+    rz = (F.col("value") - F.col("med_v")) / (F.lit(MAD_SCALE) * F.col("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("med_v"), 6).alias("median_v"),
+            F.round(F.col("mad_v"), 6).alias("mad_v"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+        .filter(F.abs(F.round(rz, 6)) > MAD_K)
+        .orderBy("event_id")
+    )
+
+
+VALUE_ANOMALIES_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med_v
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.med_v,
+         ABS(e.value - med.med_v) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_v
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       ROUND(d.med_v, 6) AS median_v,
+       ROUND(m.mad_v, 6) AS mad_v,
+       ROUND((d.value - d.med_v) / ({MAD_SCALE} * m.mad_v), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE ABS(ROUND((d.value - d.med_v) / ({MAD_SCALE} * m.mad_v), 6)) > {MAD_K}
+ORDER BY event_id
+""".strip()
+
+
+SKEW_TOP = 5
+
+
+def key_skew_stats(events: DataFrame) -> DataFrame:
+    """Join/aggregation-key skew diagnostic over user_id: per-key count
+    distribution summarized as top-1/top-k shares, the normalized
+    entropy of the key histogram, and the mean/max ratio — the numbers
+    that decide whether a shuffle on this key needs salting or AQE skew
+    handling at 100 TB (top-1 share ≈ straggler task share under hash
+    partitioning).
+
+    Scale: one hash aggregation to per-key counts, then one pass over
+    the (|keys|-row) histogram: max/sum/entropy as aggregates and the
+    top-k share from a bounded TakeOrdered join-back. Everything after
+    the first aggregation is O(distinct keys)."""
+    counts = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    topk = (
+        counts.orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(SKEW_TOP)
+        .agg(F.sum("c").alias("topk_c"))
+        .withColumn("_k", F.lit(1))
+    )
+    c = F.col("c").cast("double")
+    agg = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        # H = ln N − Σ c·ln c / N over the key histogram, normalized by
+        # ln(|keys|): 1.0 = perfectly even keys, → 0 = one hot key
+        F.round(
+            (F.log(F.sum("c").cast("double")) - F.sum(c * F.log(c)) / F.sum("c"))
+            / F.nullif(F.log(F.count("*").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("key_entropy_norm"),
+    ).withColumn("_k", F.lit(1))
+    return (
+        agg.join(F.broadcast(topk), "_k")
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("top1_share"),
+            F.round(F.col("topk_c").cast("double") / F.col("n_rows"), 6).alias(
+                f"top{SKEW_TOP}_share"
+            ),
+            F.round(
+                F.col("max_key_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows"),
+                6,
+            ).alias("max_over_mean"),
+            "key_entropy_norm",
+        )
+    )
+
+
+KEY_SKEW_STATS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT SUM(c) AS topk_c
+  FROM (SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT {SKEW_TOP})
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+       ROUND((SELECT topk_c FROM topk) / CAST(SUM(c) AS DOUBLE), 6)
+         AS top{SKEW_TOP}_share,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS max_over_mean,
+       ROUND((LN(CAST(SUM(c) AS DOUBLE))
+              - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / SUM(c))
+             / NULLIF(LN(CAST(COUNT(*) AS DOUBLE)), 0), 6) AS key_entropy_norm
+FROM counts
+""".strip()

@@ -910,6 +910,8 @@ _ROUND4_WINDOW = [
     "docs_lang_source_chi2",
     "orders_market_basket",
     "events_hll_rollup",
+    "events_value_anomalies_mad",
+    "events_key_skew_stats",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1067,6 +1069,16 @@ register(
 register(
     "events_hll_rollup",  # mergeable HLL distinct rollup (estimates engine-specific)
     _q(lambda spark, sf: analytics.hll_rollup(load_table(spark, sf, "events"))),
+)
+register(
+    "events_value_anomalies_mad",  # robust median/MAD outliers (exact percentiles)
+    _q(lambda spark, sf: analytics.value_anomalies_mad(load_table(spark, sf, "events"))),
+    analytics.VALUE_ANOMALIES_MAD_SQL,
+)
+register(
+    "events_key_skew_stats",  # shuffle-key skew diagnostic (salt-or-not panel)
+    _q(lambda spark, sf: analytics.key_skew_stats(load_table(spark, sf, "events"))),
+    analytics.KEY_SKEW_STATS_SQL,
 )
 
 def _apply_registration_order() -> None:

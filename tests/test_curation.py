@@ -598,3 +598,37 @@ class TestHllRollup:
         # nominal HLL error bound (lgConfigK=12 -> ~1.6% sigma; allow 5%)
         for r in out:
             assert r.rel_error is not None and r.rel_error < 0.05, r
+
+
+class TestMadAndSkew:
+    def test_mad_resists_burst_that_blinds_sigma(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # 100 normal values + a burst of 10 extremes: mean/sigma swallow
+        # the burst (sigma explodes), median/MAD keep flagging it
+        rows = [(i, "click", 10.0 + (i % 7) * 0.1) for i in range(100)]
+        rows += [(100 + i, "click", 5000.0) for i in range(10)]
+        events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        flagged = {r.event_id for r in analytics.value_anomalies_mad(events).collect()}
+        assert all(100 + i in flagged for i in range(10))
+        assert not any(i in flagged for i in range(100))
+
+    def test_skew_panel_extremes(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # perfectly even keys
+        even = spark.range(1000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 10).alias("user_id")
+        )
+        r = analytics.key_skew_stats(even).collect()[0]
+        assert r.n_keys == 10 and r.top1_share == 0.1
+        assert r.key_entropy_norm == 1.0 and r.max_over_mean == 1.0
+        # one pathological hot key
+        skewed = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") < 991, 0).otherwise(F.col("id")).alias("user_id"),
+        )
+        r = analytics.key_skew_stats(skewed).collect()[0]
+        assert r.top1_share == 0.991
+        assert r.key_entropy_norm < 0.05
+        assert r.max_over_mean > 9
