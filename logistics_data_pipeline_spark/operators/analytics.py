@@ -1247,7 +1247,11 @@ def market_basket_pairs(lineitem: DataFrame, top: int = BASKET_TOP) -> DataFrame
         .dropDuplicates(["l_orderkey", "l_partkey"])
         .repartition("l_orderkey")
     )
-    n_orders = items.select("l_orderkey").distinct().count()
+    # basket count as a 1-row broadcast scalar INSIDE the plan (the
+    # earlier eager .count() ran an extra full-scan job at build time)
+    n_orders_df = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    ).withColumn("_k", F.lit(1))
     a, b = items.alias("a"), items.alias("b")
     pairs = (
         a.join(
@@ -1272,13 +1276,15 @@ def market_basket_pairs(lineitem: DataFrame, top: int = BASKET_TOP) -> DataFrame
     )
     lift = F.round(
         F.col("pair_orders").cast("double")
-        * F.lit(float(n_orders))
+        * F.col("n_orders")
         / (F.col("orders_a").cast("double") * F.col("orders_b").cast("double")),
         6,
     )
     return (
         pairs.join(F.broadcast(ma), "part_a")
         .join(F.broadcast(mb), "part_b")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_orders_df), "_k")
         .select(
             "part_a", "part_b", "pair_orders", "orders_a", "orders_b",
             lift.alias("lift"),

@@ -38,6 +38,7 @@ ALLOWED = {
     "docs_dedup_cluster_stats": {"nested-loop join"},  # corpus doc count
     "events_hll_rollup": {"nested-loop join"},  # 1-row global exact-distinct
     "events_key_skew_stats": {"nested-loop join"},  # 1-row top-k share join
+    "orders_market_basket": {"nested-loop join"},  # 1-row basket count
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
