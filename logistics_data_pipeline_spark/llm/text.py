@@ -142,10 +142,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = docs.count()  # scalar: one lightweight job, broadcast as literal
+    # corpus size as a 1-row broadcast scalar INSIDE the plan — an eager
+    # .count() here ran a separate scan job every time the query built
+    n_docs_df = docs.agg(F.count("*").alias("n_docs")).withColumn("_k", F.lit(1))
     df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_), "term").select(
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "term").withColumn("_k", F.lit(1)).join(
+        F.broadcast(n_docs_df), "_k"
+    ).select(
         "doc_id",
         "term",
         "tf",
