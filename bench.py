@@ -100,6 +100,7 @@ HEADLINE = [
     "events_hll_rollup",
     "events_value_anomalies_mad",
     "events_key_skew_stats",
+    "events_dau_wau",
 ]
 
 

@@ -781,3 +781,79 @@ FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
 GROUP BY 1, 2, 3
 ORDER BY iv.w_start
 """.strip()
+
+
+WAU_DAYS = 7
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """Daily/weekly active users and stickiness (DAU/WAU) per day — the
+    engagement panel. Rolling DISTINCT counts don't decompose like sums
+    (a user active twice in the window must count once), so WAU is
+    computed by the supported-window explode: each distinct (day, user)
+    pair is emitted to every one of the ≤ WAU_DAYS trailing windows it
+    supports, then one countDistinct per window day. Map-side explode
+    factor is the window length — constant — and the aggregation keys
+    by day, so the shape is two hash aggregations regardless of scale
+    (the alternative, a per-day range self-join, re-scans the pair set
+    |days| times). Window days with no events simply don't appear
+    (consistent with the oracle's join over observed days).
+
+    The trailing window is CALENDAR-complete: a pair supports target
+    day d if d-6 ≤ pair_day ≤ d AND d is an observed day — windows are
+    anchored on observed days, so sparse calendars stay correct."""
+    pairs = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    # explode each pair to the trailing windows it supports
+    supported = pairs.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))
+        ).alias("off"),
+        F.date_format(
+            F.date_add(F.to_date("day"), F.col("off")), "yyyy-MM-dd"
+        ).alias("target_day"),
+        "user_id",
+    ).select("target_day", "user_id")
+    wau = supported.groupBy("target_day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.target_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM pairs GROUP BY day
+),
+wau AS (
+  SELECT d.day,
+         CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT day FROM pairs) d
+  JOIN pairs p
+    ON CAST(p.day AS DATE) BETWEEN CAST(d.day AS DATE) - {WAU_DAYS - 1}
+                               AND CAST(d.day AS DATE)
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+""".strip()

@@ -912,6 +912,7 @@ _ROUND4_WINDOW = [
     "events_hll_rollup",
     "events_value_anomalies_mad",
     "events_key_skew_stats",
+    "events_dau_wau",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1079,6 +1080,11 @@ register(
     "events_key_skew_stats",  # shuffle-key skew diagnostic (salt-or-not panel)
     _q(lambda spark, sf: analytics.key_skew_stats(load_table(spark, sf, "events"))),
     analytics.KEY_SKEW_STATS_SQL,
+)
+register(
+    "events_dau_wau",  # rolling-distinct engagement via supported-window explode
+    _q(lambda spark, sf: temporal.dau_wau_stickiness(load_table(spark, sf, "events"))),
+    temporal.DAU_WAU_SQL,
 )
 
 def _apply_registration_order() -> None:

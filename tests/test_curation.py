@@ -632,3 +632,27 @@ class TestMadAndSkew:
         assert r.top1_share == 0.991
         assert r.key_entropy_norm < 0.05
         assert r.max_over_mean > 9
+
+
+class TestDauWau:
+    def test_rolling_distinct_semantics(self, spark):
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+        rows = []
+        # day 0: users 1,2 ; day 3: user 2 (again) ; day 8: user 3
+        for eid, (d, u) in enumerate([(0, 1), (0, 2), (3, 2), (8, 3)]):
+            rows.append((eid, t0 + dt.timedelta(days=d), u))
+        events = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        out = {r.day: r for r in temporal.dau_wau_stickiness(events).collect()}
+        assert set(out) == {"2026-03-01", "2026-03-04", "2026-03-09"}
+        # day 3's trailing week covers day 0: users {1,2} -> wau 2, dau 1
+        r = out["2026-03-04"]
+        assert r.dau == 1 and r.wau == 2 and r.stickiness == 0.5
+        # day 8's trailing week is days 2..8: day-3 activity (user 2) is
+        # in, day-0 activity is out -> {2, 3}
+        r = out["2026-03-09"]
+        assert r.dau == 1 and r.wau == 2 and r.stickiness == 0.5
+        # same user active twice in one window counts once
+        r = out["2026-03-01"]
+        assert r.wau == 2
