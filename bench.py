@@ -101,6 +101,7 @@ HEADLINE = [
     "events_value_anomalies_mad",
     "events_key_skew_stats",
     "events_dau_wau",
+    "docs_length_histogram",
 ]
 
 

@@ -746,3 +746,71 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
                   / LEAST(MAX(n_langs) - 1, MAX(n_sources) - 1)), 6) AS cramers_v
 FROM exp
 """.strip()
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Corpus length distribution: documents bucketed by power-of-two
+    token count (bucket k = lengths in [2^k, 2^(k+1))), with counts,
+    token mass, and cumulative shares — the panel consulted when
+    choosing chunk sizes and packing targets (what fraction of tokens
+    live in docs shorter than the context window?).
+
+    Scale: a map-only token count per doc (``size(split(...))``, no
+    explode), one hash aggregation onto ~30 integer buckets, and a
+    running-total window over those buckets — every post-scan stage is
+    O(buckets)."""
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), _WS))
+    bucket = F.floor(F.log2(n_tokens.cast("double"))).cast("bigint")
+    per_bucket = (
+        docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .filter(F.col("n_tokens") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return per_bucket.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)").alias(
+            "min_tokens"
+        ),
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.sum("n_docs").over(w) / F.sum("n_docs").over(wall).cast("double"),
+            6,
+        ).alias("cum_doc_share"),
+        F.round(
+            F.sum("total_tokens").over(w)
+            / F.sum("total_tokens").over(wall).cast("double"),
+            6,
+        ).alias("cum_token_share"),
+    ).orderBy("bucket")
+
+
+LENGTH_HISTOGRAM_SQL = r"""
+WITH per_doc AS (
+  SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+per_bucket AS (
+  SELECT CAST(FLOOR(LOG2(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM per_doc WHERE n_tokens > 0
+  GROUP BY 1
+)
+SELECT bucket,
+       CAST(POWER(2, bucket) AS BIGINT) AS min_tokens,
+       n_docs,
+       total_tokens,
+       ROUND(SUM(n_docs) OVER (ORDER BY bucket)
+             / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_share,
+       ROUND(SUM(total_tokens) OVER (ORDER BY bucket)
+             / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6) AS cum_token_share
+FROM per_bucket
+ORDER BY bucket
+""".strip()

@@ -913,6 +913,7 @@ _ROUND4_WINDOW = [
     "events_value_anomalies_mad",
     "events_key_skew_stats",
     "events_dau_wau",
+    "docs_length_histogram",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1085,6 +1086,11 @@ register(
     "events_dau_wau",  # rolling-distinct engagement via supported-window explode
     _q(lambda spark, sf: temporal.dau_wau_stickiness(load_table(spark, sf, "events"))),
     temporal.DAU_WAU_SQL,
+)
+register(
+    "docs_length_histogram",  # pow-2 token-length buckets + cumulative shares
+    _q(lambda spark, sf: llm_text.length_histogram(_docs(spark, sf))),
+    llm_text.LENGTH_HISTOGRAM_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -50,6 +50,8 @@ ALLOWED = {
     # rank window over the TakeOrdered vocab head: input is capped at
     # ZIPF_FIT_RANKS (200) rows before the window, so one task is right
     "docs_zipf_fit": {"unpartitioned window"},
+    # running-total window over the ~30-row power-of-two bucket table
+    "docs_length_histogram": {"unpartitioned window"},
     # full-width re-insert: the anti-join output IS every column
     "ingest_dedup_antijoin": {"wide scan"},
     "monitor_recent_events": {"wide scan"},
