@@ -102,6 +102,7 @@ HEADLINE = [
     "events_key_skew_stats",
     "events_dau_wau",
     "docs_length_histogram",
+    "emb_cell_purity",
 ]
 
 

@@ -2120,3 +2120,71 @@ FROM best p JOIN best n ON p.anchor_id = n.anchor_id
 WHERE p.same AND p.rnk = 1 AND (NOT n.same) AND n.rnk = 1
 ORDER BY p.anchor_id
 """.strip()
+
+
+def cell_purity(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer quality panel: per-cell size, majority true
+    label, and purity (majority share) over the pinned label-centroid
+    assignment — the number that says whether the IVF partition is
+    recall-friendly (pure cells ⇒ probing few cells finds the true
+    neighbors). Composes the oracle-checked ``ivf_cell_assign`` with
+    the stored labels, so the whole panel stays hash-exact.
+
+    Scale: the assignment is the production Arrow kernel (bounded
+    centroid collect); purity is two hash aggregations on (cell, label)
+    / (cell) plus a per-cell top-1 window over |cells|·|labels| rows —
+    O(config) after the assignment scan. Majority ties break to the
+    smaller label on both engines."""
+    assign = ivf_cell_assign(emb)
+    joined = assign.join(emb.select("vec_id", "label"), "vec_id")
+    per = joined.groupBy("cell_label", "label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("cell_label").orderBy(F.desc("n"), F.asc("label"))
+    top = per.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sizes = joined.groupBy("cell_label").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    return (
+        top.join(sizes, "cell_label")
+        .select(
+            "cell_label",
+            "n_vecs",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.round(F.col("n").cast("double") / F.col("n_vecs"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cell_label")
+    )
+
+
+CELL_PURITY_SQL = f"""
+WITH assign AS (
+  {IVF_CELL_ASSIGN_SQL.replace("ORDER BY vec_id", "").rstrip()}
+),
+truth AS (
+  SELECT a.vec_id, a.cell_label, e.label
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+per AS (
+  SELECT cell_label, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM truth GROUP BY cell_label, label
+),
+top AS (
+  SELECT cell_label, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cell_label
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM per
+),
+sizes AS (
+  SELECT cell_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM truth GROUP BY cell_label
+)
+SELECT t.cell_label, s.n_vecs,
+       CAST(t.label AS BIGINT) AS majority_label,
+       ROUND(CAST(t.n AS DOUBLE) / s.n_vecs, 6) AS purity
+FROM top t JOIN sizes s USING (cell_label)
+WHERE t.rn = 1
+ORDER BY cell_label
+""".strip()

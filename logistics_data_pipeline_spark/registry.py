@@ -914,6 +914,7 @@ _ROUND4_WINDOW = [
     "events_key_skew_stats",
     "events_dau_wau",
     "docs_length_histogram",
+    "emb_cell_purity",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1091,6 +1092,11 @@ register(
     "docs_length_histogram",  # pow-2 token-length buckets + cumulative shares
     _q(lambda spark, sf: llm_text.length_histogram(_docs(spark, sf))),
     llm_text.LENGTH_HISTOGRAM_SQL,
+)
+register(
+    "emb_cell_purity",  # IVF partition quality: per-cell majority-label share
+    _q(lambda spark, sf: llm_sim.cell_purity(_emb(spark, sf))),
+    llm_sim.CELL_PURITY_SQL,
 )
 
 def _apply_registration_order() -> None:
