@@ -739,8 +739,14 @@ def embedding_neardup_lsh(
             sims = np.einsum("ij,ij->i", m1, m2) / (
                 np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
             )
-            sims = np.round(sims, 6)
-            keep = sims >= threshold
+            # Conservative UNROUNDED pre-filter only; the authoritative
+            # round-then-threshold happens in Spark below with F.round
+            # (HALF_UP), matching the exact embedding_neardup twin.
+            # np.round is banker's rounding — applying it here could
+            # flip a cosine sitting on a 0.5e-6 boundary the other way
+            # from the twin (ADVICE r4). The 1e-6 slack admits every
+            # value HALF_UP could round up to the threshold.
+            keep = sims >= threshold - 1e-6
             yield pd.DataFrame(
                 {
                     "a_id": pdf["a_id"].to_numpy(dtype=np.int64)[keep],
@@ -749,7 +755,12 @@ def embedding_neardup_lsh(
                 }
             )
 
-    return joined.mapInPandas(_verify, schema=pair_schema).orderBy("a_id", "b_id")
+    return (
+        joined.mapInPandas(_verify, schema=pair_schema)
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
 
 
 EMBEDDING_NEARDUP_SQL = f"""
@@ -1764,7 +1775,13 @@ ORDER BY vec_id, pos
 """.strip()
 
 
-def mips_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+MIPS_N_QUERIES = 10
+MIPS_K = 5
+
+
+def mips_topk(
+    emb: DataFrame, n_queries: int = MIPS_N_QUERIES, k: int = MIPS_K
+) -> DataFrame:
     """Exact top-k by maximum inner product (MIPS) — the retrieval
     scoring used when vector magnitude carries signal (recommendation
     two-tower scores, unnormalized text encoders), where cosine top-k
@@ -1802,7 +1819,11 @@ def mips_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-MIPS_TOPK_SQL = """
+# The oracle interpolates the SAME module constants the Python defaults
+# use (ADVICE r4: hardcoded 10/5 literals silently desynchronized the
+# twin whenever the defaults changed) — same pattern as TRIPLET_ANCHORS
+# and PASSAGE_N.
+MIPS_TOPK_SQL = f"""
 SELECT query_id, neighbor_id, inner_product, CAST(rank AS INT) AS rank
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1813,9 +1834,10 @@ FROM (
            ORDER BY ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
                                              CAST(c.embedding AS DOUBLE[])), 6) DESC,
                     c.vec_id ASC) AS rank
-  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10 AND q.vec_id < 10
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id >= {MIPS_N_QUERIES} AND q.vec_id < {MIPS_N_QUERIES}
 )
-WHERE rank <= 5
+WHERE rank <= {MIPS_K}
 """.strip()
 
 
@@ -1975,6 +1997,16 @@ def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame
             lin[r.i] = int(r.s)
         else:
             sij[(r.i, r.j)] = int(r.s)
+    if not lin or n < 2:
+        # Empty input (or a single row, where the n-1 covariance
+        # denominator is undefined): return an empty frame of the
+        # declared schema instead of letting max() over an empty
+        # sequence throw an unrelated ValueError (ADVICE r4) —
+        # degrade the way dim_covariance does.
+        return emb.sparkSession.createDataFrame(
+            [],
+            schema="vec_id bigint, pc bigint, score double",
+        )
     d = max(lin) + 1
     cmat = np.zeros((d, d))
     for (i, j), s in sij.items():

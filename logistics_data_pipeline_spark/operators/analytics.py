@@ -1435,7 +1435,15 @@ def value_anomalies_mad(events: DataFrame) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.percentile(F.col("adev"), F.lit(0.5)).alias("mad_v")
     )
-    rz = (F.col("value") - F.col("med_v")) / (F.lit(MAD_SCALE) * F.col("mad_v"))
+    # NULLIF guard (ADVICE r4): a group where >=50% of values are equal
+    # has MAD=0; bare division would give ±Infinity in Spark but
+    # engine-/flag-dependent NULL-or-inf in DuckDB. Dividing by
+    # NULLIF(mad_v, 0) makes robust_z NULL in BOTH engines and the
+    # `> MAD_K` filter then drops those rows consistently (a degenerate
+    # constant-valued group has no meaningful robust scale to flag on).
+    rz = (F.col("value") - F.col("med_v")) / (
+        F.lit(MAD_SCALE) * F.nullif(F.col("mad_v"), F.lit(0.0))
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select(
@@ -1469,9 +1477,9 @@ mad AS (
 SELECT d.event_id, d.event_type, d.value,
        ROUND(d.med_v, 6) AS median_v,
        ROUND(m.mad_v, 6) AS mad_v,
-       ROUND((d.value - d.med_v) / ({MAD_SCALE} * m.mad_v), 6) AS robust_z
+       ROUND((d.value - d.med_v) / ({MAD_SCALE} * NULLIF(m.mad_v, 0)), 6) AS robust_z
 FROM dev d JOIN mad m USING (event_type)
-WHERE ABS(ROUND((d.value - d.med_v) / ({MAD_SCALE} * m.mad_v), 6)) > {MAD_K}
+WHERE ABS(ROUND((d.value - d.med_v) / ({MAD_SCALE} * NULLIF(m.mad_v, 0)), 6)) > {MAD_K}
 ORDER BY event_id
 """.strip()
 

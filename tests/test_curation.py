@@ -454,6 +454,18 @@ class TestPcaProject:
         b = similarity.pca_project(emb, n_components=2).collect()
         assert a == b
 
+    def test_empty_input_yields_empty_frame(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        # no rows -> empty output of the declared schema, not a
+        # ValueError from max() over empty moments (ADVICE r4)
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        out = similarity.pca_project(empty, n_components=2)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["vec_id", "pc", "score"]
+
     def test_covariance_symmetric_diag_positive(self, spark):
         from logistics_data_pipeline_spark.llm import similarity
 
@@ -612,6 +624,24 @@ class TestMadAndSkew:
         flagged = {r.event_id for r in analytics.value_anomalies_mad(events).collect()}
         assert all(100 + i in flagged for i in range(10))
         assert not any(i in flagged for i in range(100))
+
+    def test_mad_zero_group_is_dropped_not_inf(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # >=50% identical values -> MAD=0; the NULLIF guard must drop
+        # the whole group (no inf/NULL robust_z rows) instead of
+        # emitting engine-dependent infinities (ADVICE r4)
+        rows = [(i, "const", 7.0) for i in range(20)]
+        rows += [(100, "const", 9999.0)]  # extreme but MAD is still 0
+        rows += [(200 + i, "vary", float(i)) for i in range(20)]
+        rows += [(300, "vary", 1e6)]
+        events = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        out = analytics.value_anomalies_mad(events).collect()
+        assert all(r.event_type != "const" for r in out)
+        assert any(r.event_id == 300 for r in out)
+        assert all(r.robust_z is not None for r in out)
 
     def test_skew_panel_extremes(self, spark):
         from logistics_data_pipeline_spark.operators import analytics

@@ -227,8 +227,12 @@ def test_embedding_neardup_lsh_is_verified_subset_with_recall(spark, sf_dir):
     exact = {(r.a_id, r.b_id): r.cosine for r in embedding_neardup(emb, 0.35).collect()}
     lsh = {(r.a_id, r.b_id): r.cosine for r in embedding_neardup_lsh(emb, 0.35).collect()}
     assert set(lsh) <= set(exact)
+    # Both paths round HALF_UP via F.round, but the pre-round sums come
+    # from different summation orders (JVM sequential fold vs BLAS
+    # einsum) — a cosine within ~1ulp of a 0.5e-6 boundary can land on
+    # either side after data regeneration, so pin to 1e-6, not equality.
     for pair, cos in lsh.items():
-        assert cos == exact[pair]
+        assert abs(cos - exact[pair]) <= 1e-6
     assert len(lsh) / len(exact) >= 0.8  # r=4,b=16 at θ≈66°: ~0.94 expected
 
 
