@@ -103,6 +103,15 @@ HEADLINE = [
     "events_dau_wau",
     "docs_length_histogram",
     "emb_cell_purity",
+    # round-5 additions
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "docs_quality_classifier",
+    "docs_bpe_pair_counts",
+    "docs_containment",
+    "docs_snapshot_diff",
 ]
 
 

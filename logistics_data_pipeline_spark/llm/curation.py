@@ -679,3 +679,85 @@ SELECT k.doc_id, k.lang, k.source, k.n_chars, g.n_copies,
 FROM kept k JOIN groups g ON g.keeper_doc_id = k.doc_id
 ORDER BY k.doc_id
 """.strip().replace("{QUALITY}", QUALITY_FILTER_SQL)
+
+
+# --- corpus snapshot diff (incremental-pipeline delta report) ---------------
+#
+# Two snapshots of the corpus are derived deterministically from the
+# documents table so the diff itself is oracle-checkable: the OLD
+# snapshot is missing every doc_id ≡ 9 (mod 10) (those arrive later),
+# the NEW snapshot is missing every doc_id ≡ 0 (mod 10) (those were
+# deleted), and every doc_id ≡ 0 (mod 7) was re-crawled with new text
+# in between. A real deployment would read two dated corpus versions
+# instead — the diff plan is identical.
+
+SNAPSHOT_ADD_MOD = 10  # % 10 == 9 -> only in new; % 10 == 0 -> only in old
+SNAPSHOT_EDIT_MOD = 7  # % 7 == 0 -> text changed between snapshots
+
+
+def snapshot_diff(docs: DataFrame) -> DataFrame:
+    """Content-hash delta between two corpus snapshots: every doc
+    classified added / removed / changed by doc_id + md5 fingerprint,
+    unchanged docs dropped. This is the audit step before an
+    incremental re-train: what must be re-embedded / re-deduped, what
+    fell out of the corpus, what is net-new.
+
+    Scale: fingerprints are map-side md5; one full-outer shuffle join
+    on doc_id compares the snapshots (with both snapshots bucketed by
+    doc_id at rest this becomes a shuffle-free sort-merge); the
+    unchanged mass — overwhelmingly most of the corpus — is filtered
+    immediately after the join, so only the delta flows downstream."""
+    fp = F.md5(F.col("text"))
+    old = docs.filter(F.col("doc_id") % SNAPSHOT_ADD_MOD != 9).select(
+        F.col("doc_id").alias("old_id"), fp.alias("old_fp")
+    )
+    new_fp = F.when(
+        F.col("doc_id") % SNAPSHOT_EDIT_MOD == 0,
+        F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+    ).otherwise(fp)
+    new = docs.filter(F.col("doc_id") % SNAPSHOT_ADD_MOD != 0).select(
+        F.col("doc_id").alias("new_id"), new_fp.alias("new_fp")
+    )
+    joined = old.join(new, old.old_id == new.new_id, "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("old_id"), F.col("new_id")).alias("doc_id"),
+            change.alias("change"),
+            "old_fp",
+            "new_fp",
+        )
+        .filter(F.col("change") != "unchanged")
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id AS old_id, md5(text) AS old_fp
+  FROM documents WHERE doc_id % {SNAPSHOT_ADD_MOD} != 9
+),
+new AS (
+  SELECT doc_id AS new_id,
+         CASE WHEN doc_id % {SNAPSHOT_EDIT_MOD} = 0
+              THEN md5(text || ' [rev2]') ELSE md5(text) END AS new_fp
+  FROM documents WHERE doc_id % {SNAPSHOT_ADD_MOD} != 0
+),
+diff AS (
+  SELECT COALESCE(old_id, new_id) AS doc_id,
+         CASE WHEN old_fp IS NULL THEN 'added'
+              WHEN new_fp IS NULL THEN 'removed'
+              WHEN old_fp != new_fp THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         old_fp, new_fp
+  FROM old FULL OUTER JOIN new ON old_id = new_id
+)
+SELECT doc_id, change, old_fp, new_fp
+FROM diff WHERE change != 'unchanged'
+ORDER BY doc_id
+""".strip()

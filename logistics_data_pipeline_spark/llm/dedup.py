@@ -742,3 +742,97 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
 LIMIT {PASSAGE_TOP}
 """.strip()
+
+
+# --- asymmetric containment (sub-document dedup) ----------------------------
+
+CONTAIN_N = 8
+CONTAIN_THRESHOLD = 0.6
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+    n: int = CONTAIN_N,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Document-containment pairs: |A∩B| / min(|A|,|B|) over word
+    8-gram sets — the ASYMMETRIC companion to ``neardup_ngram``'s
+    Jaccard. A short document quoted wholesale inside a long one has
+    near-1 containment but low Jaccard (the union is dominated by the
+    long doc), so Jaccard dedup misses exactly the quote/extraction/
+    concatenation cases containment catches; this is the overlap
+    measure suffix-array pipelines report for sub-document dedup.
+
+    Scale: same bounded inverted-index shape as ``neardup_ngram`` —
+    hot shingles (DF > max_df) are dropped before pairing so the
+    equi-join fan-out stays ≤ max_df² per shingle, per-doc set sizes
+    ride along via a window count, and one hash aggregation scores each
+    candidate pair. The oracle applies the identical cap, keeping the
+    check hash-exact."""
+    ex0 = shingle_rows(docs, n)
+    hot = (
+        ex0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    w = Window.partitionBy("doc_id")
+    ex = ex0.join(F.broadcast(hot), "s", "left_anti").withColumn(
+        "sz", F.count("*").over(w)
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.min("a.sz").cast("bigint").alias("n_a"),
+            F.min("b.sz").cast("bigint").alias("n_b"),
+        )
+    )
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("containment"),
+    )
+    return scored.filter(F.col("containment") >= threshold).orderBy("a_id", "b_id")
+
+
+CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {CONTAIN_N}
+              THEN list_distinct(list_transform(generate_series(1, len(t)-{CONTAIN_N - 1}),
+                     i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(CONTAIN_N)).replace("t[i+0]", "t[i]")})))
+              ELSE [] END AS shingles
+  FROM toks
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_shared, sa.sz AS n_a, sb.sz AS n_b,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+WHERE ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) >= {CONTAIN_THRESHOLD}
+ORDER BY a_id, b_id
+""".strip()

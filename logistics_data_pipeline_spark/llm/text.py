@@ -814,3 +814,154 @@ SELECT bucket,
 FROM per_bucket
 ORDER BY bucket
 """.strip()
+
+
+# --- hashed-feature linear quality classifier -------------------------------
+
+CLS_BUCKETS = 64
+CLS_WEIGHT_MOD = 97  # pinned pseudo-weights: (bucket*37 + 11) % 97
+CLS_THRESHOLD = 0.0
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """FastText-style linear quality classifier scoring, entirely
+    JVM-side: each lowercase alnum token hashes (md5 prefix) into one
+    of CLS_BUCKETS feature buckets, each bucket carries a pinned
+    pseudo-random weight in [-0.5, 0.5), and the document score is the
+    mean feature weight. This is the scoring half of the standard
+    quality-classifier pass (CCNet/fastText style) with the trained
+    weight table replaced by a deterministic one — the plumbing
+    (feature hashing, per-doc mean, keep threshold) is exactly what a
+    real exported linear model needs, as a broadcast bucket→weight map.
+
+    Exactness: weights live in integer space ((b*37+11) % 97) and only
+    the final mean divides — SUM(bigint)/(97·n) in double, rounded to
+    6dp identically in both engines; no float accumulation order leaks.
+
+    Scale: one map-side explode + a single hash aggregation on doc_id
+    (partial aggs collapse the token fan-out), no shuffle beyond it and
+    no Python; a real-weights variant would broadcast-join the bucket
+    table instead of computing the expression inline."""
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 12), 16, 10).cast("bigint"),
+        F.lit(CLS_BUCKETS),
+    )
+    w_int = (bucket * F.lit(37) + F.lit(11)) % F.lit(CLS_WEIGHT_MOD)
+    scored = (
+        toks.select("doc_id", w_int.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").alias("n_feat_tokens"),
+            F.sum("w").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feat_tokens",
+            F.round(
+                F.col("w_sum").cast("double")
+                / (F.lit(float(CLS_WEIGHT_MOD)) * F.col("n_feat_tokens"))
+                - F.lit(0.5),
+                6,
+            ).alias("cls_score"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feat_tokens",
+        "cls_score",
+        F.coalesce(F.col("cls_score") >= CLS_THRESHOLD, F.lit(False)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         (CAST('0x' || substring(md5(token), 1, 12) AS BIGINT) % {CLS_BUCKETS}) * 37 + 11 AS wq
+  FROM toks
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(COUNT(w.wq) AS BIGINT) AS n_feat_tokens,
+         ROUND(CAST(SUM(w.wq % {CLS_WEIGHT_MOD}) AS DOUBLE)
+               / ({CLS_WEIGHT_MOD}.0 * COUNT(w.wq)) - 0.5, 6) AS cls_score
+  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_feat_tokens, cls_score,
+       COALESCE(cls_score >= {CLS_THRESHOLD}, FALSE) AS keep
+FROM scored
+ORDER BY doc_id
+""".strip()
+
+
+# --- BPE merge-candidate pair counts (tokenizer training step) --------------
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """The inner loop of BPE tokenizer training, iteration zero:
+    corpus-weighted frequencies of adjacent symbol pairs inside words —
+    the pair ranked first is the first merge a BPE trainer would learn.
+
+    Scale: the expensive fan-out (every character position of every
+    word occurrence) is collapsed up front by aggregating words to
+    (word, frequency) FIRST — the pair explosion then runs over the
+    distinct vocabulary (bounded) instead of the corpus, weighted by
+    the word count. Vocabulary aggregation is one shuffle on word; the
+    pair aggregation shuffles |vocab|·avg_len rows; TakeOrdered caps
+    the result at k. A full BPE trainer is this same plan iterated with
+    the learned merge applied — each round stays a vocab-sized job."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("wf"))
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.lit(1))
+            ).alias("i"),
+            "word",
+        )
+        .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "wf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wf FROM words GROUP BY word),
+pairs AS (
+  SELECT substring(word, i, 2) AS pair, wf
+  FROM vocab, LATERAL (SELECT unnest(range(1, length(word))) AS i) t
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+""".strip()

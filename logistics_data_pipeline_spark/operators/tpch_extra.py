@@ -721,3 +721,281 @@ WHERE n_suppliers > 1 AND n_late_suppliers = 1
 GROUP BY s_name, n_name
 ORDER BY numwait DESC, s_name ASC
 """.strip()
+
+
+# --- q2: minimum-cost supplier per part (correlated MIN subquery) -----------
+#
+# The reference schema has no partsupp, so the part-supplier relation is
+# derived from shipment history: supplier s "supplies" part p if any
+# lineitem pairs them, and the supply cost is the realized unit price
+# SUM(extendedprice)/SUM(quantity) over those lines (exact decimal sums,
+# divided in double and rounded to 6dp identically in both engines).
+# The classic correlated `cost = (SELECT MIN ...)` becomes a per-part
+# MIN aggregate joined back on equality — ties all surface, like Q2.
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q2_SIZE_MIN = 20
+
+
+def q2_min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Cheapest realized supplier for each qualifying part within one
+    region. Scale: the (part, supplier) cost table is one hash
+    aggregation over the pruned lineitem scan; region/nation/part sides
+    are broadcast; the correlated MIN is a per-part re-aggregation of
+    that same (bounded: |parts|x|suppliers|) cost table, so nothing
+    quadratic or driver-side appears at any corpus size."""
+    p = F.broadcast(
+        part.filter(
+            (F.col("p_type") == Q2_TYPE) & (F.col("p_size") >= Q2_SIZE_MIN)
+        ).select("p_partkey", "p_name")
+    )
+    s_region = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == Q2_REGION)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s_region, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+                6,
+            ).alias("supply_cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("supply_cost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS supply_cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = '{Q2_TYPE}' AND p_size >= {Q2_SIZE_MIN} AND r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM cost c
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""".strip()
+
+
+# --- q11: important parts by shipped value (scalar-subquery HAVING) ---------
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.002
+
+
+def q11_important_parts(
+    nation: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Parts whose shipped value from one nation's suppliers exceeds a
+    fraction of that nation's total shipped value (classic Q11 with
+    lineitem revenue standing in for partsupp stock value). The scalar
+    total is a 1-row aggregate broadcast into the HAVING filter — the
+    same two-level aggregation, no second scan of the fact. Decimal
+    sums keep both levels order-independent; the threshold compare
+    stays in decimal so no double rounding can flip a boundary part."""
+    li = lineitem.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+            )
+            .filter(F.col("n_name") == Q11_NATION)
+            .select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("_total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec")
+            > F.lit(Q11_FRACTION).cast("decimal(8,6)") * F.col("_total_dec")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part
+WHERE value_dec > CAST({Q11_FRACTION} AS DECIMAL(8,6)) * (SELECT SUM(value_dec) FROM per_part)
+ORDER BY value DESC, p_partkey
+""".strip()
+
+
+# --- q12: late shipments by return flag × order priority --------------------
+#
+# No l_shipmode / commit / receipt dates in the reduced schema: the
+# grouping dimension becomes l_returnflag and "late" means shipped
+# after the order date — preserving Q12's shape (fact-fact join, window
+# filter, CASE-bucketed counts by priority class).
+
+Q12_START, Q12_END = "1997-01-01", "1998-01-01"
+
+
+def q12_priority_shipping(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """High- vs low-priority order counts among late-shipped lines, per
+    return flag. Scale: one shuffle on the order key joins the two
+    facts (AQE handles skew); the CASE buckets aggregate map-side into
+    3 groups."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(Q12_START)) & (F.col("l_shipdate") < _ts(Q12_END))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q12_END} 00:00:00'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""".strip()
+
+
+# --- q20: dominant suppliers of a part family (nested-aggregate semi-join) --
+
+Q20_PREFIX = "small"
+Q20_REGION = "ASIA"
+Q20_START, Q20_END = "1997-01-01", "1998-01-01"
+Q20_SHARE = 0.2
+
+
+def q20_part_promotion(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Suppliers in one region who shipped more than 20% of some
+    '{prefix}%' part's yearly volume (classic Q20's availqty > half of
+    shipped quantity, inverted onto shipment shares since there is no
+    partsupp). The nested aggregate — per-(part,supplier) quantity vs
+    per-part total — reuses ONE aggregation's output for both sides,
+    and the qualifying supplier set semi-joins back to the supplier
+    dim. Decimal quantity sums; the share compare stays in decimal."""
+    p = F.broadcast(
+        part.filter(F.col("p_name").startswith(Q20_PREFIX)).select("p_partkey")
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(Q20_START)) & (F.col("l_shipdate") < _ts(Q20_END))
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
+    pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty_dec")
+    )
+    part_qty = pair_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("supp_qty_dec").alias("part_qty_dec")
+    )
+    dominant = (
+        pair_qty.join(F.broadcast(part_qty), F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.col("supp_qty_dec")
+            > F.lit(Q20_SHARE).cast("decimal(3,2)") * F.col("part_qty_dec")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s_region = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == Q20_REGION)
+    )
+    return (
+        s_region.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q20_END} 00:00:00'
+  GROUP BY 1, 2
+),
+part_qty AS (
+  SELECT l_partkey, SUM(supp_qty_dec) AS part_qty_dec FROM pair_qty GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM pair_qty JOIN part_qty USING (l_partkey)
+  WHERE supp_qty_dec > CAST({Q20_SHARE} AS DECIMAL(3,2)) * part_qty_dec
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+""".strip()

@@ -498,6 +498,41 @@ register(
     ),
     tx.Q21_SQL,
 )
+# Round-5: the four remaining classic queries, completing the 22-query
+# sweep on the reduced schemas (q2/q11/q20 re-derive the partsupp
+# relation from shipment history; q12 buckets by return flag).
+register(
+    "tpch_q2_min_cost_supplier",
+    _q(
+        lambda spark, sf: tx.q2_min_cost_supplier(
+            *_t(spark, sf, "region", "nation", "supplier", "part", "lineitem")
+        )
+    ),
+    tx.Q2_SQL,
+)
+register(
+    "tpch_q11_important_parts",
+    _q(
+        lambda spark, sf: tx.q11_important_parts(
+            *_t(spark, sf, "nation", "supplier", "lineitem")
+        )
+    ),
+    tx.Q11_SQL,
+)
+register(
+    "tpch_q12_priority_shipping",
+    _q(lambda spark, sf: tx.q12_priority_shipping(*_t(spark, sf, "orders", "lineitem"))),
+    tx.Q12_SQL,
+)
+register(
+    "tpch_q20_part_promotion",
+    _q(
+        lambda spark, sf: tx.q20_part_promotion(
+            *_t(spark, sf, "region", "nation", "supplier", "part", "lineitem")
+        )
+    ),
+    tx.Q20_SQL,
+)
 register(
     "tpch_q22_idle_customers",
     _q(lambda spark, sf: tx.q22_idle_customers(*_t(spark, sf, "customer", "orders"))),
@@ -877,44 +912,36 @@ register(
 # canaries, with the remaining slots filling from stable registration
 # order (reference-core keys first) as re-verification canaries.
 #
-# Keys NEW this round MUST be appended to _ROUND4_WINDOW (not just
-# register()-ed) or they won't enter the driver window until round 5.
+# Keys NEW this round MUST be appended to _ROUND5_WINDOW (not just
+# register()-ed) or they won't enter the driver window until round 6.
 
-_ROUND4_WINDOW = [
-    # retries: round-3 driver-canon crashes, reshaped to long format
-    # (arrays are unhashable in the harness canonicalizer)
-    "emb_prefix_truncate",
-    "emb_whitening",
-    "docs_simhash",
-    # standing canaries: operators rewritten or perf-touched in rounds 2-4
+_ROUND5_WINDOW = [
+    # round-5 behavioral fixes (ADVICE r4): MAD NULLIF guard, MIPS
+    # constant-synced oracle, LSH HALF_UP rounding, PCA empty guard
+    "events_value_anomalies_mad",
+    "emb_mips_topk",
+    "emb_neardup_lsh",
+    "emb_pca_project",
+    # new round-5 keys (TPC-H sweep completion + LLM ops)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q20_part_promotion",
+    "docs_quality_classifier",
+    "docs_bpe_pair_counts",
+    "docs_containment",
+    "docs_snapshot_diff",
+    # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
     "orders_customer_rfm",
     "emb_knn_ivf",
     "emb_neardup_cosine",
     "docs_neardup_minhash",
-    # new round-4 keys
+    "emb_prefix_truncate",
+    "emb_whitening",
+    "docs_simhash",
     "emb_ivf_cell_assign",
-    "docs_vocab_topk",
-    "events_funnel",
-    "docs_vocab_entropy",
-    "docs_zipf_fit",
-    "events_cms_freq",
-    "emb_mips_topk",
-    "docs_repeated_passages",
-    "orders_price_percentiles",
-    "emb_covariance",
-    "emb_pca_project",
-    "multimodal_dup_groups",
-    "emb_triplet_mining",
-    "docs_lang_source_chi2",
-    "orders_market_basket",
-    "events_hll_rollup",
-    "events_value_anomalies_mad",
-    "events_key_skew_stats",
-    "events_dau_wau",
-    "docs_length_histogram",
-    "emb_cell_purity",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1098,12 +1125,32 @@ register(
     _q(lambda spark, sf: llm_sim.cell_purity(_emb(spark, sf))),
     llm_sim.CELL_PURITY_SQL,
 )
+register(
+    "docs_quality_classifier",  # hashed-feature linear model scoring, JVM-side
+    _q(lambda spark, sf: llm_text.quality_classifier(_docs(spark, sf))),
+    llm_text.QUALITY_CLASSIFIER_SQL,
+)
+register(
+    "docs_bpe_pair_counts",  # BPE trainer inner loop over the weighted vocab
+    _q(lambda spark, sf: llm_text.bpe_pair_counts(_docs(spark, sf))),
+    llm_text.BPE_PAIR_COUNTS_SQL,
+)
+register(
+    "docs_containment",  # asymmetric |A∩B|/min sub-document dedup pairs
+    _q(lambda spark, sf: llm_dedup.containment_pairs(_docs(spark, sf))),
+    llm_dedup.CONTAINMENT_SQL,
+)
+register(
+    "docs_snapshot_diff",  # corpus snapshot delta: added/removed/changed
+    _q(lambda spark, sf: llm_cur.snapshot_diff(_docs(spark, sf))),
+    llm_cur.SNAPSHOT_DIFF_SQL,
+)
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND4_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND4_WINDOW names unregistered keys: {missing}"
-    order = _ROUND4_WINDOW + [k for k in _QUERIES if k not in _ROUND4_WINDOW]
+    missing = [k for k in _ROUND5_WINDOW if k not in _QUERIES]
+    assert not missing, f"_ROUND5_WINDOW names unregistered keys: {missing}"
+    order = _ROUND5_WINDOW + [k for k in _QUERIES if k not in _ROUND5_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

@@ -686,3 +686,72 @@ class TestDauWau:
         # same user active twice in one window counts once
         r = out["2026-03-01"]
         assert r.wau == 2
+
+
+class TestRound5Ops:
+    def test_containment_catches_quote_jaccard_misses(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        # doc 1 is quoted wholesale inside doc 2 (which is much longer):
+        # containment must be 1.0 even though Jaccard is far below 0.6
+        quote = " ".join(f"q{i}" for i in range(12))
+        filler = " ".join(f"f{i}" for i in range(80))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, quote + " " + filler), (3, "unrelated " * 20)],
+            "doc_id long, text string",
+        )
+        out = {(r.a_id, r.b_id): r for r in dedup.containment_pairs(docs).collect()}
+        assert (1, 2) in out
+        r = out[(1, 2)]
+        assert r.containment == 1.0
+        assert r.n_a < r.n_b
+        jac = r.n_shared / (r.n_a + r.n_b - r.n_shared)
+        assert jac < 0.6  # Jaccard dedup would have missed this pair
+
+    def test_snapshot_diff_classes(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+        )
+        out = curation.snapshot_diff(docs).collect()
+        by_class = {}
+        for r in out:
+            by_class.setdefault(r.change, set()).add(r.doc_id)
+        assert by_class["added"] == {i for i in range(100) if i % 10 == 9}
+        assert by_class["removed"] == {i for i in range(100) if i % 10 == 0}
+        # changed = edited docs present in BOTH snapshots
+        assert by_class["changed"] == {
+            i for i in range(100) if i % 7 == 0 and i % 10 not in (0, 9)
+        }
+        # added rows have no old fingerprint, removed rows no new one
+        assert all(r.old_fp is None for r in out if r.change == "added")
+        assert all(r.new_fp is None for r in out if r.change == "removed")
+
+    def test_quality_classifier_bounds_and_determinism(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in llm_text.quality_classifier(docs).collect()}
+        # pinned weights are in [-0.5, 0.5), so the mean is too
+        assert -0.5 <= out[1].cls_score < 0.5
+        assert out[1] == out[3].__class__(doc_id=1, **{
+            k: v for k, v in out[3].asDict().items() if k != "doc_id"
+        })  # same text -> identical score row
+        # tokenless doc: no features, NULL score, keep=False
+        assert out[2].n_feat_tokens == 0
+        assert out[2].cls_score is None and out[2].keep is False
+
+    def test_bpe_pair_counts_hand_checked(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        # vocab: "aaa" x2 occurrences -> pairs aa,aa per occurrence = 4
+        #        "ab"  x3 occurrences -> ab 3; "b" contributes nothing
+        docs = spark.createDataFrame(
+            [(1, "aaa ab"), (2, "aaa ab ab b")], "doc_id long, text string"
+        )
+        out = {r.pair: r.pair_count for r in llm_text.bpe_pair_counts(docs).collect()}
+        assert out == {"aa": 4, "ab": 3}

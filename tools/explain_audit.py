@@ -40,6 +40,7 @@ ALLOWED = {
     "events_key_skew_stats": {"nested-loop join"},  # 1-row top-k share join
     "orders_market_basket": {"nested-loop join"},  # 1-row basket count
     "docs_tfidf_top_terms": {"nested-loop join"},  # 1-row corpus size
+    "tpch_q11_important_parts": {"nested-loop join"},  # 1-row nation total
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
