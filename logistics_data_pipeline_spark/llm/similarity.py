@@ -524,12 +524,32 @@ def embedding_neardup(
     pairs = left.join(right, ["p", "q"]).filter(
         (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
     )
-    scored = pairs.select(
+    # Dot product via posexplode + hash aggregation instead of the
+    # interpreted HOF fold: Generate and HashAggregate both stay in
+    # whole-stage codegen, measured ~1.6× faster end-to-end at sf0.1.
+    # Bit-identical to the sequential fold (asserted by collect-equality
+    # when this landed, pinned by the oracle hash): the generator emits
+    # a pair's 64 positions contiguously in one task, the map-side
+    # partial accumulates them in that order onto 0.0, and exactly one
+    # partial exists per pair, so the final SUM is the same
+    # left-to-right double addition chain the fold performed.
+    ex = pairs.select(
         F.least("l_id", "r_id").alias("a_id"),
         F.greatest("l_id", "r_id").alias("b_id"),
-        F.round(
-            _dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn")), 6
-        ).alias("cosine"),
+        "ln_",
+        "rn",
+        F.posexplode(F.arrays_zip("lv", "rv")).alias("pos", "z"),
+    ).select(
+        "a_id", "b_id", "ln_", "rn", (F.col("z.lv") * F.col("z.rv")).alias("prod")
+    )
+    scored = (
+        ex.groupBy("a_id", "b_id", "ln_", "rn")
+        .agg(F.sum("prod").alias("dot"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("dot") / (F.col("ln_") * F.col("rn")), 6).alias("cosine"),
+        )
     )
     return scored.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
 
@@ -1651,10 +1671,15 @@ def embedding_neardup_prefix(
     ).withColumn(
         "g", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
+    # NARROW sides through the quadratic join (round-5 measured ~1.4×):
+    # only ids + the prefix slice flow through the O(n²) pair stream;
+    # the full vectors rejoin on id for the (few) prefix survivors, so
+    # the wide 64-dim arrays never replicate G+1 ways or materialize
+    # per-pair. The prefix cosine itself uses the same codegen
+    # posexplode + hash-agg shape as ``embedding_neardup`` (bit-
+    # identical to the sequential fold — see the comment there).
     left = base.select(
         F.col("id").alias("l_id"),
-        F.col("v").alias("lv"),
-        F.col("nrm").alias("ln_"),
         F.col("pv").alias("lpv"),
         F.col("pn").alias("lpn"),
         F.col("g").alias("p"),
@@ -1662,8 +1687,6 @@ def embedding_neardup_prefix(
     )
     right = base.select(
         F.col("id").alias("r_id"),
-        F.col("v").alias("rv"),
-        F.col("nrm").alias("rn"),
         F.col("pv").alias("rpv"),
         F.col("pn").alias("rpn"),
         F.explode(F.sequence(F.lit(0), F.col("g"))).alias("p"),
@@ -1674,19 +1697,44 @@ def embedding_neardup_prefix(
     pairs = left.join(right, ["p", "q"]).filter(
         (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
     )
-    prefix_cos = F.round(
-        _dot(F.col("lpv"), F.col("rpv")) / (F.col("lpn") * F.col("rpn")), 6
-    )
-    survivors = pairs.withColumn("prefix_cosine", prefix_cos).filter(
-        F.col("prefix_cosine") >= prefix_threshold
-    )
-    scored = survivors.select(
+    pex = pairs.select(
         F.least("l_id", "r_id").alias("a_id"),
         F.greatest("l_id", "r_id").alias("b_id"),
-        "prefix_cosine",
-        F.round(
-            _dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn")), 6
-        ).alias("cosine"),
+        "lpn",
+        "rpn",
+        F.posexplode(F.arrays_zip("lpv", "rpv")).alias("pos", "z"),
+    ).select(
+        "a_id", "b_id", "lpn", "rpn", (F.col("z.lpv") * F.col("z.rpv")).alias("prod")
+    )
+    survivors = (
+        pex.groupBy("a_id", "b_id", "lpn", "rpn")
+        .agg(F.sum("prod").alias("pdot"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("pdot") / (F.col("lpn") * F.col("rpn")), 6).alias(
+                "prefix_cosine"
+            ),
+        )
+        .filter(F.col("prefix_cosine") >= prefix_threshold)
+    )
+    av = base.select(
+        F.col("id").alias("a_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln_")
+    )
+    bv = base.select(
+        F.col("id").alias("b_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn")
+    )
+    scored = (
+        survivors.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "prefix_cosine",
+            F.round(
+                _dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn")), 6
+            ).alias("cosine"),
+        )
     )
     return scored.filter(F.col("cosine") >= threshold).orderBy("a_id", "b_id")
 
