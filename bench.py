@@ -112,6 +112,8 @@ HEADLINE = [
     "docs_bpe_pair_counts",
     "docs_containment",
     "docs_snapshot_diff",
+    "emb_kmeans_update",
+    "docs_ngram_novelty",
 ]
 
 

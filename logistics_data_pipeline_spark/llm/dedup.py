@@ -836,3 +836,80 @@ FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
 WHERE ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) >= {CONTAIN_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+def ngram_novelty(docs: DataFrame, n: int = CONTAIN_N) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    8-grams whose corpus-wide FIRST occurrence (minimum doc_id, i.e.
+    ingestion order) is this doc. The streaming-curation metric behind
+    "keep only what adds new content": a doc full of already-seen
+    passages scores ~0 and is a near-free drop candidate, the
+    order-aware cousin of ``containment_pairs`` without the pair join.
+
+    Scale: one aggregation keyed by shingle computes each shingle's
+    first owner (map-side partial MIN collapses the fan-out), one
+    equi-join back on shingle, one aggregation by doc — all linear in
+    the shingle count; no pair blow-up anywhere. Docs too short to
+    have a single n-gram surface with n_shingles = 0 and NULL novelty
+    (left join), not silently vanish."""
+    ex0 = shingle_rows(docs, n)
+    first = ex0.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    scored = (
+        ex0.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+            # NULLIF guard both engines (same rationale as the MAD
+            # operator): a shingle-less doc gets NULL novelty, never a
+            # NaN/engine-dependent 0/0
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.nullif(F.col("n_shingles"), F.lit(0)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {CONTAIN_N}
+              THEN list_distinct(list_transform(generate_series(1, len(t)-{CONTAIN_N - 1}),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+              ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+first AS (SELECT s, MIN(doc_id) AS first_id FROM ex GROUP BY s),
+scored AS (
+  SELECT ex.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN first.first_id = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ex JOIN first USING (s)
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_shingles, 0) AS n_shingles,
+       COALESCE(s.n_novel, 0) AS n_novel,
+       ROUND(CAST(COALESCE(s.n_novel, 0) AS DOUBLE)
+             / CAST(NULLIF(COALESCE(s.n_shingles, 0), 0) AS DOUBLE), 6) AS novelty
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+""".strip()

@@ -2268,3 +2268,81 @@ FROM top t JOIN sizes s USING (cell_label)
 WHERE t.rn = 1
 ORDER BY cell_label
 """.strip()
+
+
+def kmeans_update(emb: DataFrame) -> DataFrame:
+    """One exact Lloyd update of the IVF coarse quantizer: re-estimate
+    every cell centroid as the per-dimension mean of its assigned
+    vectors, starting from the PINNED label-centroid cells
+    (``ivf_cell_assign``). With the assignment step already
+    oracle-checked, this makes the full assign→update training round an
+    exact, driver-verifiable component of the ANN path — k-means
+    training IS this pair of operators iterated.
+
+    Output is long (cell_label, pos, old_val, new_val, n_members):
+    rounded old/new coordinates per dimension plus the cell population,
+    so centroid drift and empty/starving cells are directly readable.
+
+    Scale: the assignment reuses the Arrow kernel (corpus scanned once,
+    centroids broadcast); the update is ONE posexplode hash aggregation
+    keyed by (cell, pos) — cells × d groups regardless of corpus size,
+    map-side partials collapsing the fan-out, exactly the
+    ``label_centroids`` shape. The bounded centroid collect stays
+    O(labels × d)."""
+    assigned = ivf_cell_assign(emb)
+    joined = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    exploded = joined.select(
+        "cell_label", F.posexplode("embedding").alias("pos", "val")
+    )
+    new = exploded.groupBy("cell_label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("new_val"),
+    )
+    old = label_centroids(emb).select(
+        F.col("label").cast("bigint").alias("cell_label"),
+        "pos",
+        F.col("centroid_val").alias("old_val"),
+    )
+    members = assigned.groupBy("cell_label").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        new.join(old, ["cell_label", "pos"])
+        .join(F.broadcast(members), "cell_label")
+        .select(
+            "cell_label",
+            F.col("pos").cast("long").alias("pos"),
+            "old_val",
+            "new_val",
+            "n_members",
+        )
+        .orderBy("cell_label", "pos")
+    )
+
+
+_ASSIGN_CTE = IVF_CELL_ASSIGN_SQL.rsplit("ORDER BY vec_id", 1)[0].replace(
+    "SELECT vec_id, CAST(cell_label AS BIGINT) AS cell_label\nFROM ranked WHERE rn = 1",
+    ", assigned AS (SELECT vec_id, CAST(cell_label AS BIGINT) AS cell_label\n"
+    "               FROM ranked WHERE rn = 1)",
+).replace("WITH cent AS", "cent AS")
+
+KMEANS_UPDATE_SQL = f"""
+WITH {_ASSIGN_CTE},
+upd AS (
+  SELECT a.cell_label, x.pos, ROUND(AVG(x.v), 6) AS new_val
+  FROM assigned a JOIN x ON x.vec_id = a.vec_id
+  GROUP BY a.cell_label, x.pos
+),
+members AS (
+  SELECT cell_label, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM assigned GROUP BY cell_label
+)
+SELECT u.cell_label,
+       CAST(u.pos AS BIGINT) AS pos,
+       c.centroid_val AS old_val,
+       u.new_val,
+       m.n_members
+FROM upd u
+JOIN cent c ON c.cell_label = u.cell_label AND c.pos = u.pos
+JOIN members m ON m.cell_label = u.cell_label
+ORDER BY u.cell_label, u.pos
+""".strip()

@@ -931,6 +931,8 @@ _ROUND5_WINDOW = [
     "docs_bpe_pair_counts",
     "docs_containment",
     "docs_snapshot_diff",
+    "emb_kmeans_update",
+    "docs_ngram_novelty",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1144,6 +1146,16 @@ register(
     "docs_snapshot_diff",  # corpus snapshot delta: added/removed/changed
     _q(lambda spark, sf: llm_cur.snapshot_diff(_docs(spark, sf))),
     llm_cur.SNAPSHOT_DIFF_SQL,
+)
+register(
+    "emb_kmeans_update",  # one exact Lloyd update from the pinned cells
+    _q(lambda spark, sf: llm_sim.kmeans_update(_emb(spark, sf))),
+    llm_sim.KMEANS_UPDATE_SQL,
+)
+register(
+    "docs_ngram_novelty",  # first-occurrence novelty share per document
+    _q(lambda spark, sf: llm_dedup.ngram_novelty(_docs(spark, sf))),
+    llm_dedup.NGRAM_NOVELTY_SQL,
 )
 
 def _apply_registration_order() -> None:

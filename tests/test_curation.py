@@ -755,3 +755,41 @@ class TestRound5Ops:
         )
         out = {r.pair: r.pair_count for r in llm_text.bpe_pair_counts(docs).collect()}
         assert out == {"aa": 4, "ab": 3}
+
+
+class TestKmeansUpdateAndNovelty:
+    def test_lloyd_update_moves_toward_members(self, spark):
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        # two well-separated label clusters; the label-centroid init is
+        # already optimal, so one Lloyd step must be a (near) fixpoint:
+        # every vector stays in its label cell and new == mean == old
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(40):
+            lab = i % 2
+            base = np.array([5.0, 0.0, 0.0, 0.0]) if lab == 0 else np.array([0.0, 5.0, 0.0, 0.0])
+            rows.append((i, [float(x) for x in base + rng.normal(scale=0.05, size=4)], lab))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = similarity.kmeans_update(emb).collect()
+        assert {r.cell_label for r in out} == {0, 1}
+        assert sum({r.cell_label: r.n_members for r in out}.values()) == 40
+        for r in out:
+            assert abs(r.new_val - r.old_val) < 1e-4  # fixpoint up to rounding
+
+    def test_novelty_order_semantics(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        text_a = " ".join(f"w{i}" for i in range(12))
+        text_b = " ".join(f"v{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(1, text_a), (2, text_a), (3, text_b), (4, "too short")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.ngram_novelty(docs).collect()}
+        assert out[1].novelty == 1.0  # first occurrence owns everything
+        assert out[2].novelty == 0.0  # exact dup of an earlier doc
+        assert out[3].novelty == 1.0  # disjoint content
+        assert out[4].n_shingles == 0 and out[4].novelty is None
