@@ -114,6 +114,7 @@ HEADLINE = [
     "docs_snapshot_diff",
     "emb_kmeans_update",
     "docs_ngram_novelty",
+    "docs_bpe_merge_step",
 ]
 
 

@@ -965,3 +965,128 @@ GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT {BPE_TOP_PAIRS}
 """.strip()
+
+
+def bpe_merge_step(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """BPE training iteration ONE: apply the single best merge learned
+    by ``bpe_pair_counts`` (max count, pair asc tie-break) to the
+    weighted vocabulary and recount adjacent symbol pairs — the output
+    ranks the trainer's SECOND merge candidates. Demonstrates that the
+    iterative trainer loop stays one declarative plan per round: each
+    iteration is (broadcast scalar merge) → map-side string rewrite →
+    the same vocab-sized pair aggregation, so a full K-merge training
+    run is K such jobs over the (bounded) vocabulary, never the corpus.
+
+    The symbol rewrite is a literal replace of "x y" with "xy" over the
+    space-joined symbol string. At iteration 0 every symbol is a single
+    character, so any substring match necessarily aligns to symbol
+    boundaries (deeper iterations would need boundary-anchored
+    replacement — out of scope for the registered single step).
+
+    Pairs in the output join symbols with a space, e.g. the winning
+    merge "t h" yields symbols like "th", and iteration-1 pairs like
+    "th e"."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("wf"))
+    spaced = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    sym = vocab.select(spaced.alias("spaced"), "wf")
+    # the winning iteration-0 merge, as a broadcast 1-row scalar
+    pairs0 = (
+        sym.filter(F.length("spaced") >= 3)
+        .select(
+            "wf",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    ((F.length("spaced") + F.lit(1)) / F.lit(2)).cast("int")
+                    - F.lit(1),
+                )
+            ).alias("i"),
+            "spaced",
+        )
+        .select(
+            F.col("spaced").substr(F.col("i") * 2 - 1, F.lit(3)).alias("pair"),
+            "wf",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"))
+    )
+    merged = sym.join(F.broadcast(pairs0)).select(
+        F.split(
+            F.replace(
+                F.col("spaced"),
+                F.col("merge_pair"),
+                F.replace(F.col("merge_pair"), F.lit(" "), F.lit("")),
+            ),
+            " ",
+        ).alias("syms"),
+        "wf",
+        "merge_pair",
+    )
+    out_pairs = (
+        merged.filter(F.size("syms") >= 2)
+        .select(
+            "wf",
+            "merge_pair",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - F.lit(1))).alias("i"),
+            "syms",
+        )
+        .select(
+            "merge_pair",
+            F.concat_ws(
+                " ",
+                F.element_at("syms", F.col("i")),
+                F.element_at("syms", F.col("i") + 1),
+            ).alias("pair"),
+            "wf",
+        )
+    )
+    return (
+        out_pairs.groupBy("merge_pair", "pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+BPE_MERGE_STEP_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wf FROM words GROUP BY word),
+sym AS (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS spaced, wf FROM vocab
+),
+pairs0 AS (
+  SELECT substring(spaced, i * 2 - 1, 3) AS pair, wf
+  FROM sym, LATERAL (SELECT unnest(range(1, (length(spaced) + 1) // 2)) AS i) t
+  WHERE length(spaced) >= 3
+),
+best AS (
+  SELECT pair AS merge_pair FROM pairs0
+  GROUP BY pair ORDER BY SUM(wf) DESC, pair ASC LIMIT 1
+),
+merged AS (
+  SELECT string_split(replace(spaced, merge_pair, replace(merge_pair, ' ', '')), ' ') AS syms,
+         wf, merge_pair
+  FROM sym, best
+),
+out_pairs AS (
+  SELECT merge_pair, concat_ws(' ', syms[i], syms[i+1]) AS pair, wf
+  FROM merged, LATERAL (SELECT unnest(range(1, len(syms))) AS i) t
+  WHERE len(syms) >= 2
+)
+SELECT merge_pair, pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM out_pairs
+GROUP BY merge_pair, pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+""".strip()

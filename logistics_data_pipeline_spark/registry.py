@@ -933,6 +933,7 @@ _ROUND5_WINDOW = [
     "docs_snapshot_diff",
     "emb_kmeans_update",
     "docs_ngram_novelty",
+    "docs_bpe_merge_step",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1156,6 +1157,11 @@ register(
     "docs_ngram_novelty",  # first-occurrence novelty share per document
     _q(lambda spark, sf: llm_dedup.ngram_novelty(_docs(spark, sf))),
     llm_dedup.NGRAM_NOVELTY_SQL,
+)
+register(
+    "docs_bpe_merge_step",  # apply the learned top merge, recount pairs
+    _q(lambda spark, sf: llm_text.bpe_merge_step(_docs(spark, sf))),
+    llm_text.BPE_MERGE_STEP_SQL,
 )
 
 def _apply_registration_order() -> None:

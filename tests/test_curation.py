@@ -793,3 +793,19 @@ class TestKmeansUpdateAndNovelty:
         assert out[2].novelty == 0.0  # exact dup of an earlier doc
         assert out[3].novelty == 1.0  # disjoint content
         assert out[4].n_shingles == 0 and out[4].novelty is None
+
+
+class TestBpeMergeStep:
+    def test_merge_applied_and_recounted(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        # "abc" x3, "abd" x1: iteration-0 pairs: 'a b' 4, 'b c' 3, 'b d' 1
+        # -> winning merge 'a b'; iteration-1 symbols: ab|c, ab|d
+        # -> pairs: 'ab c' 3, 'ab d' 1
+        docs = spark.createDataFrame(
+            [(1, "abc abc abd"), (2, "abc")], "doc_id long, text string"
+        )
+        rows = llm_text.bpe_merge_step(docs).collect()
+        assert all(r.merge_pair == "a b" for r in rows)
+        out = {r.pair: r.pair_count for r in rows}
+        assert out == {"ab c": 3, "ab d": 1}

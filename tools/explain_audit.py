@@ -41,6 +41,7 @@ ALLOWED = {
     "orders_market_basket": {"nested-loop join"},  # 1-row basket count
     "docs_tfidf_top_terms": {"nested-loop join"},  # 1-row corpus size
     "tpch_q11_important_parts": {"nested-loop join"},  # 1-row nation total
+    "docs_bpe_merge_step": {"nested-loop join"},  # 1-row winning merge pair
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
