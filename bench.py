@@ -115,6 +115,7 @@ HEADLINE = [
     "emb_kmeans_update",
     "docs_ngram_novelty",
     "docs_bpe_merge_step",
+    "docs_weighted_sample",
 ]
 
 

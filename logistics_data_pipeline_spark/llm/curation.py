@@ -761,3 +761,62 @@ SELECT doc_id, change, old_fp, new_fp
 FROM diff WHERE change != 'unchanged'
 ORDER BY doc_id
 """.strip()
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis A-Res) ------------
+
+WSAMPLE_K = 100
+
+
+def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Weight-proportional sample without replacement, deterministic:
+    Efraimidis–Spirakis A-Res keys ln(u)/w with the uniform u derived
+    from an md5 hash of the doc_id — the standard way to take a
+    quality- or length-weighted corpus sample that is reproducible
+    across runs AND engines (no RNG state; re-running on the same
+    corpus picks the same docs, and adding docs only perturbs the
+    boundary). Weight here is n_chars: longer docs proportionally more
+    likely, the usual token-budget-aware doc sampling.
+
+    Scale: map-side key computation (md5 + one log), then ONE global
+    top-k (TakeOrdered — no full sort, no shuffle of the corpus); the
+    selection is a priority threshold, so a distributed implementation
+    at 100 TB is per-partition top-k then a k-sized driver merge, which
+    is exactly what Spark's TakeOrderedAndProject does.
+
+    The es_key is rounded to 6 dp for the cross-engine hash only AFTER
+    the (unrounded) ordering decides the cut — ordering ties at full
+    double precision are broken by doc_id, so the rounded display value
+    can't flip membership."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id"))), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(2**48))
+    )
+    # u in [0, 1): shift to (0, 1] so ln(u) is finite
+    key = F.log(F.lit(1.0) - u) / F.col("n_chars").cast("double")
+    ranked = docs.select(
+        "doc_id",
+        "n_chars",
+        key.alias("_key"),
+    )
+    return (
+        ranked.orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_chars", F.round("_key", 6).alias("es_key"))
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(1.0 - CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                  / {float(2**48)}) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(k, 6) AS es_key
+FROM keyed
+ORDER BY k DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+""".strip()

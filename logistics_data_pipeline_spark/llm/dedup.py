@@ -913,3 +913,91 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """.strip()
+
+
+# --- dedup method agreement panel -------------------------------------------
+
+
+def dedup_method_agreement(docs: DataFrame) -> DataFrame:
+    """Cross-method dedup audit: how many candidate pairs each exact
+    method flags — n-gram Jaccard (symmetric), containment
+    (asymmetric), and exact-hash duplicates — and how the sets overlap.
+    The panel that answers "is the cheaper method catching what the
+    expensive one catches" before a 100 TB run commits to one; the
+    approximate methods (MinHash, SimHash, SRP-LSH) are excluded so the
+    whole report stays oracle-exact.
+
+    One row per (method, n_pairs):
+      jaccard / containment / exact_hash — pairs each method flags
+      jaccard_and_containment / jaccard_only / containment_only —
+      the overlap decomposition of the two near-dup methods.
+
+    Scale: the two near-dup legs share the same bounded inverted-index
+    shape (their plans each aggregate once over the capped shingle
+    join); the agreement join runs over the tiny flagged-pair sets."""
+    # Each pair set feeds three count legs below; persist them once per
+    # call (operator-scoped, released by ``clear_session_caches``) so
+    # the inverted-index build runs once per method, not once per leg.
+    jac = track_persist(neardup_ngram(docs).select("a_id", "b_id"))
+    con = track_persist(containment_pairs(docs).select("a_id", "b_id"))
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .alias("a")
+        .join(
+            docs.select("doc_id", F.md5("text").alias("fp")).alias("b"),
+            ["fp"],
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    both = jac.intersect(con)
+    jac_only = jac.exceptAll(con)
+    con_only = con.exceptAll(jac)
+
+    def cnt(name, df):
+        return df.agg(F.count("*").cast("bigint").alias("n_pairs")).select(
+            F.lit(name).alias("method"), "n_pairs"
+        )
+
+    return (
+        cnt("jaccard", jac)
+        .unionByName(cnt("containment", con))
+        .unionByName(cnt("exact_hash", exact))
+        .unionByName(cnt("jaccard_and_containment", both))
+        .unionByName(cnt("jaccard_only", jac_only))
+        .unionByName(cnt("containment_only", con_only))
+        .orderBy("method")
+    )
+
+
+DEDUP_METHOD_AGREEMENT_SQL = f"""
+WITH jac AS (
+  SELECT a_id, b_id FROM ({NEARDUP_NGRAM_SQL.replace("ORDER BY a_id, b_id", "")})
+),
+con AS (
+  SELECT a_id, b_id FROM ({CONTAINMENT_SQL.replace("ORDER BY a_id, b_id", "")})
+),
+ex AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM (SELECT doc_id, md5(text) AS fp FROM documents) a
+  JOIN (SELECT doc_id, md5(text) AS fp FROM documents) b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT 'jaccard' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM jac
+  UNION ALL
+  SELECT 'containment', CAST(COUNT(*) AS BIGINT) FROM con
+  UNION ALL
+  SELECT 'exact_hash', CAST(COUNT(*) AS BIGINT) FROM ex
+  UNION ALL
+  SELECT 'jaccard_and_containment', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT a_id, b_id FROM jac INTERSECT SELECT a_id, b_id FROM con)
+  UNION ALL
+  SELECT 'jaccard_only', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT a_id, b_id FROM jac EXCEPT ALL SELECT a_id, b_id FROM con)
+  UNION ALL
+  SELECT 'containment_only', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT a_id, b_id FROM con EXCEPT ALL SELECT a_id, b_id FROM jac)
+)
+ORDER BY method
+""".strip()

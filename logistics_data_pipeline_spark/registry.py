@@ -934,6 +934,8 @@ _ROUND5_WINDOW = [
     "emb_kmeans_update",
     "docs_ngram_novelty",
     "docs_bpe_merge_step",
+    "docs_dedup_method_agreement",
+    "docs_weighted_sample",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1162,6 +1164,16 @@ register(
     "docs_bpe_merge_step",  # apply the learned top merge, recount pairs
     _q(lambda spark, sf: llm_text.bpe_merge_step(_docs(spark, sf))),
     llm_text.BPE_MERGE_STEP_SQL,
+)
+register(
+    "docs_dedup_method_agreement",  # jaccard vs containment vs exact overlap
+    _q(lambda spark, sf: llm_dedup.dedup_method_agreement(_docs(spark, sf))),
+    llm_dedup.DEDUP_METHOD_AGREEMENT_SQL,
+)
+register(
+    "docs_weighted_sample",  # deterministic A-Res weight-proportional sample
+    _q(lambda spark, sf: llm_cur.weighted_sample(_docs(spark, sf))),
+    llm_cur.WEIGHTED_SAMPLE_SQL,
 )
 
 def _apply_registration_order() -> None:

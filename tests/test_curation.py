@@ -809,3 +809,44 @@ class TestBpeMergeStep:
         assert all(r.merge_pair == "a b" for r in rows)
         out = {r.pair: r.pair_count for r in rows}
         assert out == {"ab c": 3, "ab d": 1}
+
+
+class TestAgreementAndWeightedSample:
+    def test_agreement_panel_decomposition(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        body = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, body),
+                (2, body),  # exact dup: jaccard 1.0, containment 1.0
+                (3, body + " " + " ".join(f"x{i}" for i in range(200))),
+                # doc 3 contains doc 1 (containment 1.0, jaccard low)
+                (4, "totally different " + " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.method: r.n_pairs for r in dedup.dedup_method_agreement(docs).collect()}
+        assert out["exact_hash"] == 1  # (1,2)
+        assert out["containment"] >= 3  # (1,2),(1,3),(2,3)
+        assert out["containment_only"] >= 2  # the quote pairs
+        assert out["jaccard"] == out["jaccard_and_containment"] + out["jaccard_only"]
+        assert out["containment"] == out["jaccard_and_containment"] + out["containment_only"]
+
+    def test_weighted_sample_deterministic_and_biased(self, spark):
+        from pyspark.sql import functions as F
+
+        from logistics_data_pipeline_spark.llm import curation
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+            # half the corpus 100x heavier: expect it to dominate the sample
+            F.when(F.col("id") % 2 == 0, 1000).otherwise(10).alias("n_chars"),
+        )
+        a = curation.weighted_sample(docs).collect()
+        b = curation.weighted_sample(docs).collect()
+        assert a == b and len(a) == 100
+        heavy = sum(1 for r in a if r.n_chars == 1000)
+        assert heavy >= 85  # weight-proportional, not uniform
+        assert all(r.es_key <= 0 for r in a)
