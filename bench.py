@@ -116,6 +116,7 @@ HEADLINE = [
     "docs_ngram_novelty",
     "docs_bpe_merge_step",
     "docs_weighted_sample",
+    "multimodal_slice_neardup",
 ]
 
 

@@ -293,3 +293,114 @@ GROUP BY md5(text)
 ORDER BY n_copies DESC, checksum ASC
 LIMIT {DUP_GROUPS_TOP}
 """.strip()
+
+
+SLICE_N = 8
+SLICE_MIN_MATCH = 6
+SLICE_MAX_DF = 1000
+
+
+def media_slice_neardup(
+    docs: DataFrame,
+    n_slices: int = SLICE_N,
+    min_match: int = SLICE_MIN_MATCH,
+    max_df: int = SLICE_MAX_DF,
+) -> DataFrame:
+    """Fuzzy media dedup by fixed-slice checksums — level 1 above the
+    whole-file checksum groups (``media_dup_groups``): each binary
+    payload is cut into ``n_slices`` equal byte slices, each slice
+    md5-hashed, and two media pair up when ≥ ``min_match`` slices agree
+    at the same slice index. A localized corruption/retag/patch changes
+    one or two slices and the pair still surfaces; whole-file hashing
+    misses it. This is chunk-hash dedup with fixed windows (the static
+    cousin of CDC/rsync rolling chunks), purely JVM-side over the
+    binary column.
+
+    Scale: slice hashing is map-side (byte-offset ``substr`` + md5, no
+    decode); candidates come from the same DF-capped inverted-index
+    equi-join as the text near-dups — hot (slice, hash) buckets (>
+    ``max_df`` members, e.g. an all-zero slice) drop before pairing so
+    fan-out stays bounded; one hash aggregation scores pairs.
+
+    Oracle note: payload bytes here are UTF-8 text (``docs_as_media``)
+    and the corpus is ASCII, so the DuckDB twin hashes character
+    slices of the VARCHAR — byte-identical input to md5 (DuckDB's md5
+    does not accept BLOB)."""
+    media = docs_as_media(docs).select(
+        F.col("media_id"),
+        F.col("content"),
+        F.length("content").alias("n_bytes"),
+    )
+    media = media.filter(F.col("n_bytes") >= n_slices).withColumn(
+        "slice_len", (F.col("n_bytes") / n_slices).cast("int")
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(n_slices)])).alias("i")
+    slices = media.select("media_id", "content", "slice_len", idx).select(
+        "media_id",
+        "i",
+        F.md5(
+            F.col("content").substr(
+                F.col("i") * F.col("slice_len") + F.lit(1), F.col("slice_len")
+            )
+        ).alias("h"),
+    )
+    hot = (
+        slices.groupBy("i", "h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("i", "h")
+    )
+    ex = slices.join(F.broadcast(hot), ["i", "h"], "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("a_id"), F.col("b.media_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_slices_matched"))
+    )
+    return (
+        pairs.filter(F.col("n_slices_matched") >= min_match)
+        .select(
+            "a_id",
+            "b_id",
+            "n_slices_matched",
+            F.lit(n_slices).cast("bigint").alias("n_slices"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+MEDIA_SLICE_NEARDUP_SQL = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         length(text) AS n_bytes,
+         CAST(length(text) // {SLICE_N} AS INT) AS slice_len
+  FROM documents
+  WHERE length(text) >= {SLICE_N}
+),
+slices AS (
+  SELECT media_id, i,
+         md5(substring(text, i * slice_len + 1, slice_len)) AS h
+  FROM media, (SELECT unnest(range(0, {SLICE_N})) AS i)
+),
+ex AS (
+  SELECT media_id, i, h FROM slices
+  WHERE (i, h) NOT IN (
+    SELECT (i, h) FROM slices GROUP BY i, h HAVING COUNT(*) > {SLICE_MAX_DF})
+),
+pairs AS (
+  SELECT a.media_id AS a_id, b.media_id AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS n_slices_matched
+  FROM ex a JOIN ex b ON a.i = b.i AND a.h = b.h AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_slices_matched, CAST({SLICE_N} AS BIGINT) AS n_slices
+FROM pairs WHERE n_slices_matched >= {SLICE_MIN_MATCH}
+ORDER BY a_id, b_id
+""".strip()

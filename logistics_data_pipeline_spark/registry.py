@@ -936,6 +936,7 @@ _ROUND5_WINDOW = [
     "docs_bpe_merge_step",
     "docs_dedup_method_agreement",
     "docs_weighted_sample",
+    "multimodal_slice_neardup",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1174,6 +1175,11 @@ register(
     "docs_weighted_sample",  # deterministic A-Res weight-proportional sample
     _q(lambda spark, sf: llm_cur.weighted_sample(_docs(spark, sf))),
     llm_cur.WEIGHTED_SAMPLE_SQL,
+)
+register(
+    "multimodal_slice_neardup",  # fixed-slice checksum fuzzy media dedup
+    _q(lambda spark, sf: llm_mm.media_slice_neardup(_docs(spark, sf))),
+    llm_mm.MEDIA_SLICE_NEARDUP_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -850,3 +850,25 @@ class TestAgreementAndWeightedSample:
         heavy = sum(1 for r in a if r.n_chars == 1000)
         assert heavy >= 85  # weight-proportional, not uniform
         assert all(r.es_key <= 0 for r in a)
+
+
+class TestMediaSliceNeardup:
+    def test_partial_corruption_still_pairs(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal
+
+        base = "".join(f"block{i:02d} " for i in range(64)).strip()  # 575 ascii chars
+        # corrupt one slice-sized region near the middle -> 8ths mostly intact
+        corrupted = base[:300] + "X" * 10 + base[310:]
+        different = "z" * len(base)
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, corrupted), (4, different)],
+            "doc_id long, text string",
+        )
+        docs = docs.select("doc_id", "text", F.lit("en").alias("lang"),
+                           F.lit("s").alias("source"),
+                           F.length("text").cast("long").alias("n_chars"))
+        out = {(r.a_id, r.b_id): r.n_slices_matched
+               for r in multimodal.media_slice_neardup(docs).collect()}
+        assert out[(1, 2)] == 8          # exact dup: all slices
+        assert 6 <= out[(1, 3)] <= 7     # one corrupted region
+        assert (1, 4) not in out and (2, 4) not in out
