@@ -117,6 +117,7 @@ HEADLINE = [
     "docs_bpe_merge_step",
     "docs_weighted_sample",
     "multimodal_slice_neardup",
+    "events_lateness_panel",
 ]
 
 

@@ -2346,3 +2346,59 @@ JOIN cent c ON c.cell_label = u.cell_label AND c.pos = u.pos
 JOIN members m ON m.cell_label = u.cell_label
 ORDER BY u.cell_label, u.pos
 """.strip()
+
+
+def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Recall@k of the approximate retrieval paths against exact brute
+    force, as a registered operator rather than an offline eval script:
+    one row per (method, query) plus a 'mean' row per method, for IVF
+    (learned cells) and IVF-PQ (+ADC re-rank). This is the panel a
+    serving deployment watches when it re-tunes nprobe/cells after a
+    corpus shift — making it a first-class query means the same
+    harness, caching, and plan audit cover it.
+
+    Rows-only by construction (the approximate paths are seeded but not
+    SQL-expressible); the recall floors themselves are pinned in pytest
+    via tools/ann_eval.py's thresholds.
+
+    Scale: ground truth is the broadcast-queries brute-force scan; each
+    join is on (query_id, neighbor_id) over k·n_queries rows — the
+    evaluation is O(config) once the retrieval DataFrames exist."""
+    truth = knn_bruteforce(emb, n_queries, k).select(
+        "query_id", F.col("neighbor_id").alias("t_id")
+    )
+
+    def leg(name, df):
+        hits = truth.alias("t").join(
+            df.select("query_id", F.col("neighbor_id").alias("a_id")).alias("a"),
+            (F.col("t.query_id") == F.col("a.query_id"))
+            & (F.col("t.t_id") == F.col("a.a_id")),
+        )
+        per_q = (
+            truth.groupBy("query_id")
+            .agg(F.count("*").alias("n_truth"))
+            .join(
+                hits.groupBy(F.col("t.query_id").alias("query_id")).agg(
+                    F.count("*").alias("n_hit")
+                ),
+                "query_id",
+                "left",
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("query_id").cast("string").alias("query"),
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                    / F.col("n_truth"),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+        mean = per_q.agg(
+            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k")
+        ).select(F.lit(name).alias("method"), F.lit("mean").alias("query"), "recall_at_k")
+        return per_q.unionByName(mean)
+
+    ivf = leg("ivf", knn_ivf(emb, n_queries, k))
+    ivfpq = leg("ivfpq", knn_ivfpq(emb, n_queries, k))
+    return ivf.unionByName(ivfpq).orderBy("method", "query")

@@ -857,3 +857,109 @@ SELECT dau.day, dau.dau, wau.wau,
 FROM dau JOIN wau USING (day)
 ORDER BY day
 """.strip()
+
+
+LATENESS_BOUNDS = [60, 300, 900, 3600, 21600]  # 1m 5m 15m 1h 6h
+LATENESS_BUCKET_SIZE = 8192  # arrival-order scan decomposition width
+
+
+def lateness_panel(events: DataFrame) -> DataFrame:
+    """Watermark-sizing panel: how late does each event arrive behind
+    the event-time FRONT (the max event time among everything that
+    arrived before it, arrival order = event_id)? The histogram of
+    `front - ts` is exactly the distribution `withWatermark` must
+    cover: the p-quantile of this lateness is the delay bound that
+    loses 1-p of events — the number a streaming deployment needs
+    BEFORE choosing its watermark.
+
+    Scale: a global running max is a sequential scan, so it is
+    decomposed the way ``exact_ntile`` decomposes ranking — arrival
+    order splits into fixed-width id buckets; each bucket computes its
+    internal running max with a PARTITIONED window, the per-bucket
+    maxima (corpus/8192 rows, bounded) take a prefix max on the driver-
+    sized side, and the two combine map-side. No unpartitioned window
+    ever sees corpus-sized input; the bucket-maxima window and the
+    1-row total share are the reviewed config-sized exceptions."""
+    e = events.select(
+        "event_id",
+        F.col("ts").cast("double").alias("t"),
+        (F.col("event_id") / LATENESS_BUCKET_SIZE).cast("bigint").alias("b"),
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = e.withColumn("prev_in_bucket", F.max("t").over(w_in))
+    bmax = e.groupBy("b").agg(F.max("t").alias("bmax"))
+    w_pref = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    pref = bmax.select("b", F.max("bmax").over(w_pref).alias("prev_bucket_max"))
+    lat = (
+        within.join(F.broadcast(pref), "b")
+        .select(
+            "event_id",
+            F.greatest(
+                F.lit(0.0),
+                F.coalesce(
+                    F.greatest(
+                        F.coalesce("prev_in_bucket", F.lit(float("-inf"))),
+                        F.coalesce("prev_bucket_max", F.lit(float("-inf"))),
+                    ),
+                    F.lit(float("-inf")),
+                )
+                - F.col("t"),
+            ).alias("late_s"),
+        )
+        .withColumn(
+            "late_s",
+            F.when(F.col("late_s") == float("inf"), 0.0).otherwise(F.col("late_s")),
+        )
+    )
+    bounds = LATENESS_BOUNDS
+    label = F.when(F.col("late_s") < bounds[0], "0_lt_1m")
+    names = ["1_lt_5m", "2_lt_15m", "3_lt_1h", "4_lt_6h"]
+    for i, nm in enumerate(names):
+        label = label.when(F.col("late_s") < bounds[i + 1], nm)
+    label = label.otherwise("5_ge_6h")
+    hist = lat.groupBy(label.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    total = hist.agg(F.sum("n_events").alias("_total"))
+    return (
+        hist.join(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("_total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+LATENESS_PANEL_SQL = f"""
+WITH lat AS (
+  SELECT event_id,
+         GREATEST(0, COALESCE(
+           MAX(epoch(ts)) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch(ts), 0)) AS late_s
+  FROM events
+),
+hist AS (
+  SELECT CASE
+           WHEN late_s < {LATENESS_BOUNDS[0]} THEN '0_lt_1m'
+           WHEN late_s < {LATENESS_BOUNDS[1]} THEN '1_lt_5m'
+           WHEN late_s < {LATENESS_BOUNDS[2]} THEN '2_lt_15m'
+           WHEN late_s < {LATENESS_BOUNDS[3]} THEN '3_lt_1h'
+           WHEN late_s < {LATENESS_BOUNDS[4]} THEN '4_lt_6h'
+           ELSE '5_ge_6h' END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM lat GROUP BY 1
+)
+SELECT bucket, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / (SELECT SUM(n_events) FROM hist), 6) AS share
+FROM hist
+ORDER BY bucket
+""".strip()

@@ -937,6 +937,8 @@ _ROUND5_WINDOW = [
     "docs_dedup_method_agreement",
     "docs_weighted_sample",
     "multimodal_slice_neardup",
+    "emb_ann_recall_panel",
+    "events_lateness_panel",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1180,6 +1182,15 @@ register(
     "multimodal_slice_neardup",  # fixed-slice checksum fuzzy media dedup
     _q(lambda spark, sf: llm_mm.media_slice_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_SLICE_NEARDUP_SQL,
+)
+register(
+    "emb_ann_recall_panel",  # recall@k of IVF / IVF-PQ vs brute force
+    _q(lambda spark, sf: llm_sim.ann_recall_panel(_emb(spark, sf))),
+)
+register(
+    "events_lateness_panel",  # watermark-sizing lateness histogram
+    _q(lambda spark, sf: temporal.lateness_panel(load_table(spark, sf, "events"))),
+    temporal.LATENESS_PANEL_SQL,
 )
 
 def _apply_registration_order() -> None:

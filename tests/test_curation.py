@@ -872,3 +872,57 @@ class TestMediaSliceNeardup:
         assert out[(1, 2)] == 8          # exact dup: all slices
         assert 6 <= out[(1, 3)] <= 7     # one corrupted region
         assert (1, 4) not in out and (2, 4) not in out
+
+
+class TestAnnRecallPanel:
+    def test_panel_structure_and_mean_consistency(self, spark, sf_dir):
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = similarity.ann_recall_panel(emb).collect()
+        methods = {r.method for r in rows}
+        assert methods == {"ivf", "ivfpq"}
+        for m in methods:
+            per_q = [r.recall_at_k for r in rows if r.method == m and r.query != "mean"]
+            mean = [r.recall_at_k for r in rows if r.method == m and r.query == "mean"]
+            assert len(per_q) == 10 and len(mean) == 1
+            assert all(0.0 <= x <= 1.0 for x in per_q)
+            assert abs(mean[0] - round(sum(per_q) / len(per_q), 6)) <= 1e-6
+
+
+class TestLatenessPanel:
+    def test_disordered_arrivals_bucketed(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = []
+        # arrival order = event_id; event 1 sets the front, then:
+        rows.append((1, t0, 1, "click", 1.0, "{}"))
+        rows.append((2, t0 - dt.timedelta(seconds=30), 1, "click", 1.0, "{}"))   # 30s late
+        rows.append((3, t0 - dt.timedelta(seconds=120), 1, "click", 1.0, "{}"))  # 2m late
+        rows.append((4, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"))      # new front
+        rows.append((5, t0 - dt.timedelta(hours=7), 1, "click", 1.0, "{}"))      # ~8h late
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = {r.bucket: r.n_events for r in temporal.lateness_panel(events).collect()}
+        assert out == {"0_lt_1m": 3, "1_lt_5m": 1, "5_ge_6h": 1}
+
+    def test_bucket_boundary_crossing(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        # force ids to straddle the 8192-wide scan buckets: the event-time
+        # front must carry across bucket boundaries via the prefix max
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [(10, t0 + dt.timedelta(hours=10), 1, "c", 1.0, "{}")]
+        rows.append((8193, t0, 1, "c", 1.0, "{}"))  # next scan bucket, 10h late
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = {r.bucket: r.n_events for r in temporal.lateness_panel(events).collect()}
+        assert out == {"0_lt_1m": 1, "5_ge_6h": 1}

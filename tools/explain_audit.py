@@ -42,6 +42,11 @@ ALLOWED = {
     "docs_tfidf_top_terms": {"nested-loop join"},  # 1-row corpus size
     "tpch_q11_important_parts": {"nested-loop join"},  # 1-row nation total
     "docs_bpe_merge_step": {"nested-loop join"},  # 1-row winning merge pair
+    # inherits emb_knn_bruteforce's broadcast-queries scan (the point)
+    "emb_ann_recall_panel": {"nested-loop join"},
+    # 1-row total share; prefix window over the corpus/8192 bucket maxima
+    # (config-bounded input, same reasoning as docs_zipf_fit)
+    "events_lateness_panel": {"nested-loop join", "unpartitioned window"},
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
