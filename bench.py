@@ -118,6 +118,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "multimodal_slice_neardup",
     "events_lateness_panel",
+    "docs_tfidf_cosine_pairs",
 ]
 
 

@@ -939,6 +939,7 @@ _ROUND5_WINDOW = [
     "multimodal_slice_neardup",
     "emb_ann_recall_panel",
     "events_lateness_panel",
+    "docs_tfidf_cosine_pairs",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1191,6 +1192,11 @@ register(
     "events_lateness_panel",  # watermark-sizing lateness histogram
     _q(lambda spark, sf: temporal.lateness_panel(load_table(spark, sf, "events"))),
     temporal.LATENESS_PANEL_SQL,
+)
+register(
+    "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
+    _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
+    llm_text.TFIDF_COSINE_PAIRS_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -926,3 +926,27 @@ class TestLatenessPanel:
         )
         out = {r.bucket: r.n_events for r in temporal.lateness_panel(events).collect()}
         assert out == {"0_lt_1m": 1, "5_ge_6h": 1}
+
+
+class TestTfidfCosinePairs:
+    def test_rare_shared_vocab_dominates(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        common = "the a of and to in"
+        docs = spark.createDataFrame(
+            [
+                (1, common + " zeppelin quasar nebula pulsar magnetar"),
+                (2, common + " zeppelin quasar nebula pulsar magnetar"),
+                (3, common + " gearbox piston crankshaft flywheel camshaft"),
+                (4, "wholly disjoint vocabulary here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r.a_id, r.b_id): r.cosine
+               for r in llm_text.tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+        # identical vectors -> cosine exactly 1.0
+        assert out[(1, 2)] == 1.0
+        # sharing only ubiquitous words scores strictly (and clearly) lower
+        assert out[(1, 3)] < out[(1, 2)] - 0.25
+        # no shared terms -> the inverted index never pairs them at all
+        assert (1, 4) not in out and (3, 4) not in out

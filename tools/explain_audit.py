@@ -44,6 +44,7 @@ ALLOWED = {
     "docs_bpe_merge_step": {"nested-loop join"},  # 1-row winning merge pair
     # inherits emb_knn_bruteforce's broadcast-queries scan (the point)
     "emb_ann_recall_panel": {"nested-loop join"},
+    "docs_tfidf_cosine_pairs": {"nested-loop join"},  # 1-row corpus size
     # 1-row total share; prefix window over the corpus/8192 bucket maxima
     # (config-bounded input, same reasoning as docs_zipf_fit)
     "events_lateness_panel": {"nested-loop join", "unpartitioned window"},
