@@ -119,6 +119,7 @@ HEADLINE = [
     "multimodal_slice_neardup",
     "events_lateness_panel",
     "docs_tfidf_cosine_pairs",
+    "supplier_reliability",
 ]
 
 

@@ -940,6 +940,7 @@ _ROUND5_WINDOW = [
     "emb_ann_recall_panel",
     "events_lateness_panel",
     "docs_tfidf_cosine_pairs",
+    "supplier_reliability",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1197,6 +1198,15 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "supplier_reliability",  # late-rate ranking by Wilson lower bound
+    _q(
+        lambda spark, sf: tx.supplier_reliability(
+            *_t(spark, sf, "supplier", "orders", "lineitem")
+        )
+    ),
+    tx.SUPPLIER_RELIABILITY_SQL,
 )
 
 def _apply_registration_order() -> None:

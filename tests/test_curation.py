@@ -950,3 +950,38 @@ class TestTfidfCosinePairs:
         assert out[(1, 3)] < out[(1, 2)] - 0.25
         # no shared terms -> the inverted index never pairs them at all
         assert (1, 4) not in out and (3, 4) not in out
+
+
+class TestSupplierReliability:
+    def test_wilson_orders_small_samples_sanely(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.datetime(1997, 1, 1)
+        supplier = spark.createDataFrame(
+            [(1, "all-late-tiny", 0, 0.0), (2, "mostly-late-big", 0, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        orders = spark.createDataFrame(
+            [(1, 1, "O", 1.0, d0, "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        late = d0 + dt.timedelta(days=60)
+        ontime = d0 + dt.timedelta(days=5)
+        rows = [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late)] * 2  # supp1: 2/2 late
+        rows += [(1, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late)] * 90
+        rows += [(1, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime)] * 10
+        lineitem = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        out = {r.s_suppkey: r for r in
+               tpch_extra.supplier_reliability(supplier, orders, lineitem).collect()}
+        # raw rate says supp1 (100%) is worse; Wilson lower bound knows
+        # 2 observations prove little and ranks the 90% on 100 obs worse
+        assert out[1].late_rate == 1.0 and out[2].late_rate == 0.9
+        assert out[2].wilson_lo > out[1].wilson_lo
+        assert 0.0 <= out[1].wilson_lo <= 1.0
