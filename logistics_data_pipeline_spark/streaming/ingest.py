@@ -22,7 +22,7 @@ variant needs the spark-sql-kafka package + a broker and is config-gated
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -277,3 +277,88 @@ def rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_corpus_sink(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous dedup-corpus maintenance: the LLM curation pipeline's
+    ingest leg as a stream. Each micro-batch of documents is deduped
+    WITHIN the batch (first arrival per content hash wins) and AGAINST
+    everything already ingested (left-anti on the corpus hash set),
+    and only the surviving rows are appended as a new immutable part —
+    the streaming twin of ``llm.dedup.incremental_dedup``'s verdict
+    logic, with the NEW rows committed instead of reported.
+
+    Storage layout is append-only + manifest (the scalable shape — the
+    upsert sink's rewrite-the-table versioning would make every batch
+    O(corpus)): each batch writes ONLY its kept rows to an immutable
+    part directory, and a ``_MANIFEST`` file listing committed parts is
+    repointed atomically (write-temp + ``os.replace``). Exactly-once by
+    batch_id: a replayed batch whose part is already in the manifest
+    short-circuits; a crash before the manifest append leaves an
+    orphan part directory that the replay simply overwrites. At 100 TB
+    this is a metadata-layer table format in miniature — with
+    Delta/Iceberg the manifest becomes the transaction log and the
+    anti-join's corpus side becomes an incrementally-maintained hash
+    index instead of a manifest-union scan."""
+    import hashlib
+    import os
+
+    manifest = os.path.join(corpus_dir, "_MANIFEST")
+    # foreachBatch replay identity is (query, batch_id), not batch_id
+    # alone — two different queries appending to the same corpus both
+    # start at batch 0, so parts are namespaced by the checkpoint (the
+    # query's durable identity): a replay of the SAME query+batch
+    # short-circuits, a new query's batch 0 appends.
+    qid = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        os.makedirs(corpus_dir, exist_ok=True)
+        parts: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                parts = [ln.strip() for ln in fh if ln.strip()]
+        part_dir = os.path.join(corpus_dir, f"{qid}-b{batch_id:020d}")
+        if part_dir in parts:
+            return  # replay after commit: batch already in the corpus
+        hashed = batch.withColumn("text_hash", F.md5(F.col(text_col)))
+        w = Window.partitionBy("text_hash").orderBy(key_col)
+        first_in_batch = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if parts:
+            corpus_hashes = (
+                spark.read.parquet(*parts).select("text_hash").distinct()
+            )
+            kept = first_in_batch.join(corpus_hashes, "text_hash", "left_anti")
+        else:
+            kept = first_in_batch
+        kept.write.mode("overwrite").parquet(part_dir)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join([*parts, part_dir]) + "\n")
+        os.replace(tmp, manifest)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dedup_corpus(spark, corpus_dir: str) -> DataFrame:
+    """Read the committed dedup corpus (union of manifest parts)."""
+    import os
+
+    with open(os.path.join(corpus_dir, "_MANIFEST")) as fh:
+        parts = [ln.strip() for ln in fh if ln.strip()]
+    return spark.read.parquet(*parts)
