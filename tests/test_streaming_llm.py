@@ -819,3 +819,43 @@ class TestDedupCorpusSink:
             q.awaitTermination(120)
         out = read_dedup_corpus(spark, corpus).collect()
         assert len(out) == 1 and out[0].doc_id == 1
+
+
+class TestBatchFileSources:
+    def test_json_reader_rescues_corrupt_lines(self, spark, tmp_path):
+        import json as _json
+
+        from logistics_data_pipeline_spark.sources.files import (
+            read_events_json,
+            split_clean_quarantine,
+        )
+
+        p = tmp_path / "events.json"
+        lines = [_json.dumps(dict(WIRE_ROW, event_id=f"e{i}")) for i in range(3)]
+        lines.insert(1, "{broken json!!")
+        p.write_text("\n".join(lines))
+        df = read_events_json(spark, str(p))
+        clean, quarantine = split_clean_quarantine(df)
+        assert clean.count() == 3
+        assert "ingestion_timestamp" in clean.columns
+        q = quarantine.collect()
+        assert len(q) == 1 and q[0].raw_record.startswith("{broken")
+
+    def test_csv_reader_types_and_rescue(self, spark, tmp_path):
+        from logistics_data_pipeline_spark.sources.files import (
+            read_events_csv,
+            split_clean_quarantine,
+        )
+
+        cols = ["event_id", "order_id", "timestamp", "status", "origin",
+                "destination", "carrier_name", "latitude", "longitude",
+                "weight_kg", "estimated_delivery"]
+        good = ",".join('"%s"' % WIRE_ROW[c] if isinstance(WIRE_ROW[c], str)
+                        else str(WIRE_ROW[c]) for c in cols)
+        bad = '"e9","o9","2024-01-05T08:00:00","S","A, C1","B, C2","DHL",notafloat,20.0,5.0,"2024-01-07"'
+        p = tmp_path / "events.csv"
+        p.write_text(",".join(cols) + "\n" + good + "\n" + bad + "\n")
+        clean, quarantine = split_clean_quarantine(read_events_csv(spark, str(p)))
+        got = clean.collect()
+        assert len(got) == 1 and got[0].latitude == 10.0
+        assert quarantine.count() == 1
