@@ -120,6 +120,8 @@ HEADLINE = [
     "events_lateness_panel",
     "docs_tfidf_cosine_pairs",
     "supplier_reliability",
+    "docs_simhash_pairs",
+    "orders_abc_analysis",
 ]
 
 

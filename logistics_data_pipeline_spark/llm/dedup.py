@@ -1001,3 +1001,90 @@ SELECT * FROM (
 )
 ORDER BY method
 """.strip()
+
+
+SIMHASH_MAX_HAM = 5  # bands-1: the pigeonhole guarantee's exact reach
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 48, bands: int = 6, max_ham: int = SIMHASH_MAX_HAM
+) -> DataFrame:
+    """The SimHash pipeline completed into near-dup PAIRS: banded
+    candidate generation (equi-join on band keys) followed by exact
+    hamming verification ``bit_count(xor) ≤ max_ham``. At the default
+    ``max_ham = bands−1`` the pigeonhole guarantee makes this EXACT —
+    every signature pair within the hamming radius shares ≥1 band key,
+    so no candidate is missed and the whole operator is deterministic
+    and oracle-checkable end to end (unlike MinHash/SRP banding, whose
+    candidate sets are probabilistic).
+
+    Scale: signatures persist once per call (two consumers: band
+    explode and the verify join-back is avoided by carrying the
+    signature through the band rows); candidates are a band-key
+    equi-join, verification a map-side popcount — the whole pair path
+    is the banded-bucket shape with a closed-form recall of 1.0 inside
+    the radius."""
+    sig = track_persist(simhash(docs, bits, bands))
+    rows = sig.select(
+        "doc_id", "simhash", F.explode("simhash_bands").alias("band_key")
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _simhash_pairs_sql(
+    bits: int = 48, bands: int = 6, max_ham: int = SIMHASH_MAX_HAM
+) -> str:
+    """DuckDB twin: reuses the generated signature CTEs so the Spark
+    and oracle hash functions can never drift (same discipline as
+    ``SIMHASH_LONG_SQL``)."""
+    base = _simhash_long_sql(bits, bands)
+    # strip the final SELECT, keep the shared CTEs (toks/votes/sigs/b)
+    ctes = base.split("SELECT s.doc_id,", 1)[0].rstrip()
+    r = bits // bands
+    return f"""
+{ctes}
+, rows_ AS (
+  SELECT s.doc_id, s.simhash,
+         CAST(b.band_idx * {1 << r} AS BIGINT)
+           + ((s.simhash >> CAST(b.band_idx * {r} AS INTEGER)) & {(1 << r) - 1}) AS band_key
+  FROM sigs s CROSS JOIN b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.simhash AS sa, b.simhash AS sb
+  FROM rows_ a JOIN rows_ b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_ham}
+ORDER BY a_id, b_id
+""".strip()
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_sql()

@@ -1082,3 +1082,80 @@ SELECT s_suppkey, s_name, n_lines, n_late,
 FROM agg JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY wilson_lo DESC, s_suppkey
 """.strip()
+
+
+# --- ABC (Pareto) part classification ---------------------------------------
+
+ABC_A, ABC_B = 0.8, 0.95
+
+
+def abc_analysis(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue,
+    classed A while cumulative share ≤ 80%, B to 95%, else C — the
+    standard "which 20% of SKUs carry 80% of the business" cut.
+
+    Determinism: revenue sums in DECIMAL (order-independent); the
+    cumulative share divides two exact decimals in double and rounds
+    to 6 dp; ties order by (revenue DESC, partkey ASC).
+
+    Scale: one fact aggregation to per-part revenue; the running total
+    then runs over the PART DIMENSION (catalog-sized, not fact-sized —
+    2k rows at sf0.01, maybe 10⁶ on a real catalog), where a single-
+    task window is the right plan below ~10⁸ SKUs; past that the
+    exact_ntile bucket decomposition applies verbatim."""
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    total = rev.agg(F.sum("rev_dec").alias("_total"))
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        rev.join(F.broadcast(total))
+        .withColumn("cum_dec", F.sum("rev_dec").over(w))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_dec").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= ABC_A, "A")
+        .when(F.col("cum_share") <= ABC_B, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.join(
+            F.broadcast(part.select("p_partkey", "p_name")), "p_partkey"
+        )
+        .select("p_partkey", "p_name", "revenue", "cum_share", cls.alias("abc_class"))
+        .orderBy(F.desc("revenue"), "p_partkey")
+    )
+
+
+ABC_ANALYSIS_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(rev_dec AS DOUBLE) AS revenue,
+         ROUND(CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST((SELECT SUM(rev_dec) FROM rev) AS DOUBLE), 6) AS cum_share
+  FROM rev
+)
+SELECT r.p_partkey, p.p_name, r.revenue, r.cum_share,
+       CASE WHEN r.cum_share <= {ABC_A} THEN 'A'
+            WHEN r.cum_share <= {ABC_B} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r JOIN part p ON p.p_partkey = r.p_partkey
+ORDER BY r.revenue DESC, r.p_partkey
+""".strip()

@@ -941,6 +941,8 @@ _ROUND5_WINDOW = [
     "events_lateness_panel",
     "docs_tfidf_cosine_pairs",
     "supplier_reliability",
+    "docs_simhash_pairs",
+    "orders_abc_analysis",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1198,6 +1200,16 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "orders_abc_analysis",  # Pareto cut over catalog-sized running share
+    _q(lambda spark, sf: tx.abc_analysis(*_t(spark, sf, "part", "lineitem"))),
+    tx.ABC_ANALYSIS_SQL,
+)
+register(
+    "docs_simhash_pairs",  # banded candidates + exact hamming verify
+    _q(lambda spark, sf: llm_dedup.simhash_pairs(_docs(spark, sf))),
+    llm_dedup.SIMHASH_PAIRS_SQL,
 )
 register(
     "supplier_reliability",  # late-rate ranking by Wilson lower bound

@@ -985,3 +985,29 @@ class TestSupplierReliability:
         assert out[1].late_rate == 1.0 and out[2].late_rate == 0.9
         assert out[2].wilson_lo > out[1].wilson_lo
         assert 0.0 <= out[1].wilson_lo <= 1.0
+
+
+class TestAbcAnalysis:
+    def test_pareto_classes_hand_checked(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.datetime(1997, 1, 1)
+        part = spark.createDataFrame(
+            [(i, f"part{i}", "B", "T", 1, 1.0) for i in range(1, 5)],
+            "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+        )
+        # revenues 70, 20, 6, 4 -> cum shares .70 A, .90 B, .96 C, 1.0 C
+        rows = []
+        for pk, price in [(1, 70.0), (2, 20.0), (3, 6.0), (4, 4.0)]:
+            rows.append((pk, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O", d0))
+        lineitem = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        out = {r.p_partkey: r.abc_class
+               for r in tpch_extra.abc_analysis(part, lineitem).collect()}
+        assert out == {1: "A", 2: "B", 3: "C", 4: "C"}

@@ -859,3 +859,29 @@ class TestBatchFileSources:
         got = clean.collect()
         assert len(got) == 1 and got[0].latitude == 10.0
         assert quarantine.count() == 1
+
+
+def test_simhash_pairs_exact_within_pigeonhole_radius(spark):
+    """At max_ham = bands-1 the banded candidates provably cover every
+    pair in radius: banded+verified output must EQUAL the brute-force
+    hamming join over the same signatures."""
+    from itertools import combinations
+
+    from logistics_data_pipeline_spark.llm.dedup import simhash, simhash_pairs
+
+    base = [f"tok{i}" for i in range(120)]
+    rows = [(0, " ".join(base)), (1, " ".join(base))]
+    for d in range(2, 10):
+        mutated = list(base)
+        for j in range(d - 1):
+            mutated[j * 7] = f"swap{d}_{j}"
+        rows.append((d, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+    }
+    got = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(docs).collect()}
+    assert got == brute and len(brute) >= 3

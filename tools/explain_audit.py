@@ -45,6 +45,9 @@ ALLOWED = {
     # inherits emb_knn_bruteforce's broadcast-queries scan (the point)
     "emb_ann_recall_panel": {"nested-loop join"},
     "docs_tfidf_cosine_pairs": {"nested-loop join"},  # 1-row corpus size
+    # 1-row grand total; running share over the CATALOG-sized part dim
+    # (not the fact) — single task is right below ~1e8 SKUs, see docstring
+    "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
     # 1-row total share; prefix window over the corpus/8192 bucket maxima
     # (config-bounded input, same reasoning as docs_zipf_fit)
     "events_lateness_panel": {"nested-loop join", "unpartitioned window"},
