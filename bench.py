@@ -122,6 +122,8 @@ HEADLINE = [
     "supplier_reliability",
     "docs_simhash_pairs",
     "orders_abc_analysis",
+    "docs_langid_confusion",
+    "events_rate_bursts",
 ]
 
 

@@ -1204,3 +1204,54 @@ WHERE ROUND(CAST(dot AS DOUBLE)
             / (SQRT(CAST(na.sq AS DOUBLE)) * SQRT(CAST(nb.sq AS DOUBLE))), 6) >= {TFIDF_PAIR_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Classifier-eval panel over ``lang_id``: the (actual, predicted)
+    confusion matrix in long form with per-cell share of the actual
+    class — i.e. the row-normalized matrix whose diagonal is per-class
+    recall. The standard quality gate before trusting a cheap heuristic
+    to route a 100 TB corpus by language.
+
+    Scale: one aggregation on (actual, predicted) — at most
+    |langs|² groups — plus a broadcast per-actual total join."""
+    preds = lang_id(docs).select(
+        F.col("lang").alias("actual"), F.col("predicted_lang").alias("predicted")
+    )
+    cells = preds.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    totals = preds.groupBy("actual").agg(F.count("*").alias("_n_actual"))
+    return (
+        cells.join(F.broadcast(totals), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_n_actual"), 6
+            ).alias("share_of_actual"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH preds AS (
+  SELECT lang AS actual,
+         CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(trim(lower(text)), '\\s+')) >= 0.05
+              THEN 'en' ELSE 'und' END AS predicted
+  FROM documents
+),
+cells AS (
+  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM preds GROUP BY 1, 2
+),
+totals AS (SELECT actual, COUNT(*) AS n_actual FROM preds GROUP BY actual)
+SELECT c.actual, c.predicted, c.n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.n_actual, 6) AS share_of_actual
+FROM cells c JOIN totals t ON c.actual = t.actual
+ORDER BY c.actual, c.predicted
+""".strip()

@@ -963,3 +963,82 @@ SELECT bucket, n_events,
 FROM hist
 ORDER BY bucket
 """.strip()
+
+
+BURST_BASELINE_S = 86400  # trailing day
+BURST_MIN_HISTORY = 6  # populated hours of baseline before bursts are judged
+BURST_RATIO = 1.5
+
+
+def rate_bursts(events: DataFrame) -> DataFrame:
+    """Per-type traffic-burst detection: each (event_type, hour)'s
+    event count versus the mean hourly rate over the TRAILING day
+    (RANGE frame, current hour excluded) — flagged when the ratio
+    clears ``BURST_RATIO`` with at least ``BURST_MIN_HISTORY`` populated
+    hours of baseline. The rate-domain companion of the value-domain
+    anomaly detectors (z-score / MAD): it catches incident-shaped
+    volume spikes that per-event value stats never see. (Hour grain
+    fits the driver data's ~1 event/min/type density; the grain and
+    window are the two module constants.)
+
+    Determinism: baseline mean is SUM/COUNT over exact integer counts
+    (single double division, no accumulation-order sensitivity);
+    ratio rounds to 6 dp identically in both engines.
+
+    Scale: one (type, hour) aggregation collapses the corpus; the
+    RANGE window then runs over the hour GRID (types × hours — ~9k
+    rows/type/year), partitioned by type."""
+    grid = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).groupBy("event_type", "hour").agg(F.count("*").cast("bigint").alias("n"))
+    g = grid.withColumn("h_epoch", F.col("hour").cast("double"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h_epoch")
+        .rangeBetween(-BURST_BASELINE_S, -3600)
+    )
+    scored = g.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("n").over(w).alias("hist_hours"),
+        (F.sum("n").over(w).cast("double") / F.count("n").over(w)).alias("base"),
+    )
+    return (
+        scored.filter(
+            (F.col("hist_hours") >= BURST_MIN_HISTORY)
+            & (F.col("n").cast("double") >= F.lit(BURST_RATIO) * F.col("base"))
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(F.col("base"), 6).alias("baseline_per_hour"),
+            F.round(F.col("n").cast("double") / F.col("base"), 6).alias("burst_ratio"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+RATE_BURSTS_SQL = f"""
+WITH grid AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         COUNT(n) OVER w AS hist_hours,
+         CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS base
+  FROM (SELECT *, epoch(hour) AS h_epoch FROM grid)
+  WINDOW w AS (PARTITION BY event_type ORDER BY h_epoch
+               RANGE BETWEEN {BURST_BASELINE_S} PRECEDING AND 3600 PRECEDING)
+)
+SELECT event_type, hour, n,
+       ROUND(base, 6) AS baseline_per_hour,
+       ROUND(CAST(n AS DOUBLE) / base, 6) AS burst_ratio
+FROM scored
+WHERE hist_hours >= {BURST_MIN_HISTORY}
+  AND CAST(n AS DOUBLE) >= {BURST_RATIO} * base
+ORDER BY event_type, hour
+""".strip()

@@ -943,6 +943,8 @@ _ROUND5_WINDOW = [
     "supplier_reliability",
     "docs_simhash_pairs",
     "orders_abc_analysis",
+    "docs_langid_confusion",
+    "events_rate_bursts",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1200,6 +1202,16 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_rate_bursts",  # trailing-hour rate-spike detector (RANGE frame)
+    _q(lambda spark, sf: temporal.rate_bursts(load_table(spark, sf, "events"))),
+    temporal.RATE_BURSTS_SQL,
+)
+register(
+    "docs_langid_confusion",  # row-normalized confusion matrix for lang_id
+    _q(lambda spark, sf: llm_text.langid_confusion(_docs(spark, sf))),
+    llm_text.LANGID_CONFUSION_SQL,
 )
 register(
     "orders_abc_analysis",  # Pareto cut over catalog-sized running share

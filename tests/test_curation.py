@@ -1011,3 +1011,29 @@ class TestAbcAnalysis:
         out = {r.p_partkey: r.abc_class
                for r in tpch_extra.abc_analysis(part, lineitem).collect()}
         assert out == {1: "A", 2: "B", 3: "C", 4: "C"}
+
+
+class TestRateBursts:
+    def test_spike_flagged_against_flat_baseline(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows, eid = [], 0
+        # 30 flat hours at 4/hour, then one 12-event spike hour
+        for h in range(30):
+            for j in range(4):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=j), 1, "click", 1.0, "{}"))
+                eid += 1
+        for j in range(12):
+            rows.append((eid, t0 + dt.timedelta(hours=30, minutes=j), 1, "click", 1.0, "{}"))
+            eid += 1
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = temporal.rate_bursts(events).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.hour == t0 + dt.timedelta(hours=30) and r.n == 12
+        assert r.baseline_per_hour == 4.0 and r.burst_ratio == 3.0
