@@ -20,6 +20,7 @@ ROWS_ONLY_OK: set[str] = {
     "events_approx_distinct",  # HLL sketch estimates are engine-specific
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
     "events_hll_rollup",  # HLL sketch estimates are engine-specific
+    "emb_ann_recall_panel",  # evaluates the approximate (rows-only) paths
 }
 
 
