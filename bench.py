@@ -124,6 +124,8 @@ HEADLINE = [
     "orders_abc_analysis",
     "docs_langid_confusion",
     "events_rate_bursts",
+    "docs_chunk_dup_rate",
+    "docs_dedup_provenance",
 ]
 
 

@@ -820,3 +820,80 @@ FROM keyed
 ORDER BY k DESC, doc_id ASC
 LIMIT {WSAMPLE_K}
 """.strip()
+
+
+# --- sub-document duplication rate ------------------------------------------
+
+DUPRATE_CHUNK = 64  # non-overlapping windows: stride == chunk
+
+
+def chunk_dup_rate(docs: DataFrame, chunk: int = DUPRATE_CHUNK) -> DataFrame:
+    """Per-document sub-document duplication: chunk each doc into
+    NON-overlapping ``chunk``-token windows (``doc_chunks`` with
+    stride = chunk — overlap would make every window self-similar),
+    hash each window, and report how much of each doc consists of
+    windows appearing in at least one OTHER document. The per-doc
+    counterpart of ``repeated_passages``: that ranks the boilerplate
+    spans, this scores the documents carrying them — the metric a
+    curation pass thresholds to drop template-heavy docs.
+
+    Scale: chunking is map-only; one aggregation keyed by window hash
+    computes each hash's distinct-doc count (map-side partials), one
+    join back, one per-doc aggregation — all linear, no pair join."""
+    chunks = doc_chunks(docs, chunk=chunk, stride=chunk).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    owners = chunks.distinct().groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).cast("bigint").alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_DUP_RATE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(1,
+           CAST(ceil((len(toks) - {DUPRATE_CHUNK}) / {DUPRATE_CHUNK}.0) AS INT) + 1
+         ))) AS chunk_id
+  FROM t
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, chunk_id * {DUPRATE_CHUNK} + 1,
+                                        (chunk_id + 1) * {DUPRATE_CHUNK}), ' ')) AS h
+  FROM idx
+),
+owners AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_share
+FROM chunks c JOIN owners o USING (h)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""".strip()

@@ -1088,3 +1088,63 @@ ORDER BY a_id, b_id
 
 
 SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+def dedup_provenance(docs: DataFrame) -> DataFrame:
+    """Dedup audit export: one row per kept document with the full
+    provenance of what exact dedup removed on its behalf — removal
+    count and the removed doc_ids (sorted, comma-joined; a string so
+    the harness canonicalizer can hash it, and string_agg/concat_ws
+    agree across engines). This is the artifact a compliance/debug
+    pass needs when someone asks "where did my document go": the
+    keeper it collapsed into, not just the corpus-level count.
+
+    Scale: one hash aggregation on the content hash; the id-list
+    aggregation is bounded per group by the duplicate cluster size
+    (pathological mega-clusters are exactly what ``dedup_cluster_stats``
+    surfaces first)."""
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    grouped = h.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    removed = (
+        h.join(grouped, "h")
+        .filter(F.col("doc_id") != F.col("keeper_doc_id"))
+        .groupBy("h")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            ).alias("removed_ids")
+        )
+    )
+    return (
+        grouped.join(removed, "h", "left")
+        .select(
+            "keeper_doc_id",
+            (F.col("n_total") - 1).cast("bigint").alias("n_removed"),
+            F.coalesce("removed_ids", F.lit("")).alias("removed_ids"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_PROVENANCE_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+grouped AS (
+  SELECT h, MIN(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM h GROUP BY h
+),
+removed AS (
+  SELECT x.h,
+         string_agg(CAST(x.doc_id AS VARCHAR), ',' ORDER BY CAST(x.doc_id AS VARCHAR)) AS removed_ids
+  FROM h x JOIN grouped g USING (h)
+  WHERE x.doc_id != g.keeper_doc_id
+  GROUP BY x.h
+)
+SELECT g.keeper_doc_id,
+       CAST(g.n_total - 1 AS BIGINT) AS n_removed,
+       COALESCE(r.removed_ids, '') AS removed_ids
+FROM grouped g LEFT JOIN removed r USING (h)
+ORDER BY keeper_doc_id
+""".strip()

@@ -945,6 +945,8 @@ _ROUND5_WINDOW = [
     "orders_abc_analysis",
     "docs_langid_confusion",
     "events_rate_bursts",
+    "docs_chunk_dup_rate",
+    "docs_dedup_provenance",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1202,6 +1204,16 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_dedup_provenance",  # keeper -> removed-ids audit export
+    _q(lambda spark, sf: llm_dedup.dedup_provenance(_docs(spark, sf))),
+    llm_dedup.DEDUP_PROVENANCE_SQL,
+)
+register(
+    "docs_chunk_dup_rate",  # per-doc sub-document duplication share
+    _q(lambda spark, sf: llm_cur.chunk_dup_rate(_docs(spark, sf))),
+    llm_cur.CHUNK_DUP_RATE_SQL,
 )
 register(
     "events_rate_bursts",  # trailing-hour rate-spike detector (RANGE frame)

@@ -1037,3 +1037,36 @@ class TestRateBursts:
         r = out[0]
         assert r.hour == t0 + dt.timedelta(hours=30) and r.n == 12
         assert r.baseline_per_hour == 4.0 and r.burst_ratio == 3.0
+
+
+class TestChunkDupAndProvenance:
+    def test_chunk_dup_share(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        blockA = " ".join(f"a{i}" for i in range(64))
+        blockB = " ".join(f"b{i}" for i in range(64))
+        blockC = " ".join(f"c{i}" for i in range(64))
+        docs = spark.createDataFrame(
+            [
+                (1, blockA + " " + blockB),  # A shared with doc 2 -> 1/2 dup
+                (2, blockA + " " + blockC),  # A shared -> 1/2 dup
+                (3, " ".join(f"z{i}" for i in range(64))),  # unique
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in curation.chunk_dup_rate(docs).collect()}
+        assert out[1].n_chunks == 2 and out[1].dup_share == 0.5
+        assert out[2].dup_share == 0.5
+        assert out[3].dup_share == 0.0
+
+    def test_provenance_lists_removed_ids(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "same"), (5, "same"), (3, "same"), (7, "unique")],
+            "doc_id long, text string",
+        )
+        out = {r.keeper_doc_id: r for r in dedup.dedup_provenance(docs).collect()}
+        assert set(out) == {1, 7}
+        assert out[1].n_removed == 2 and out[1].removed_ids == "3,5"
+        assert out[7].n_removed == 0 and out[7].removed_ids == ""
