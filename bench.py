@@ -126,6 +126,7 @@ HEADLINE = [
     "events_rate_bursts",
     "docs_chunk_dup_rate",
     "docs_dedup_provenance",
+    "events_bloom_panel",
 ]
 
 

@@ -1562,3 +1562,108 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
              / NULLIF(LN(CAST(COUNT(*) AS DOUBLE)), 0), 6) AS key_entropy_norm
 FROM counts
 """.strip()
+
+
+BLOOM_BITS = 65536
+BLOOM_K = 3
+BLOOM_SPLIT_DATE = "2024-01-15"
+
+
+def bloom_membership_panel(events: DataFrame) -> DataFrame:
+    """Bloom-filter diagnostic completing the sketch suite (CMS for
+    frequency, HLL for distinct, Bloom for membership): build a
+    ``BLOOM_BITS``-bit / ``BLOOM_K``-hash filter over first-half
+    event_ids, probe it with second-half ids — ALL true negatives, so
+    every positive is false — and report fill ratio, the fill-based
+    expected FPR (fill^k), and the measured FPR side by side. The
+    panel that sizes a join pre-filter before trusting it at 100 TB.
+
+    Exactness: the md5 hash family (same idiom as the CMS) makes the
+    bit set itself deterministic and both FPRs exact arithmetic over
+    integer counts — the whole panel hash-matches the oracle, sketch
+    contents included.
+
+    Scale: the build is one distinct-positions aggregation (≤ m rows
+    out); probes explode to k rows each and hash-join the (bounded,
+    broadcastable) bit set; one final scalar aggregation. Nothing
+    holds state bigger than the m-row bit table."""
+    half = F.col("ts").cast("date") <= F.lit(BLOOM_SPLIT_DATE).cast("date")
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(BLOOM_K)])).alias("seed")
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed"), F.col("event_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(BLOOM_BITS),
+    ).alias("pos")
+    build_keys = events.filter(half).select("event_id")
+    bits = build_keys.select("event_id", seeds).select(pos).distinct()
+    n_build = build_keys.agg(F.count("*").alias("n_build"))
+    probe_keys = events.filter(~half).select("event_id")
+    probe_hits = (
+        probe_keys.select("event_id", seeds)
+        .select("event_id", pos)
+        .join(bits.withColumnRenamed("pos", "pos"), "pos", "left_semi")
+        .groupBy("event_id")
+        .agg(F.count("*").alias("k_present"))
+        .filter(F.col("k_present") == BLOOM_K)
+        .agg(F.count("*").cast("bigint").alias("n_false_pos"))
+    )
+    n_probe = probe_keys.agg(F.count("*").cast("bigint").alias("n_probe"))
+    bits_set = bits.agg(F.count("*").cast("bigint").alias("bits_set"))
+    fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_BITS))
+    return (
+        n_build.join(bits_set)
+        .join(n_probe)
+        .join(probe_hits)
+        .select(
+            F.col("n_build").cast("bigint").alias("n_build"),
+            "bits_set",
+            F.round(fill, 6).alias("fill_ratio"),
+            F.round(F.pow(fill, F.lit(BLOOM_K)), 6).alias("expected_fpr"),
+            "n_probe",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double") / F.col("n_probe"), 6
+            ).alias("measured_fpr"),
+        )
+    )
+
+
+BLOOM_PANEL_SQL = f"""
+WITH build_keys AS (
+  SELECT event_id FROM events WHERE CAST(ts AS DATE) <= DATE '{BLOOM_SPLIT_DATE}'
+),
+probe_keys AS (
+  SELECT event_id FROM events WHERE CAST(ts AS DATE) > DATE '{BLOOM_SPLIT_DATE}'
+),
+seeds AS (SELECT unnest(range(0, {BLOOM_K})) AS seed),
+bits AS (
+  SELECT DISTINCT CAST('0x' || substring(md5(concat(seed, ':', event_id)), 1, 12)
+                       AS BIGINT) % {BLOOM_BITS} AS pos
+  FROM build_keys, seeds
+),
+probe_hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_false_pos
+  FROM (
+    SELECT p.event_id
+    FROM (SELECT event_id,
+                 CAST('0x' || substring(md5(concat(seed, ':', event_id)), 1, 12)
+                      AS BIGINT) % {BLOOM_BITS} AS pos
+          FROM probe_keys, seeds) p
+    WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.pos)
+    GROUP BY p.event_id
+    HAVING COUNT(*) = {BLOOM_K})
+)
+SELECT CAST((SELECT COUNT(*) FROM build_keys) AS BIGINT) AS n_build,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+       ROUND(CAST((SELECT COUNT(*) FROM bits) AS DOUBLE) / {BLOOM_BITS}, 6) AS fill_ratio,
+       ROUND(POWER(CAST((SELECT COUNT(*) FROM bits) AS DOUBLE) / {BLOOM_BITS}, {BLOOM_K}), 6) AS expected_fpr,
+       CAST((SELECT COUNT(*) FROM probe_keys) AS BIGINT) AS n_probe,
+       (SELECT n_false_pos FROM probe_hits) AS n_false_pos,
+       ROUND(CAST((SELECT n_false_pos FROM probe_hits) AS DOUBLE)
+             / (SELECT COUNT(*) FROM probe_keys), 6) AS measured_fpr
+""".strip()

@@ -947,6 +947,7 @@ _ROUND5_WINDOW = [
     "events_rate_bursts",
     "docs_chunk_dup_rate",
     "docs_dedup_provenance",
+    "events_bloom_panel",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1204,6 +1205,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_bloom_panel",  # bloom build + probe: fill, expected vs measured FPR
+    _q(lambda spark, sf: analytics.bloom_membership_panel(load_table(spark, sf, "events"))),
+    analytics.BLOOM_PANEL_SQL,
 )
 register(
     "docs_dedup_provenance",  # keeper -> removed-ids audit export

@@ -1070,3 +1070,22 @@ class TestChunkDupAndProvenance:
         assert set(out) == {1, 7}
         assert out[1].n_removed == 2 and out[1].removed_ids == "3,5"
         assert out[7].n_removed == 0 and out[7].removed_ids == ""
+
+
+class TestBloomPanel:
+    def test_fpr_estimate_tracks_measurement(self, spark, sf_dir):
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+        from logistics_data_pipeline_spark.operators import analytics
+
+        r = analytics.bloom_membership_panel(
+            load_table(spark, sf_dir, "events")
+        ).collect()[0]
+        assert 0 < r.bits_set <= analytics.BLOOM_BITS
+        assert abs(r.fill_ratio - r.bits_set / analytics.BLOOM_BITS) < 1e-6
+        # every probe key is a true negative, so measured fpr is exact;
+        # the fill-based estimate must be in the same ballpark (both
+        # are small at this scale; x3 covers binomial noise)
+        assert 0.0 <= r.measured_fpr <= 1.0
+        if r.expected_fpr > 0.001:
+            assert r.measured_fpr <= 3 * r.expected_fpr
+            assert r.measured_fpr >= r.expected_fpr / 3

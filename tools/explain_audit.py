@@ -45,6 +45,7 @@ ALLOWED = {
     # inherits emb_knn_bruteforce's broadcast-queries scan (the point)
     "emb_ann_recall_panel": {"nested-loop join"},
     "docs_tfidf_cosine_pairs": {"nested-loop join"},  # 1-row corpus size
+    "events_bloom_panel": {"nested-loop join"},  # four 1-row scalar legs
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
