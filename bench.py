@@ -127,6 +127,7 @@ HEADLINE = [
     "docs_chunk_dup_rate",
     "docs_dedup_provenance",
     "events_bloom_panel",
+    "docs_sorted_neighborhood",
 ]
 
 

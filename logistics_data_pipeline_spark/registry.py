@@ -948,6 +948,7 @@ _ROUND5_WINDOW = [
     "docs_chunk_dup_rate",
     "docs_dedup_provenance",
     "events_bloom_panel",
+    "docs_sorted_neighborhood",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1205,6 +1206,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_sorted_neighborhood",  # blocked SNM: sort-window candidates + exact verify
+    _q(lambda spark, sf: llm_dedup.sorted_neighborhood(_docs(spark, sf))),
+    llm_dedup.SORTED_NEIGHBORHOOD_SQL,
 )
 register(
     "events_bloom_panel",  # bloom build + probe: fill, expected vs measured FPR

@@ -885,3 +885,23 @@ def test_simhash_pairs_exact_within_pigeonhole_radius(spark):
     }
     got = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(docs).collect()}
     assert got == brute and len(brute) >= 3
+
+
+def test_sorted_neighborhood_semantics(spark):
+    """SNM finds same-prefix near-dups via the sort window and, by
+    design, misses prefix-divergent ones (its documented blind spot)."""
+    from logistics_data_pipeline_spark.llm.dedup import sorted_neighborhood
+
+    body = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "prefixaa " + body),
+            (2, "prefixaa " + body + " tail"),   # same block, adjacent in sort
+            (3, "zz-other " + body),             # same content, far-away prefix
+            (4, "prefixaa " + " ".join(f"q{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a_id, r.b_id) for r in sorted_neighborhood(docs, threshold=0.6).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)  # blocked SNM's documented miss
