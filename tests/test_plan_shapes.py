@@ -150,3 +150,56 @@ def test_incremental_dedup_is_hash_joins_on_content_hash(spark, sf_dir):
     plan = _plan(dedup.incremental_dedup(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_cosine_stays_in_codegen_hash_agg(spark, sf_dir):
+    """The round-5 rewrite: the per-pair dot product must plan as
+    Generate (posexplode) + HashAggregate — never BatchEvalPython, and
+    no higher-order Aggregate lambda in the pair loop."""
+    from logistics_data_pipeline_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.embedding_neardup(emb))
+    assert "BatchEvalPython" not in plan
+    assert "Generate posexplode" in plan or "Generate" in plan
+    assert "HashAggregate" in plan
+
+
+def test_prefix_neardup_narrow_pair_stream(spark, sf_dir):
+    """The quadratic pair join must not carry the full 64-dim vectors:
+    full vectors enter only via the survivors' id join-back."""
+    from logistics_data_pipeline_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.embedding_neardup_prefix(emb))
+    assert "BatchEvalPython" not in plan
+    # the block-pair join keys exist, and the pair-side projections
+    # reference the prefix slices (lpv/rpv), not the full lv/rv arrays
+    import re
+
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    pair_join = [ln for ln in joins if re.search(r"p#\d+.*q#\d+", ln)]
+    assert pair_join, joins
+    # the pair join's own line must not materialize the full vectors
+    assert all("lv#" not in ln and "rv#" not in ln for ln in pair_join), pair_join
+
+
+def test_weighted_sample_zero_exchange_takeordered(spark, sf_dir):
+    from logistics_data_pipeline_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(curation.weighted_sample(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_snm_window_is_partitioned(spark, sf_dir):
+    """Blocked SNM must never run an unpartitioned (global-sort)
+    window: every Window node carries the blk partition spec."""
+    from logistics_data_pipeline_spark.llm import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.sorted_neighborhood(docs))
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "blk" in ln or "doc_id" in ln, ln
