@@ -70,3 +70,55 @@ def test_gold_fact_partition_pruning(spark, sf_dir, tmp_path):
     total_files = len(glob.glob(f"{gold}/fact_event/*/*.parquet"))
     day_files = len(glob.glob(f"{gold}/fact_event/ingest_date=2026-01-01/*.parquet"))
     assert 0 < day_files < total_files
+
+
+def test_zorder_write_shrinks_rowgroup_bounding_boxes(spark, sf_dir, tmp_path):
+    """The Morton layout must make row-group min/max ranges narrow on
+    BOTH dimensions: the mean normalized bounding-box area per row
+    group drops by an order of magnitude vs the arrival-order write,
+    which is exactly what min/max-based data skipping consumes."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.sources.bucketed import write_zordered
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value")
+    ).withColumn("minute_id", (F.col("event_id") % 4096).cast("long"))
+
+    naive_dir, z_dir = str(tmp_path / "naive"), str(tmp_path / "zord")
+    events.repartition(8).write.mode("overwrite").parquet(naive_dir)
+    write_zordered(events, z_dir, "user_id", "minute_id", files=8, bits=12)
+
+    def mean_bbox_area(d):
+        spans = []
+        cols = ("user_id", "minute_id")
+        ranges = {}
+        for f in glob.glob(f"{d}/*.parquet"):
+            pf = pq.ParquetFile(f)
+            for rg in range(pf.metadata.num_row_groups):
+                meta = pf.metadata.row_group(rg)
+                vals = {}
+                for ci in range(meta.num_columns):
+                    c = meta.column(ci)
+                    if c.path_in_schema in cols:
+                        st = c.statistics
+                        vals[c.path_in_schema] = (st.min, st.max)
+                spans.append(vals)
+        los = {c: min(v[c][0] for v in spans) for c in cols}
+        his = {c: max(v[c][1] for v in spans) for c in cols}
+        areas = []
+        for v in spans:
+            a = 1.0
+            for c in cols:
+                width = (v[c][1] - v[c][0] + 1) / (his[c] - los[c] + 1)
+                a *= width
+            areas.append(a)
+        return sum(areas) / len(areas)
+
+    naive_area = mean_bbox_area(naive_dir)
+    z_area = mean_bbox_area(z_dir)
+    assert z_area < naive_area / 5, (naive_area, z_area)
