@@ -128,6 +128,7 @@ HEADLINE = [
     "docs_dedup_provenance",
     "events_bloom_panel",
     "docs_sorted_neighborhood",
+    "emb_incremental_topk",
 ]
 
 

@@ -2402,3 +2402,80 @@ def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
     ivf = leg("ivf", knn_ivf(emb, n_queries, k))
     ivfpq = leg("ivfpq", knn_ivfpq(emb, n_queries, k))
     return ivf.unionByName(ivfpq).orderBy("method", "query")
+
+
+INC_TOPK_BATCH_MOD = 5  # vec_id % 5 == 0 (and >= n_queries) is the new batch
+
+
+def incremental_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, batch_mod: int = INC_TOPK_BATCH_MOD
+) -> DataFrame:
+    """Incrementally-maintained exact top-k (the interactive-session
+    pattern from the incremental top-k similarity-search literature):
+    when a new corpus batch arrives, DON'T rescan the old corpus —
+    merge the cached per-query top-k of the old corpus with scores
+    against only the new batch, and re-rank. Exactness argument: any
+    full-corpus top-k member from the old corpus must already be in
+    the old top-k (scores don't change), and boundary ties resolve by
+    the same (cosine DESC, id ASC) order in both stages, so the merge
+    can never promote a dropped candidate. The ORACLE is the full
+    recompute over old ∪ new — the driver hash-check IS the proof that
+    incremental == from-scratch.
+
+    Scale: the per-round cost is O(queries × new batch) + a k-sized
+    merge per query, vs O(queries × corpus) for the rescan — the whole
+    point when a 100 TB corpus grows by 0.1%/day. Batch membership is
+    simulated deterministically (``vec_id % batch_mod == 0``), same
+    convention as ``incremental_dedup``."""
+    queries = F.broadcast(
+        _with_norm(emb.filter(F.col("vec_id") < n_queries), "query_id", "q", "qn")
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    old = _with_norm(
+        corpus.filter(F.col("vec_id") % batch_mod != 0), "neighbor_id", "c", "cn"
+    )
+    new = _with_norm(
+        corpus.filter(F.col("vec_id") % batch_mod == 0), "neighbor_id", "c", "cn"
+    )
+
+    def _score(side):
+        return queries.crossJoin(side).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    old_topk = (
+        _score(old)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+    merged = old_topk.unionByName(_score(new))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+INCREMENTAL_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10 AND q.vec_id < 10
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+""".strip()

@@ -949,6 +949,7 @@ _ROUND5_WINDOW = [
     "docs_dedup_provenance",
     "events_bloom_panel",
     "docs_sorted_neighborhood",
+    "emb_incremental_topk",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1206,6 +1207,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "emb_incremental_topk",  # merge cached old-corpus top-k with new-batch scores
+    _q(lambda spark, sf: llm_sim.incremental_topk(_emb(spark, sf))),
+    llm_sim.INCREMENTAL_TOPK_SQL,
 )
 register(
     "docs_sorted_neighborhood",  # blocked SNM: sort-window candidates + exact verify

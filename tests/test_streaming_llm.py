@@ -905,3 +905,18 @@ def test_sorted_neighborhood_semantics(spark):
     got = {(r.a_id, r.b_id) for r in sorted_neighborhood(docs, threshold=0.6).collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)  # blocked SNM's documented miss
+
+
+def test_incremental_topk_equals_full_recompute(spark, sf_dir):
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        incremental_topk,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = [(r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in knn_bruteforce(emb).orderBy("query_id", "rank").collect()]
+    inc = [(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in incremental_topk(emb).collect()]
+    assert inc == full and len(inc) == 50

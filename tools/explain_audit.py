@@ -55,6 +55,7 @@ ALLOWED = {
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
+    "emb_incremental_topk": {"nested-loop join"},
     "emb_triplet_mining": {"nested-loop join"},
     # distinct-langs × distinct-sources grid cross (both sides are
     # config-sized distinct lists; the zero-cell completion needs it)
