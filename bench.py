@@ -129,6 +129,7 @@ HEADLINE = [
     "events_bloom_panel",
     "docs_sorted_neighborhood",
     "emb_incremental_topk",
+    "docs_curation_pipeline_v2",
 ]
 
 

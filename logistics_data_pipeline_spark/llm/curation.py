@@ -897,3 +897,76 @@ FROM chunks c JOIN owners o USING (h)
 GROUP BY c.doc_id
 ORDER BY c.doc_id
 """.strip()
+
+
+def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
+    """Round-5 curation DAG: the NEW primitives composed into one
+    Catalyst plan — hashed-feature classifier gate (cls_score ≥ 0) →
+    sub-document duplication gate (dup_share ≤ 0.5, ``chunk_dup_rate``)
+    → exact-dedup keeper → deterministic split. Alongside the v1
+    pipeline (heuristic quality filter) this is the model-scored
+    variant of raw-crawl → training-data; every stage is a map or a
+    doc-keyed/content-hash join, so the composition inherits each
+    stage's scale shape with no materialization barrier.
+
+    Output: one surviving row per kept doc with both gate scores, its
+    duplicate-group size, and the split."""
+    from .text import quality_classifier
+
+    cls = quality_classifier(docs).filter(F.col("keep")).select(
+        "doc_id", "cls_score"
+    )
+    dup = chunk_dup_rate(docs).filter(F.col("dup_share") <= 0.5).select(
+        "doc_id", "dup_share"
+    )
+    kept = docs.join(cls, "doc_id").join(dup, "doc_id")
+    from .dedup import exact_dedup
+
+    groups = exact_dedup(kept).select(
+        F.col("keeper_doc_id").alias("doc_id"), "n_copies"
+    )
+    final = kept.join(groups, "doc_id")
+    return (
+        final.join(split_assign(final).select("doc_id", "split"), "doc_id")
+        .select(
+            "doc_id", "lang", "source", "cls_score", "dup_share", "n_copies", "split"
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATION_PIPELINE_V2_SQL = f"""
+WITH cls AS (
+  SELECT doc_id, cls_score FROM ({{CLS}}) WHERE keep
+),
+dup AS (
+  SELECT doc_id, dup_share FROM ({{DUP}}) WHERE dup_share <= 0.5
+),
+kept AS (
+  SELECT d.*, cls.cls_score, dup.dup_share
+  FROM documents d
+  JOIN cls USING (doc_id)
+  JOIN dup USING (doc_id)
+),
+groups AS (
+  SELECT MIN(doc_id) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.lang, k.source, k.cls_score, k.dup_share, g.n_copies,
+       CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_threshold(0.1)}' THEN 'test'
+            WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                 < '{_hex_threshold(0.2)}' THEN 'val'
+            ELSE 'train' END AS split
+FROM kept k JOIN groups g ON g.keeper_doc_id = k.doc_id
+ORDER BY k.doc_id
+""".strip()
+
+# late-bound subquery substitution: the classifier SQL lives in text.py
+# (imported here, not at its definition, to keep module imports acyclic)
+from .text import QUALITY_CLASSIFIER_SQL as _CLS_SQL  # noqa: E402
+
+CURATION_PIPELINE_V2_SQL = (
+    CURATION_PIPELINE_V2_SQL.replace("{CLS}", _CLS_SQL)
+    .replace("{DUP}", CHUNK_DUP_RATE_SQL)
+)

@@ -950,6 +950,7 @@ _ROUND5_WINDOW = [
     "events_bloom_panel",
     "docs_sorted_neighborhood",
     "emb_incremental_topk",
+    "docs_curation_pipeline_v2",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1207,6 +1208,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_curation_pipeline_v2",  # classifier + dup-share gates -> keeper -> split
+    _q(lambda spark, sf: llm_cur.curation_pipeline_v2(_docs(spark, sf))),
+    llm_cur.CURATION_PIPELINE_V2_SQL,
 )
 register(
     "emb_incremental_topk",  # merge cached old-corpus top-k with new-batch scores
