@@ -130,6 +130,7 @@ HEADLINE = [
     "docs_sorted_neighborhood",
     "emb_incremental_topk",
     "docs_curation_pipeline_v2",
+    "emb_norm_stats",
 ]
 
 

@@ -2479,3 +2479,50 @@ FROM (
 WHERE rank <= 5
 ORDER BY query_id, rank
 """.strip()
+
+
+UNIT_NORM_TOL = 1e-3
+
+
+def norm_stats(emb: DataFrame) -> DataFrame:
+    """Embedding-norm QA panel, 1 row: min / median / max L2 norm and
+    the fraction of vectors within ``UNIT_NORM_TOL`` of unit length.
+    Answers two pre-indexing questions at a glance: is the corpus
+    unit-normalized (then inner product IS cosine and every scoring
+    kernel can drop the norm division), and are there broken rows
+    (zeroed / double-scaled / truncated vectors shear min or max away
+    from the pack). On the driver corpus: frac_unit = 1.0 — the
+    dot-product fast path is safe, which is exactly what the IVF-PQ
+    codebook normalization relies on.
+
+    Scale: one map pass for norms, one scalar aggregation (the median
+    is the only non-mergeable piece; swap for approx_percentile when
+    one exact pass over a 1-double column is too much)."""
+    norms = emb.select(_norm(F.col("embedding")).alias("nrm"))
+    return norms.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.percentile(F.col("nrm"), F.lit(0.5)), 6).alias("median_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(
+            F.avg(
+                (F.abs(F.col("nrm") - 1.0) <= UNIT_NORM_TOL).cast("int")
+            ),
+            6,
+        ).alias("frac_unit"),
+    )
+
+
+NORM_STATS_SQL = f"""
+WITH norms AS (
+  SELECT sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(quantile_cont(nrm, 0.5), 6) AS median_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND(AVG(CASE WHEN ABS(nrm - 1.0) <= {UNIT_NORM_TOL} THEN 1 ELSE 0 END), 6) AS frac_unit
+FROM norms
+""".strip()

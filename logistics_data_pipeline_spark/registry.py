@@ -951,6 +951,7 @@ _ROUND5_WINDOW = [
     "docs_sorted_neighborhood",
     "emb_incremental_topk",
     "docs_curation_pipeline_v2",
+    "emb_norm_stats",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1208,6 +1209,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "emb_norm_stats",  # pre-indexing QA: is the corpus unit-normalized?
+    _q(lambda spark, sf: llm_sim.norm_stats(_emb(spark, sf))),
+    llm_sim.NORM_STATS_SQL,
 )
 register(
     "docs_curation_pipeline_v2",  # classifier + dup-share gates -> keeper -> split

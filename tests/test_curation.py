@@ -1089,3 +1089,19 @@ class TestBloomPanel:
         if r.expected_fpr > 0.001:
             assert r.measured_fpr <= 3 * r.expected_fpr
             assert r.measured_fpr >= r.expected_fpr / 3
+
+
+class TestNormStats:
+    def test_detects_broken_vectors_and_unit_share(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rows = [(i, [0.6, 0.8, 0.0, 0.0], 0) for i in range(8)]  # unit
+        rows.append((100, [1.2, 1.6, 0.0, 0.0], 0))  # double-scaled
+        rows.append((101, [0.0, 0.0, 0.0, 0.0], 0))  # zeroed
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        r = similarity.norm_stats(emb).collect()[0]
+        assert r.n_vectors == 10
+        assert r.min_norm == 0.0 and r.max_norm == 2.0 and r.median_norm == 1.0
+        assert r.frac_unit == 0.8
