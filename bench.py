@@ -131,6 +131,7 @@ HEADLINE = [
     "emb_incremental_topk",
     "docs_curation_pipeline_v2",
     "emb_norm_stats",
+    "events_seasonal_deviation",
 ]
 
 

@@ -1042,3 +1042,77 @@ WHERE hist_hours >= {BURST_MIN_HISTORY}
   AND CAST(n AS DOUBLE) >= {BURST_RATIO} * base
 ORDER BY event_type, hour
 """.strip()
+
+
+SEASONAL_MIN_DAYS = 7
+SEASONAL_RATIO = 1.5
+
+
+def seasonal_deviation(events: DataFrame) -> DataFrame:
+    """Seasonality-aware anomaly panel: each (event_type, date, hour)
+    cell versus the SAME-HOUR-OF-DAY mean across all days — the
+    complement of ``rate_bursts``' trailing window. A 3 a.m. spike
+    that is normal for 3 p.m. only stands out against the same-hour
+    profile; conversely daily rush hours never false-alarm here. Cells
+    flagged when count ≥ ``SEASONAL_RATIO`` × profile mean with ≥
+    ``SEASONAL_MIN_DAYS`` days of support (the flagged day is part of
+    its own profile — a deliberate, deterministic simplification that
+    only dampens the ratio).
+
+    Determinism: profile mean is SUM/COUNT over exact integer counts.
+    Scale: one (type, date, hour) aggregation collapses the corpus;
+    the profile is a second aggregation over the grid (types × 24 ×
+    days rows) and a broadcast join back."""
+    grid = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("event_type", "event_date", "hod")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    profile = grid.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_days"),
+        (F.sum("n").cast("double") / F.count("*")).alias("profile_mean"),
+    )
+    return (
+        grid.join(F.broadcast(profile), ["event_type", "hod"])
+        .filter(
+            (F.col("n_days") >= SEASONAL_MIN_DAYS)
+            & (F.col("n").cast("double") >= F.lit(SEASONAL_RATIO) * F.col("profile_mean"))
+        )
+        .select(
+            "event_type",
+            "event_date",
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            F.round(F.col("profile_mean"), 6).alias("profile_mean"),
+            F.round(F.col("n").cast("double") / F.col("profile_mean"), 6).alias(
+                "seasonal_ratio"
+            ),
+        )
+        .orderBy("event_type", "event_date", "hod")
+    )
+
+
+SEASONAL_DEVIATION_SQL = f"""
+WITH grid AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+profile AS (
+  SELECT event_type, hod, COUNT(*) AS n_days,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS profile_mean
+  FROM grid GROUP BY 1, 2
+)
+SELECT g.event_type, g.event_date, g.hod, g.n,
+       ROUND(p.profile_mean, 6) AS profile_mean,
+       ROUND(CAST(g.n AS DOUBLE) / p.profile_mean, 6) AS seasonal_ratio
+FROM grid g JOIN profile p USING (event_type, hod)
+WHERE p.n_days >= {SEASONAL_MIN_DAYS}
+  AND CAST(g.n AS DOUBLE) >= {SEASONAL_RATIO} * p.profile_mean
+ORDER BY g.event_type, g.event_date, g.hod
+""".strip()

@@ -952,6 +952,7 @@ _ROUND5_WINDOW = [
     "emb_incremental_topk",
     "docs_curation_pipeline_v2",
     "emb_norm_stats",
+    "events_seasonal_deviation",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1209,6 +1210,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_seasonal_deviation",  # same-hour-of-day profile anomalies
+    _q(lambda spark, sf: temporal.seasonal_deviation(load_table(spark, sf, "events"))),
+    temporal.SEASONAL_DEVIATION_SQL,
 )
 register(
     "emb_norm_stats",  # pre-indexing QA: is the corpus unit-normalized?

@@ -1105,3 +1105,32 @@ class TestNormStats:
         assert r.n_vectors == 10
         assert r.min_norm == 0.0 and r.max_norm == 2.0 and r.median_norm == 1.0
         assert r.frac_unit == 0.8
+
+
+class TestSeasonalDeviation:
+    def test_rush_hour_is_not_an_anomaly_spike_is(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows, eid = [], 0
+        # 10 days: hour 9 always busy (10 events), hour 3 always quiet (2)
+        for d in range(10):
+            for j in range(10):
+                rows.append((eid, t0 + dt.timedelta(days=d, hours=9, minutes=j), 1, "click", 1.0, "{}")); eid += 1
+            for j in range(2):
+                rows.append((eid, t0 + dt.timedelta(days=d, hours=3, minutes=j), 1, "click", 1.0, "{}")); eid += 1
+        # day 10: hour 3 spikes to 8 (4x its profile), hour 9 stays at 10
+        for j in range(8):
+            rows.append((eid, t0 + dt.timedelta(days=10, hours=3, minutes=j), 1, "click", 1.0, "{}")); eid += 1
+        for j in range(10):
+            rows.append((eid, t0 + dt.timedelta(days=10, hours=9, minutes=j), 1, "click", 1.0, "{}")); eid += 1
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = temporal.seasonal_deviation(events).collect()
+        assert len(out) == 1  # the busy-but-normal hour 9 never flags
+        r = out[0]
+        assert r.hod == 3 and r.event_date == dt.date(2026, 1, 11) and r.n == 8
+        assert r.seasonal_ratio > 2.5
