@@ -132,6 +132,7 @@ HEADLINE = [
     "docs_curation_pipeline_v2",
     "emb_norm_stats",
     "events_seasonal_deviation",
+    "events_funnel_windowed",
 ]
 
 

@@ -1667,3 +1667,145 @@ SELECT CAST((SELECT COUNT(*) FROM build_keys) AS BIGINT) AS n_build,
        ROUND(CAST((SELECT n_false_pos FROM probe_hits) AS DOUBLE)
              / (SELECT COUNT(*) FROM probe_keys), 6) AS measured_fpr
 """.strip()
+
+
+FUNNEL_WINDOW_S = 86400  # each step must land within a day of the prior
+
+
+def user_funnel_windowed(
+    events: DataFrame, within_s: int = FUNNEL_WINDOW_S
+) -> DataFrame:
+    """Time-bounded funnel: like ``user_funnel`` but each step counts
+    only within ``within_s`` seconds of the PRIOR step's first touch —
+    the product-analytics convention ("converted within a day"), which
+    separates genuine journeys from coincidental events weeks apart.
+    Same one-exchange chained-window plan; only the step predicates
+    gain the upper time bound.
+
+    Output matches ``user_funnel`` (step rows with reach + conversion
+    rates) so the bounded and unbounded funnels diff directly."""
+    w = Window.partitionBy("user_id")
+    bound = F.lit(float(within_s))
+    df = events.withColumn(
+        "_t1",
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w),
+    )
+    df = df.withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1])
+                & (F.col("ts") > F.col("_t1"))
+                & (
+                    F.col("ts").cast("double")
+                    <= F.col("_t1").cast("double") + bound
+                ),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "_t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2])
+                & (F.col("ts") > F.col("_t2"))
+                & (
+                    F.col("ts").cast("double")
+                    <= F.col("_t2").cast("double") + bound
+                ),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("_t1").alias("t1"), F.max("_t2").alias("t2"), F.max("_t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("u1"),
+        F.count("t2").cast("bigint").alias("u2"),
+        F.count("t3").cast("bigint").alias("u3"),
+    )
+
+    def _rate(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).cast("double")
+
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+                    F.col("u1").alias("users"),
+                    F.lit(None).cast("double").alias("conv_from_prev"),
+                    _rate(F.col("u1"), F.col("u1")).alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[1]).alias("event_type"),
+                    F.col("u2").alias("users"),
+                    _rate(F.col("u2"), F.col("u1")).alias("conv_from_prev"),
+                    _rate(F.col("u2"), F.col("u1")).alias("conv_from_start"),
+                ),
+                F.struct(
+                    F.lit(3).cast("bigint").alias("step"),
+                    F.lit(FUNNEL_STEPS[2]).alias("event_type"),
+                    F.col("u3").alias("users"),
+                    _rate(F.col("u3"), F.col("u2")).alias("conv_from_prev"),
+                    _rate(F.col("u3"), F.col("u1")).alias("conv_from_start"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.event_type", "s.users", "s.conv_from_prev", "s.conv_from_start")
+
+
+USER_FUNNEL_WINDOWED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > p.t1
+                   AND epoch(e.ts) <= epoch(p.t1) + {FUNNEL_WINDOW_S}
+              THEN e.ts END) AS t2
+  FROM events e JOIN per_user p USING (user_id)
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+                   AND epoch(e.ts) <= epoch(s2.t2) + {FUNNEL_WINDOW_S}
+              THEN e.ts END) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT CAST(COUNT(p.t1) AS BIGINT) AS u1,
+         CAST(COUNT(s2.t2) AS BIGINT) AS u2,
+         CAST(COUNT(s3.t3) AS BIGINT) AS u3
+  FROM per_user p
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS event_type, u1 AS users,
+         CAST(NULL AS DOUBLE) AS conv_from_prev,
+         CASE WHEN u1 > 0 THEN ROUND(CAST(u1 AS DOUBLE) / u1, 6) END AS conv_from_start
+  FROM counts
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', u2,
+         CASE WHEN u1 > 0 THEN ROUND(CAST(u2 AS DOUBLE) / u1, 6) END,
+         CASE WHEN u1 > 0 THEN ROUND(CAST(u2 AS DOUBLE) / u1, 6) END
+  FROM counts
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', u3,
+         CASE WHEN u2 > 0 THEN ROUND(CAST(u3 AS DOUBLE) / u2, 6) END,
+         CASE WHEN u1 > 0 THEN ROUND(CAST(u3 AS DOUBLE) / u1, 6) END
+  FROM counts
+)
+ORDER BY step
+""".strip()

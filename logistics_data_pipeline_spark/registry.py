@@ -953,6 +953,7 @@ _ROUND5_WINDOW = [
     "docs_curation_pipeline_v2",
     "emb_norm_stats",
     "events_seasonal_deviation",
+    "events_funnel_windowed",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1210,6 +1211,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_funnel_windowed",  # conversion bounded to a day per step
+    _q(lambda spark, sf: analytics.user_funnel_windowed(load_table(spark, sf, "events"))),
+    analytics.USER_FUNNEL_WINDOWED_SQL,
 )
 register(
     "events_seasonal_deviation",  # same-hour-of-day profile anomalies

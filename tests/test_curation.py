@@ -1134,3 +1134,30 @@ class TestSeasonalDeviation:
         r = out[0]
         assert r.hod == 3 and r.event_date == dt.date(2026, 1, 11) and r.n == 8
         assert r.seasonal_ratio > 2.5
+
+
+class TestWindowedFunnel:
+    def test_out_of_window_step_does_not_convert(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            # user 1: full journey inside the windows
+            (1, t0, 1, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+            (3, t0 + dt.timedelta(hours=4), 1, "purchase", 1.0, "{}"),
+            # user 2: click arrives 3 days after the view -> no step 2
+            (4, t0, 2, "view", 1.0, "{}"),
+            (5, t0 + dt.timedelta(days=3), 2, "click", 1.0, "{}"),
+            (6, t0 + dt.timedelta(days=3, hours=1), 2, "purchase", 1.0, "{}"),
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = {r.step: r.users for r in analytics.user_funnel_windowed(events).collect()}
+        assert out == {1: 2, 2: 1, 3: 1}
+        # the unbounded funnel would convert user 2 as well
+        unbounded = {r.step: r.users for r in analytics.user_funnel(events).collect()}
+        assert unbounded == {1: 2, 2: 2, 3: 2}
