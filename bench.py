@@ -133,6 +133,8 @@ HEADLINE = [
     "emb_norm_stats",
     "events_seasonal_deviation",
     "events_funnel_windowed",
+    "supplier_lead_times",
+    "events_type_overlap",
 ]
 
 

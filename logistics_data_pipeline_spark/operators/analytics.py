@@ -1809,3 +1809,74 @@ SELECT * FROM (
 )
 ORDER BY step
 """.strip()
+
+
+def type_audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the Jaccard
+    of their user sets — which behaviors share an audience (near-1:
+    redundant instrumentation or a hard dependency; near-0: disjoint
+    populations worth separate treatment). The same inverted-index
+    set-similarity shape as the text dedup joins, keyed on user_id
+    with type-pair grouping — at 100 TB the per-user type list is
+    bounded by the type vocabulary, so the pair fan-out per user is
+    |types|², a constant.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, jaccard) per unordered
+    pair, types sorted lexicographically."""
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+TYPE_AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       ROUND(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+""".strip()

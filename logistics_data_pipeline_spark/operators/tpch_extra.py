@@ -1159,3 +1159,80 @@ SELECT r.p_partkey, p.p_name, r.revenue, r.cum_share,
 FROM ranked r JOIN part p ON p.p_partkey = r.p_partkey
 ORDER BY r.revenue DESC, r.p_partkey
 """.strip()
+
+
+# --- supplier lead-time percentiles -----------------------------------------
+
+LEAD_QS = [0.5, 0.9, 0.95, 0.99]
+
+
+def supplier_lead_times(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Per-supplier order→ship lead time percentiles (p50/p90/p95/p99
+    days), long rows — the SLA panel next to the Wilson late-rate
+    ranking: the rate says HOW OFTEN a supplier is late, the tail
+    quantiles say HOW BAD late gets. Exact interpolated percentiles so
+    the oracle hash-matches (same caveat as the other exact-percentile
+    panels: the approximate mergeable path is approx_percentile).
+
+    Scale: one order-key fact join, one supplier-keyed percentile
+    aggregation (each group's values concentrate on its reducer —
+    inherent to exactness), broadcast dim join back."""
+    lead_days = (
+        F.col("l_shipdate").cast("double") - F.col("o_orderdate").cast("double")
+    ) / F.lit(86400.0)
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_suppkey", lead_days.alias("lead_d"))
+    qs = F.array(*[F.lit(q) for q in LEAD_QS])
+    agg = joined.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.percentile(F.col("lead_d"), qs).alias("vals"),
+    )
+    return (
+        agg.select(
+            "l_suppkey",
+            "n_lines",
+            F.posexplode("vals").alias("q_idx", "lead_days"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            F.col("q_idx").cast("bigint").alias("q_idx"),
+            F.round(F.col("lead_days"), 4).alias("lead_days"),
+        )
+        .orderBy("s_suppkey", "q_idx")
+    )
+
+
+SUPPLIER_LEAD_TIMES_SQL = f"""
+WITH j AS (
+  SELECT l_suppkey,
+         (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS lead_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+g AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         quantile_cont(lead_d, {LEAD_QS!r}) AS vals
+  FROM j GROUP BY l_suppkey
+),
+x AS (
+  SELECT l_suppkey, n_lines,
+         generate_subscripts(vals, 1) - 1 AS q_idx,
+         unnest(vals) AS lead_days
+  FROM g
+)
+SELECT s_suppkey, s_name, n_lines,
+       CAST(q_idx AS BIGINT) AS q_idx,
+       ROUND(lead_days, 4) AS lead_days
+FROM x JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey, q_idx
+""".strip()

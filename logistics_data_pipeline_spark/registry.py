@@ -954,6 +954,8 @@ _ROUND5_WINDOW = [
     "emb_norm_stats",
     "events_seasonal_deviation",
     "events_funnel_windowed",
+    "supplier_lead_times",
+    "events_type_overlap",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1211,6 +1213,20 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_type_overlap",  # audience-overlap jaccard per type pair
+    _q(lambda spark, sf: analytics.type_audience_overlap(load_table(spark, sf, "events"))),
+    analytics.TYPE_AUDIENCE_OVERLAP_SQL,
+)
+register(
+    "supplier_lead_times",  # order->ship lead-time tail percentiles
+    _q(
+        lambda spark, sf: tx.supplier_lead_times(
+            *_t(spark, sf, "supplier", "orders", "lineitem")
+        )
+    ),
+    tx.SUPPLIER_LEAD_TIMES_SQL,
 )
 register(
     "events_funnel_windowed",  # conversion bounded to a day per step
