@@ -135,6 +135,7 @@ HEADLINE = [
     "events_funnel_windowed",
     "supplier_lead_times",
     "events_type_overlap",
+    "emb_exact_dup_vectors",
 ]
 
 

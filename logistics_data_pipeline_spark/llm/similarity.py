@@ -2526,3 +2526,55 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
        ROUND(AVG(CASE WHEN ABS(nrm - 1.0) <= {UNIT_NORM_TOL} THEN 1 ELSE 0 END), 6) AS frac_unit
 FROM norms
 """.strip()
+
+
+DUPVEC_SCALE = 10**6
+
+
+def exact_dup_vectors(emb: DataFrame) -> DataFrame:
+    """Level-0 embedding dedup: groups of bit-identical vectors (up to
+    6-dp microunits), reported as (keeper, group size) like the text
+    and media checksum dedups — re-embedded re-crawls and copy-paste
+    rows collapse here for free BEFORE any expensive near-dup pass.
+    The fingerprint quantizes each component to integer microunits and
+    md5s the joined string, so both engines hash identical bytes (raw
+    float-to-string formatting differs between JVM and DuckDB; the
+    integer detour removes that).
+
+    Scale: map-side fingerprint, one hash aggregation. The 100 TB
+    protocol is: run this first, then ``embedding_neardup`` on the
+    keepers only."""
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * DUPVEC_SCALE).cast("bigint"),
+            ),
+        )
+    )
+    return (
+        emb.select("vec_id", fp.alias("vec_fp"))
+        .groupBy("vec_fp")
+        .agg(
+            F.min("vec_id").alias("keeper_vec_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("keeper_vec_id", "n_copies", "vec_fp")
+        .orderBy("keeper_vec_id")
+    )
+
+
+EXACT_DUP_VECTORS_SQL = f"""
+WITH fp AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {DUPVEC_SCALE}) AS BIGINT)), ',')) AS vec_fp
+  FROM embeddings
+)
+SELECT MIN(vec_id) AS keeper_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       vec_fp
+FROM fp GROUP BY vec_fp
+ORDER BY keeper_vec_id
+""".strip()

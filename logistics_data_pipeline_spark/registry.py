@@ -956,6 +956,7 @@ _ROUND5_WINDOW = [
     "events_funnel_windowed",
     "supplier_lead_times",
     "events_type_overlap",
+    "emb_exact_dup_vectors",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1213,6 +1214,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "emb_exact_dup_vectors",  # level-0 vector dedup by microunit fingerprint
+    _q(lambda spark, sf: llm_sim.exact_dup_vectors(_emb(spark, sf))),
+    llm_sim.EXACT_DUP_VECTORS_SQL,
 )
 register(
     "events_type_overlap",  # audience-overlap jaccard per type pair

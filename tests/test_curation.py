@@ -1161,3 +1161,17 @@ class TestWindowedFunnel:
         # the unbounded funnel would convert user 2 as well
         unbounded = {r.step: r.users for r in analytics.user_funnel(events).collect()}
         assert unbounded == {1: 2, 2: 2, 3: 2}
+
+
+class TestExactDupVectors:
+    def test_identical_vectors_group(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        v = [0.1, 0.2, 0.3, 0.4]
+        emb = spark.createDataFrame(
+            [(1, v, 0), (5, v, 0), (3, v, 0), (9, [0.1, 0.2, 0.3, 0.5], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.keeper_vec_id: r.n_copies
+               for r in similarity.exact_dup_vectors(emb).collect()}
+        assert out == {1: 3, 9: 1}
