@@ -136,6 +136,7 @@ HEADLINE = [
     "supplier_lead_times",
     "events_type_overlap",
     "emb_exact_dup_vectors",
+    "docs_shingle_df_stats",
 ]
 
 

@@ -1271,3 +1271,78 @@ FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
 WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6) >= {SNM_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+def shingle_df_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Join-size estimator for the inverted-index near-dups: the
+    document-frequency histogram of word n-gram shingles in pow-2
+    buckets, each bucket carrying its exact contribution to the
+    self-join's candidate-pair count (Σ df·(df−1)/2). This is the
+    panel that PICKS ``MAX_SHINGLE_DF``: read the cumulative pair
+    share, see that the top bucket would contribute quadratically many
+    candidates with no Jaccard discrimination, cap there — measurement
+    replacing folklore, the same role ``events_key_skew_stats`` plays
+    for shuffle salting.
+
+    Scale: one aggregation to (shingle, df) — map-side partials
+    collapse the fan-out — then a bounded ~30-row bucket rollup."""
+    df_ = shingle_rows(docs, n).groupBy("s").agg(F.count("*").alias("df"))
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.col("df").cast("double")))
+    ).cast("bigint")
+    per_bucket = (
+        df_.select(
+            F.greatest(bucket, F.lit(1).cast("bigint")).alias("df_bucket"),
+            "df",
+        )
+        .groupBy("df_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") * (F.col("df") - 1) / 2).cast("bigint"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+    )
+    total = per_bucket.agg(F.sum("candidate_pairs").alias("_total"))
+    return (
+        per_bucket.join(F.broadcast(total))
+        .select(
+            "df_bucket",
+            "n_shingles",
+            "candidate_pairs",
+            F.round(
+                F.col("candidate_pairs").cast("double")
+                / F.nullif(F.col("_total"), F.lit(0)).cast("double"),
+                6,
+            ).alias("pair_share"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+SHINGLE_DF_STATS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [] END) AS s
+  FROM toks
+),
+dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+per_bucket AS (
+  SELECT GREATEST(CAST(power(2, ceil(log2(CAST(df AS DOUBLE)))) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS df_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT) AS candidate_pairs
+  FROM dfs GROUP BY 1
+)
+SELECT df_bucket, n_shingles, candidate_pairs,
+       ROUND(CAST(candidate_pairs AS DOUBLE)
+             / NULLIF(CAST((SELECT SUM(candidate_pairs) FROM per_bucket) AS DOUBLE), 0), 6)
+         AS pair_share
+FROM per_bucket
+ORDER BY df_bucket
+""".strip()

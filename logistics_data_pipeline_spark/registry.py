@@ -957,6 +957,7 @@ _ROUND5_WINDOW = [
     "supplier_lead_times",
     "events_type_overlap",
     "emb_exact_dup_vectors",
+    "docs_shingle_df_stats",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1214,6 +1215,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_shingle_df_stats",  # the join-size estimator that picks MAX_SHINGLE_DF
+    _q(lambda spark, sf: llm_dedup.shingle_df_stats(_docs(spark, sf))),
+    llm_dedup.SHINGLE_DF_STATS_SQL,
 )
 register(
     "emb_exact_dup_vectors",  # level-0 vector dedup by microunit fingerprint

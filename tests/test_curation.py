@@ -1175,3 +1175,20 @@ class TestExactDupVectors:
         out = {r.keeper_vec_id: r.n_copies
                for r in similarity.exact_dup_vectors(emb).collect()}
         assert out == {1: 3, 9: 1}
+
+
+class TestShingleDfStats:
+    def test_buckets_and_pair_math(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        body = "a b c d e"  # 3 distinct 3-gram shingles
+        docs = spark.createDataFrame(
+            [(i, body) for i in range(5)] + [(10, "x y z w v")],
+            "doc_id long, text string",
+        )
+        out = {r.df_bucket: r for r in dedup.shingle_df_stats(docs).collect()}
+        # shared shingles have df=5 -> bucket 8, pairs 3 * C(5,2) = 30
+        assert out[8].n_shingles == 3 and out[8].candidate_pairs == 30
+        # unique shingles df=1 -> bucket 1, zero pairs
+        assert out[1].candidate_pairs == 0
+        assert abs(out[8].pair_share - 1.0) < 1e-9

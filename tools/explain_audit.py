@@ -46,6 +46,7 @@ ALLOWED = {
     "emb_ann_recall_panel": {"nested-loop join"},
     "docs_tfidf_cosine_pairs": {"nested-loop join"},  # 1-row corpus size
     "events_bloom_panel": {"nested-loop join"},  # four 1-row scalar legs
+    "docs_shingle_df_stats": {"nested-loop join"},  # 1-row pair total
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
