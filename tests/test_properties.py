@@ -307,3 +307,66 @@ def test_doc_chunks_invariants_for_any_doc_length(spark, lengths):
             assert piece == toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
         covered = sorted({cid * CHUNK_STRIDE + k for cid, p in chunks.items() for k in range(len(p))})
         assert covered == list(range(n))
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_doc_rows())
+def test_snapshot_diff_partitions_every_affected_doc(spark, rows):
+    """Property: every doc appears in the diff at most once, classes
+    are exactly determined by the mod arithmetic, and fingerprints are
+    present/absent per class."""
+    from logistics_data_pipeline_spark.llm.curation import (
+        SNAPSHOT_ADD_MOD,
+        SNAPSHOT_EDIT_MOD,
+        snapshot_diff,
+    )
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = snapshot_diff(docs).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    for r in out:
+        if r.doc_id % SNAPSHOT_ADD_MOD == 9:
+            assert r.change == "added" and r.old_fp is None
+        elif r.doc_id % SNAPSHOT_ADD_MOD == 0:
+            assert r.change == "removed" and r.new_fp is None
+        else:
+            assert r.change == "changed"
+            assert r.doc_id % SNAPSHOT_EDIT_MOD == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_doc_rows())
+def test_ngram_novelty_bounds_and_first_doc(spark, rows):
+    """Property: novelty is in [0,1] (or NULL for shingle-less docs),
+    and the lowest doc_id that HAS shingles always scores 1.0."""
+    from logistics_data_pipeline_spark.llm.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert set(out) == {d for d, _ in rows}
+    shingled = sorted(d for d, r in out.items() if r.n_shingles > 0)
+    for r in out.values():
+        if r.novelty is not None:
+            assert 0.0 <= r.novelty <= 1.0
+            assert r.n_novel <= r.n_shingles
+    if shingled:
+        assert out[shingled[0]].novelty == 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_doc_rows())
+def test_dedup_provenance_conserves_documents(spark, rows):
+    """Property: keepers + removed ids partition the corpus exactly."""
+    from logistics_data_pipeline_spark.llm.dedup import dedup_provenance
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_provenance(docs).collect()
+    keepers = {r.keeper_doc_id for r in out}
+    removed = set()
+    for r in out:
+        if r.removed_ids:
+            removed |= {int(x) for x in r.removed_ids.split(",")}
+        assert r.n_removed == (len(r.removed_ids.split(",")) if r.removed_ids else 0)
+    assert keepers | removed == {d for d, _ in rows}
+    assert not keepers & removed
