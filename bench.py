@@ -137,6 +137,7 @@ HEADLINE = [
     "events_type_overlap",
     "emb_exact_dup_vectors",
     "docs_shingle_df_stats",
+    "docs_minhash_error_panel",
 ]
 
 

@@ -1346,3 +1346,52 @@ SELECT df_bucket, n_shingles, candidate_pairs,
 FROM per_bucket
 ORDER BY df_bucket
 """.strip()
+
+
+MINHASH_ERR_THRESHOLD = 0.3  # evaluate over pairs with exact jaccard >= this
+
+
+def minhash_error_panel(
+    docs: DataFrame, threshold: float = MINHASH_ERR_THRESHOLD
+) -> DataFrame:
+    """MinHash estimator-quality panel: over the EXACT n-gram Jaccard
+    pairs (deterministic ground truth), compare the k=64 signature
+    agreement estimate against the true Jaccard — mean absolute error,
+    worst error, bias, and pair count, one row. The quantitative
+    answer to "can I trust the sketch", playing the role for the
+    MinHash path that ``emb_ann_recall_panel`` plays for IVF; the
+    binomial theory says RMSE ≈ sqrt(J(1−J)/64) ≈ 0.06 at J=0.5, and
+    the panel measures it on THIS corpus.
+
+    Rows-only by necessity (the signatures hash with xxhash64, not
+    reproducible in ANSI SQL); the error floor is pinned in pytest.
+
+    Scale: ground truth comes from the capped inverted-index join;
+    signatures join to the (small) confirmed-pair set by id, and the
+    64-column agreement is a map-side expression."""
+    exact = neardup_ngram(docs, threshold=threshold).select(
+        "a_id", "b_id", "jaccard"
+    )
+    sig = track_persist(minhash_signatures(docs))
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    est = exact.join(sa, "a_id").join(sb, "b_id").select(
+        "jaccard",
+        (agree.cast("double") / F.lit(float(N_HASHES))).alias("est"),
+    )
+    err = F.col("est") - F.col("jaccard")
+    return est.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.abs(err)), 6).alias("mean_abs_err"),
+        F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
+        F.round(F.avg(err), 6).alias("bias"),
+    )

@@ -958,6 +958,7 @@ _ROUND5_WINDOW = [
     "events_type_overlap",
     "emb_exact_dup_vectors",
     "docs_shingle_df_stats",
+    "docs_minhash_error_panel",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1215,6 +1216,10 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_minhash_error_panel",  # sketch-vs-exact jaccard error (rows-only)
+    _q(lambda spark, sf: llm_dedup.minhash_error_panel(_docs(spark, sf))),
 )
 register(
     "docs_shingle_df_stats",  # the join-size estimator that picks MAX_SHINGLE_DF

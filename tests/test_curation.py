@@ -1192,3 +1192,21 @@ class TestShingleDfStats:
         # unique shingles df=1 -> bucket 1, zero pairs
         assert out[1].candidate_pairs == 0
         assert abs(out[8].pair_share - 1.0) < 1e-9
+
+
+class TestMinhashErrorPanel:
+    def test_error_within_binomial_bound(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        # overlapping windows of a shared token stream give a spread of
+        # true jaccards in [0.3, 1.0]
+        w = [f"w{i}" for i in range(80)]
+        rows = [(i, " ".join(w[i * 5 : i * 5 + 40])) for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        r = dedup.minhash_error_panel(docs).collect()[0]
+        assert r.n_pairs >= 5
+        # k=64 binomial: sigma <= 0.5/8 = 0.0625; mean |err| well under
+        # 2 sigma, max under ~4 sigma
+        assert r.mean_abs_err <= 0.13
+        assert r.max_abs_err <= 0.25
+        assert abs(r.bias) <= 0.1

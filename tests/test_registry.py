@@ -21,6 +21,7 @@ ROWS_ONLY_OK: set[str] = {
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
     "events_hll_rollup",  # HLL sketch estimates are engine-specific
     "emb_ann_recall_panel",  # evaluates the approximate (rows-only) paths
+    "docs_minhash_error_panel",  # evaluates the xxhash64 sketch vs exact
 }
 
 
