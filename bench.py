@@ -138,6 +138,7 @@ HEADLINE = [
     "emb_exact_dup_vectors",
     "docs_shingle_df_stats",
     "docs_minhash_error_panel",
+    "emb_cell_balance",
 ]
 
 

@@ -2578,3 +2578,59 @@ SELECT MIN(vec_id) AS keeper_vec_id,
 FROM fp GROUP BY vec_fp
 ORDER BY keeper_vec_id
 """.strip()
+
+
+def cell_balance(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer load panel, the probe-COST side of
+    ``cell_purity``'s recall story: per-cell population, share of the
+    corpus, and the cell's size ratio to the ideal uniform load —
+    a max ratio near 1 means every probe costs about the same; a hot
+    cell (ratio ≫ 1) is the IVF analogue of a skewed shuffle key and
+    argues for splitting that cell (or more cells). Composes the
+    oracle-checked assignment, so the panel stays hash-exact.
+
+    Scale: one aggregation over the assignment output, one broadcast
+    1-row total — O(cells) after the assignment scan."""
+    assign = ivf_cell_assign(emb)
+    sizes = assign.groupBy("cell_label").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    total = sizes.agg(
+        F.sum("n_vectors").alias("_total"),
+        F.count("*").alias("_cells"),
+    )
+    return (
+        sizes.join(F.broadcast(total))
+        .select(
+            "cell_label",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("_total"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_vectors").cast("double")
+                / (F.col("_total").cast("double") / F.col("_cells")),
+                6,
+            ).alias("load_ratio"),
+        )
+        .orderBy("cell_label")
+    )
+
+
+_ASSIGN_ONLY_CTE = IVF_CELL_ASSIGN_SQL.rsplit("ORDER BY vec_id", 1)[0].rstrip()
+
+CELL_BALANCE_SQL = f"""
+WITH assigned AS (
+{_ASSIGN_ONLY_CTE}
+),
+sizes AS (
+  SELECT cell_label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cell_label
+),
+total AS (SELECT SUM(n_vectors) AS t, COUNT(*) AS c FROM sizes)
+SELECT s.cell_label, s.n_vectors,
+       ROUND(CAST(s.n_vectors AS DOUBLE) / t.t, 6) AS share,
+       ROUND(CAST(s.n_vectors AS DOUBLE) / (CAST(t.t AS DOUBLE) / t.c), 6) AS load_ratio
+FROM sizes s, total t
+ORDER BY s.cell_label
+""".strip()

@@ -959,6 +959,7 @@ _ROUND5_WINDOW = [
     "emb_exact_dup_vectors",
     "docs_shingle_df_stats",
     "docs_minhash_error_panel",
+    "emb_cell_balance",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1216,6 +1217,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "emb_cell_balance",  # IVF probe-cost skew: per-cell load vs uniform
+    _q(lambda spark, sf: llm_sim.cell_balance(_emb(spark, sf))),
+    llm_sim.CELL_BALANCE_SQL,
 )
 register(
     "docs_minhash_error_panel",  # sketch-vs-exact jaccard error (rows-only)
