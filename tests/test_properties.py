@@ -325,14 +325,24 @@ def test_snapshot_diff_partitions_every_affected_doc(spark, rows):
     out = snapshot_diff(docs).collect()
     ids = [r.doc_id for r in out]
     assert len(ids) == len(set(ids))
+
+    def jmod(a, m):
+        # Spark AND DuckDB % take the dividend's sign (Java/C
+        # semantics); Python's takes the divisor's — reimplement the
+        # engines' rule or negative doc_ids falsify the test while the
+        # operator itself is cross-engine consistent
+        import math
+
+        return int(math.fmod(a, m))
+
     for r in out:
-        if r.doc_id % SNAPSHOT_ADD_MOD == 9:
+        if jmod(r.doc_id, SNAPSHOT_ADD_MOD) == 9:
             assert r.change == "added" and r.old_fp is None
-        elif r.doc_id % SNAPSHOT_ADD_MOD == 0:
+        elif jmod(r.doc_id, SNAPSHOT_ADD_MOD) == 0:
             assert r.change == "removed" and r.new_fp is None
         else:
             assert r.change == "changed"
-            assert r.doc_id % SNAPSHOT_EDIT_MOD == 0
+            assert jmod(r.doc_id, SNAPSHOT_EDIT_MOD) == 0
 
 
 @settings(max_examples=10, deadline=None)
