@@ -139,6 +139,7 @@ HEADLINE = [
     "docs_shingle_df_stats",
     "docs_minhash_error_panel",
     "emb_cell_balance",
+    "docs_heaps_fit",
 ]
 
 

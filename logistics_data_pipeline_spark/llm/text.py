@@ -1255,3 +1255,98 @@ SELECT c.actual, c.predicted, c.n_docs,
 FROM cells c JOIN totals t ON c.actual = t.actual
 ORDER BY c.actual, c.predicted
 """.strip()
+
+
+HEAPS_MIN_PREFIX = 8  # smallest doc-count prefix used in the fit
+
+
+def heaps_fit(docs: DataFrame) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V ≈ K·Nᵝ over ingestion-order
+    corpus prefixes — the companion of the Zipf panel: natural text
+    shows β ≈ 0.4–0.6; a flattening curve (β → 0) means new documents
+    stop contributing vocabulary (template/duplication saturation),
+    β ≈ 1 means unbounded novel tokens (IDs/noise). Measured without
+    rescanning per prefix: each token contributes at its FIRST doc
+    (min doc_id owner), each doc contributes its token count once, and
+    both histograms bin by the power-of-2 prefix they first affect —
+    V(2ᵏ) and N(2ᵏ) are then running sums over ≤ ~20 bins, and the OLS
+    of ln V on ln N runs over those bounded points.
+
+    Scale: one token aggregation (map-side partial MIN collapses the
+    fan-out), one per-doc count, two ~20-row rollups — the corpus is
+    read once regardless of how many prefix points the curve has."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    bin_of = lambda c: F.pow(  # noqa: E731
+        F.lit(2.0), F.ceil(F.log2(F.greatest(c + 1, F.lit(1)).cast("double")))
+    ).cast("bigint")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_id"))
+    v_bins = first.groupBy(bin_of(F.col("first_id")).alias("b")).agg(
+        F.count("*").cast("bigint").alias("dv")
+    )
+    n_bins = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .groupBy(bin_of(F.col("doc_id")).alias("b"))
+        .agg(F.sum("nt").cast("bigint").alias("dn"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        v_bins.join(n_bins, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("dv", F.lit(0).cast("bigint")).alias("dv"),
+            F.coalesce("dn", F.lit(0).cast("bigint")).alias("dn"),
+        )
+        .withColumn("v", F.sum("dv").over(w))
+        .withColumn("n", F.sum("dn").over(w))
+        .filter((F.col("b") >= HEAPS_MIN_PREFIX) & (F.col("n") > 0) & (F.col("v") > 0))
+    )
+    x = F.log(F.col("n").cast("double"))
+    y = F.log(F.col("v").cast("double"))
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.regr_slope(y, x), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 6).alias("heaps_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.max("v").cast("bigint").alias("vocab_total"),
+        F.max("n").cast("bigint").alias("tokens_total"),
+    )
+
+
+HEAPS_FIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+first AS (SELECT tok, MIN(doc_id) AS first_id FROM toks GROUP BY tok),
+v_bins AS (
+  SELECT CAST(power(2, ceil(log2(CAST(GREATEST(first_id + 1, 1) AS DOUBLE)))) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS dv
+  FROM first GROUP BY 1
+),
+n_bins AS (
+  SELECT CAST(power(2, ceil(log2(CAST(GREATEST(doc_id + 1, 1) AS DOUBLE)))) AS BIGINT) AS b,
+         CAST(SUM(nt) AS BIGINT) AS dn
+  FROM (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id)
+  GROUP BY 1
+),
+pts AS (
+  SELECT b,
+         SUM(COALESCE(dv, 0)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+         SUM(COALESCE(dn, 0)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+  FROM v_bins FULL OUTER JOIN n_bins USING (b)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(regr_slope(LN(CAST(v AS DOUBLE)), LN(CAST(n AS DOUBLE))), 6) AS heaps_beta,
+       ROUND(regr_intercept(LN(CAST(v AS DOUBLE)), LN(CAST(n AS DOUBLE))), 6) AS heaps_intercept,
+       ROUND(regr_r2(LN(CAST(v AS DOUBLE)), LN(CAST(n AS DOUBLE))), 6) AS r2,
+       CAST(MAX(v) AS BIGINT) AS vocab_total,
+       CAST(MAX(n) AS BIGINT) AS tokens_total
+FROM pts
+WHERE b >= {HEAPS_MIN_PREFIX} AND n > 0 AND v > 0
+""".strip()

@@ -960,6 +960,7 @@ _ROUND5_WINDOW = [
     "docs_shingle_df_stats",
     "docs_minhash_error_panel",
     "emb_cell_balance",
+    "docs_heaps_fit",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1217,6 +1218,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_heaps_fit",  # vocabulary-growth exponent over pow-2 prefixes
+    _q(lambda spark, sf: llm_text.heaps_fit(_docs(spark, sf))),
+    llm_text.HEAPS_FIT_SQL,
 )
 register(
     "emb_cell_balance",  # IVF probe-cost skew: per-cell load vs uniform

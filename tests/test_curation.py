@@ -1210,3 +1210,25 @@ class TestMinhashErrorPanel:
         assert r.mean_abs_err <= 0.13
         assert r.max_abs_err <= 0.25
         assert abs(r.bias) <= 0.1
+
+
+class TestHeapsFit:
+    def test_growing_vs_saturated_vocabulary(self, spark):
+        from logistics_data_pipeline_spark.llm import text as llm_text
+
+        # every doc contributes brand-new tokens -> beta near 1
+        growing = spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(20))) for i in range(256)],
+            "doc_id long, text string",
+        )
+        g = llm_text.heaps_fit(growing).collect()[0]
+        assert g.heaps_beta > 0.8 and g.r2 > 0.95
+
+        # fixed 10-token vocabulary -> growth saturates, beta near 0
+        fixed = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(10))) for i in range(256)],
+            "doc_id long, text string",
+        )
+        f = llm_text.heaps_fit(fixed).collect()[0]
+        assert f.heaps_beta < 0.05
+        assert f.vocab_total == 10

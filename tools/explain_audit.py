@@ -67,6 +67,8 @@ ALLOWED = {
     "docs_zipf_fit": {"unpartitioned window"},
     # running-total window over the ~30-row power-of-two bucket table
     "docs_length_histogram": {"unpartitioned window"},
+    # running sums over the ~20-row pow-2 prefix-bin table
+    "docs_heaps_fit": {"unpartitioned window"},
     # full-width re-insert: the anti-join output IS every column
     "ingest_dedup_antijoin": {"wide scan"},
     "monitor_recent_events": {"wide scan"},
