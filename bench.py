@@ -140,6 +140,7 @@ HEADLINE = [
     "docs_minhash_error_panel",
     "emb_cell_balance",
     "docs_heaps_fit",
+    "events_type_effect_sizes",
 ]
 
 

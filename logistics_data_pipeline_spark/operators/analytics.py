@@ -1880,3 +1880,85 @@ JOIN sizes sa ON sa.event_type = i.type_a
 JOIN sizes sb ON sb.event_type = i.type_b
 ORDER BY i.type_a, i.type_b
 """.strip()
+
+
+def type_effect_sizes(events: DataFrame) -> DataFrame:
+    """Pairwise standardized effect sizes (Cohen's d with pooled
+    variance) of `value` between every event-type pair — the A/B-
+    analysis primitive: a difference of means says nothing without the
+    spread, and d puts every comparison on one scale (|d| ≈ 0.2 small
+    / 0.5 medium / 0.8 large). Reuses the DECIMAL exact-moment
+    discipline of ``value_anomalies`` — sums and sums-of-squares are
+    order-independent decimals, so means, pooled variance, and d are
+    bit-identical across engines.
+
+    Scale: one moment aggregation (|types| rows) and a |types|² pair
+    join over that tiny table — the corpus is read once."""
+    dec = "decimal(28,6)"
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s1"),
+        F.sum((F.col("value").cast(dec) * F.col("value").cast(dec))).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    ss = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_v"),
+        ss.alias("ss_v"),
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean_v").alias("mean_a"),
+        F.col("ss_v").alias("ss_a"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean_v").alias("mean_b"),
+        F.col("ss_v").alias("ss_b"),
+    )
+    pooled_sd = F.sqrt(
+        (F.col("ss_a") + F.col("ss_b")) / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (F.col("mean_a") - F.col("mean_b")) / F.nullif(pooled_sd, F.lit(0.0))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+            F.round(d, 6).alias("cohens_d"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+TYPE_EFFECT_SIZES_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean_v,
+         CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n AS ss_v
+  FROM m
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND(a.mean_v - b.mean_v, 6) AS mean_diff,
+       ROUND((a.mean_v - b.mean_v)
+             / NULLIF(SQRT((a.ss_v + b.ss_v) / (a.n + b.n - 2)), 0), 6) AS cohens_d
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+""".strip()

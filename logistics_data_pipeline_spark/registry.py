@@ -961,6 +961,7 @@ _ROUND5_WINDOW = [
     "docs_minhash_error_panel",
     "emb_cell_balance",
     "docs_heaps_fit",
+    "events_type_effect_sizes",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1218,6 +1219,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "events_type_effect_sizes",  # pairwise Cohen's d on value, exact moments
+    _q(lambda spark, sf: analytics.type_effect_sizes(load_table(spark, sf, "events"))),
+    analytics.TYPE_EFFECT_SIZES_SQL,
 )
 register(
     "docs_heaps_fit",  # vocabulary-growth exponent over pow-2 prefixes

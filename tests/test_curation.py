@@ -1232,3 +1232,22 @@ class TestHeapsFit:
         f = llm_text.heaps_fit(fixed).collect()[0]
         assert f.heaps_beta < 0.05
         assert f.vocab_total == 10
+
+
+class TestEffectSizes:
+    def test_cohens_d_hand_computed(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # A: values 1..5 (mean 3); B: values 3..7 (mean 5); equal
+        # spread -> pooled sd = sqrt(2.5), d = -2/sqrt(2.5)
+        rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+        rows += [(10 + i, "B", float(v)) for i, v in enumerate([3, 4, 5, 6, 7])]
+        events = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        r = analytics.type_effect_sizes(events).collect()[0]
+        assert (r.type_a, r.type_b) == ("A", "B")
+        assert r.mean_diff == -2.0
+        import math
+
+        assert abs(r.cohens_d - (-2.0 / math.sqrt(2.5))) < 1e-6

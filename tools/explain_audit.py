@@ -48,6 +48,8 @@ ALLOWED = {
     "events_bloom_panel": {"nested-loop join"},  # four 1-row scalar legs
     "docs_shingle_df_stats": {"nested-loop join"},  # 1-row pair total
     "emb_cell_balance": {"nested-loop join"},  # 1-row total/cells scalar
+    # |types|x|types| pair join over the 5-row moment table (theta <)
+    "events_type_effect_sizes": {"nested-loop join"},
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
