@@ -141,6 +141,7 @@ HEADLINE = [
     "emb_cell_balance",
     "docs_heaps_fit",
     "events_type_effect_sizes",
+    "emb_cosine_histogram",
 ]
 
 

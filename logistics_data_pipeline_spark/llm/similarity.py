@@ -2634,3 +2634,82 @@ SELECT s.cell_label, s.n_vectors,
 FROM sizes s, total t
 ORDER BY s.cell_label
 """.strip()
+
+
+COS_HIST_WIDTH = 0.1
+
+
+def cosine_histogram(emb: DataFrame, n_blocks: int = 8) -> DataFrame:
+    """Corpus-geometry panel: the distribution of ALL pairwise cosines
+    in fixed 0.1 bins with counts and cumulative shares — the curve
+    the near-dup threshold sits on (``NEARDUP_THRESHOLD`` = 0.4 was
+    chosen where the random-background mass dies out; this panel is
+    that justification as a query, the role ``shingle_df_stats`` plays
+    for the DF cap). Random high-dim vectors concentrate near 0; real
+    corpora grow a right tail — the tail mass IS the dedup workload
+    estimate.
+
+    Scale: the same block-pair decomposition + codegen explode-agg dot
+    product as the exact near-dup (O(n²) irreducible, distributed as
+    hash-join key groups); the histogram collapses pairs map-side into
+    ≤ 21 bins, so nothing pair-sized ever shuffles."""
+    left, right = _block_pair_sides(emb, n_blocks)
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    left = left.repartition(n_groups, "p", "q")
+    pairs = left.join(right, ["p", "q"]).filter(
+        (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
+    )
+    ex = pairs.select(
+        F.least("l_id", "r_id").alias("a_id"),
+        F.greatest("l_id", "r_id").alias("b_id"),
+        "ln_",
+        "rn",
+        F.posexplode(F.arrays_zip("lv", "rv")).alias("pos", "z"),
+    ).select(
+        "a_id", "b_id", "ln_", "rn", (F.col("z.lv") * F.col("z.rv")).alias("prod")
+    )
+    cos = (
+        ex.groupBy("a_id", "b_id", "ln_", "rn")
+        .agg(F.sum("prod").alias("dot"))
+        .select(
+            (F.col("dot") / (F.col("ln_") * F.col("rn"))).alias("c")
+        )
+    )
+    bin_lo = F.floor(F.col("c") / COS_HIST_WIDTH) * COS_HIST_WIDTH
+    hist = cos.groupBy(F.round(bin_lo, 1).alias("bin_lo")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    total = hist.agg(F.sum("n_pairs").alias("_t"))
+    w = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.join(F.broadcast(total))
+        .withColumn("cum", F.sum("n_pairs").over(w))
+        .select(
+            "bin_lo",
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("_t"), 6).alias("share"),
+            F.round(F.col("cum").cast("double") / F.col("_t"), 6).alias("cum_share"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+COSINE_HISTOGRAM_SQL = f"""
+WITH cos AS (
+  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+hist AS (
+  SELECT ROUND(floor(c / {COS_HIST_WIDTH}) * {COS_HIST_WIDTH}, 1) AS bin_lo,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM cos GROUP BY 1
+)
+SELECT bin_lo, n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE) / (SELECT SUM(n_pairs) FROM hist), 6) AS share,
+       ROUND(CAST(SUM(n_pairs) OVER (ORDER BY bin_lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT SUM(n_pairs) FROM hist), 6) AS cum_share
+FROM hist
+ORDER BY bin_lo
+""".strip()

@@ -962,6 +962,7 @@ _ROUND5_WINDOW = [
     "emb_cell_balance",
     "docs_heaps_fit",
     "events_type_effect_sizes",
+    "emb_cosine_histogram",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1219,6 +1220,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "emb_cosine_histogram",  # corpus geometry: the curve the threshold sits on
+    _q(lambda spark, sf: llm_sim.cosine_histogram(_emb(spark, sf))),
+    llm_sim.COSINE_HISTOGRAM_SQL,
 )
 register(
     "events_type_effect_sizes",  # pairwise Cohen's d on value, exact moments

@@ -1251,3 +1251,19 @@ class TestEffectSizes:
         import math
 
         assert abs(r.cohens_d - (-2.0 / math.sqrt(2.5))) < 1e-6
+
+
+class TestCosineHistogram:
+    def test_bins_cover_all_pairs_and_cumulate(self, spark, sf_dir):
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        rows = similarity.cosine_histogram(emb).collect()
+        assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+        assert abs(rows[-1].cum_share - 1.0) < 1e-9
+        assert all(-1.0 <= r.bin_lo <= 1.0 for r in rows)
+        # cumulative share is monotone
+        cums = [r.cum_share for r in rows]
+        assert cums == sorted(cums)

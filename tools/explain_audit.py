@@ -71,6 +71,8 @@ ALLOWED = {
     "docs_length_histogram": {"unpartitioned window"},
     # running sums over the ~20-row pow-2 prefix-bin table
     "docs_heaps_fit": {"unpartitioned window"},
+    # 1-row pair total + cumulative share over the <=21-bin histogram
+    "emb_cosine_histogram": {"nested-loop join", "unpartitioned window"},
     # full-width re-insert: the anti-join output IS every column
     "ingest_dedup_antijoin": {"wide scan"},
     "monitor_recent_events": {"wide scan"},
