@@ -1962,3 +1962,127 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM stats a JOIN stats b ON a.event_type < b.event_type
 ORDER BY type_a, type_b
 """.strip()
+
+
+PR_SCALE = 10**12
+PR_ITERS = 8
+PR_TOP = 20
+
+
+def item_pagerank(lineitem: DataFrame, iters: int = PR_ITERS, top: int = PR_TOP) -> DataFrame:
+    """PageRank over the co-purchase graph (parts sharing an order,
+    undirected), in EXACT INTEGER arithmetic — the iterative graph
+    algorithm the engine's oracle can actually check. Ranks live in
+    10¹² micro-units; each round is rank' = tele + (85·Σ in-neighbor
+    (rank div outdeg)) div 100 with every operation an integer div/sum,
+    so there is no float accumulation order to diverge between engines
+    and the fixed-iteration result is bit-exact (the DuckDB twin
+    unrolls the same 8 rounds as chained CTEs). Centrality here ranks
+    the parts that hold the co-purchase network together — a different
+    signal from raw volume (ABC) or pair lift (market basket).
+
+    Scale: per round, one join of the edge list against the rank
+    vector and one aggregation keyed by destination — the standard
+    distributed PageRank shape (Pregel's data-parallel equivalent);
+    the edge list persists once, rounds chain lazily, and every
+    intermediate is O(|edges|). Driver holds nothing."""
+    from ..session import track_persist
+
+    items = lineitem.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = track_persist(und)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    r = nodes.join(nn).select(
+        "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .join(nn)
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(15 * {PR_SCALE} AS BIGINT) div (100 * n)"
+                    f" + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(top)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("r").alias("rank_micro"),
+            F.round(F.col("r").cast("double") / PR_SCALE, 9).alias("rank_share"),
+        )
+    )
+
+
+def _pagerank_sql(iters: int = PR_ITERS, top: int = PR_TOP) -> str:
+    """DuckDB twin: the same integer rounds unrolled as chained CTEs
+    (recursive CTEs disallow aggregation in the recursive term, and
+    the iteration count is fixed anyway)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT n.node,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT COUNT(*) FROM nodes))
+         + (85 * COALESCE(s.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM({prev}.r // o.od) AS s
+    FROM edges e
+    JOIN {prev} ON {prev}.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CAST({PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM nodes) AS r
+  FROM nodes
+),
+{rounds_sql}
+SELECT node AS p_partkey,
+       CAST(r AS BIGINT) AS rank_micro,
+       ROUND(CAST(r AS DOUBLE) / {PR_SCALE}, 9) AS rank_share
+FROM {prev}
+ORDER BY r DESC, node ASC
+LIMIT {top}
+""".strip()
+
+
+ITEM_PAGERANK_SQL = _pagerank_sql()

@@ -963,6 +963,7 @@ _ROUND5_WINDOW = [
     "docs_heaps_fit",
     "events_type_effect_sizes",
     "emb_cosine_histogram",
+    "orders_item_pagerank",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1220,6 +1221,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "orders_item_pagerank",  # exact integer PageRank over co-purchases
+    _q(lambda spark, sf: analytics.item_pagerank(load_table(spark, sf, "lineitem"))),
+    analytics.ITEM_PAGERANK_SQL,
 )
 register(
     "emb_cosine_histogram",  # corpus geometry: the curve the threshold sits on

@@ -1267,3 +1267,33 @@ class TestCosineHistogram:
         # cumulative share is monotone
         cums = [r.cum_share for r in rows]
         assert cums == sorted(cums)
+
+
+class TestItemPagerank:
+    def test_symmetric_ring_is_uniform_and_hub_wins(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # ring of 6 parts: each order links two neighbors -> perfectly
+        # symmetric graph, PageRank must be uniform
+        rows = []
+        for i in range(6):
+            rows.append((i, i, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+            rows.append((i, (i + 1) % 6, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+        ring = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        out = analytics.item_pagerank(ring, top=6).collect()
+        ranks = {r.p_partkey: r.rank_micro for r in out}
+        assert len(set(ranks.values())) == 1  # exactly uniform (integer math)
+        # star: part 0 co-purchased with everyone, spokes only with 0
+        rows = []
+        for i in range(1, 7):
+            rows.append((100 + i, 0, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+            rows.append((100 + i, i, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+        star = spark.createDataFrame(rows, ring.schema)
+        sout = analytics.item_pagerank(star, top=7).collect()
+        assert sout[0].p_partkey == 0  # the hub dominates
+        assert sout[0].rank_micro > 3 * sout[1].rank_micro

@@ -50,6 +50,8 @@ ALLOWED = {
     "emb_cell_balance": {"nested-loop join"},  # 1-row total/cells scalar
     # |types|x|types| pair join over the 5-row moment table (theta <)
     "events_type_effect_sizes": {"nested-loop join"},
+    # per-round broadcast of the 1-row node count into the rank update
+    "orders_item_pagerank": {"nested-loop join"},
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
