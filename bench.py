@@ -142,6 +142,7 @@ HEADLINE = [
     "docs_heaps_fit",
     "events_type_effect_sizes",
     "emb_cosine_histogram",
+    "docs_ensemble_components",
 ]
 
 

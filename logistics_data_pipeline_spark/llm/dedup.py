@@ -1395,3 +1395,64 @@ def minhash_error_panel(
         F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
         F.round(F.avg(err), 6).alias("bias"),
     )
+
+
+def ensemble_components(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the UNION of the three exact near-dup
+    pair sources — n-gram Jaccard, asymmetric containment, and
+    hamming-verified SimHash — the ensemble dedup graph: each method
+    has a blind spot (Jaccard misses asymmetric quotes, SimHash misses
+    low-overlap topical dups, containment misses balanced overlap
+    below its bar), and transitivity over the union merges clusters no
+    single method would form. Every edge source is deterministic, so
+    the whole ensemble stays oracle-checkable through the same
+    recursive-CTE twin as ``neardup_components``.
+
+    Scale: three bounded pair generators (each linear by its own cap
+    argument) and the O(diameter) label propagation over their union —
+    the union only ever grows the (tiny) edge list, never the
+    propagation machinery."""
+    jac = neardup_ngram(docs).select("a_id", "b_id")
+    con = containment_pairs(docs).select("a_id", "b_id")
+    sim = simhash_pairs(docs).select("a_id", "b_id")
+    pairs = jac.unionByName(con).unionByName(sim).distinct()
+    labels = label_propagation(
+        docs.select(F.col("doc_id").alias("node_id")), pairs, max_iter
+    )
+    return labels.select(
+        F.col("node_id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+ENSEMBLE_COMPONENTS_SQL = f"""
+WITH RECURSIVE jac AS (
+  SELECT a_id, b_id FROM ({NEARDUP_NGRAM_SQL}) q1
+),
+con AS (
+  SELECT a_id, b_id FROM ({CONTAINMENT_SQL.replace("ORDER BY a_id, b_id", "")}) q2
+),
+sim AS (
+  SELECT a_id, b_id FROM ({SIMHASH_PAIRS_SQL.replace("ORDER BY a_id, b_id", "")}) q3
+),
+pairs AS (
+  SELECT a_id, b_id FROM jac
+  UNION
+  SELECT a_id, b_id FROM con
+  UNION
+  SELECT a_id, b_id FROM sim
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""".strip()

@@ -964,6 +964,7 @@ _ROUND5_WINDOW = [
     "events_type_effect_sizes",
     "emb_cosine_histogram",
     "orders_item_pagerank",
+    "docs_ensemble_components",
     # standing canaries: operators rewritten or perf-touched in rounds 2-5
     "tpch_q15_top_supplier",
     "dbt_schema_tests",
@@ -1221,6 +1222,11 @@ register(
     "docs_tfidf_cosine_pairs",  # sparse inverted-index similarity join
     _q(lambda spark, sf: llm_text.tfidf_cosine_pairs(_docs(spark, sf))),
     llm_text.TFIDF_COSINE_PAIRS_SQL,
+)
+register(
+    "docs_ensemble_components",  # components over jaccard ∪ containment ∪ simhash
+    _q(lambda spark, sf: llm_dedup.ensemble_components(_docs(spark, sf))),
+    llm_dedup.ENSEMBLE_COMPONENTS_SQL,
 )
 register(
     "orders_item_pagerank",  # exact integer PageRank over co-purchases

@@ -920,3 +920,35 @@ def test_incremental_topk_equals_full_recompute(spark, sf_dir):
     inc = [(r.query_id, r.neighbor_id, r.cosine, r.rank)
            for r in incremental_topk(emb).collect()]
     assert inc == full and len(inc) == 50
+
+
+def test_ensemble_components_merge_across_methods(spark):
+    """A chain where each link comes from a DIFFERENT method must
+    unify into one component: 1-2 by Jaccard (balanced overlap), 2-3
+    by containment (2 quoted inside 3), and an isolated doc stays its
+    own component."""
+    from logistics_data_pipeline_spark.llm.dedup import (
+        containment_pairs,
+        ensemble_components,
+        neardup_ngram,
+    )
+
+    body = " ".join(f"w{i}" for i in range(30))
+    filler = " ".join(f"f{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + " tail"),          # jaccard pair with 1
+            (3, body + " tail " + filler),  # contains 2, low jaccard
+            (4, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    # the chain premise: jaccard links (1,2) but NOT (2,3)
+    jac = {(r.a_id, r.b_id) for r in neardup_ngram(docs).collect()}
+    con = {(r.a_id, r.b_id) for r in containment_pairs(docs).collect()}
+    assert (1, 2) in jac and (2, 3) not in jac
+    assert (2, 3) in con
+    comp = {r.doc_id: r.component for r in ensemble_components(docs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4
