@@ -96,11 +96,11 @@ GROUP BY md5(text)
 MAX_SHINGLE_DF = 1000
 
 
-def neardup_ngram(
+def ngram_pair_scores(
     docs: DataFrame,
-    threshold: float = 0.7,
     n: int = 3,
     max_df: int = MAX_SHINGLE_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard, generated via
     an inverted-index join (only docs sharing ≥1 shingle pair up).
@@ -119,12 +119,17 @@ def neardup_ngram(
 
     Each surviving shingle row carries its document's (post-filter) set
     size via a window count — no separate sizes aggregate or join-back:
-    the sizes arrive at the pair groupBy for free."""
+    the sizes arrive at the pair groupBy for free.
+
+    Returns ALL scored candidate pairs (unfiltered); ``neardup_ngram``
+    applies the threshold. Callers serving many dedup panels in one
+    session pass a shared persisted ``shingles`` frame
+    (``registry._dedup_shared``) so the corpus is shingled once."""
     # The shingle index feeds BOTH the hot-list aggregation and the
     # pair join; persisting it once (operator-scoped, released by
     # clear_session_caches) saves a full rebuild — measured ~15-30%
     # end-to-end at sf0.1, output identical.
-    ex0 = track_persist(shingle_rows(docs, n))
+    ex0 = shingles if shingles is not None else track_persist(shingle_rows(docs, n))
     hot = (
         ex0.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -147,7 +152,7 @@ def neardup_ngram(
             F.min("b.sz").alias("sz_b"),
         )
     )
-    j = pairs.select(
+    return pairs.select(
         "a_id",
         "b_id",
         "intersection",
@@ -157,7 +162,21 @@ def neardup_ngram(
             6,
         ).alias("jaccard"),
     )
-    return j.filter(F.col("jaccard") >= threshold)
+
+
+def neardup_ngram(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    max_df: int = MAX_SHINGLE_DF,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs at ``jaccard >= threshold`` — the threshold
+    filter over ``ngram_pair_scores`` (see there for the full scale
+    story and the shared-frame injection point)."""
+    if scores is None:
+        scores = ngram_pair_scores(docs, n, max_df)
+    return scores.filter(F.col("jaccard") >= threshold)
 
 
 NEARDUP_NGRAM_SQL = rf"""
@@ -204,7 +223,26 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def minhash_sig_table(
+    docs: DataFrame, n: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
+    """One row per doc: the 64 minhashes PLUS the exact shingle set —
+    the shared asset behind ``neardup_minhash`` (bands + verify) and
+    ``minhash_error_panel`` (signature-agreement estimates)."""
+    sh = shingles if shingles is not None else shingle_rows(docs, n)
+    h = F.pmod(F.xxhash64(F.col("s"), F.lit(SEED)), F.lit(_P))
+    mins = [
+        F.min(F.pmod(F.lit(2 * i + 1) * h + F.lit(i * 7919 + 1), F.lit(_P))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins, F.collect_set("s").alias("shingles"))
+
+
+def neardup_minhash(
+    docs: DataFrame, threshold: float = 0.7, sig: DataFrame | None = None
+) -> DataFrame:
     """MinHash+LSH near-dup: banded candidate generation, then exact
     Jaccard verification of candidates (output: confirmed pairs with
     estimated and exact similarity).
@@ -215,20 +253,11 @@ def neardup_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     four consumers (both band self-join sides + both verification
     joins) — no ReuseExchange across aliased branches. The persisted
     table is one row per doc, trivially cacheable at any scale."""
-    sh = shingle_rows(docs, 3)
-    h = F.pmod(F.xxhash64(F.col("s"), F.lit(SEED)), F.lit(_P))
-    mins = [
-        F.min(F.pmod(F.lit(2 * i + 1) * h + F.lit(i * 7919 + 1), F.lit(_P))).alias(
-            f"mh{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    # track_persist: a fresh persist per call with no in-plan release
-    # point would otherwise accumulate for the session's lifetime and
-    # degrade later queries (judge r3: 2.3 s fresh vs 8.2 s hot session).
-    sig = track_persist(
-        sh.groupBy("doc_id").agg(*mins, F.collect_set("s").alias("shingles"))
-    )
+    if sig is None:
+        # track_persist: a fresh persist per call with no in-plan release
+        # point would otherwise accumulate for the session's lifetime and
+        # degrade later queries (judge r3: 2.3 s fresh vs 8.2 s hot session).
+        sig = track_persist(minhash_sig_table(docs))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -424,6 +453,7 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.node_id)
@@ -450,11 +480,21 @@ def label_propagation(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # The DuckDB twin's recursive CTE is exact; an unconverged run here
+        # would be a silently-wrong component map. Fail loudly instead.
+        raise RuntimeError(
+            f"label_propagation did not converge within {max_iter} rounds "
+            "(graph diameter exceeds max_iter; raise max_iter)"
+        )
     return labels
 
 
 def neardup_components(
-    docs: DataFrame, threshold: float = 0.7, max_iter: int = 20
+    docs: DataFrame,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph (the cluster
     step of corpus dedup: keep one doc per component). Iterative
@@ -470,7 +510,8 @@ def neardup_components(
     on node id; rounds are self-joins on that key, so co-partitioning
     makes each round one shuffle of the (small) frontier.
     """
-    pairs = neardup_ngram(docs, threshold).select("a_id", "b_id")
+    if pairs is None:
+        pairs = neardup_ngram(docs, threshold).select("a_id", "b_id")
     labels = label_propagation(
         docs.select(F.col("doc_id").alias("node_id")), pairs, max_iter
     )
@@ -503,7 +544,9 @@ ORDER BY doc_id
 """.strip()
 
 
-def dedup_keeper(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def dedup_keeper(
+    docs: DataFrame, threshold: float = 0.7, components: DataFrame | None = None
+) -> DataFrame:
     """Keeper selection over the near-dup components — the step that
     turns dedup ANALYSIS into the deduped CORPUS: within each connected
     component keep the longest document (chars desc, doc_id asc as the
@@ -514,7 +557,7 @@ def dedup_keeper(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     component id, whose partitions are the duplicate clusters
     themselves. The oracle recomputes components via the recursive CTE
     and replays the same FIRST_VALUE window."""
-    comp = neardup_components(docs, threshold)
+    comp = components if components is not None else neardup_components(docs, threshold)
     sized = comp.join(
         docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
     )
@@ -620,7 +663,9 @@ ORDER BY n.doc_id
 """.strip()
 
 
-def dedup_cluster_stats(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def dedup_cluster_stats(
+    docs: DataFrame, threshold: float = 0.7, components: DataFrame | None = None
+) -> DataFrame:
     """Duplication report over the near-dup components: how many
     clusters exist at each size, how many documents they hold, and what
     fraction of the corpus each size class would DROP under
@@ -632,7 +677,7 @@ def dedup_cluster_stats(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     the sizes (histogram), plus a broadcast scalar for the corpus
     total; inherits ``neardup_components``' scale shape (O(diameter)
     label-propagation rounds, equi-joins only)."""
-    comp = neardup_components(docs, threshold)
+    comp = components if components is not None else neardup_components(docs, threshold)
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
@@ -754,11 +799,11 @@ CONTAIN_N = 8
 CONTAIN_THRESHOLD = 0.6
 
 
-def containment_pairs(
+def containment_scores(
     docs: DataFrame,
-    threshold: float = CONTAIN_THRESHOLD,
     n: int = CONTAIN_N,
     max_df: int = MAX_SHINGLE_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Document-containment pairs: |A∩B| / min(|A|,|B|) over word
     8-gram sets — the ASYMMETRIC companion to ``neardup_ngram``'s
@@ -774,8 +819,8 @@ def containment_pairs(
     ride along via a window count, and one hash aggregation scores each
     candidate pair. The oracle applies the identical cap, keeping the
     check hash-exact."""
-    # same shared-index persist as neardup_ngram (hot list + pair join)
-    ex0 = track_persist(shingle_rows(docs, n))
+    # same shared-index persist as ngram_pair_scores (hot list + pair join)
+    ex0 = shingles if shingles is not None else track_persist(shingle_rows(docs, n))
     hot = (
         ex0.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -799,7 +844,7 @@ def containment_pairs(
             F.min("b.sz").cast("bigint").alias("n_b"),
         )
     )
-    scored = pairs.select(
+    return pairs.select(
         "a_id",
         "b_id",
         "n_shared",
@@ -809,7 +854,22 @@ def containment_pairs(
             F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
         ).alias("containment"),
     )
-    return scored.filter(F.col("containment") >= threshold).orderBy("a_id", "b_id")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+    n: int = CONTAIN_N,
+    max_df: int = MAX_SHINGLE_DF,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Containment pairs at ``containment >= threshold`` — the filter
+    over ``containment_scores`` (see there for the scale story)."""
+    if scores is None:
+        scores = containment_scores(docs, n, max_df)
+    return (
+        scores.filter(F.col("containment") >= threshold).orderBy("a_id", "b_id")
+    )
 
 
 CONTAINMENT_SQL = rf"""
@@ -923,7 +983,11 @@ ORDER BY d.doc_id
 # --- dedup method agreement panel -------------------------------------------
 
 
-def dedup_method_agreement(docs: DataFrame) -> DataFrame:
+def dedup_method_agreement(
+    docs: DataFrame,
+    jac: DataFrame | None = None,
+    con: DataFrame | None = None,
+) -> DataFrame:
     """Cross-method dedup audit: how many candidate pairs each exact
     method flags — n-gram Jaccard (symmetric), containment
     (asymmetric), and exact-hash duplicates — and how the sets overlap.
@@ -943,8 +1007,14 @@ def dedup_method_agreement(docs: DataFrame) -> DataFrame:
     # Each pair set feeds three count legs below; persist them once per
     # call (operator-scoped, released by ``clear_session_caches``) so
     # the inverted-index build runs once per method, not once per leg.
-    jac = track_persist(neardup_ngram(docs).select("a_id", "b_id"))
-    con = track_persist(containment_pairs(docs).select("a_id", "b_id"))
+    if jac is None:
+        jac = track_persist(neardup_ngram(docs).select("a_id", "b_id"))
+    else:
+        jac = jac.select("a_id", "b_id")
+    if con is None:
+        con = track_persist(containment_pairs(docs).select("a_id", "b_id"))
+    else:
+        con = con.select("a_id", "b_id")
     exact = (
         docs.select("doc_id", F.md5("text").alias("fp"))
         .alias("a")
@@ -1012,7 +1082,11 @@ SIMHASH_MAX_HAM = 5  # bands-1: the pigeonhole guarantee's exact reach
 
 
 def simhash_pairs(
-    docs: DataFrame, bits: int = 48, bands: int = 6, max_ham: int = SIMHASH_MAX_HAM
+    docs: DataFrame,
+    bits: int = 48,
+    bands: int = 6,
+    max_ham: int = SIMHASH_MAX_HAM,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The SimHash pipeline completed into near-dup PAIRS: banded
     candidate generation (equi-join on band keys) followed by exact
@@ -1029,7 +1103,8 @@ def simhash_pairs(
     equi-join, verification a map-side popcount — the whole pair path
     is the banded-bucket shape with a closed-form recall of 1.0 inside
     the radius."""
-    sig = track_persist(simhash(docs, bits, bands))
+    if sig is None:
+        sig = track_persist(simhash(docs, bits, bands))
     rows = sig.select(
         "doc_id", "simhash", F.explode("simhash_bands").alias("band_key")
     )
@@ -1352,7 +1427,10 @@ MINHASH_ERR_THRESHOLD = 0.3  # evaluate over pairs with exact jaccard >= this
 
 
 def minhash_error_panel(
-    docs: DataFrame, threshold: float = MINHASH_ERR_THRESHOLD
+    docs: DataFrame,
+    threshold: float = MINHASH_ERR_THRESHOLD,
+    exact: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash estimator-quality panel: over the EXACT n-gram Jaccard
     pairs (deterministic ground truth), compare the k=64 signature
@@ -1369,10 +1447,13 @@ def minhash_error_panel(
     Scale: ground truth comes from the capped inverted-index join;
     signatures join to the (small) confirmed-pair set by id, and the
     64-column agreement is a map-side expression."""
-    exact = neardup_ngram(docs, threshold=threshold).select(
+    if exact is None:
+        exact = neardup_ngram(docs, threshold=threshold)
+    exact = exact.filter(F.col("jaccard") >= threshold).select(
         "a_id", "b_id", "jaccard"
     )
-    sig = track_persist(minhash_signatures(docs))
+    if sig is None:
+        sig = track_persist(minhash_signatures(docs))
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
@@ -1397,7 +1478,13 @@ def minhash_error_panel(
     )
 
 
-def ensemble_components(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+def ensemble_components(
+    docs: DataFrame,
+    max_iter: int = 20,
+    jac: DataFrame | None = None,
+    con: DataFrame | None = None,
+    sim: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over the UNION of the three exact near-dup
     pair sources — n-gram Jaccard, asymmetric containment, and
     hamming-verified SimHash — the ensemble dedup graph: each method
@@ -1412,10 +1499,18 @@ def ensemble_components(docs: DataFrame, max_iter: int = 20) -> DataFrame:
     argument) and the O(diameter) label propagation over their union —
     the union only ever grows the (tiny) edge list, never the
     propagation machinery."""
-    jac = neardup_ngram(docs).select("a_id", "b_id")
-    con = containment_pairs(docs).select("a_id", "b_id")
-    sim = simhash_pairs(docs).select("a_id", "b_id")
-    pairs = jac.unionByName(con).unionByName(sim).distinct()
+    if jac is None:
+        jac = neardup_ngram(docs)
+    if con is None:
+        con = containment_pairs(docs)
+    if sim is None:
+        sim = simhash_pairs(docs)
+    pairs = (
+        jac.select("a_id", "b_id")
+        .unionByName(con.select("a_id", "b_id"))
+        .unionByName(sim.select("a_id", "b_id"))
+        .distinct()
+    )
     labels = label_propagation(
         docs.select(F.col("doc_id").alias("node_id")), pairs, max_iter
     )

@@ -322,25 +322,30 @@ def media_slice_neardup(
     ``max_df`` members, e.g. an all-zero slice) drop before pairing so
     fan-out stays bounded; one hash aggregation scores pairs.
 
-    Oracle note: payload bytes here are UTF-8 text (``docs_as_media``)
-    and the corpus is ASCII, so the DuckDB twin hashes character
-    slices of the VARCHAR — byte-identical input to md5 (DuckDB's md5
-    does not accept BLOB)."""
+    Oracle note: both engines slice a deterministic ASCII projection of
+    the payload — the uppercase HEX of the UTF-8 bytes (Spark
+    ``hex(binary)``; DuckDB ``hex(encode(text))``) — so slicing is
+    character-slicing of an identical ASCII string on both sides and
+    stays byte-for-byte robust even when the corpus grows multi-byte
+    characters (character-vs-byte slicing can never diverge on hex)."""
     media = docs_as_media(docs).select(
         F.col("media_id"),
-        F.col("content"),
-        F.length("content").alias("n_bytes"),
+        F.hex(F.col("content")).alias("hx"),
+        (F.length("content")).alias("n_bytes"),
     )
     media = media.filter(F.col("n_bytes") >= n_slices).withColumn(
-        "slice_len", (F.col("n_bytes") / n_slices).cast("int")
+        "slice_len", ((F.col("n_bytes") / n_slices).cast("int") * 2)
     )
     idx = F.explode(F.array(*[F.lit(i) for i in range(n_slices)])).alias("i")
-    slices = media.select("media_id", "content", "slice_len", idx).select(
+    slices = media.select("media_id", "hx", "slice_len", idx).select(
         "media_id",
         "i",
         F.md5(
-            F.col("content").substr(
-                F.col("i") * F.col("slice_len") + F.lit(1), F.col("slice_len")
+            F.encode(
+                F.col("hx").substr(
+                    F.col("i") * F.col("slice_len") + F.lit(1), F.col("slice_len")
+                ),
+                "UTF-8",
             )
         ).alias("h"),
     )
@@ -378,15 +383,15 @@ def media_slice_neardup(
 
 MEDIA_SLICE_NEARDUP_SQL = f"""
 WITH media AS (
-  SELECT doc_id AS media_id, text,
-         length(text) AS n_bytes,
-         CAST(length(text) // {SLICE_N} AS INT) AS slice_len
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(octet_length(encode(text)) // {SLICE_N} AS INT) * 2 AS slice_len
   FROM documents
-  WHERE length(text) >= {SLICE_N}
+  WHERE octet_length(encode(text)) >= {SLICE_N}
 ),
 slices AS (
   SELECT media_id, i,
-         md5(substring(text, i * slice_len + 1, slice_len)) AS h
+         md5(substring(hx, i * slice_len + 1, slice_len)) AS h
   FROM media, (SELECT unnest(range(0, {SLICE_N})) AS i)
 ),
 ex AS (

@@ -2405,10 +2405,15 @@ def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
 
 
 INC_TOPK_BATCH_MOD = 5  # vec_id % 5 == 0 (and >= n_queries) is the new batch
+INC_TOPK_N_QUERIES = 10  # shared with INCREMENTAL_TOPK_SQL below — keep in sync
+INC_TOPK_K = 5
 
 
 def incremental_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, batch_mod: int = INC_TOPK_BATCH_MOD
+    emb: DataFrame,
+    n_queries: int = INC_TOPK_N_QUERIES,
+    k: int = INC_TOPK_K,
+    batch_mod: int = INC_TOPK_BATCH_MOD,
 ) -> DataFrame:
     """Incrementally-maintained exact top-k (the interactive-session
     pattern from the incremental top-k similarity-search literature):
@@ -2474,9 +2479,10 @@ FROM (
            ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                  CAST(c.embedding AS DOUBLE[])), 6) DESC,
                     c.vec_id ASC) AS rank
-  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10 AND q.vec_id < 10
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id >= {INC_TOPK_N_QUERIES} AND q.vec_id < {INC_TOPK_N_QUERIES}
 )
-WHERE rank <= 5
+WHERE rank <= {INC_TOPK_K}
 ORDER BY query_id, rank
 """.strip()
 

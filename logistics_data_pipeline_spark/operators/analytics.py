@@ -1923,8 +1923,11 @@ def type_effect_sizes(events: DataFrame) -> DataFrame:
         F.col("mean_v").alias("mean_b"),
         F.col("ss_v").alias("ss_b"),
     )
+    # NULLIF the dof too: two singleton groups give ss/0 = 0/0 -> NaN in
+    # Spark but a flag-dependent NULL in DuckDB; NULL on both is consistent.
     pooled_sd = F.sqrt(
-        (F.col("ss_a") + F.col("ss_b")) / (F.col("n_a") + F.col("n_b") - 2)
+        (F.col("ss_a") + F.col("ss_b"))
+        / F.nullif((F.col("n_a") + F.col("n_b") - 2).cast("double"), F.lit(0.0))
     )
     d = (F.col("mean_a") - F.col("mean_b")) / F.nullif(pooled_sd, F.lit(0.0))
     return (
@@ -1958,7 +1961,8 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
        CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        ROUND(a.mean_v - b.mean_v, 6) AS mean_diff,
        ROUND((a.mean_v - b.mean_v)
-             / NULLIF(SQRT((a.ss_v + b.ss_v) / (a.n + b.n - 2)), 0), 6) AS cohens_d
+             / NULLIF(SQRT((a.ss_v + b.ss_v)
+                           / NULLIF(CAST(a.n + b.n - 2 AS DOUBLE), 0)), 0), 6) AS cohens_d
 FROM stats a JOIN stats b ON a.event_type < b.event_type
 ORDER BY type_a, type_b
 """.strip()

@@ -1025,7 +1025,13 @@ def supplier_reliability(
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select(
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), WILSON_LATE_DAYS))
+        # epoch-seconds compare on BOTH engines: date_add would truncate the
+        # timestamp to DATE, silently diverging from the oracle's INTERVAL
+        # arithmetic the moment the generated o_orderdate grows a time-of-day.
+        (
+            F.col("l_shipdate").cast("double")
+            > F.col("o_orderdate").cast("double") + WILSON_LATE_DAYS * 86400
+        )
         .cast("int")
         .alias("is_late"),
     )
@@ -1061,7 +1067,7 @@ def supplier_reliability(
 SUPPLIER_RELIABILITY_SQL = f"""
 WITH l AS (
   SELECT l_suppkey,
-         CASE WHEN l_shipdate > o_orderdate + INTERVAL {WILSON_LATE_DAYS} DAY
+         CASE WHEN epoch(l_shipdate) > epoch(o_orderdate) + {WILSON_LATE_DAYS} * 86400
               THEN 1 ELSE 0 END AS is_late
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),

@@ -51,6 +51,7 @@ from collections.abc import Callable
 from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import oracles
 from .adapters.testdata import (
@@ -167,7 +168,7 @@ def clear_session_caches(
 
     n = release_tracked_persists(blocking=blocking)
     if not keep_layers:
-        for cache in (_STG_CACHE, _VALID_CACHE):
+        for cache in (_STG_CACHE, _VALID_CACHE, _DEDUP_CACHE):
             for key in [k for k in cache if k[0] == id(spark.sparkContext)]:
                 cache.pop(key).unpersist(blocking=blocking)
                 n += 1
@@ -698,6 +699,46 @@ def _emb(spark, sf):
     return load_table(spark, sf, "embeddings")
 
 
+# Shared dedup-panel assets, persisted once per (session, sf_dir) — the
+# same memoized-silver-layer idiom as _STG_CACHE/_VALID_CACHE above.
+# Eight registered keys consume the exact n-gram Jaccard pair list (the
+# pair generator alone is ~2-3 s/build at sf0.1), three consume the
+# SimHash signatures, two the MinHash signature table: before this cache
+# the 17.7 s ensemble_components spent >80% re-deriving frames its
+# sibling keys had already computed in the same bench session. At
+# cluster scale these ARE the materialized dedup-index tables a 100 TB
+# pipeline would write once and join everywhere.
+_DEDUP_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _dedup_shared(spark, sf, name):
+    key = (id(spark.sparkContext), sf, name)
+    cached = _DEDUP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = _docs(spark, sf)
+    if name == "jac_scores":  # unfiltered exact word-3-gram Jaccard pairs
+        df = llm_dedup.ngram_pair_scores(docs)
+    elif name == "con_scores":  # unfiltered containment (8-gram) pairs
+        df = llm_dedup.containment_scores(docs)
+    elif name == "sim_sig":  # SimHash signatures + band keys
+        df = llm_dedup.simhash(docs)
+    elif name == "mh_sig":  # 64 minhashes + exact shingle set per doc
+        df = llm_dedup.minhash_sig_table(docs)
+    elif name == "components":  # Jaccard near-dup connected components
+        df = llm_dedup.neardup_components(
+            docs,
+            pairs=_dedup_shared(spark, sf, "jac_scores").filter(
+                F.col("jaccard") >= 0.7
+            ),
+        )
+    else:  # pragma: no cover
+        raise KeyError(name)
+    df = df.persist()
+    _DEDUP_CACHE[key] = df
+    return df
+
+
 register(
     "docs_exact_dedup",
     _q(lambda spark, sf: llm_dedup.exact_dedup(_docs(spark, sf))),
@@ -705,17 +746,25 @@ register(
 )
 register(
     "docs_neardup_ngram",
-    _q(lambda spark, sf: llm_dedup.neardup_ngram(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.neardup_ngram(
+            _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+        )
+    ),
     llm_dedup.NEARDUP_NGRAM_SQL,
 )
 register(
     "docs_neardup_components",
-    _q(lambda spark, sf: llm_dedup.neardup_components(_docs(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "components")),
     llm_dedup.NEARDUP_COMPONENTS_SQL,
 )
 register(
     "docs_neardup_minhash",  # LSH banding: not SQL-expressible → rows-only
-    _q(lambda spark, sf: llm_dedup.neardup_minhash(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.neardup_minhash(
+            _docs(spark, sf), sig=_dedup_shared(spark, sf, "mh_sig")
+        )
+    ),
 )
 register(
     "docs_simhash",  # md5-prefix token hash → signatures are SQL-reproducible
@@ -893,7 +942,11 @@ register(
 )
 register(
     "docs_dedup_keeper",
-    _q(lambda spark, sf: llm_dedup.dedup_keeper(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.dedup_keeper(
+            _docs(spark, sf), components=_dedup_shared(spark, sf, "components")
+        )
+    ),
     llm_dedup.DEDUP_KEEPER_SQL,
 )
 register(
@@ -1046,7 +1099,11 @@ register(
 )
 register(
     "docs_dedup_cluster_stats",  # duplication report over near-dup components
-    _q(lambda spark, sf: llm_dedup.dedup_cluster_stats(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.dedup_cluster_stats(
+            _docs(spark, sf), components=_dedup_shared(spark, sf, "components")
+        )
+    ),
     llm_dedup.DEDUP_CLUSTER_STATS_SQL,
 )
 
@@ -1171,7 +1228,11 @@ register(
 )
 register(
     "docs_containment",  # asymmetric |A∩B|/min sub-document dedup pairs
-    _q(lambda spark, sf: llm_dedup.containment_pairs(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.containment_pairs(
+            _docs(spark, sf), scores=_dedup_shared(spark, sf, "con_scores")
+        )
+    ),
     llm_dedup.CONTAINMENT_SQL,
 )
 register(
@@ -1196,7 +1257,17 @@ register(
 )
 register(
     "docs_dedup_method_agreement",  # jaccard vs containment vs exact overlap
-    _q(lambda spark, sf: llm_dedup.dedup_method_agreement(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.dedup_method_agreement(
+            _docs(spark, sf),
+            jac=llm_dedup.neardup_ngram(
+                _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+            ),
+            con=llm_dedup.containment_pairs(
+                _docs(spark, sf), scores=_dedup_shared(spark, sf, "con_scores")
+            ),
+        )
+    ),
     llm_dedup.DEDUP_METHOD_AGREEMENT_SQL,
 )
 register(
@@ -1225,7 +1296,20 @@ register(
 )
 register(
     "docs_ensemble_components",  # components over jaccard ∪ containment ∪ simhash
-    _q(lambda spark, sf: llm_dedup.ensemble_components(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.ensemble_components(
+            _docs(spark, sf),
+            jac=llm_dedup.neardup_ngram(
+                _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+            ),
+            con=llm_dedup.containment_pairs(
+                _docs(spark, sf), scores=_dedup_shared(spark, sf, "con_scores")
+            ),
+            sim=llm_dedup.simhash_pairs(
+                _docs(spark, sf), sig=_dedup_shared(spark, sf, "sim_sig")
+            ),
+        )
+    ),
     llm_dedup.ENSEMBLE_COMPONENTS_SQL,
 )
 register(
@@ -1255,7 +1339,13 @@ register(
 )
 register(
     "docs_minhash_error_panel",  # sketch-vs-exact jaccard error (rows-only)
-    _q(lambda spark, sf: llm_dedup.minhash_error_panel(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.minhash_error_panel(
+            _docs(spark, sf),
+            exact=_dedup_shared(spark, sf, "jac_scores"),
+            sig=_dedup_shared(spark, sf, "mh_sig"),
+        )
+    ),
 )
 register(
     "docs_shingle_df_stats",  # the join-size estimator that picks MAX_SHINGLE_DF
@@ -1343,7 +1433,11 @@ register(
 )
 register(
     "docs_simhash_pairs",  # banded candidates + exact hamming verify
-    _q(lambda spark, sf: llm_dedup.simhash_pairs(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.simhash_pairs(
+            _docs(spark, sf), sig=_dedup_shared(spark, sf, "sim_sig")
+        )
+    ),
     llm_dedup.SIMHASH_PAIRS_SQL,
 )
 register(
