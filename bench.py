@@ -50,6 +50,7 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_neardup_ngram",
     "docs_neardup_minhash",
+    "orders_item_pagerank",
     "docs_text_stats",
     "emb_knn_bruteforce",
     "emb_neardup_cosine_fast",
@@ -172,6 +173,21 @@ def main() -> None:
     # clear_session_caches keeps, so whichever query touches them first
     # would otherwise pay their one-time ~10 s build in its own median.
     registry._valid(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Same idiom for the shared dedup-panel assets (shingle-pair scores,
+    # signatures, components): deliberate session-scoped caches that
+    # clear_session_caches keeps, shared by ~10 dedup keys — the first
+    # consumer would otherwise pay the one-time index build in its median.
+    for asset in (
+        "jac_scores",
+        "con_scores",
+        "sim_sig",
+        "mh_sig",
+        "components",
+        "copurchase_edges",
+    ):
+        registry._dedup_shared(spark, sf_dir, asset).write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Samples are interleaved by ROUND (every query once, repeated

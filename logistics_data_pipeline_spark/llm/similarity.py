@@ -2645,7 +2645,20 @@ ORDER BY s.cell_label
 COS_HIST_WIDTH = 0.1
 
 
-def cosine_histogram(emb: DataFrame, n_blocks: int = 8) -> DataFrame:
+# Deterministic pair-sampling governor for the histogram: keep a pair iff
+# the first 4 md5 hex chars of "ch_<a>_<b>" sort below this threshold —
+# '4000'/x10000 = a 25% uniform sample, identical predicate in both
+# engines (md5 is md5), so the oracle hash-match survives sampling. At
+# 100 TB drop the threshold further (the histogram is a share/cum-share
+# estimator; 2^16 buckets give plenty of resolution at any corpus size)
+# — this is what makes an all-pairs corpus panel possible at all beyond
+# bench scale.
+COS_HIST_SAMPLE_HEX = "4000"
+
+
+def cosine_histogram(
+    emb: DataFrame, n_blocks: int = 8, sample_hex: str = COS_HIST_SAMPLE_HEX
+) -> DataFrame:
     """Corpus-geometry panel: the distribution of ALL pairwise cosines
     in fixed 0.1 bins with counts and cumulative shares — the curve
     the near-dup threshold sits on (``NEARDUP_THRESHOLD`` = 0.4 was
@@ -2655,19 +2668,45 @@ def cosine_histogram(emb: DataFrame, n_blocks: int = 8) -> DataFrame:
     corpora grow a right tail — the tail mass IS the dedup workload
     estimate.
 
-    Scale: the same block-pair decomposition + codegen explode-agg dot
-    product as the exact near-dup (O(n²) irreducible, distributed as
-    hash-join key groups); the histogram collapses pairs map-side into
-    ≤ 21 bins, so nothing pair-sized ever shuffles."""
+    Scale: a deterministic md5 pair sample (``sample_hex``, default 25%)
+    bounds the dot-product work BEFORE the expensive vector expansion —
+    the filter sees only (a_id, b_id) — then the same block-pair
+    decomposition + codegen explode-agg dot product as the exact
+    near-dup, distributed as hash-join key groups; the histogram
+    collapses pairs map-side into ≤ 21 bins, so nothing pair-sized ever
+    shuffles. shares/cum_shares are unbiased estimates of the full-pair
+    curve (n_pairs is the sampled count)."""
     left, right = _block_pair_sides(emb, n_blocks)
     n_groups = n_blocks * (n_blocks + 1) // 2
     left = left.repartition(n_groups, "p", "q")
     pairs = left.join(right, ["p", "q"]).filter(
         (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
     )
-    ex = pairs.select(
+    sampled = pairs.select(
         F.least("l_id", "r_id").alias("a_id"),
         F.greatest("l_id", "r_id").alias("b_id"),
+        "ln_",
+        "rn",
+        "lv",
+        "rv",
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit("ch"),
+                    F.col("a_id").cast("string"),
+                    F.col("b_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < F.lit(sample_hex)
+    )
+    ex = sampled.select(
+        "a_id",
+        "b_id",
         "ln_",
         "rn",
         F.posexplode(F.arrays_zip("lv", "rv")).alias("pos", "z"),
@@ -2705,6 +2744,9 @@ WITH cos AS (
   SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) AS c
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE substring(md5('ch_' || CAST(a.vec_id AS VARCHAR)
+                      || '_' || CAST(b.vec_id AS VARCHAR)), 1, 4)
+        < '{COS_HIST_SAMPLE_HEX}'
 ),
 hist AS (
   SELECT ROUND(floor(c / {COS_HIST_WIDTH}) * {COS_HIST_WIDTH}, 1) AS bin_lo,

@@ -732,6 +732,8 @@ def _dedup_shared(spark, sf, name):
                 F.col("jaccard") >= 0.7
             ),
         )
+    elif name == "copurchase_edges":  # item-pagerank graph table
+        df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     else:  # pragma: no cover
         raise KeyError(name)
     df = df.persist()
@@ -1314,7 +1316,12 @@ register(
 )
 register(
     "orders_item_pagerank",  # exact integer PageRank over co-purchases
-    _q(lambda spark, sf: analytics.item_pagerank(load_table(spark, sf, "lineitem"))),
+    _q(
+        lambda spark, sf: analytics.item_pagerank(
+            load_table(spark, sf, "lineitem"),
+            edges_od=_dedup_shared(spark, sf, "copurchase_edges"),
+        )
+    ),
     analytics.ITEM_PAGERANK_SQL,
 )
 register(

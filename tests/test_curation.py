@@ -1260,8 +1260,14 @@ class TestCosineHistogram:
 
         emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
-        rows = similarity.cosine_histogram(emb).collect()
+        # 'g' sorts above every hex char -> keeps all pairs (exact
+        # histogram); the default 25% governor is oracle hash-matched.
+        rows = similarity.cosine_histogram(emb, sample_hex="g").collect()
         assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+        total = similarity.cosine_histogram(emb).collect()
+        # default sample keeps ~25% of pairs (binomial, wide tolerance)
+        frac = sum(r.n_pairs for r in total) / (n * (n - 1) // 2)
+        assert 0.15 < frac < 0.35
         assert abs(rows[-1].cum_share - 1.0) < 1e-9
         assert all(-1.0 <= r.bin_lo <= 1.0 for r in rows)
         # cumulative share is monotone
