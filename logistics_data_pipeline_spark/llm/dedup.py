@@ -1478,6 +1478,131 @@ def minhash_error_panel(
     )
 
 
+def source_overlap(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Cross-source contamination matrix: near-duplicate pairs grouped
+    by the (unordered) pair of sources they span, with each cell's
+    share of all near-dup pairs. The panel a curation owner reads
+    before trusting a held-out split: WITHIN-source duplication is
+    redundancy, but CROSS-source cells are leakage — the same text
+    entering the corpus through two feeds (mirror sites, syndication,
+    re-crawls) defeats source-level decontamination silently.
+
+    Scale: the pair list comes from the shared capped inverted-index
+    join (``ngram_pair_scores``); two broadcast-sized joins attach the
+    (tiny) doc→source map, and the matrix is |sources|² rows."""
+    if pairs is None:
+        pairs = neardup_ngram(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.select("a_id", "b_id")
+        .join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")), "b_id")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cell = lab.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    total = cell.agg(F.sum("n_pairs").alias("_t"))
+    return (
+        cell.join(F.broadcast(total))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") != F.col("source_b")).alias("is_cross_source"),
+            F.round(F.col("n_pairs").cast("double") / F.col("_t"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH pr AS (
+  SELECT a_id, b_id FROM ({NEARDUP_NGRAM_SQL}) q
+),
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pr
+  JOIN documents da ON pr.a_id = da.doc_id
+  JOIN documents db ON pr.b_id = db.doc_id
+),
+cell AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lab GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_pairs,
+       source_a != source_b AS is_cross_source,
+       ROUND(CAST(n_pairs AS DOUBLE) / (SELECT SUM(n_pairs) FROM cell), 6) AS share
+FROM cell
+ORDER BY source_a, source_b
+""".strip()
+
+
+def token_dup_inflation(docs: DataFrame) -> DataFrame:
+    """Token-level duplication cost, 1 row: corpus tokens vs the tokens
+    a keep-one-per-exact-copy dedup would retain, and the inflation
+    factor between them. Doc-level dup counts understate the waste when
+    the duplicated docs are the LONG ones — training-token budgets are
+    spent in tokens, so this is the number that prices exact dedup
+    (the ``reclaimable_bytes`` cousin measured in the unit that
+    matters for an LLM corpus).
+
+    Scale: one map pass for (md5, token count), one hash aggregation
+    per distinct text, one scalar rollup."""
+    h = docs.select(
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    per = h.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("copies"),
+        F.min("ntok").alias("ntok"),
+    )
+    return per.agg(
+        F.sum(F.col("copies") * F.col("ntok")).cast("bigint").alias("total_tokens"),
+        F.sum("ntok").cast("bigint").alias("unique_tokens"),
+        F.sum((F.col("copies") - 1) * F.col("ntok"))
+        .cast("bigint")
+        .alias("duplicated_tokens"),
+        F.round(
+            F.sum(F.col("copies") * F.col("ntok")).cast("double")
+            / F.sum("ntok"),
+            6,
+        ).alias("inflation"),
+        F.count("*").cast("bigint").alias("n_unique_docs"),
+        F.sum("copies").cast("bigint").alias("n_docs"),
+    )
+
+
+TOKEN_DUP_INFLATION_SQL = r"""
+WITH h AS (
+  SELECT md5(text) AS hsh,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok
+  FROM documents
+),
+per AS (
+  SELECT hsh, CAST(COUNT(*) AS BIGINT) AS copies, MIN(ntok) AS ntok
+  FROM h GROUP BY hsh
+)
+SELECT CAST(SUM(copies * ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(ntok) AS BIGINT) AS unique_tokens,
+       CAST(SUM((copies - 1) * ntok) AS BIGINT) AS duplicated_tokens,
+       ROUND(CAST(SUM(copies * ntok) AS DOUBLE) / SUM(ntok), 6) AS inflation,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+       CAST(SUM(copies) AS BIGINT) AS n_docs
+FROM per
+""".strip()
+
+
 def ensemble_components(
     docs: DataFrame,
     max_iter: int = 20,

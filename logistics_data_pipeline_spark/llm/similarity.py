@@ -2487,6 +2487,92 @@ ORDER BY query_id, rank
 """.strip()
 
 
+def label_centroid_sim(emb: DataFrame) -> DataFrame:
+    """Inter-cluster geometry panel: the exact per-label centroid of
+    the embedding corpus and the cosine similarity between every
+    (unordered) pair of label centroids. High off-diagonal cells mean
+    two labels occupy the same region — the signal that drives class
+    merging, stratified-split design, and "is my labeling scheme
+    separable" checks before training on the corpus.
+
+    Determinism: centroid components are exact DECIMAL(28,12) sums of
+    the float values (identical in any accumulation order, both
+    engines) divided once; the k² pairwise cosine runs over ≤ |labels|²
+    rows of 64 doubles, rounded to 6 dp. Scale: one map-side explode +
+    (label, pos)-keyed aggregation — the corpus is read once; the pair
+    matrix is index-config-sized (|labels| × dims doubles), nothing
+    driver-side."""
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("v").alias("va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("v").alias("vb")
+    )
+    cell = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            # decimal partial sums: accumulation-order-proof in both engines
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("va") * F.col("va")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("vb") * F.col("vb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    return (
+        cell.select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+LABEL_CENTROID_SIM_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i AS pos,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS v
+  FROM ex GROUP BY label, i
+),
+cell AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(a.v * a.v AS DECIMAL(28,12))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(b.v * b.v AS DECIMAL(28,12))) AS DOUBLE) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+       ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS centroid_cosine
+FROM cell
+ORDER BY label_a, label_b
+""".strip()
+
+
 UNIT_NORM_TOL = 1e-3
 
 

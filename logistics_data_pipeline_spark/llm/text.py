@@ -439,6 +439,72 @@ ORDER BY p.doc_id
 """.strip()
 
 
+PERPLEXITY_N_BUCKETS = 10
+
+
+def perplexity_buckets(
+    docs: DataFrame, n_buckets: int = PERPLEXITY_N_BUCKETS
+) -> DataFrame:
+    """Perplexity-decile panel over the bigram-LM doc scores — the
+    CCNet-style quality triage: rank every document by its average
+    bigram log-probability, cut into ``n_buckets`` equal-frequency
+    buckets (NTILE), and report each bucket's population and score
+    range. The head buckets are the fluent text a quality filter keeps,
+    the tail is boilerplate/noise/wrong-language; this panel is the
+    evidence behind choosing a keep-fraction before a 100 TB filter
+    commits to one.
+
+    Determinism: the per-doc score is ``doc_bigram_logprob``'s (already
+    oracle-exact); NTILE orders by (avg_logprob, doc_id) so ties break
+    identically in both engines. Scale: one global NTILE window over
+    one row per document — the only all-to-one step, and it moves
+    doc-count rows, not tokens; swap for approx quantile cuts when even
+    that is too much."""
+    from pyspark.sql import Window
+
+    scored = doc_bigram_logprob(docs)
+    w = Window.orderBy("avg_logprob", "doc_id")
+    b = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_logprob"),
+            F.round(F.avg("n_bigrams"), 2).alias("mean_bigrams"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "min_logprob",
+            "max_logprob",
+            "mean_logprob",
+            "mean_bigrams",
+        )
+        .orderBy("bucket")
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH scored AS ({DOC_BIGRAM_LOGPROB_SQL.replace("ORDER BY p.doc_id", "")}),
+b AS (
+  SELECT *, NTILE({PERPLEXITY_N_BUCKETS})
+              OVER (ORDER BY avg_logprob, doc_id) AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MIN(avg_logprob), 6) AS min_logprob,
+       ROUND(MAX(avg_logprob), 6) AS max_logprob,
+       ROUND(AVG(avg_logprob), 6) AS mean_logprob,
+       ROUND(AVG(n_bigrams), 2) AS mean_bigrams
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""".strip()
+
+
 def text_normalize(docs: DataFrame) -> DataFrame:
     """Pre-tokenization text cleanup: strip C0/C1 control characters,
     collapse runs of whitespace to single spaces, and trim — the

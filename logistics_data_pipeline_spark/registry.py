@@ -967,70 +967,66 @@ register(
 # canaries, with the remaining slots filling from stable registration
 # order (reference-core keys first) as re-verification canaries.
 #
-# Keys NEW this round MUST be appended to _ROUND5_WINDOW (not just
-# register()-ed) or they won't enter the driver window until round 6.
+# The driver verifies the FIRST 50 registered keys each round. Round-6
+# window policy: (a) every key whose code changed this round — the
+# shared dedup-frame refactor, the sampling governor, the epoch-compare
+# and NULLIF oracle hardenings — then (b) the keys whose last driver
+# hash-match is the STALEST (round 1-2; the testdata has been
+# regenerated four times since). Keys NEW this round MUST be appended
+# here (not just register()-ed) or they wait a full round for a check.
 
-_ROUND5_WINDOW = [
-    # round-5 behavioral fixes (ADVICE r4): MAD NULLIF guard, MIPS
-    # constant-synced oracle, LSH HALF_UP rounding, PCA empty guard
-    "events_value_anomalies_mad",
-    "emb_mips_topk",
-    "emb_neardup_lsh",
-    "emb_pca_project",
-    # new round-5 keys (TPC-H sweep completion + LLM ops)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q20_part_promotion",
-    "docs_quality_classifier",
-    "docs_bpe_pair_counts",
-    "docs_containment",
-    "docs_snapshot_diff",
-    "emb_kmeans_update",
-    "docs_ngram_novelty",
-    "docs_bpe_merge_step",
-    "docs_dedup_method_agreement",
-    "docs_weighted_sample",
-    "multimodal_slice_neardup",
-    "emb_ann_recall_panel",
-    "events_lateness_panel",
-    "docs_tfidf_cosine_pairs",
+_ROUND6_WINDOW = [
     "supplier_reliability",
-    "docs_simhash_pairs",
-    "orders_abc_analysis",
-    "docs_langid_confusion",
-    "events_rate_bursts",
-    "docs_chunk_dup_rate",
-    "docs_dedup_provenance",
-    "events_bloom_panel",
-    "docs_sorted_neighborhood",
-    "emb_incremental_topk",
-    "docs_curation_pipeline_v2",
-    "emb_norm_stats",
-    "events_seasonal_deviation",
-    "events_funnel_windowed",
-    "supplier_lead_times",
-    "events_type_overlap",
-    "emb_exact_dup_vectors",
-    "docs_shingle_df_stats",
-    "docs_minhash_error_panel",
-    "emb_cell_balance",
-    "docs_heaps_fit",
     "events_type_effect_sizes",
+    "multimodal_slice_neardup",
+    "emb_incremental_topk",
     "emb_cosine_histogram",
     "orders_item_pagerank",
-    "docs_ensemble_components",
-    # standing canaries: operators rewritten or perf-touched in rounds 2-5
-    "tpch_q15_top_supplier",
-    "dbt_schema_tests",
-    "orders_customer_rfm",
-    "emb_knn_ivf",
-    "emb_neardup_cosine",
+    "docs_neardup_ngram",
+    "docs_neardup_components",
     "docs_neardup_minhash",
-    "emb_prefix_truncate",
-    "emb_whitening",
-    "docs_simhash",
-    "emb_ivf_cell_assign",
+    "docs_dedup_keeper",
+    "docs_dedup_cluster_stats",
+    "docs_dedup_method_agreement",
+    "docs_ensemble_components",
+    "docs_minhash_error_panel",
+    "docs_containment",
+    "docs_simhash_pairs",
+    # keys NEW in round 6
+    "docs_perplexity_buckets",
+    "docs_source_overlap",
+    "docs_token_dup_inflation",
+    "emb_label_centroid_sim",
+    "dim_order_scd2",
+    "events_asof_join",
+    "events_click_attribution",
+    "events_daily_type_cube",
+    "events_daily_type_pivot",
+    "events_daily_type_unpivot",
+    "events_retention_cohorts",
+    "events_tumbling_windows",
+    "gen_synthetic_events",
+    "ingest_dedup_antijoin",
+    "stream_sessionize_closed",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "docs_bigram_lm_counts",
+    "docs_bigram_logprob",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1325,6 +1321,33 @@ register(
     analytics.ITEM_PAGERANK_SQL,
 )
 register(
+    "docs_perplexity_buckets",  # CCNet-style LM-score decile triage
+    _q(lambda spark, sf: llm_text.perplexity_buckets(_docs(spark, sf))),
+    llm_text.PERPLEXITY_BUCKETS_SQL,
+)
+register(
+    "docs_source_overlap",  # cross-source contamination matrix over near-dups
+    _q(
+        lambda spark, sf: llm_dedup.source_overlap(
+            _docs(spark, sf),
+            pairs=llm_dedup.neardup_ngram(
+                _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+            ),
+        )
+    ),
+    llm_dedup.SOURCE_OVERLAP_SQL,
+)
+register(
+    "docs_token_dup_inflation",  # dedup savings priced in tokens
+    _q(lambda spark, sf: llm_dedup.token_dup_inflation(_docs(spark, sf))),
+    llm_dedup.TOKEN_DUP_INFLATION_SQL,
+)
+register(
+    "emb_label_centroid_sim",  # inter-label centroid cosine matrix
+    _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
+    llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
     "emb_cosine_histogram",  # corpus geometry: the curve the threshold sits on
     _q(lambda spark, sf: llm_sim.cosine_histogram(_emb(spark, sf))),
     llm_sim.COSINE_HISTOGRAM_SQL,
@@ -1459,9 +1482,9 @@ register(
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND5_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND5_WINDOW names unregistered keys: {missing}"
-    order = _ROUND5_WINDOW + [k for k in _QUERIES if k not in _ROUND5_WINDOW]
+    missing = [k for k in _ROUND6_WINDOW if k not in _QUERIES]
+    assert not missing, f"_ROUND6_WINDOW names unregistered keys: {missing}"
+    order = _ROUND6_WINDOW + [k for k in _QUERIES if k not in _ROUND6_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

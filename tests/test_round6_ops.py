@@ -1,0 +1,113 @@
+"""Fixture-level semantics for the round-6 panel operators: perplexity
+deciles, cross-source contamination, token dup inflation, and the
+label-centroid cosine matrix (plus the shared-frame injection paths the
+registry uses). The sf0.01 oracle gate pins exact values; these pin the
+invariants the gate can't express (totality, monotonicity, known-answer
+geometry)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_spark.llm import dedup, similarity, text
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        body = f"the quick brown fox jumps over dog number {i} again and again"
+        rows.append((i, body, "en", f"src{i % 3}", len(body)))
+    # exact duplicates of docs 0 and 1 from a different source
+    rows.append((100, rows[0][1], "en", "mirror", len(rows[0][1])))
+    rows.append((101, rows[1][1], "en", "mirror", len(rows[1][1])))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestPerplexityBuckets:
+    def test_totality_and_monotone_ranges(self, spark):
+        docs = _docs(spark)
+        out = text.perplexity_buckets(docs, n_buckets=4).collect()
+        assert [r.bucket for r in out] == [1, 2, 3, 4]
+        n_scored = text.doc_bigram_logprob(docs).count()
+        assert sum(r.n_docs for r in out) == n_scored
+        # NTILE ordering: bucket k's range sits at or above bucket k-1's
+        for lo, hi in zip(out, out[1:]):
+            assert hi.min_logprob >= lo.max_logprob - 1e-9
+            assert lo.min_logprob <= lo.max_logprob
+
+
+class TestSourceOverlap:
+    def test_shares_total_and_cross_flag(self, spark):
+        docs = _docs(spark)
+        out = dedup.source_overlap(docs).collect()
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-6
+        for r in out:
+            assert r.is_cross_source == (r.source_a != r.source_b)
+            assert r.source_a <= r.source_b
+        # the mirrored exact copies must surface as cross-source cells
+        assert any(r.is_cross_source and "mirror" in (r.source_a, r.source_b) for r in out)
+        # pair total matches the generator it summarizes
+        assert sum(r.n_pairs for r in out) == dedup.neardup_ngram(docs).count()
+
+    def test_accepts_shared_scores(self, spark):
+        docs = _docs(spark)
+        scores = dedup.ngram_pair_scores(docs)
+        a = dedup.source_overlap(docs).collect()
+        b = dedup.source_overlap(
+            docs, pairs=dedup.neardup_ngram(docs, scores=scores)
+        ).collect()
+        assert a == b
+
+
+class TestTokenDupInflation:
+    def test_known_answer(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c", "en", "s", 5),
+                (2, "a b c", "en", "s", 5),  # dup of 1: 3 dup tokens
+                (3, "x y", "en", "s", 3),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        r = dedup.token_dup_inflation(docs).collect()[0]
+        assert r.n_docs == 3 and r.n_unique_docs == 2
+        assert r.total_tokens == 8 and r.unique_tokens == 5
+        assert r.duplicated_tokens == 3
+        assert abs(r.inflation - 8 / 5) < 1e-9
+
+
+class TestLabelCentroidSim:
+    def test_known_geometry(self, spark):
+        # label 0 along e0, label 1 along e1 (orthogonal), label 2 = label 0
+        rows = []
+        for i in range(4):
+            rows.append((i, [1.0, 0.0, 0.0], 0))
+            rows.append((10 + i, [0.0, 1.0, 0.0], 1))
+            rows.append((20 + i, [2.0, 0.0, 0.0], 2))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {(r.label_a, r.label_b): r.centroid_cosine
+               for r in similarity.label_centroid_sim(emb).collect()}
+        assert out[(0, 1)] == pytest.approx(0.0, abs=1e-6)
+        assert out[(1, 2)] == pytest.approx(0.0, abs=1e-6)
+        assert out[(0, 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestLabelPropagationConvergenceGuard:
+    def test_raises_when_unconverged(self, spark):
+        # a path graph of diameter 5 cannot converge in 1 round
+        nodes = spark.range(6).select(F.col("id").alias("node_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "a_id long, b_id long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.label_propagation(nodes, pairs, max_iter=1)
+        # and converges exactly with enough rounds
+        labels = dedup.label_propagation(nodes, pairs, max_iter=10).collect()
+        assert {r.component for r in labels} == {0}

@@ -84,6 +84,12 @@ ALLOWED = {
     "invalid_events": {"wide scan"},
     "fact_event": {"wide scan"},
     "events_signup_funnel": {"nested-loop join"},  # three 1-row aggs cross-joined
+    # inherits docs_bigram_logprob's 1-row vocab-size scalar; global
+    # NTILE over one row per doc (doc-count rows, the panel's one
+    # all-to-one step — see docstring)
+    "docs_perplexity_buckets": {"nested-loop join", "unpartitioned window"},
+    # 1-row pair-total share join into the |sources|^2 matrix
+    "docs_source_overlap": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
