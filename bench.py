@@ -144,6 +144,10 @@ HEADLINE = [
     "events_type_effect_sizes",
     "emb_cosine_histogram",
     "docs_ensemble_components",
+    "docs_perplexity_buckets",
+    "docs_source_overlap",
+    "docs_token_dup_inflation",
+    "emb_label_centroid_sim",
 ]
 
 

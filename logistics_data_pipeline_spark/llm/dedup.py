@@ -1348,7 +1348,9 @@ ORDER BY a_id, b_id
 """.strip()
 
 
-def shingle_df_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingle_df_stats(
+    docs: DataFrame, n: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """Join-size estimator for the inverted-index near-dups: the
     document-frequency histogram of word n-gram shingles in pow-2
     buckets, each bucket carrying its exact contribution to the
@@ -1361,7 +1363,8 @@ def shingle_df_stats(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Scale: one aggregation to (shingle, df) — map-side partials
     collapse the fan-out — then a bounded ~30-row bucket rollup."""
-    df_ = shingle_rows(docs, n).groupBy("s").agg(F.count("*").alias("df"))
+    sh = shingles if shingles is not None else shingle_rows(docs, n)
+    df_ = sh.groupBy("s").agg(F.count("*").alias("df"))
     bucket = F.pow(
         F.lit(2.0), F.ceil(F.log2(F.col("df").cast("double")))
     ).cast("bigint")

@@ -717,14 +717,20 @@ def _dedup_shared(spark, sf, name):
     if cached is not None:
         return cached
     docs = _docs(spark, sf)
-    if name == "jac_scores":  # unfiltered exact word-3-gram Jaccard pairs
-        df = llm_dedup.ngram_pair_scores(docs)
+    if name == "sh3":  # the word-3-gram shingle index itself
+        df = llm_dedup.shingle_rows(docs, 3)
+    elif name == "jac_scores":  # unfiltered exact word-3-gram Jaccard pairs
+        df = llm_dedup.ngram_pair_scores(
+            docs, shingles=_dedup_shared(spark, sf, "sh3")
+        )
     elif name == "con_scores":  # unfiltered containment (8-gram) pairs
         df = llm_dedup.containment_scores(docs)
     elif name == "sim_sig":  # SimHash signatures + band keys
         df = llm_dedup.simhash(docs)
     elif name == "mh_sig":  # 64 minhashes + exact shingle set per doc
-        df = llm_dedup.minhash_sig_table(docs)
+        df = llm_dedup.minhash_sig_table(
+            docs, shingles=_dedup_shared(spark, sf, "sh3")
+        )
     elif name == "components":  # Jaccard near-dup connected components
         df = llm_dedup.neardup_components(
             docs,
@@ -1379,7 +1385,11 @@ register(
 )
 register(
     "docs_shingle_df_stats",  # the join-size estimator that picks MAX_SHINGLE_DF
-    _q(lambda spark, sf: llm_dedup.shingle_df_stats(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_dedup.shingle_df_stats(
+            _docs(spark, sf), shingles=_dedup_shared(spark, sf, "sh3")
+        )
+    ),
     llm_dedup.SHINGLE_DF_STATS_SQL,
 )
 register(
