@@ -148,6 +148,8 @@ HEADLINE = [
     "docs_source_overlap",
     "docs_token_dup_inflation",
     "emb_label_centroid_sim",
+    "docs_corpus_datasheet",
+    "emb_label_outliers",
 ]
 
 

@@ -970,3 +970,64 @@ CURATION_PIPELINE_V2_SQL = (
     CURATION_PIPELINE_V2_SQL.replace("{CLS}", _CLS_SQL)
     .replace("{DUP}", CHUNK_DUP_RATE_SQL)
 )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """The one-row dataset card: corpus population, source/language
+    spread, token volume under the engine's tokenization convention,
+    exact-duplication rate, and length moments — the header block of a
+    datasheet-for-datasets, computed from the corpus itself rather
+    than transcribed by hand. Every number is a plain aggregate so the
+    card stays cheap enough to regenerate on every snapshot and diff
+    across releases.
+
+    Scale: one map pass (md5 + token count) and one scalar
+    aggregation; COUNT(DISTINCT md5) is the only distinct, over a
+    128-bit key."""
+    h = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("hsh"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("ntok"),
+        F.length("text").cast("bigint").alias("nchar"),
+    )
+    return h.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("hsh").cast("bigint").alias("n_unique_texts"),
+        F.round(
+            (F.count("*") - F.countDistinct("hsh")).cast("double") / F.count("*"),
+            6,
+        ).alias("exact_dup_rate"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("ntok"), 2).alias("mean_tokens"),
+        F.min("ntok").cast("bigint").alias("min_tokens"),
+        F.max("ntok").cast("bigint").alias("max_tokens"),
+        F.sum("nchar").cast("bigint").alias("total_chars"),
+    )
+
+
+CORPUS_DATASHEET_SQL = r"""
+WITH h AS (
+  SELECT doc_id, source, lang, md5(text) AS hsh,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok,
+         CAST(length(text) AS BIGINT) AS nchar
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT hsh) AS BIGINT) AS n_unique_texts,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT hsh) AS DOUBLE) / COUNT(*), 6)
+         AS exact_dup_rate,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(ntok), 2) AS mean_tokens,
+       CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+       CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+       CAST(SUM(nchar) AS BIGINT) AS total_chars
+FROM h
+""".strip()

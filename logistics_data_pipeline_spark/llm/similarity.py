@@ -2573,6 +2573,107 @@ ORDER BY label_a, label_b
 """.strip()
 
 
+OUTLIER_TOP = 50
+
+
+def label_outlier_vectors(emb: DataFrame, top: int = OUTLIER_TOP) -> DataFrame:
+    """Mislabeled/outlier-vector detector: every vector's Euclidean
+    distance to its OWN label centroid, standardized within the label
+    (z-score), worst ``top`` rows first. High-z vectors are the
+    mislabels, corrupt rows, and genuine novelties a curation pass
+    routes to review before the labels train anything — the embedding
+    cousin of the value-MAD anomaly panel on events.
+
+    Determinism: centroids, squared distances, and the per-label
+    moment sums all accumulate in DECIMAL(28,12) (order-proof in both
+    engines), with one double division/sqrt at each read-out and a
+    6 dp round; ties rank by vec_id. Scale: two (label, pos)-keyed
+    aggregations and one label-keyed moment aggregation — corpus read
+    twice, nothing pair-wise, nothing driver-side."""
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("val").cast("double") - F.col("c"))
+                    * (F.col("val").cast("double") - F.col("c"))
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+        .select("vec_id", "label", F.sqrt("d2").alias("dist"))
+    )
+    stats = d2.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dist").cast("decimal(28,12)")).cast("double").alias("s1"),
+        F.sum((F.col("dist") * F.col("dist")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    z = (F.col("dist") - mu) / F.nullif(sd, F.lit(0.0))
+    return (
+        d2.join(stats, "label")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.desc("z"), "vec_id")
+        .limit(top)
+    )
+
+
+LABEL_OUTLIER_VECTORS_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+vals AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val FROM ex
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM vals GROUP BY label, pos
+),
+d2 AS (
+  SELECT v.vec_id, v.label,
+         SQRT(CAST(SUM(CAST((v.val - c.c) * (v.val - c.c) AS DECIMAL(28,12)))
+                   AS DOUBLE)) AS dist
+  FROM vals v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY v.vec_id, v.label
+),
+stats AS (
+  SELECT label, COUNT(*) AS n,
+         CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(dist * dist AS DECIMAL(28,12))) AS DOUBLE) AS s2
+  FROM d2 GROUP BY label
+)
+SELECT d.vec_id, CAST(d.label AS INT) AS label,
+       ROUND(d.dist, 6) AS dist,
+       ROUND((d.dist - s.s1 / s.n)
+             / NULLIF(SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 0),
+             6) AS z
+FROM d2 d JOIN stats s ON d.label = s.label
+ORDER BY z DESC NULLS LAST, d.vec_id
+LIMIT {OUTLIER_TOP}
+""".strip()
+
+
 UNIT_NORM_TOL = 1e-3
 
 

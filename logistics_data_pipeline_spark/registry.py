@@ -1003,6 +1003,8 @@ _ROUND6_WINDOW = [
     "docs_source_overlap",
     "docs_token_dup_inflation",
     "emb_label_centroid_sim",
+    "docs_corpus_datasheet",
+    "emb_label_outliers",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "docs_bigram_lm_counts",
-    "docs_bigram_logprob",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1352,6 +1352,16 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "docs_corpus_datasheet",  # the one-row dataset card
+    _q(lambda spark, sf: llm_cur.corpus_datasheet(_docs(spark, sf))),
+    llm_cur.CORPUS_DATASHEET_SQL,
+)
+register(
+    "emb_label_outliers",  # distance-to-own-centroid z-score review queue
+    _q(lambda spark, sf: llm_sim.label_outlier_vectors(_emb(spark, sf))),
+    llm_sim.LABEL_OUTLIER_VECTORS_SQL,
 )
 register(
     "emb_cosine_histogram",  # corpus geometry: the curve the threshold sits on

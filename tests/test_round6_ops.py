@@ -111,3 +111,39 @@ class TestLabelPropagationConvergenceGuard:
         # and converges exactly with enough rounds
         labels = dedup.label_propagation(nodes, pairs, max_iter=10).collect()
         assert {r.component for r in labels} == {0}
+
+class TestCorpusDatasheet:
+    def test_known_answer(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c", "en", "s1", 5),
+                (2, "a b c", "en", "s2", 5),
+                (3, "x y", "fr", "s1", 3),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        r = curation.corpus_datasheet(docs).collect()[0]
+        assert r.n_docs == 3 and r.n_sources == 2 and r.n_langs == 2
+        assert r.n_unique_texts == 2
+        assert abs(r.exact_dup_rate - 1 / 3) < 1e-6
+        assert r.total_tokens == 8 and r.min_tokens == 2 and r.max_tokens == 3
+
+
+class TestLabelOutliers:
+    def test_planted_outlier_ranks_first(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rows = [(i, [1.0, 0.0], 0) for i in range(9)]
+        rows += [(100, [0.0, 9.0], 0)]  # far from label-0 centroid
+        rows += [(200 + i, [0.0, 1.0], 1) for i in range(5)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = similarity.label_outlier_vectors(emb, top=3).collect()
+        assert out[0].vec_id == 100
+        assert out[0].z > 2.0
+        # degenerate label (all-identical vectors) yields NULL z, not a crash
+        zs = {r.vec_id: r.z for r in similarity.label_outlier_vectors(emb, top=20).collect()}
+        assert all(z is None for v, z in zs.items() if 200 <= v < 300)
