@@ -439,7 +439,10 @@ SIMHASH_LONG_SQL = _simhash_long_sql()
 
 
 def label_propagation(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components by hash-min label propagation over an
     undirected pair list: ``nodes`` = (node_id), ``pairs`` = (a_id,
@@ -452,7 +455,15 @@ def label_propagation(
         .unionByName(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    if init_labels is not None:
+        # Valid warm start: any labeling where label(v) is the min id of
+        # a subset of Reach(v) containing v (e.g. the components of a
+        # SUBGRAPH, like the Jaccard-only components under the ensemble
+        # union graph). Hash-min propagation is monotone toward the same
+        # fixpoint, so seeding skips the rounds the subgraph already did.
+        labels = init_labels.select("node_id", "component")
+    else:
+        labels = nodes.select("node_id", F.col("node_id").alias("component"))
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -460,12 +471,26 @@ def label_propagation(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels.node_id == nbr_min.a, "left").select(
+            "node_id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jumping: label(v) <- label(label(v)). Labels are node
+        # ids, and label(u) <= u always, so shortcutting is monotone
+        # toward the same min-reachable fixpoint while halving the
+        # remaining chain length — O(log diameter) rounds instead of
+        # O(diameter), the difference that matters on long dup chains.
+        hop = stepped.select(
+            F.col("node_id").alias("component"), F.col("component").alias("comp2")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.node_id == nbr_min.a, "left")
+            stepped.join(hop, "component", "left")
             .select(
                 "node_id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    F.col("component"), F.coalesce("comp2", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -1612,6 +1637,7 @@ def ensemble_components(
     jac: DataFrame | None = None,
     con: DataFrame | None = None,
     sim: DataFrame | None = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the UNION of the three exact near-dup
     pair sources — n-gram Jaccard, asymmetric containment, and
@@ -1640,7 +1666,10 @@ def ensemble_components(
         .distinct()
     )
     labels = label_propagation(
-        docs.select(F.col("doc_id").alias("node_id")), pairs, max_iter
+        docs.select(F.col("doc_id").alias("node_id")),
+        pairs,
+        max_iter,
+        init_labels=init_labels,
     )
     return labels.select(
         F.col("node_id").alias("doc_id"), "component"

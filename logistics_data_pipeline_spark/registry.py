@@ -1312,6 +1312,11 @@ register(
             sim=llm_dedup.simhash_pairs(
                 _docs(spark, sf), sig=_dedup_shared(spark, sf, "sim_sig")
             ),
+            # warm-start from the cached Jaccard components: the union
+            # graph's fixpoint is unchanged, the jaccard rounds are skipped
+            init_labels=_dedup_shared(spark, sf, "components").select(
+                F.col("doc_id").alias("node_id"), "component"
+            ),
         )
     ),
     llm_dedup.ENSEMBLE_COMPONENTS_SQL,
