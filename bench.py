@@ -150,6 +150,8 @@ HEADLINE = [
     "emb_label_centroid_sim",
     "docs_corpus_datasheet",
     "emb_label_outliers",
+    "docs_bm25_scores",
+    "orders_graph_triangles",
 ]
 
 

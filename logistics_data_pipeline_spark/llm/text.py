@@ -505,6 +505,124 @@ ORDER BY bucket
 """.strip()
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 8
+BM25_SKIP_HEAD = 10  # skip the stopword-saturated df head
+BM25_TOP = 50
+
+
+def bm25_scores(
+    docs: DataFrame,
+    n_terms: int = BM25_N_TERMS,
+    skip_head: int = BM25_SKIP_HEAD,
+    top: int = BM25_TOP,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a deterministic query:
+    the ``n_terms`` mid-frequency alphabetic tokens ranked
+    ``skip_head+1 .. skip_head+n_terms`` by document frequency (the df
+    head is stopword-saturated and carries no ranking signal; mid-df
+    terms are what real queries look like). Scores use the standard
+    Robertson/Okapi formulation — idf = ln((N−df+0.5)/(df+0.5) + 1),
+    tf saturation k1=1.2, length normalization b=0.75 — making this the
+    search-engine scoring leg beside the TF-IDF cosine join (sparse
+    retrieval is how a training corpus gets queried for contamination,
+    attribution, and eval-set neighbors).
+
+    Scale: tf/df/doclen are the inverted-index aggregations the other
+    text ops already use; the query-term list is ``n_terms`` rows
+    broadcast into the tf join; the only all-to-one steps are two 1-row
+    scalars (N, avg doclen) and the final top-k TakeOrdered."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # TakeOrdered the vocab to the tiny (skip_head + n_terms) head
+    # BEFORE any window: the global rank never sees vocab-sized input
+    # (same discipline as zipf_fit's capped head)
+    head = df_.orderBy(F.desc("df"), F.asc("tok")).limit(skip_head + n_terms)
+    w = Window.orderBy(F.desc("df"), F.asc("tok"))
+    qterms = (
+        head.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") > skip_head)
+        .select("tok", "df")
+    )
+    nn = docs.agg(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    ).withColumn("_k", F.lit(1))
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(nn), "_k")
+        .join(F.broadcast(avgdl), "_k")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top)
+    )
+
+
+BM25_SCORES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE regexp_full_match(tok, '[a-z]+')
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+head AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok ASC
+  LIMIT {BM25_SKIP_HEAD} + {BM25_N_TERMS}
+),
+qterms AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) AS r FROM head)
+  WHERE r > {BM25_SKIP_HEAD}
+),
+scored AS (
+  SELECT t.doc_id,
+         ln(((SELECT COUNT(*) FROM documents) - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         * (t.tf * ({BM25_K1} + 1))
+         / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl
+              / (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen))) AS contrib
+  FROM tf t JOIN qterms q ON t.tok = q.tok JOIN doclen d ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       ROUND(SUM(contrib), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP}
+""".strip()
+
+
 def text_normalize(docs: DataFrame) -> DataFrame:
     """Pre-tokenization text cleanup: strip C0/C1 control characters,
     collapse runs of whitespace to single spaces, and trim — the

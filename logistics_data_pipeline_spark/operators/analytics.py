@@ -1973,6 +1973,149 @@ PR_ITERS = 8
 PR_TOP = 20
 
 
+TRI_MAX_DEG = 200
+
+
+def graph_triangles(
+    lineitem: DataFrame,
+    max_deg: int = TRI_MAX_DEG,
+    edges_od: DataFrame | None = None,
+) -> DataFrame:
+    """Exact triangle census of the co-purchase graph after a degree
+    cap, 1 row: triangle count, wedge (open 2-path) count, and the
+    global clustering coefficient 3·triangles/wedges — the
+    connectivity-quality number beside PageRank's centrality ranking
+    (high clustering = co-purchases form communities; low = hub-and-
+    spoke). The cap drops hub vertices with degree > ``max_deg`` BEFORE
+    counting (mirrored in the oracle): hubs contribute O(deg²) wedges
+    that swamp the statistic and the join alike — the standard
+    bounded-degree triangle-count discipline, same role as the shingle
+    DF cap in the dedup path.
+
+    Scale: with the cap, per-vertex wedge fan-out is ≤ max_deg², the
+    wedge build is one self-join of the (a<b)-oriented capped edge list
+    keyed on the center vertex, and closure is one equi-join back to
+    the edge set — three shuffles total, nothing driver-side."""
+    if edges_od is None:
+        edges_od = copurchase_edges(lineitem)
+    # degree = out-degree in the symmetric list; cap, then orient a<b
+    keep = edges_od.filter(F.col("od") <= max_deg)
+    und = keep.select("src", "dst")
+    # keep only edges where BOTH endpoints survive the cap: the
+    # symmetric list already lost capped sources; anti-join drops
+    # edges whose DST was capped
+    from ..session import track_persist
+
+    capped = track_persist(
+        und.join(
+            und.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        )
+    )
+    # e feeds the triangle closure; o feeds BOTH sides of the wedge
+    # self-join — Catalyst has no ReuseExchange across aliased branches,
+    # so persist each once (operator-scoped, released between queries)
+    e = track_persist(capped.filter(F.col("src") < F.col("dst")))
+    # Degree orientation: point every edge from its lower-(degree, id)
+    # endpoint to the higher one. Each triangle then has exactly one
+    # vertex with two OUT-edges, so pairing out-neighbors per source
+    # enumerates each triangle once with per-vertex fan-out bounded by
+    # the oriented out-degree — O(sqrt(m)) even at hub vertices, the
+    # classic distributed triangle-count bound. The count is
+    # orientation-invariant, so the oracle's plain a<b EXISTS
+    # formulation yields the identical number.
+    degs = capped.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("v"), "d"
+    )
+    # the degree table is vertex-count-sized (tiny next to the edge
+    # list) — broadcast both attachments so orientation is map-side
+    ranked = capped.join(
+        F.broadcast(degs.select(F.col("v").alias("src"), F.col("d").alias("ds"))),
+        "src",
+    ).join(
+        F.broadcast(degs.select(F.col("v").alias("dst"), F.col("d").alias("dd"))),
+        "dst",
+    )
+    o = track_persist(
+        ranked.filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        ).select("src", "dst")
+    )
+    pairs_ = (
+        o.alias("x")
+        .join(o.alias("y"), "src")
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.least("x.dst", "y.dst").alias("a"),
+            F.greatest("x.dst", "y.dst").alias("c"),
+        )
+    )
+    tri = pairs_.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    # wedge count centered anywhere: sum over vertices of C(deg, 2) in
+    # the capped graph (deg from the symmetric capped list)
+    n_wed = (
+        capped.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+    )
+    return (
+        n_tri.join(n_wed)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+keep AS (
+  SELECT e.src, e.dst FROM edges e JOIN deg d ON e.src = d.src
+  WHERE d.od <= {TRI_MAX_DEG}
+),
+capped AS (
+  SELECT k.src, k.dst FROM keep k
+  WHERE k.dst IN (SELECT DISTINCT src FROM keep)
+),
+e AS (SELECT src, dst FROM capped WHERE src < dst),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e x JOIN e y ON x.dst = y.src
+  WHERE EXISTS (SELECT 1 FROM e z WHERE z.src = x.src AND z.dst = y.dst)
+),
+wed AS (
+  SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM (SELECT src, COUNT(*) AS d FROM capped GROUP BY src)
+)
+SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       wed.n_wedges,
+       ROUND(3.0 * tri.n_triangles / NULLIF(CAST(wed.n_wedges AS DOUBLE), 0), 6)
+         AS clustering_coeff
+FROM tri, wed
+""".strip()
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """The undirected co-purchase edge list WITH out-degrees, ready for
     ``item_pagerank``'s rounds: (src, dst, od), distinct, partitioned on

@@ -1005,6 +1005,8 @@ _ROUND6_WINDOW = [
     "emb_label_centroid_sim",
     "docs_corpus_datasheet",
     "emb_label_outliers",
+    "docs_bm25_scores",
+    "orders_graph_triangles",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,21 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "docs_bm25_scores",  # Okapi BM25 ranked retrieval, deterministic mid-df query
+    _q(lambda spark, sf: llm_text.bm25_scores(_docs(spark, sf))),
+    llm_text.BM25_SCORES_SQL,
+)
+register(
+    "orders_graph_triangles",  # degree-capped triangle census + clustering coeff
+    _q(
+        lambda spark, sf: analytics.graph_triangles(
+            load_table(spark, sf, "lineitem"),
+            edges_od=_dedup_shared(spark, sf, "copurchase_edges"),
+        )
+    ),
+    analytics.GRAPH_TRIANGLES_SQL,
 )
 register(
     "docs_corpus_datasheet",  # the one-row dataset card

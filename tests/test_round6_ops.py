@@ -147,3 +147,47 @@ class TestLabelOutliers:
         # degenerate label (all-identical vectors) yields NULL z, not a crash
         zs = {r.vec_id: r.z for r in similarity.label_outlier_vectors(emb, top=20).collect()}
         assert all(z is None for v, z in zs.items() if 200 <= v < 300)
+
+class TestBm25:
+    def test_planted_heavy_doc_ranks_first(self, spark):
+        # 30 background docs establish the df ranking; doc 999 repeats
+        # the mid-frequency terms many times -> top BM25 score
+        rows = []
+        for i in range(30):
+            common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            mid = "lambda mu" if i % 2 == 0 else "nu xi"
+            rows.append((i, f"{common} {mid} filler{i}", "en", "s", 10))
+        rows.append((999, "lambda mu nu xi " * 10, "en", "s", 10))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = text.bm25_scores(docs, n_terms=4, skip_head=10, top=5).collect()
+        assert out[0].doc_id == 999
+        assert out[0].bm25 > 0
+        assert all(a.bm25 >= b.bm25 for a, b in zip(out, out[1:]))
+        assert all(1 <= r.n_terms_matched <= 4 for r in out)
+
+
+class TestGraphTriangles:
+    def test_known_graph(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4}
+        rows = [(1, p) for p in (1, 2, 3)] + [(2, p) for p in (3, 4)]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        r = analytics.graph_triangles(li).collect()[0]
+        assert r.n_triangles == 1
+        # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5 -> coeff 3/5
+        assert r.n_wedges == 5
+        assert abs(r.clustering_coeff - 0.6) < 1e-9
+
+    def test_degree_cap_drops_hub(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # star around part 0 (degree 10) + one triangle {100,101,102}
+        rows = [(o, 0) for o in range(10)] + [(o, o + 1) for o in range(10)]
+        rows += [(50, p) for p in (100, 101, 102)]
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        r = analytics.graph_triangles(li, max_deg=5).collect()[0]
+        # hub is capped out; only the clean triangle remains
+        assert r.n_triangles == 1

@@ -90,6 +90,11 @@ ALLOWED = {
     "docs_perplexity_buckets": {"nested-loop join", "unpartitioned window"},
     # 1-row pair-total share join into the |sources|^2 matrix
     "docs_source_overlap": {"nested-loop join"},
+    # two 1-row scalars (corpus N, avg doclen); rank window over the
+    # TakeOrdered 18-row df head (never vocab-sized input)
+    "docs_bm25_scores": {"nested-loop join", "unpartitioned window"},
+    # 1-row triangle-count x 1-row wedge-count final cross
+    "orders_graph_triangles": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
