@@ -152,6 +152,8 @@ HEADLINE = [
     "emb_label_outliers",
     "docs_bm25_scores",
     "orders_graph_triangles",
+    "docs_rrf_fusion",
+    "events_type_value_drift",
 ]
 
 

@@ -623,6 +623,159 @@ LIMIT {BM25_TOP}
 """.strip()
 
 
+RRF_K = 60
+RRF_LIST = 200
+RRF_TOP = 50
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    n_terms: int = BM25_N_TERMS,
+    skip_head: int = BM25_SKIP_HEAD,
+    list_k: int = RRF_LIST,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings for the same
+    deterministic query (the BM25 one): the BM25 list and a plain
+    TF-IDF-sum list (tf · ln(N/df) per query term). RRF(d) =
+    Σ_lists 1/(k + rank_d) with k=60 — the standard score-free fusion
+    that beats either list alone when the scorers disagree; this is
+    the hybrid-retrieval shape (lexical ⊕ lexical here, lexical ⊕
+    dense in a vector deployment) a contamination/attribution query
+    actually runs.
+
+    Scale: each list is TakeOrdered down to ``list_k`` BEFORE any rank
+    window (the fusion never sees corpus-sized ranked input — fusing
+    truncated lists is the textbook formulation anyway); ranks break
+    ties by doc_id in both engines."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    head = df_.orderBy(F.desc("df"), F.asc("tok")).limit(skip_head + n_terms)
+    w = Window.orderBy(F.desc("df"), F.asc("tok"))
+    qterms = (
+        head.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") > skip_head)
+        .select("tok", "df")
+    )
+    nn = docs.agg(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    ).withColumn("_k", F.lit(1))
+    base = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(nn), "_k")
+        .join(F.broadcast(avgdl), "_k")
+    )
+    bm25 = (
+        base.select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("sc"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("sc"), 6).alias("sc"))
+        .orderBy(F.desc("sc"), "doc_id")
+        .limit(list_k)
+    )
+    tfidf = (
+        base.select(
+            "doc_id",
+            (
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("sc"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("sc"), 6).alias("sc"))
+        .orderBy(F.desc("sc"), "doc_id")
+        .limit(list_k)
+    )
+    wr = Window.orderBy(F.desc("sc"), F.asc("doc_id"))
+
+    def ranked(leg):
+        return leg.withColumn("r", F.row_number().over(wr)).select("doc_id", "r")
+
+    fused = (
+        ranked(bm25)
+        .select("doc_id", (1.0 / (RRF_K + F.col("r"))).alias("c"))
+        .unionByName(
+            ranked(tfidf).select("doc_id", (1.0 / (RRF_K + F.col("r"))).alias("c"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lists"),
+            F.round(F.sum("c"), 6).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(top)
+
+
+RRF_FUSION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE regexp_full_match(tok, '[a-z]+')
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+head AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok ASC
+  LIMIT {BM25_SKIP_HEAD} + {BM25_N_TERMS}
+),
+qterms AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) AS r FROM head)
+  WHERE r > {BM25_SKIP_HEAD}
+),
+base AS (
+  SELECT t.doc_id, t.tf, q.df, d.dl,
+         (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+  FROM tf t JOIN qterms q ON t.tok = q.tok JOIN doclen d ON t.doc_id = d.doc_id
+),
+bm25 AS (
+  SELECT doc_id, ROUND(SUM(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))), 6) AS sc
+  FROM base GROUP BY doc_id ORDER BY sc DESC, doc_id LIMIT {RRF_LIST}
+),
+tfidf AS (
+  SELECT doc_id, ROUND(SUM(tf * ln(CAST(n AS DOUBLE) / df)), 6) AS sc
+  FROM base GROUP BY doc_id ORDER BY sc DESC, doc_id LIMIT {RRF_LIST}
+),
+contribs AS (
+  SELECT doc_id, 1.0 / ({RRF_K} + ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id)) AS c
+  FROM bm25
+  UNION ALL
+  SELECT doc_id, 1.0 / ({RRF_K} + ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id)) AS c
+  FROM tfidf
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists, ROUND(SUM(c), 6) AS rrf
+FROM contribs
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+""".strip()
+
+
 def text_normalize(docs: DataFrame) -> DataFrame:
     """Pre-tokenization text cleanup: strip C0/C1 control characters,
     collapse runs of whitespace to single spaces, and trim — the

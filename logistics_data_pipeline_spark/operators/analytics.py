@@ -1973,6 +1973,123 @@ PR_ITERS = 8
 PR_TOP = 20
 
 
+DRIFT_WINDOW_S = 7 * 86400
+DRIFT_Z = 3.0
+
+
+def type_value_drift(events: DataFrame, window_s: int = DRIFT_WINDOW_S) -> DataFrame:
+    """Training-data drift monitor: per event type, Welch's z between
+    the value distribution of the trailing window (last ``window_s``
+    seconds before the corpus's max timestamp) and the window before it
+    — the check a feature pipeline runs before every retrain to catch
+    schema-silent shifts (unit changes, sensor recalibration, upstream
+    bug) that no NULL-rate or row-count monitor sees. |z| > 3 flags the
+    type.
+
+    Determinism: window edges are epoch-second arithmetic off the max
+    timestamp (a 1-row broadcast scalar), moments are DECIMAL(28,6)
+    sums (accumulation-order-proof), one double division at read-out,
+    6 dp rounds. Scale: one scan, one (type, window) aggregation, a
+    |types|-row pivot join."""
+    dec = "decimal(28,6)"
+    mx = events.agg(
+        F.max(F.col("ts").cast("double")).alias("mx")
+    ).withColumn("_k", F.lit(1))
+    e = (
+        events.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .withColumn("ep", F.col("ts").cast("double"))
+        .withColumn(
+            "win",
+            F.when(F.col("ep") > F.col("mx") - window_s, "recent").when(
+                F.col("ep") > F.col("mx") - 2 * window_s, "prior"
+            ),
+        )
+        .filter(F.col("win").isNotNull())
+    )
+    m = e.groupBy("event_type", "win").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s1"),
+        F.sum((F.col("value").cast(dec) * F.col("value").cast(dec))).alias("s2"),
+    )
+
+    def side(name):
+        return m.filter(F.col("win") == name).select(
+            "event_type",
+            F.col("n").alias(f"n_{name}"),
+            (F.col("s1").cast("double") / F.col("n")).alias(f"m_{name}"),
+            (
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ).alias(f"v_{name}"),
+        )
+
+    j = side("recent").join(side("prior"), "event_type")
+    z = (F.col("m_recent") - F.col("m_prior")) / F.nullif(
+        F.sqrt(
+            F.col("v_recent") / F.col("n_recent")
+            + F.col("v_prior") / F.col("n_prior")
+        ),
+        F.lit(0.0),
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("n_recent").cast("bigint").alias("n_recent"),
+            F.col("n_prior").cast("bigint").alias("n_prior"),
+            F.round("m_recent", 6).alias("mean_recent"),
+            F.round("m_prior", 6).alias("mean_prior"),
+            F.round(z, 6).alias("welch_z"),
+            (F.abs(z) > DRIFT_Z).alias("is_drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TYPE_VALUE_DRIFT_SQL = f"""
+WITH mx AS (SELECT MAX(epoch(ts)) AS mx FROM events),
+e AS (
+  SELECT event_type, value,
+         CASE WHEN epoch(ts) > mx.mx - {DRIFT_WINDOW_S} THEN 'recent'
+              WHEN epoch(ts) > mx.mx - 2 * {DRIFT_WINDOW_S} THEN 'prior'
+         END AS win
+  FROM events, mx
+  WHERE epoch(ts) > mx.mx - 2 * {DRIFT_WINDOW_S}
+),
+m AS (
+  SELECT event_type, win, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2
+  FROM e GROUP BY event_type, win
+),
+sides AS (
+  SELECT r.event_type,
+         r.n AS n_recent, CAST(r.s1 AS DOUBLE) / r.n AS m_recent,
+         CAST(r.s2 AS DOUBLE) / r.n
+           - (CAST(r.s1 AS DOUBLE) / r.n) * (CAST(r.s1 AS DOUBLE) / r.n) AS v_recent,
+         p.n AS n_prior, CAST(p.s1 AS DOUBLE) / p.n AS m_prior,
+         CAST(p.s2 AS DOUBLE) / p.n
+           - (CAST(p.s1 AS DOUBLE) / p.n) * (CAST(p.s1 AS DOUBLE) / p.n) AS v_prior
+  FROM (SELECT * FROM m WHERE win = 'recent') r
+  JOIN (SELECT * FROM m WHERE win = 'prior') p ON r.event_type = p.event_type
+)
+SELECT event_type,
+       CAST(n_recent AS BIGINT) AS n_recent,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       ROUND(m_recent, 6) AS mean_recent,
+       ROUND(m_prior, 6) AS mean_prior,
+       ROUND((m_recent - m_prior)
+             / NULLIF(SQRT(v_recent / n_recent + v_prior / n_prior), 0), 6)
+         AS welch_z,
+       ABS((m_recent - m_prior)
+           / NULLIF(SQRT(v_recent / n_recent + v_prior / n_prior), 0))
+         > {DRIFT_Z} AS is_drift
+FROM sides
+ORDER BY event_type
+""".strip()
+
+
 TRI_MAX_DEG = 200
 
 

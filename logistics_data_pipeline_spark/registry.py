@@ -1007,6 +1007,8 @@ _ROUND6_WINDOW = [
     "emb_label_outliers",
     "docs_bm25_scores",
     "orders_graph_triangles",
+    "docs_rrf_fusion",
+    "events_type_value_drift",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,20 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "docs_rrf_fusion",  # reciprocal-rank fusion of BM25 + TF-IDF lists
+    _q(lambda spark, sf: llm_text.rrf_fusion(_docs(spark, sf))),
+    llm_text.RRF_FUSION_SQL,
+)
+register(
+    "events_type_value_drift",  # two-window Welch-z retrain gate
+    _q(
+        lambda spark, sf: analytics.type_value_drift(
+            load_table(spark, sf, "events")
+        )
+    ),
+    analytics.TYPE_VALUE_DRIFT_SQL,
 )
 register(
     "docs_bm25_scores",  # Okapi BM25 ranked retrieval, deterministic mid-df query

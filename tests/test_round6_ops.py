@@ -191,3 +191,39 @@ class TestGraphTriangles:
         r = analytics.graph_triangles(li, max_deg=5).collect()[0]
         # hub is capped out; only the clean triangle remains
         assert r.n_triangles == 1
+
+class TestRrfFusion:
+    def test_agrees_with_legs_and_bounds(self, spark):
+        rows = []
+        for i in range(30):
+            common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            mid = "lambda mu" if i % 2 == 0 else "nu xi"
+            rows.append((i, f"{common} {mid} filler{i}", "en", "s", 10))
+        rows.append((999, "lambda mu nu xi " * 10, "en", "s", 10))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = text.rrf_fusion(docs, n_terms=4, skip_head=10, top=10).collect()
+        # the doc that tops both legs tops the fusion; 2-list max is 2/(61)
+        assert out[0].doc_id == 999
+        assert out[0].n_lists == 2
+        assert out[0].rrf <= 2 / 61 + 1e-6  # 6 dp round
+        assert all(a.rrf >= b.rrf for a, b in zip(out, out[1:]))
+
+
+class TestTypeValueDrift:
+    def test_planted_shift_flags(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for d in range(14):
+            for i in range(40):
+                # type A jumps by +100 in the recent week; type B stays
+                shift = 100.0 if d >= 7 else 0.0
+                rows.append((base + dt.timedelta(days=d, minutes=i), "A", 10.0 + (i % 5) + shift))
+                rows.append((base + dt.timedelta(days=d, minutes=i), "B", 20.0 + (i % 5)))
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        out = {r.event_type: r for r in __import__("logistics_data_pipeline_spark.operators.analytics", fromlist=["x"]).type_value_drift(ev).collect()}
+        assert out["A"].is_drift and abs(out["A"].mean_recent - out["A"].mean_prior - 100.0) < 1e-6
+        assert not out["B"].is_drift

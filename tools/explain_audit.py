@@ -95,6 +95,11 @@ ALLOWED = {
     "docs_bm25_scores": {"nested-loop join", "unpartitioned window"},
     # 1-row triangle-count x 1-row wedge-count final cross
     "orders_graph_triangles": {"nested-loop join"},
+    # inherits docs_bm25_scores' two 1-row scalars + TakeOrdered-capped
+    # 200-row rank windows per fused list
+    "docs_rrf_fusion": {"nested-loop join", "unpartitioned window"},
+    # 1-row max-timestamp scalar broadcast into the window classifier
+    "events_type_value_drift": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
