@@ -154,6 +154,8 @@ HEADLINE = [
     "orders_graph_triangles",
     "docs_rrf_fusion",
     "events_type_value_drift",
+    "events_kmv_distinct",
+    "emb_label_prototypes",
 ]
 
 

@@ -2674,6 +2674,90 @@ LIMIT {OUTLIER_TOP}
 """.strip()
 
 
+PROTO_PER_LABEL = 5
+
+
+def label_prototypes(emb: DataFrame, per_label: int = PROTO_PER_LABEL) -> DataFrame:
+    """Prototype selection: the ``per_label`` vectors closest to their
+    own label centroid — the exemplars a dataset-distillation /
+    few-shot / nearest-centroid-classifier pass keeps per class, and
+    the qualitative "what does this cluster mean" sample a human
+    reviews. The mirror image of ``label_outlier_vectors`` (same
+    centroid + distance machinery, opposite tail), sharing its
+    DECIMAL(28,12) accumulation so both engines rank identically.
+
+    Scale: two (label, pos)-keyed aggregations and one label-keyed
+    top-k window — fan-in per window partition is the label's
+    population, never the corpus."""
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("val").cast("double") - F.col("c"))
+                    * (F.col("val").cast("double") - F.col("c"))
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+        .select("vec_id", "label", F.sqrt("d2").alias("dist"))
+    )
+    w = Window.partitionBy("label").orderBy("dist", "vec_id")
+    return (
+        d2.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= per_label)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("r").cast("int").alias("rank"),
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
+LABEL_PROTOTYPES_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+vals AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val FROM ex
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM vals GROUP BY label, pos
+),
+d2 AS (
+  SELECT v.vec_id, v.label,
+         SQRT(CAST(SUM(CAST((v.val - c.c) * (v.val - c.c) AS DECIMAL(28,12)))
+                   AS DOUBLE)) AS dist
+  FROM vals v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY v.vec_id, v.label
+)
+SELECT CAST(label AS INT) AS label, CAST(r AS INT) AS rank, vec_id,
+       ROUND(dist, 6) AS dist
+FROM (
+  SELECT vec_id, label, dist,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist, vec_id) AS r
+  FROM d2)
+WHERE r <= {PROTO_PER_LABEL}
+ORDER BY label, rank
+""".strip()
+
+
 UNIT_NORM_TOL = 1e-3
 
 

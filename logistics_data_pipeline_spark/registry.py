@@ -1009,6 +1009,8 @@ _ROUND6_WINDOW = [
     "orders_graph_triangles",
     "docs_rrf_fusion",
     "events_type_value_drift",
+    "events_kmv_distinct",
+    "emb_label_prototypes",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,16 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "events_kmv_distinct",  # oracle-exact mergeable bottom-k distinct sketch
+    _q(lambda spark, sf: analytics.kmv_distinct(load_table(spark, sf, "events"))),
+    analytics.KMV_DISTINCT_SQL,
+)
+register(
+    "emb_label_prototypes",  # per-label exemplars nearest the centroid
+    _q(lambda spark, sf: llm_sim.label_prototypes(_emb(spark, sf))),
+    llm_sim.LABEL_PROTOTYPES_SQL,
 )
 register(
     "docs_rrf_fusion",  # reciprocal-rank fusion of BM25 + TF-IDF lists

@@ -227,3 +227,33 @@ class TestTypeValueDrift:
         out = {r.event_type: r for r in __import__("logistics_data_pipeline_spark.operators.analytics", fromlist=["x"]).type_value_drift(ev).collect()}
         assert out["A"].is_drift and abs(out["A"].mean_recent - out["A"].mean_prior - 100.0) < 1e-6
         assert not out["B"].is_drift
+
+class TestKmvDistinct:
+    def test_small_groups_exact_and_error_measured(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(30):  # type S: 30 users < k -> sketch stores all, exact
+            rows.append((base, "S", u, 1.0))
+        for u in range(3000):  # type L: estimator kicks in
+            rows.append((base, "L", u, 1.0))
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, user_id long, value double")
+        out = {r.event_type: r for r in analytics.kmv_distinct(ev).collect()}
+        assert out["S"].kmv_estimate == 30.0 and out["S"].rel_error == 0.0
+        assert out["L"].exact_distinct == 3000
+        # bottom-k estimator: within ~4 standard errors of 1/sqrt(k-2)
+        assert out["L"].rel_error < 4 / (62 ** 0.5)
+
+
+class TestLabelPrototypes:
+    def test_nearest_to_centroid_first(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rows = [(i, [float(i), 0.0], 0) for i in range(10)]  # centroid x=4.5
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = similarity.label_prototypes(emb, per_label=3).collect()
+        assert [r.vec_id for r in out] == [4, 5, 3]  # dists .5,.5,1.5; tie by id
+        assert [r.rank for r in out] == [1, 2, 3]
