@@ -156,6 +156,8 @@ HEADLINE = [
     "events_type_value_drift",
     "events_kmv_distinct",
     "emb_label_prototypes",
+    "docs_delete_propagation",
+    "orders_revenue_trend",
 ]
 
 

@@ -1031,3 +1031,98 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nchar) AS BIGINT) AS total_chars
 FROM h
 """.strip()
+
+
+DELETE_MOD = 97  # doc_id % 97 == 0 simulates the deletion list
+
+
+def delete_propagation(
+    docs: DataFrame, emb: DataFrame, mod: int = DELETE_MOD
+) -> DataFrame:
+    """Right-to-be-forgotten propagation report: given a deletion list
+    (simulated deterministically as ``doc_id % mod == 0``), account for
+    every derived artifact that must be purged — the documents
+    themselves, their chunk rows (``doc_chunks``), their embedding rows
+    (id-aligned), and the EXACT-DUPLICATE COPIES of deleted texts that
+    survive under other ids (the legal-surprise row: deleting by id
+    leaves identical bytes in the corpus unless content-hash
+    propagation runs too). One row per artifact class with row counts
+    and the post-purge survivor count.
+
+    Scale: every leg is an anti-join / semi-join against the (tiny
+    broadcast) deletion list or its content-hash image — the exact
+    shape a 100 TB purge job runs, no full-table rewrite expressed
+    here."""
+    dele = docs.filter(F.col("doc_id") % mod == 0)
+    keep = docs.join(F.broadcast(dele.select("doc_id")), "doc_id", "left_anti")
+    # content-hash image of the deleted texts -> copies under OTHER ids
+    dhash = dele.select(F.md5("text").alias("h")).distinct()
+    copies = keep.join(
+        F.broadcast(dhash),
+        F.md5(F.col("text")) == F.col("h"),
+        "left_semi",
+    )
+    chunks = doc_chunks(docs)
+    del_chunks = chunks.join(F.broadcast(dele.select("doc_id")), "doc_id", "left_semi")
+    del_emb = emb.join(
+        F.broadcast(dele.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+        "left_semi",
+    )
+
+    def leg(name, purged, survivors):
+        return purged.agg(F.count("*").cast("bigint").alias("n_purged")).join(
+            survivors.agg(F.count("*").cast("bigint").alias("n_surviving"))
+        ).select(F.lit(name).alias("artifact"), "n_purged", "n_surviving")
+
+    return (
+        leg("documents", dele, keep)
+        .unionByName(
+            leg(
+                "doc_chunks",
+                del_chunks,
+                chunks.join(
+                    F.broadcast(dele.select("doc_id")), "doc_id", "left_anti"
+                ),
+            )
+        )
+        .unionByName(
+            leg(
+                "embeddings",
+                del_emb,
+                emb.join(
+                    F.broadcast(dele.select(F.col("doc_id").alias("vec_id"))),
+                    "vec_id",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(leg("exact_copies_left_behind", copies, keep.exceptAll(copies)))
+        .orderBy("artifact")
+    )
+
+DELETE_PROPAGATION_SQL = f"""
+WITH dele AS (SELECT doc_id, text FROM documents WHERE doc_id % {DELETE_MOD} = 0),
+keep AS (SELECT * FROM documents WHERE doc_id % {DELETE_MOD} != 0),
+dhash AS (SELECT DISTINCT md5(text) AS h FROM dele),
+copies AS (SELECT k.doc_id FROM keep k WHERE md5(k.text) IN (SELECT h FROM dhash)),
+chunks AS ({DOC_CHUNKS_SQL.replace("ORDER BY doc_id, chunk_id", "")})
+SELECT 'doc_chunks' AS artifact,
+       CAST((SELECT COUNT(*) FROM chunks WHERE doc_id % {DELETE_MOD} = 0) AS BIGINT) AS n_purged,
+       CAST((SELECT COUNT(*) FROM chunks WHERE doc_id % {DELETE_MOD} != 0) AS BIGINT) AS n_surviving
+UNION ALL
+SELECT 'documents',
+       CAST((SELECT COUNT(*) FROM dele) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM keep) AS BIGINT)
+UNION ALL
+SELECT 'embeddings',
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id IN (SELECT doc_id FROM dele)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id NOT IN (SELECT doc_id FROM dele)) AS BIGINT)
+UNION ALL
+SELECT 'exact_copies_left_behind',
+       CAST((SELECT COUNT(*) FROM copies) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM keep) - (SELECT COUNT(*) FROM copies) AS BIGINT)
+ORDER BY artifact
+""".strip()

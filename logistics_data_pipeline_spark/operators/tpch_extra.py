@@ -1242,3 +1242,97 @@ SELECT s_suppkey, s_name, n_lines,
 FROM x JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY s_suppkey, q_idx
 """.strip()
+
+# --- per-nation revenue trend: EXACT decimal OLS slope ----------------------
+
+
+def revenue_trend(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation monthly revenue trend: the OLS slope of (monthly
+    revenue ~ month index) computed in EXACT decimal arithmetic — the
+    closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x an
+    integer month index and y a DECIMAL(28,2) revenue sum never leaves
+    exact types until the final division, so both engines produce the
+    identical 6 dp number in any accumulation order (the same
+    determinism discipline as the effect-size and drift panels; a
+    float regr_slope would be order-sensitive). The panel a planner
+    reads for "which markets are growing" with the trend unit being
+    revenue-per-month.
+
+    Scale: one broadcast dim chain orders→customer→nation, one
+    (nation, month) aggregation, one |nations|-keyed moment rollup —
+    the regression never materializes anything month-count-sized per
+    group beyond the monthly table itself."""
+    mo = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+            F.col("o_totalprice").cast("decimal(28,2)").alias("rev"),
+        )
+    )
+    monthly = mo.groupBy("n_name", "m").agg(F.sum("rev").alias("y"))
+    base = F.broadcast(monthly.agg(F.min("m").alias("m0")))
+    mm = monthly.join(base).select(
+        "n_name", (F.col("m") - F.col("m0")).cast("long").alias("x"), "y"
+    )
+    agg = mm.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x").cast("decimal(28,2)")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        agg.select(
+            "n_name",
+            F.col("n").alias("n_months"),
+            F.col("sy").cast("double").alias("total_revenue"),
+            F.round(
+                num.cast("double") / F.nullif(den, F.lit(0.0)), 6
+            ).alias("slope_per_month"),
+        )
+        .orderBy("n_name")
+    )
+
+
+REVENUE_TREND_SQL = """
+WITH mo AS (
+  SELECT n.n_name,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         CAST(o.o_totalprice AS DECIMAL(28,2)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+monthly AS (
+  SELECT n_name, m, SUM(rev) AS y FROM mo GROUP BY n_name, m
+),
+mm AS (
+  SELECT n_name, CAST(m - (SELECT MIN(m) FROM monthly) AS BIGINT) AS x, y
+  FROM monthly
+),
+agg AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(y * CAST(x AS DECIMAL(28,2))) AS sxy
+  FROM mm GROUP BY n_name
+)
+SELECT n_name, n AS n_months,
+       CAST(sy AS DOUBLE) AS total_revenue,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+         AS slope_per_month
+FROM agg
+ORDER BY n_name
+""".strip()

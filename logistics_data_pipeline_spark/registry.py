@@ -1011,6 +1011,8 @@ _ROUND6_WINDOW = [
     "events_type_value_drift",
     "events_kmv_distinct",
     "emb_label_prototypes",
+    "docs_delete_propagation",
+    "orders_revenue_trend",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q1_pricing_summary",
     "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "tpch_q3_shipping_priority",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,26 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "orders_revenue_trend",  # per-nation exact-decimal OLS monthly slope
+    _q(
+        lambda spark, sf: tx.revenue_trend(
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+        )
+    ),
+    tx.REVENUE_TREND_SQL,
+)
+register(
+    "docs_delete_propagation",  # right-to-be-forgotten purge accounting
+    _q(
+        lambda spark, sf: llm_cur.delete_propagation(
+            _docs(spark, sf), _emb(spark, sf)
+        )
+    ),
+    llm_cur.DELETE_PROPAGATION_SQL,
 )
 register(
     "events_kmv_distinct",  # oracle-exact mergeable bottom-k distinct sketch

@@ -257,3 +257,55 @@ class TestLabelPrototypes:
         out = similarity.label_prototypes(emb, per_label=3).collect()
         assert [r.vec_id for r in out] == [4, 5, 3]  # dists .5,.5,1.5; tie by id
         assert [r.rank for r in out] == [1, 2, 3]
+
+class TestDeletePropagation:
+    def test_accounting_adds_up(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        rows = [(i, f"text body {i} " * 5, "en", "s", 50) for i in range(1, 200)]
+        rows.append((0, rows[4][1], "en", "s", 50))  # id 0 deleted; copy at id 5
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        emb = spark.range(0, 150).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        out = {r.artifact: r for r in curation.delete_propagation(docs, emb, mod=97).collect()}
+        # deleted ids: 0, 97, 194 -> 3 docs purged, 197 keep
+        assert out["documents"].n_purged == 3
+        assert out["documents"].n_surviving == 197
+        # vec ids 0 and 97 exist in the 0..149 range
+        assert out["embeddings"].n_purged == 2
+        assert out["embeddings"].n_surviving == 148
+        # doc 5 duplicates deleted doc 0's text -> left-behind copy
+        assert out["exact_copies_left_behind"].n_purged == 1
+
+
+class TestRevenueTrend:
+    def test_exact_slope_on_known_series(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        # one nation, revenue 100, 200, 300 over three months -> slope 100
+        orders = spark.createDataFrame(
+            [
+                (1, 1, "O", 100.0, dt.datetime(2024, 1, 5)),
+                (2, 1, "O", 200.0, dt.datetime(2024, 2, 5)),
+                (3, 1, "O", 300.0, dt.datetime(2024, 3, 5)),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp",
+        )
+        customer = spark.createDataFrame(
+            [(1, "c", 0)], "c_custkey long, c_name string, c_nationkey int"
+        )
+        nation = spark.createDataFrame(
+            [(0, "N")], "n_nationkey int, n_name string"
+        )
+        r = tpch_extra.revenue_trend(orders, customer, nation).collect()[0]
+        assert r.n_months == 3
+        assert abs(r.slope_per_month - 100.0) < 1e-9
+        assert abs(r.total_revenue - 600.0) < 1e-9

@@ -100,6 +100,10 @@ ALLOWED = {
     "docs_rrf_fusion": {"nested-loop join", "unpartitioned window"},
     # 1-row max-timestamp scalar broadcast into the window classifier
     "events_type_value_drift": {"nested-loop join"},
+    # four (purged x surviving) 1-row scalar cross joins, one per artifact
+    "docs_delete_propagation": {"nested-loop join"},
+    # 1-row min-month scalar broadcast into the month re-index
+    "orders_revenue_trend": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
