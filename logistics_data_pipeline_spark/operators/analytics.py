@@ -2375,11 +2375,12 @@ def item_pagerank(
     the parts that hold the co-purchase network together — a different
     signal from raw volume (ABC) or pair lift (market basket).
 
-    Scale: per round, one join of the edge list against the rank
-    vector and one aggregation keyed by destination — the standard
-    distributed PageRank shape (Pregel's data-parallel equivalent);
-    the edge list persists once, rounds chain lazily, and every
-    intermediate is O(|edges|). Driver holds nothing."""
+    Scale: per round, one join of the (persisted, out-degree-carrying)
+    edge list against the rank vector and one aggregation keyed by
+    destination — the standard distributed PageRank shape (Pregel's
+    data-parallel equivalent); each round localCheckpoints so the plan
+    stays one-round deep, and every intermediate is O(|edges|). Driver
+    holds nothing."""
     from ..session import track_persist
 
     # The edge list feeds every round; persist it once (or accept a
