@@ -158,6 +158,9 @@ HEADLINE = [
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
+    "orders_cohort_ltv",
+    "docs_tokenizer_fertility",
+    "docs_dedup_threshold_sweep",
 ]
 
 

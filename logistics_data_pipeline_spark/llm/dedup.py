@@ -1631,6 +1631,66 @@ FROM per
 """.strip()
 
 
+THRESHOLD_SWEEP = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame, scores: DataFrame | None = None
+) -> DataFrame:
+    """Threshold-sweep cost model over the exact Jaccard pair scores:
+    for each candidate threshold, how many pairs qualify and how many
+    docs are touched — the evidence table behind PICKING the near-dup
+    threshold (the dedup-side analogue of ``shingle_df_stats``'s cap
+    choice and ``perplexity_buckets``' keep-fraction choice: measure
+    the knob, don't folklore it). Reads the SHARED scored-pair frame,
+    so the sweep costs one small aggregation, not five pair-joins.
+
+    Scale: the scored pair list is already DF-capped; the sweep is one
+    CASE bucketing + rollup over it."""
+    if scores is None:
+        scores = ngram_pair_scores(docs)
+    legs = None
+    for t in THRESHOLD_SWEEP:
+        q = scores.filter(F.col("jaccard") >= t)
+        leg = q.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+        ).join(
+            q.select(F.col("a_id").alias("d")).unionByName(
+                q.select(F.col("b_id").alias("d"))
+            ).agg(F.countDistinct("d").cast("bigint").alias("n_docs_touched"))
+        ).select(
+            F.lit(t).alias("threshold"),
+            "n_pairs",
+            "n_docs_touched",
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("threshold")
+
+
+# the sweep needs the UNFILTERED scored pairs: strip the >= 0.7 tail
+# filter off the generated pair SQL (string surgery on our own
+# generated text, asserted in tests to stay in lock-step)
+_NGRAM_SCORES_SQL = NEARDUP_NGRAM_SQL[: NEARDUP_NGRAM_SQL.rindex("WHERE ROUND")].rstrip()
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH scores AS (
+  SELECT a_id, b_id, jaccard
+  FROM ({_NGRAM_SCORES_SQL}) q
+),
+t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+SELECT t.threshold,
+       CAST(COUNT(*) FILTER (WHERE s.jaccard >= t.threshold) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(DISTINCT d) FROM (
+               SELECT a_id AS d FROM scores WHERE jaccard >= t.threshold
+               UNION ALL
+               SELECT b_id FROM scores WHERE jaccard >= t.threshold)) AS BIGINT)
+         AS n_docs_touched
+FROM t LEFT JOIN scores s ON s.jaccard >= t.threshold
+GROUP BY t.threshold
+ORDER BY t.threshold
+""".strip()
+
+
 def ensemble_components(
     docs: DataFrame,
     max_iter: int = 20,

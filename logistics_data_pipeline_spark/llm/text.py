@@ -776,6 +776,78 @@ LIMIT {RRF_TOP}
 """.strip()
 
 
+FERTILITY_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # keep in sync with the SQL twin
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer-fertility panel per (lang, source): subword tokens per
+    whitespace word under the engine's BPE-ish regex segmentation —
+    THE budgeting number for a multilingual corpus (a fertility of 2.1
+    vs 1.3 means the same text costs 60% more context window and
+    compute), and the early-warning that a language/source is being
+    over-fragmented by the tokenizer. Reports word and token volumes,
+    fertility, and each cell's share of corpus tokens.
+
+    Scale: two map-side size() counts per document (no explode — the
+    segmentation never materializes token rows), one (lang, source)
+    aggregation, one 1-row total for shares."""
+    # column-form regexp_extract_all: the pattern rides as a literal
+    # COLUMN, never through SQL string-literal unescaping (F.expr would
+    # silently turn \s into s and count every space as a token)
+    seg = F.size(
+        F.regexp_extract_all(
+            F.trim(F.lower(F.col("text"))), F.lit(FERTILITY_BPE_RE), F.lit(0)
+        )
+    ).cast("bigint")
+    words = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    base = docs.select("lang", "source", words.alias("w"), seg.alias("t"))
+    cell = base.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("t").cast("bigint").alias("n_tokens"),
+    )
+    total = cell.agg(F.sum("n_tokens").alias("_t"))
+    return (
+        cell.join(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("_t"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH base AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(trim(lower(text)),
+                                     '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS t
+  FROM documents
+),
+cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(t) AS BIGINT) AS n_tokens
+  FROM base GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_words, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM cell), 6)
+         AS token_share
+FROM cell
+ORDER BY lang, source
+""".strip()
+
+
 def text_normalize(docs: DataFrame) -> DataFrame:
     """Pre-tokenization text cleanup: strip C0/C1 control characters,
     collapse runs of whitespace to single spaces, and trim — the

@@ -33,7 +33,7 @@ parquet reader, so the scan cost is O(selected row-groups), not O(table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,2)"
@@ -1335,4 +1335,88 @@ SELECT n_name, n AS n_months,
          AS slope_per_month
 FROM agg
 ORDER BY n_name
+""".strip()
+
+# --- cohort LTV curve -------------------------------------------------------
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-cohort LTV curve: customers grouped by FIRST-order
+    month, tracked for cumulative average spend at each
+    months-since-first offset — the growth-accounting matrix ("do
+    newer cohorts monetize faster?") that the events-side retention
+    cohorts panel answers for activity; this one answers it for
+    revenue. All money stays DECIMAL(28,2) until the final per-customer
+    division, so the cumulative sums are accumulation-order-proof.
+
+    Scale: one window-min per customer (keyed by customer), one
+    (cohort, offset) aggregation, and a cumulative window keyed by
+    cohort — fan-in per window partition is the cohort's month count,
+    never the order table."""
+    w = Window.partitionBy("o_custkey")
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("rev"),
+    ).withColumn("m0", F.min("m").over(w))
+    cell = o.groupBy(
+        F.col("m0").alias("cohort_month"),
+        (F.col("m") - F.col("m0")).cast("int").alias("months_since_first"),
+    ).agg(F.sum("rev").alias("rev"), F.count("*").cast("bigint").alias("n_orders"))
+    cohort_sizes = (
+        o.select("o_custkey", "m0")
+        .distinct()
+        .groupBy(F.col("m0").alias("cohort_month"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since_first")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(cohort_sizes), "cohort_month")
+        .withColumn("cum_rev", F.sum("rev").over(wc))
+        .select(
+            F.col("cohort_month").cast("int").alias("cohort_month"),
+            "months_since_first",
+            "n_customers",
+            "n_orders",
+            # exact integer cents, floor-divided: no double rounding mode
+            # can diverge between engines (a ROUND(double, 2) here hit
+            # HALF_UP-vs-nearest-even on exact half-cent quotients)
+            F.expr("CAST(cum_rev * 100 AS BIGINT) div n_customers")
+            .cast("bigint")
+            .alias("cum_ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_month", "months_since_first")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(o_totalprice AS DECIMAL(28,2)) AS rev,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate))
+           OVER (PARTITION BY o_custkey) AS m0
+  FROM orders
+),
+cell AS (
+  SELECT m0 AS cohort_month, CAST(m - m0 AS INT) AS months_since_first,
+         SUM(rev) AS rev, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY m0, m - m0
+),
+sizes AS (
+  SELECT m0 AS cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM (SELECT DISTINCT o_custkey, m0 FROM o) GROUP BY m0
+)
+SELECT CAST(c.cohort_month AS INT) AS cohort_month, c.months_since_first,
+       s.n_customers, c.n_orders,
+       CAST(CAST(SUM(c.rev) OVER (PARTITION BY c.cohort_month
+                    ORDER BY c.months_since_first
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+            // s.n_customers AS BIGINT) AS cum_ltv_cents_per_customer
+FROM cell c JOIN sizes s ON c.cohort_month = s.cohort_month
+ORDER BY cohort_month, months_since_first
 """.strip()

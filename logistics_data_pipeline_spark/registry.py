@@ -1013,6 +1013,9 @@ _ROUND6_WINDOW = [
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
+    "orders_cohort_ltv",
+    "docs_tokenizer_fertility",
+    "docs_dedup_threshold_sweep",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1030,9 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q16_supplier_counts",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_suppliers",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,25 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "orders_cohort_ltv",  # first-order-month cohort x months-since LTV matrix
+    _q(lambda spark, sf: tx.cohort_ltv(load_table(spark, sf, "orders"))),
+    tx.COHORT_LTV_SQL,
+)
+register(
+    "docs_tokenizer_fertility",  # subword-per-word budgeting panel per lang/source
+    _q(lambda spark, sf: llm_text.tokenizer_fertility(_docs(spark, sf))),
+    llm_text.TOKENIZER_FERTILITY_SQL,
+)
+register(
+    "docs_dedup_threshold_sweep",  # pair/doc counts at each candidate threshold
+    _q(
+        lambda spark, sf: llm_dedup.dedup_threshold_sweep(
+            _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+        )
+    ),
+    llm_dedup.DEDUP_THRESHOLD_SWEEP_SQL,
 )
 register(
     "orders_revenue_trend",  # per-nation exact-decimal OLS monthly slope

@@ -309,3 +309,58 @@ class TestRevenueTrend:
         assert r.n_months == 3
         assert abs(r.slope_per_month - 100.0) < 1e-9
         assert abs(r.total_revenue - 600.0) < 1e-9
+
+class TestCohortLtv:
+    def test_cumulative_exact_cents(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        orders = spark.createDataFrame(
+            [
+                (1, 1, "O", 10.00, dt.datetime(2024, 1, 5)),
+                (2, 1, "O", 20.01, dt.datetime(2024, 2, 5)),
+                (3, 2, "O", 5.00, dt.datetime(2024, 1, 20)),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp",
+        )
+        rows = {(r.cohort_month, r.months_since_first): r
+                for r in tpch_extra.cohort_ltv(orders).collect()}
+        jan = 2024 * 12 + 1
+        assert rows[(jan, 0)].n_customers == 2
+        assert rows[(jan, 0)].cum_ltv_cents_per_customer == 750  # (10+5)/2
+        assert rows[(jan, 1)].cum_ltv_cents_per_customer == 1750  # +20.01/2 floor
+
+
+class TestTokenizerFertility:
+    def test_counts_and_shares(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "hello world", "en", "s1", 11),       # 2 words, 2 tokens
+                (2, "c'est l'ete", "fr", "s1", 11),        # 2 words, 7 tokens
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {(r.lang, r.source): r for r in text.tokenizer_fertility(docs).collect()}
+        assert out[("en", "s1")].fertility == 1.0
+        assert out[("fr", "s1")].n_tokens == 6  # c ' est l ' ete
+        assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-6
+
+
+class TestThresholdSweep:
+    def test_monotone_and_consistent(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon common tail " + ("x" * (i % 3)), "en", "s", 10)
+             for i in range(20)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = dedup.dedup_threshold_sweep(docs).collect()
+        assert [r.threshold for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+        # pair and doc counts are monotone non-increasing in the threshold
+        for lo, hi in zip(out, out[1:]):
+            assert hi.n_pairs <= lo.n_pairs
+            assert hi.n_docs_touched <= lo.n_docs_touched
+        # the 0.7 row must agree with the production pair generator
+        n07 = dedup.neardup_ngram(docs, threshold=0.7).count()
+        assert dict((r.threshold, r.n_pairs) for r in out)[0.7] == n07

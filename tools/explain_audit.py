@@ -104,6 +104,10 @@ ALLOWED = {
     "docs_delete_propagation": {"nested-loop join"},
     # 1-row min-month scalar broadcast into the month re-index
     "orders_revenue_trend": {"nested-loop join"},
+    # 1-row corpus token total for shares
+    "docs_tokenizer_fertility": {"nested-loop join"},
+    # five (pair-count x docs-touched) 1-row scalar crosses, one per threshold
+    "docs_dedup_threshold_sweep": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
