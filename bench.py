@@ -161,6 +161,8 @@ HEADLINE = [
     "orders_cohort_ltv",
     "docs_tokenizer_fertility",
     "docs_dedup_threshold_sweep",
+    "emb_sign_codes",
+    "orders_backlog_aging",
 ]
 
 

@@ -2758,6 +2758,67 @@ ORDER BY label, rank
 """.strip()
 
 
+def sign_codes(emb: DataFrame) -> DataFrame:
+    """1-bit (sign) quantization of the embedding corpus: dimension i
+    contributes bit 1 iff v_i > 0, packed into two BIGINT halves
+    (lo = dims 0-31, hi = dims 32-63; 2^63 would overflow a signed
+    64-bit in either engine, so the split is part of the contract).
+    Sign codes are the cheapest vector compression that still supports
+    hamming-approximate cosine (32× smaller than float32; popcount of
+    XOR approximates angle for roughly-centered corpora) — the level
+    below int8 SQ and PQ in the quantization ladder, and the natural
+    prefilter bitmap to ship to every executor. ``n_pos_bits`` rides
+    along as the per-vector balance check (skewed bit balance = a
+    biased dimension, the thing that breaks sign-hamming quality).
+
+    Scale: pure map — one explode + (vec_id)-keyed sum of shifted
+    bits; no shuffle beyond the keyed aggregation, nothing pairwise."""
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).withColumn("bit", (F.col("val") > 0).cast("int"))
+    packed = ex.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") < 32,
+                F.col("bit").cast("bigint") * F.pow(F.lit(2.0), F.col("pos")).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("code_lo"),
+        F.sum(
+            F.when(
+                F.col("pos") >= 32,
+                F.col("bit").cast("bigint")
+                * F.pow(F.lit(2.0), F.col("pos") - 32).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("code_hi"),
+        F.sum("bit").cast("bigint").alias("n_pos_bits"),
+    )
+    return packed.orderBy("vec_id")
+
+
+SIGN_CODES_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id, i - 1 AS pos,
+         CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS bit
+  FROM ex
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN pos < 32
+                     THEN CAST(bit AS BIGINT) * CAST(POWER(2, pos) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS code_lo,
+       CAST(SUM(CASE WHEN pos >= 32
+                     THEN CAST(bit AS BIGINT) * CAST(POWER(2, pos - 32) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS code_hi,
+       CAST(SUM(bit) AS BIGINT) AS n_pos_bits
+FROM bits
+GROUP BY vec_id
+ORDER BY vec_id
+""".strip()
+
+
 UNIT_NORM_TOL = 1e-3
 
 

@@ -1420,3 +1420,68 @@ SELECT CAST(c.cohort_month AS INT) AS cohort_month, c.months_since_first,
 FROM cell c JOIN sizes s ON c.cohort_month = s.cohort_month
 ORDER BY cohort_month, months_since_first
 """.strip()
+
+# --- open-order backlog aging -----------------------------------------------
+
+BACKLOG_BUCKETS_DAYS = [7, 30, 90]
+
+
+def backlog_aging(orders: DataFrame) -> DataFrame:
+    """Open-order backlog aging: orders not yet finalized (status !=
+    'F'), bucketed by age at the as-of instant (the corpus's max order
+    date — deterministic), with order counts and money at risk per
+    (status, bucket) cell. The operational panel a logistics desk
+    works from ("what's stuck, how long, how much") — the fact-side
+    companion to the dashboard KPIs.
+
+    Scale: one scan, epoch arithmetic against a 1-row broadcast
+    scalar, one (status, bucket)-keyed aggregation."""
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("double")).alias("mx")).withColumn(
+        "_k", F.lit(1)
+    )
+    b1, b2, b3 = BACKLOG_BUCKETS_DAYS
+    age = (F.col("mx") - F.col("o_orderdate").cast("double")) / 86400.0
+    bucket = (
+        F.when(age <= b1, f"0-{b1}d")
+        .when(age <= b2, f"{b1 + 1}-{b2}d")
+        .when(age <= b3, f"{b2 + 1}-{b3}d")
+        .otherwise(f">{b3}d")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"), bucket.alias("age_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("value_at_risk"),
+        )
+        .orderBy("status", "age_bucket")
+    )
+
+
+BACKLOG_AGING_SQL = f"""
+WITH mx AS (SELECT MAX(epoch(o_orderdate)) AS mx FROM orders),
+aged AS (
+  SELECT o_orderstatus AS status, o_totalprice,
+         (mx.mx - epoch(o_orderdate)) / 86400.0 AS age
+  FROM orders, mx
+  WHERE o_orderstatus != 'F'
+)
+SELECT status,
+       CASE WHEN age <= {BACKLOG_BUCKETS_DAYS[0]} THEN '0-{BACKLOG_BUCKETS_DAYS[0]}d'
+            WHEN age <= {BACKLOG_BUCKETS_DAYS[1]}
+              THEN '{BACKLOG_BUCKETS_DAYS[0] + 1}-{BACKLOG_BUCKETS_DAYS[1]}d'
+            WHEN age <= {BACKLOG_BUCKETS_DAYS[2]}
+              THEN '{BACKLOG_BUCKETS_DAYS[1] + 1}-{BACKLOG_BUCKETS_DAYS[2]}d'
+            ELSE '>{BACKLOG_BUCKETS_DAYS[2]}d' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS value_at_risk
+FROM aged
+GROUP BY 1, 2
+ORDER BY status, age_bucket
+""".strip()

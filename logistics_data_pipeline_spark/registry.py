@@ -1016,6 +1016,8 @@ _ROUND6_WINDOW = [
     "orders_cohort_ltv",
     "docs_tokenizer_fertility",
     "docs_dedup_threshold_sweep",
+    "emb_sign_codes",
+    "orders_backlog_aging",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,16 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "emb_sign_codes",  # 1-bit sign quantization packed into two BIGINT halves
+    _q(lambda spark, sf: llm_sim.sign_codes(_emb(spark, sf))),
+    llm_sim.SIGN_CODES_SQL,
+)
+register(
+    "orders_backlog_aging",  # open-order aging buckets with value at risk
+    _q(lambda spark, sf: tx.backlog_aging(load_table(spark, sf, "orders"))),
+    tx.BACKLOG_AGING_SQL,
 )
 register(
     "orders_cohort_ltv",  # first-order-month cohort x months-since LTV matrix

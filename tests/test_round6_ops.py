@@ -364,3 +364,47 @@ class TestThresholdSweep:
         # the 0.7 row must agree with the production pair generator
         n07 = dedup.neardup_ngram(docs, threshold=0.7).count()
         assert dict((r.threshold, r.n_pairs) for r in out)[0.7] == n07
+
+class TestSignCodes:
+    def test_known_bits(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0] * 64, 0),                  # all bits set
+                (2, [-1.0] * 64, 0),                 # none set
+                (3, [1.0, -1.0] * 32, 0),            # even positions set
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.vec_id: r for r in similarity.sign_codes(emb).collect()}
+        assert out[1].code_lo == 2**32 - 1 and out[1].code_hi == 2**32 - 1
+        assert out[1].n_pos_bits == 64
+        assert out[2].code_lo == 0 and out[2].code_hi == 0 and out[2].n_pos_bits == 0
+        even = sum(2**p for p in range(0, 32, 2))
+        assert out[3].code_lo == even and out[3].code_hi == even
+        assert out[3].n_pos_bits == 32
+
+
+class TestBacklogAging:
+    def test_buckets_and_exclusion(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        mx = dt.datetime(2024, 6, 30)
+        orders = spark.createDataFrame(
+            [
+                (1, 1, "O", 10.0, mx),                              # age 0 -> 0-7d
+                (2, 1, "O", 20.0, mx - dt.timedelta(days=20)),      # 8-30d
+                (3, 1, "P", 30.0, mx - dt.timedelta(days=120)),     # >90d
+                (4, 1, "F", 99.0, mx - dt.timedelta(days=5)),       # finalized: excluded
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp",
+        )
+        out = {(r.status, r.age_bucket): r for r in tpch_extra.backlog_aging(orders).collect()}
+        assert out[("O", "0-7d")].n_orders == 1
+        assert out[("O", "8-30d")].value_at_risk == 20.0
+        assert out[("P", ">90d")].n_orders == 1
+        assert not any(k[0] == "F" for k in out)

@@ -108,6 +108,8 @@ ALLOWED = {
     "docs_tokenizer_fertility": {"nested-loop join"},
     # five (pair-count x docs-touched) 1-row scalar crosses, one per threshold
     "docs_dedup_threshold_sweep": {"nested-loop join"},
+    # 1-row max-orderdate as-of scalar broadcast into the age bucketing
+    "orders_backlog_aging": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
 }
 
