@@ -163,6 +163,8 @@ HEADLINE = [
     "docs_dedup_threshold_sweep",
     "emb_sign_codes",
     "orders_backlog_aging",
+    "emb_hamming_cosine_calibration",
+    "supplier_concentration",
 ]
 
 

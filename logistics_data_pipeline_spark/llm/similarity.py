@@ -2819,6 +2819,113 @@ ORDER BY vec_id
 """.strip()
 
 
+HAMCAL_SAMPLE_HEX = "1000"  # ~1/16 of pairs, same md5 governor as the histogram
+
+
+def hamming_cosine_calibration(
+    emb: DataFrame, sample_hex: str = HAMCAL_SAMPLE_HEX
+) -> DataFrame:
+    """Sign-code calibration panel: over a deterministic md5 sample of
+    vector pairs, bucket by the HAMMING distance of their 1-bit sign
+    codes and report the mean/min/max exact cosine per bucket — the
+    evidence that says how much angular precision the 32× compression
+    (``sign_codes``) actually buys on THIS corpus, i.e. which hamming
+    radius a sign-bit prefilter can safely prune at. The quantization
+    ladder's QA panel, playing the role ``minhash_error_panel`` plays
+    for the MinHash sketch and ``ann_recall_panel`` for IVF.
+
+    Scale: codes are map-side; the pair space is cut by the md5
+    governor BEFORE any vector math (same predicate text in both
+    engines, so the oracle hash-match survives at any rate); cosines
+    ride the block-pair codegen dot; output is ≤ 65 bucket rows."""
+    left, right = _block_pair_sides(emb, 8)
+    n_groups = 8 * 9 // 2
+    left = left.repartition(n_groups, "p", "q")
+    pairs = left.join(right, ["p", "q"]).filter(
+        (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
+    )
+    sampled = pairs.select(
+        F.least("l_id", "r_id").alias("a_id"),
+        F.greatest("l_id", "r_id").alias("b_id"),
+        "ln_",
+        "rn",
+        "lv",
+        "rv",
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit("hc"),
+                    F.col("a_id").cast("string"),
+                    F.col("b_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < F.lit(sample_hex)
+    )
+    ex = sampled.select(
+        "a_id", "b_id", "ln_", "rn",
+        F.posexplode(F.arrays_zip("lv", "rv")).alias("pos", "z"),
+    ).select(
+        "a_id",
+        "b_id",
+        "ln_",
+        "rn",
+        "pos",
+        (F.col("z.lv") * F.col("z.rv")).alias("prod"),
+        ((F.col("z.lv") > 0) != (F.col("z.rv") > 0)).cast("int").alias("bitdiff"),
+    )
+    per_pair = ex.groupBy("a_id", "b_id", "ln_", "rn").agg(
+        F.sum("prod").alias("dot"),
+        F.sum("bitdiff").cast("int").alias("hamming"),
+    ).select(
+        "hamming",
+        F.round(F.col("dot") / (F.col("ln_") * F.col("rn")), 6).alias("c"),
+    )
+    return (
+        per_pair.groupBy("hamming")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            # mean over DECIMAL(10,6) copies of the rounded cosines:
+            # exact in any accumulation order, so the engines agree
+            F.round(
+                F.avg(F.col("c").cast("decimal(10,6)")).cast("double"), 6
+            ).alias("mean_cosine"),
+            F.round(F.min("c"), 6).alias("min_cosine"),
+            F.round(F.max("c"), 6).alias("max_cosine"),
+        )
+        .orderBy("hamming")
+    )
+
+
+HAMMING_COSINE_CALIBRATION_SQL = f"""
+WITH pr AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE substring(md5('hc_' || CAST(a.vec_id AS VARCHAR)
+                      || '_' || CAST(b.vec_id AS VARCHAR)), 1, 4)
+        < '{HAMCAL_SAMPLE_HEX}'
+),
+per_pair AS (
+  SELECT CAST(len(list_filter(range(1, len(va) + 1),
+                i -> (va[i] > 0) != (vb[i] > 0))) AS INT) AS hamming,
+         ROUND(list_cosine_similarity(va, vb), 6) AS c
+  FROM pr
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(AVG(CAST(c AS DECIMAL(10,6))) AS DOUBLE), 6) AS mean_cosine,
+       ROUND(MIN(c), 6) AS min_cosine,
+       ROUND(MAX(c), 6) AS max_cosine
+FROM per_pair
+GROUP BY hamming
+ORDER BY hamming
+""".strip()
+
+
 UNIT_NORM_TOL = 1e-3
 
 

@@ -1485,3 +1485,69 @@ FROM aged
 GROUP BY 1, 2
 ORDER BY status, age_bucket
 """.strip()
+
+# --- supplier concentration (HHI) -------------------------------------------
+
+
+def supplier_concentration(lineitem: DataFrame) -> DataFrame:
+    """Single-sourcing risk panel: per part, the Herfindahl–Hirschman
+    index of supplier quantity shares (HHI = Σ share², 1.0 = fully
+    single-sourced), with supplier count and total volume — sorted
+    most-concentrated-first over the high-volume tail. The procurement
+    counterpart of the ABC classification: ABC says which parts matter,
+    this says which of those have no fallback supplier.
+
+    Determinism: shares come from exact DECIMAL quantity sums; the
+    share² sum runs over ≤ |suppliers-per-part| doubles from identical
+    inputs, rounded 6 dp. Scale: two keyed aggregations (part×supplier,
+    then part) — no joins, no windows."""
+    dec = "decimal(28,2)"
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("q")
+    )
+    part = ps.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("q").alias("qt"),
+        F.sum(
+            (
+                (F.col("q").cast("double"))
+                * (F.col("q").cast("double"))
+            ).cast("decimal(38,6)")
+        ).alias("sq"),
+    )
+    hhi = F.round(
+        F.col("sq").cast("double")
+        / (F.col("qt").cast("double") * F.col("qt").cast("double")),
+        6,
+    )
+    return (
+        part.select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_suppliers",
+            F.col("qt").cast("double").alias("total_qty"),
+            hhi.alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), F.desc("total_qty"), "p_partkey")
+        .limit(100)
+    )
+
+
+SUPPLIER_CONCENTRATION_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(28,2))) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(q) AS qt,
+         SUM(CAST(CAST(q AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(38,6))) AS sq
+  FROM ps GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, n_suppliers,
+       CAST(qt AS DOUBLE) AS total_qty,
+       ROUND(CAST(sq AS DOUBLE) / (CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE)), 6)
+         AS hhi
+FROM part
+ORDER BY hhi DESC, total_qty DESC, p_partkey
+LIMIT 100
+""".strip()

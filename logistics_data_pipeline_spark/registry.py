@@ -1018,6 +1018,8 @@ _ROUND6_WINDOW = [
     "docs_dedup_threshold_sweep",
     "emb_sign_codes",
     "orders_backlog_aging",
+    "emb_hamming_cosine_calibration",
+    "supplier_concentration",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1031,8 +1033,6 @@ _ROUND6_WINDOW = [
     "stream_sessionize_closed",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_counts",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,20 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "emb_hamming_cosine_calibration",  # sign-code QA: cosine per hamming bucket
+    _q(lambda spark, sf: llm_sim.hamming_cosine_calibration(_emb(spark, sf))),
+    llm_sim.HAMMING_COSINE_CALIBRATION_SQL,
+)
+register(
+    "supplier_concentration",  # per-part HHI single-sourcing risk
+    _q(
+        lambda spark, sf: tx.supplier_concentration(
+            load_table(spark, sf, "lineitem")
+        )
+    ),
+    tx.SUPPLIER_CONCENTRATION_SQL,
 )
 register(
     "emb_sign_codes",  # 1-bit sign quantization packed into two BIGINT halves

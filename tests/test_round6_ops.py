@@ -408,3 +408,36 @@ class TestBacklogAging:
         assert out[("O", "8-30d")].value_at_risk == 20.0
         assert out[("P", ">90d")].n_orders == 1
         assert not any(k[0] == "F" for k in out)
+
+class TestHammingCosineCalibration:
+    def test_identical_and_opposite_pairs(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0], 0), (2, [1.0, 2.0, 3.0, 4.0], 0),
+             (3, [-1.0, -2.0, -3.0, -4.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        # 'g' keeps every md5 bucket -> all 3 pairs
+        out = {r.hamming: r for r in
+               similarity.hamming_cosine_calibration(emb, sample_hex="g").collect()}
+        assert out[0].mean_cosine == pytest.approx(1.0, abs=1e-6)   # (1,2)
+        assert out[4].n_pairs == 2                                   # (1,3), (2,3)
+        assert out[4].mean_cosine == pytest.approx(-1.0, abs=1e-6)
+        # hamming monotone: bucket 0 cosine above bucket 4
+        assert out[0].mean_cosine > out[4].mean_cosine
+
+
+class TestSupplierConcentration:
+    def test_hhi_extremes(self, spark):
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        rows = [(1, 100, 1, 10.0), (2, 100, 1, 10.0)]        # part 100: single supplier
+        rows += [(3, 200, 1, 10.0), (4, 200, 2, 10.0)]       # part 200: 50/50 split
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double"
+        )
+        out = {r.p_partkey: r for r in tpch_extra.supplier_concentration(li).collect()}
+        assert out[100].hhi == pytest.approx(1.0, abs=1e-9)
+        assert out[100].n_suppliers == 1
+        assert out[200].hhi == pytest.approx(0.5, abs=1e-9)
