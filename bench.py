@@ -165,6 +165,7 @@ HEADLINE = [
     "orders_backlog_aging",
     "emb_hamming_cosine_calibration",
     "supplier_concentration",
+    "events_changepoint_scan",
 ]
 
 

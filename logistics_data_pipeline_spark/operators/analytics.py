@@ -1973,6 +1973,131 @@ PR_ITERS = 8
 PR_TOP = 20
 
 
+CHANGEPOINT_MIN_SIDE = 3  # days required on each side of a split
+
+
+def changepoint_scan(events: DataFrame, min_side: int = CHANGEPOINT_MIN_SIDE) -> DataFrame:
+    """Offline single change-point detection per event type: over the
+    daily mean-value series, find the day split that maximizes the
+    between-segment mean-shift |z| (two-sample z over the day-level
+    series, pooled from exact prefix/suffix moments) — the
+    batch-audit companion to the streaming-style ``type_value_drift``
+    two-window monitor: drift says "the last week moved", this says
+    WHEN the level shifted, for the whole history.
+
+    Determinism: daily means come from DECIMAL(28,6) sums; prefix
+    moments are running windows over the (type, day) series ORDERED BY
+    day (exact decimal cumulative sums), suffix = total − prefix; the
+    only doubles are the final divisions, rounded 6 dp, and the argmax
+    breaks ties by earliest day. Scale: one daily aggregation, one
+    cumulative window per type (day-count-sized partitions), one
+    row_number pick."""
+    dec = "decimal(28,6)"
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast(dec))
+                / F.count("*")
+            ).cast(dec).alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("i"),
+        F.count("*").over(wt).alias("nd"),
+        F.sum("m").over(wp).alias("ps1"),
+        F.sum((F.col("m") * F.col("m")).cast(dec)).over(wp).alias("ps2"),
+        F.sum("m").over(wt).alias("ts1"),
+        F.sum((F.col("m") * F.col("m")).cast(dec)).over(wt).alias("ts2"),
+    )
+    n1 = F.col("i").cast("double")
+    n2 = (F.col("nd") - F.col("i")).cast("double")
+    m1 = F.col("ps1").cast("double") / n1
+    m2 = (F.col("ts1") - F.col("ps1")).cast("double") / n2
+    v1 = F.col("ps2").cast("double") / n1 - m1 * m1
+    v2 = (F.col("ts2") - F.col("ps2")).cast("double") / n2 - m2 * m2
+    z = (m1 - m2) / F.nullif(F.sqrt(v1 / n1 + v2 / n2), F.lit(0.0))
+    cand = st.filter(
+        (F.col("i") >= min_side) & (F.col("nd") - F.col("i") >= min_side)
+    ).select(
+        "event_type",
+        "day",
+        F.abs(z).alias("absz"),
+        F.round(m1, 6).alias("mean_before"),
+        F.round(m2, 6).alias("mean_after"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("absz"), F.asc("day")
+    )
+    return (
+        cand.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "mean_before",
+            "mean_after",
+            F.round("absz", 6).alias("abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CHANGEPOINT_SCAN_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) / COUNT(*) AS DECIMAL(28,6)) AS m
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+st AS (
+  SELECT event_type, day,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd,
+         SUM(m) OVER w AS ps1,
+         SUM(CAST(m * m AS DECIMAL(28,6))) OVER w AS ps2,
+         SUM(m) OVER (PARTITION BY event_type) AS ts1,
+         SUM(CAST(m * m AS DECIMAL(28,6))) OVER (PARTITION BY event_type) AS ts2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT event_type, day,
+         ABS((CAST(ps1 AS DOUBLE) / i
+              - CAST(ts1 - ps1 AS DOUBLE) / (nd - i))
+             / NULLIF(SQRT(
+                 (CAST(ps2 AS DOUBLE) / i
+                  - (CAST(ps1 AS DOUBLE) / i) * (CAST(ps1 AS DOUBLE) / i)) / i
+                 + (CAST(ts2 - ps2 AS DOUBLE) / (nd - i)
+                    - (CAST(ts1 - ps1 AS DOUBLE) / (nd - i))
+                      * (CAST(ts1 - ps1 AS DOUBLE) / (nd - i))) / (nd - i)), 0))
+           AS absz,
+         ROUND(CAST(ps1 AS DOUBLE) / i, 6) AS mean_before,
+         ROUND(CAST(ts1 - ps1 AS DOUBLE) / (nd - i), 6) AS mean_after
+  FROM st
+  WHERE i >= {CHANGEPOINT_MIN_SIDE} AND nd - i >= {CHANGEPOINT_MIN_SIDE}
+)
+SELECT event_type, day AS split_day, mean_before, mean_after,
+       ROUND(absz, 6) AS abs_z
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY absz DESC, day ASC) AS r
+  FROM cand)
+WHERE r = 1
+ORDER BY event_type
+""".strip()
+
+
 KMV_K = 64
 
 

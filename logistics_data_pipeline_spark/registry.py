@@ -1020,6 +1020,7 @@ _ROUND6_WINDOW = [
     "orders_backlog_aging",
     "emb_hamming_cosine_calibration",
     "supplier_concentration",
+    "events_changepoint_scan",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1032,7 +1033,6 @@ _ROUND6_WINDOW = [
     "ingest_dedup_antijoin",
     "stream_sessionize_closed",
     "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,15 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "events_changepoint_scan",  # argmax mean-shift split day per type
+    _q(
+        lambda spark, sf: analytics.changepoint_scan(
+            load_table(spark, sf, "events")
+        )
+    ),
+    analytics.CHANGEPOINT_SCAN_SQL,
 )
 register(
     "emb_hamming_cosine_calibration",  # sign-code QA: cosine per hamming bucket

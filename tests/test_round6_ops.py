@@ -441,3 +441,25 @@ class TestSupplierConcentration:
         assert out[100].hhi == pytest.approx(1.0, abs=1e-9)
         assert out[100].n_suppliers == 1
         assert out[200].hhi == pytest.approx(0.5, abs=1e-9)
+
+class TestChangepointScan:
+    def test_finds_planted_shift_day(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for d in range(20):
+            level = 10.0 if d < 12 else 50.0  # shift starts day 12
+            jitter = ((d * 7) % 5) * 0.1  # day-to-day variance so z is defined
+            for i in range(30):
+                rows.append(
+                    (base + dt.timedelta(days=d, minutes=i), "A", level + jitter)
+                )
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        r = analytics.changepoint_scan(ev).collect()[0]
+        # the argmax split lands at (or within a day of) the level shift
+        assert abs((r.split_day - (base + dt.timedelta(days=11))).days) <= 1
+        assert r.mean_before < 15 and r.mean_after > 45
+        assert r.abs_z > 5
