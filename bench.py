@@ -166,6 +166,7 @@ HEADLINE = [
     "emb_hamming_cosine_calibration",
     "supplier_concentration",
     "events_changepoint_scan",
+    "docs_dp_source_counts",
 ]
 
 

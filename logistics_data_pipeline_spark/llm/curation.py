@@ -1126,3 +1126,65 @@ SELECT 'exact_copies_left_behind',
        CAST((SELECT COUNT(*) FROM keep) - (SELECT COUNT(*) FROM copies) AS BIGINT)
 ORDER BY artifact
 """.strip()
+
+DP_EPSILON = 1.0
+
+
+def dp_source_counts(docs: DataFrame, epsilon: float = DP_EPSILON) -> DataFrame:
+    """Differential-privacy release plumbing: per-source document
+    counts with Laplace(1/ε) noise added through the inverse-CDF
+    transform of a uniform — the mechanism a corpus publishes stats
+    through when contributors must not be identifiable from the
+    counts. The uniform here is DETERMINISTIC (md5 of the source key,
+    same trick as every seeded sampler in this engine) so the whole
+    mechanism is oracle-checkable end-to-end; a production release
+    swaps ONLY the uniform for real randomness — the sensitivity/scale
+    arithmetic, the transform, and the shape of the release are
+    exactly what ships. Sensitivity is 1 (one document changes one
+    source's count by 1), so scale = 1/ε.
+
+    Scale: one keyed aggregation and a map-side transform."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+        + F.lit(0.5 / 16**12)  # (0,1): never exactly 0 or 1
+    )
+    centered = u - 0.5
+    noise = (
+        -(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .select(
+            "source",
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("dp_count"),
+            F.lit(round(1.0 / epsilon, 6)).alias("laplace_scale"),
+        )
+        .orderBy("source")
+    )
+
+
+DP_SOURCE_COUNTS_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY source
+),
+n AS (
+  SELECT source, true_count,
+         (CAST(('0x' || substring(md5('dp:' || source), 1, 12)) AS BIGINT)
+            / POWER(16, 12)) + 0.5 / POWER(16, 12) AS u
+  FROM c
+)
+SELECT source, true_count,
+       ROUND(true_count
+             + (-(1.0 / {DP_EPSILON}) * SIGN(u - 0.5)
+                * LN(1.0 - 2.0 * ABS(u - 0.5))), 6) AS dp_count,
+       {round(1.0 / DP_EPSILON, 6)} AS laplace_scale
+FROM n
+ORDER BY source
+""".strip()

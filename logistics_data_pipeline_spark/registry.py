@@ -1021,6 +1021,7 @@ _ROUND6_WINDOW = [
     "emb_hamming_cosine_calibration",
     "supplier_concentration",
     "events_changepoint_scan",
+    "docs_dp_source_counts",
     "dim_order_scd2",
     "events_asof_join",
     "events_click_attribution",
@@ -1032,7 +1033,6 @@ _ROUND6_WINDOW = [
     "gen_synthetic_events",
     "ingest_dedup_antijoin",
     "stream_sessionize_closed",
-    "tpch_q10_returned_items",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1357,6 +1357,11 @@ register(
     "emb_label_centroid_sim",  # inter-label centroid cosine matrix
     _q(lambda spark, sf: llm_sim.label_centroid_sim(_emb(spark, sf))),
     llm_sim.LABEL_CENTROID_SIM_SQL,
+)
+register(
+    "docs_dp_source_counts",  # Laplace-mechanism release, md5-deterministic
+    _q(lambda spark, sf: llm_cur.dp_source_counts(_docs(spark, sf))),
+    llm_cur.DP_SOURCE_COUNTS_SQL,
 )
 register(
     "events_changepoint_scan",  # argmax mean-shift split day per type

@@ -463,3 +463,23 @@ class TestChangepointScan:
         assert abs((r.split_day - (base + dt.timedelta(days=11))).days) <= 1
         assert r.mean_before < 15 and r.mean_after > 45
         assert r.abs_z > 5
+
+class TestDpSourceCounts:
+    def test_mechanism_shape(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en", f"s{i % 4}", 2) for i in range(100)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = curation.dp_source_counts(docs).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.true_count == 25
+            assert r.laplace_scale == 1.0
+            # Laplace(1) noise: nonzero and within a sane tail bound
+            assert r.dp_count != r.true_count
+            assert abs(r.dp_count - r.true_count) < 15
+        # deterministic: same input -> identical release
+        again = curation.dp_source_counts(docs).collect()
+        assert out == again
