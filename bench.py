@@ -167,6 +167,16 @@ HEADLINE = [
     "supplier_concentration",
     "events_changepoint_scan",
     "docs_dp_source_counts",
+    "orders_theilsen_trend",
+    "orders_benford_digits",
+    "orders_revenue_gini",
+    "part_pareto_front",
+    "orders_item_similarity",
+    "events_gaps_islands",
+    "events_daily_gapfill",
+    "docs_winnowing",
+    "docs_winnowing_pairs",
+    "docs_editdistance_verify",
 ]
 
 

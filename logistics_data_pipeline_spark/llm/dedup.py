@@ -1768,3 +1768,105 @@ FROM reach
 GROUP BY node
 ORDER BY doc_id
 """.strip()
+
+# --- edit-distance verification of candidate pairs --------------------------
+
+EDIT_CAND_JACCARD = 0.2  # loose candidate gate (recall side)
+EDIT_PREFIX_CHARS = 400  # verification cost cap: O(400²) per pair
+
+
+def editdistance_verify(
+    docs: DataFrame,
+    cand_jaccard: float = EDIT_CAND_JACCARD,
+    prefix_chars: int = EDIT_PREFIX_CHARS,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Levenshtein verification panel over the blocked candidate set:
+    every ngram-candidate pair at ``jaccard ≥ cand_jaccard`` (a LOOSE
+    gate — recall belongs to the blocker) re-scored by true edit
+    distance on the whitespace-normalized first ``prefix_chars``
+    characters. Jaccard is order-blind (a sentence-shuffled copy scores
+    high); edit distance is not — reading both columns separates
+    rewordings from rearrangements, which is why plagiarism and ETL
+    regression checkers verify with it.
+
+    Scale: edit distance is O(L²) per pair and never a join key — the
+    candidate set arrives pre-bounded by the DF-capped inverted index
+    (``ngram_pair_scores``) and the cost per pair is capped by the
+    prefix truncation, so the quadratic never touches corpus size.
+    JVM-side ``levenshtein`` builtin; no Python in the loop."""
+    if scores is None:
+        scores = ngram_pair_scores(docs)
+    cands = scores.filter(F.col("jaccard") >= cand_jaccard).select(
+        "a_id", "b_id", "jaccard"
+    )
+    norm = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        1,
+        prefix_chars,
+    )
+    txt = docs.select("doc_id", norm.alias("nt"))
+    out = (
+        cands.join(txt.select(F.col("doc_id").alias("a_id"), F.col("nt").alias("ta")), "a_id")
+        .join(txt.select(F.col("doc_id").alias("b_id"), F.col("nt").alias("tb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_distance"),
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("ta", "tb")
+                / F.greatest(F.length("ta"), F.length("tb")).cast("double"),
+                6,
+            ).alias("edit_similarity"),
+        )
+    )
+    return out.orderBy("a_id", "b_id")
+
+
+EDITDISTANCE_VERIFY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [] END AS shingles
+  FROM toks
+),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT a_id, b_id,
+         ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE ROUND(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= {EDIT_CAND_JACCARD}
+),
+txt AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                1, {EDIT_PREFIX_CHARS}) AS nt
+  FROM documents
+)
+SELECT c.a_id, c.b_id, c.jaccard,
+       CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_distance,
+       ROUND(1.0 - levenshtein(ta.nt, tb.nt)
+             / CAST(GREATEST(len(ta.nt), len(tb.nt)) AS DOUBLE), 6)
+         AS edit_similarity
+FROM cands c
+JOIN txt ta ON c.a_id = ta.doc_id
+JOIN txt tb ON c.b_id = tb.doc_id
+ORDER BY c.a_id, c.b_id
+""".strip()

@@ -1759,3 +1759,198 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
 FROM pts
 WHERE b >= {HEAPS_MIN_PREFIX} AND n > 0 AND v > 0
 """.strip()
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 5  # k-grams per selection window
+WINNOW_MAX_DF = 1000  # hot-fingerprint cap before pairing
+WINNOW_MIN_SHARED = 3  # shared fingerprints to surface a pair
+
+
+def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, n_kg, fp) — the winnowing-selected fingerprint set.
+
+    Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash every
+    word k-gram, slide a w-wide window over the hash sequence, and keep
+    each window's minimum hash, rightmost on ties. Guarantees: any
+    shared run of w+k-1 words yields at least one shared fingerprint
+    (the detection floor), and ~2/(w+1) of k-grams are kept (the
+    density), so the index is a fixed fraction of the corpus instead of
+    every shingle — what ``shingle_rows``-based dedup becomes when the
+    index itself must shrink 100×.
+
+    The rightmost-min-of-window selection is ONE window aggregate: each
+    k-gram's sort key is ``md5hex || lpad(10⁹−1−pos)`` so the string
+    MIN over the frame picks the smallest hash with the LARGEST
+    position on hash ties — no nested window, and string MIN is plain
+    binary collation in both engines. Windows truncated by a short doc
+    (fewer than w k-grams) degrade to one whole-doc window, so every
+    doc with ≥ k tokens keeps ≥ 1 fingerprint."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wnd) for j in range(1, k)]
+    kg = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    kg = kg.withColumn("n_kg", F.count("*").over(Window.partitionBy("doc_id")))
+    kg = kg.withColumn(
+        "key",
+        F.concat(
+            F.col("h"),
+            F.lpad((F.lit(999999999) - F.col("pos")).cast("string"), 9, "0"),
+        ),
+    )
+    sel_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    starts = kg.withColumn("sel", F.min("key").over(sel_w)).filter(
+        F.col("pos") <= F.greatest(F.col("n_kg") - w, F.lit(0))
+    )
+    return (
+        starts.select("doc_id", "n_kg", F.substring("sel", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Per-doc winnowing census: k-gram count, selected-fingerprint
+    count, and density (≈ 2/(w+1) in expectation — the guarantee the
+    panel lets you audit). Docs shorter than k tokens have no k-grams
+    and do not appear (mirrored in the oracle)."""
+    sel = _winnow_selected(docs, k, w)
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n_kg").cast("bigint").alias("n_kgrams"),
+            F.count("*").cast("bigint").alias("n_fingerprints"),
+            F.round(F.count("*") / F.max("n_kg").cast("double"), 6).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints,
+    scored by fingerprint-set Jaccard — near-dup detection over the
+    SELECTED index (≈ 2/(w+1) of shingles) instead of the full shingle
+    index: the same inverted-index equi-join discipline as
+    ``ngram_pair_scores`` (hot fingerprints with DF > ``max_df`` drop
+    before pairing, so fan-out stays ≤ max_df² per fingerprint) at a
+    fraction of the index size — the scale path when even the capped
+    shingle index is too big to join."""
+    sel = _winnow_selected(docs, k, w)
+    hot = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    wsz = Window.partitionBy("doc_id")
+    ex = sel.join(F.broadcast(hot), "fp", "left_anti").withColumn(
+        "sz", F.count("*").over(wsz)
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "n_shared",
+        F.round(
+            F.col("n_shared")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")).cast("double"),
+            6,
+        ).alias("fp_jaccard"),
+    ).orderBy("a_id", "b_id")
+
+
+_WINNOW_SELECTED_SQL = rf"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+kg AS (
+  SELECT doc_id, i AS pos,
+         md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4])) AS h
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {WINNOW_K - 1})) AS i) ix
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+  FROM kg
+),
+starts AS (
+  SELECT doc_id, pos, n_kg,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS sel
+  FROM keyed
+),
+selected AS (
+  SELECT DISTINCT doc_id, n_kg, substr(sel, 1, 32) AS fp
+  FROM starts
+  WHERE pos <= GREATEST(n_kg - {WINNOW_W}, 0)
+)
+""".strip()
+
+WINNOWING_SQL = f"""
+WITH {_WINNOW_SELECTED_SQL}
+SELECT doc_id,
+       CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       ROUND(COUNT(*) / CAST(MAX(n_kg) AS DOUBLE), 6) AS density
+FROM selected
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()
+
+WINNOWING_PAIRS_SQL = f"""
+WITH {_WINNOW_SELECTED_SQL},
+ex AS (
+  SELECT doc_id, fp FROM selected
+  WHERE fp NOT IN (SELECT fp FROM selected GROUP BY fp
+                   HAVING COUNT(*) > {WINNOW_MAX_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6)
+         AS fp_jaccard
+FROM pairs
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE n_shared >= {WINNOW_MIN_SHARED}
+ORDER BY a_id, b_id
+""".strip()

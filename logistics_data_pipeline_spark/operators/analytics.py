@@ -429,6 +429,30 @@ def exact_ntile(
     so the range exchange scales with the deployment (a hardcoded 32
     serializes a 1000-executor cluster); the offset collect stays
     bounded at one count per partition."""
+    ranked, total = exact_row_number(df, sort_cols, "_rank", n_parts)
+    rank = F.col("_rank")
+    q, rem = divmod(total, n_buckets)
+    if q == 0:  # fewer rows than buckets: NTILE gives each row its own
+        bucket = rank
+    else:
+        big = rem * (q + 1)
+        bucket = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+            rem + F.ceil((rank - big) / q)
+        )
+    return ranked.withColumn(out_name, bucket.cast("int")).drop("_rank")
+
+
+def exact_row_number(
+    df: DataFrame, sort_cols, out_name: str = "_rank", n_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """Global 1-based ``row_number`` over a TOTAL order (tie-free sort
+    key) without a single-partition window — the two-phase rank that
+    ``exact_ntile`` buckets and the Lorenz/Gini panel weight by. Range
+    exchange → per-partition PARTITIONED-window row_number → add the
+    partition's broadcast row-count offset. Returns ``(frame, total)``;
+    the offset collect is ≤ n_parts rows (deployment-bounded, not
+    data-bounded). See ``exact_ntile`` for why the exchange must be
+    ``localCheckpoint``-ed, not persisted."""
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     ranked = (
@@ -451,18 +475,12 @@ def exact_ntile(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    rank = F.row_number().over(w) + F.col("_off")
-    q, rem = divmod(total, n_buckets)
-    if q == 0:  # fewer rows than buckets: NTILE gives each row its own
-        bucket = rank
-    else:
-        big = rem * (q + 1)
-        bucket = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
-            rem + F.ceil((rank - big) / q)
-        )
-    return ranked.join(off_df, "_pid").withColumn(
-        out_name, bucket.cast("int")
-    ).drop("_pid", "_off")
+    return (
+        ranked.join(off_df, "_pid")
+        .withColumn(out_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off"),
+        total,
+    )
 
 
 # --- customer lifetime-value deciles (NTILE) --------------------------------
@@ -2599,3 +2617,116 @@ LIMIT {top}
 
 
 ITEM_PAGERANK_SQL = _pagerank_sql()
+
+
+# --- item-item similarity (co-purchase Jaccard top-k) -----------------------
+
+ITEM_SIM_TOP_K = 3
+ITEM_SIM_MIN_CO = 2
+
+
+def item_similarity(
+    lineitem: DataFrame,
+    top_k: int = ITEM_SIM_TOP_K,
+    min_co: int = ITEM_SIM_MIN_CO,
+) -> DataFrame:
+    """Item-item collaborative-filtering table: for every part, its
+    ``top_k`` nearest neighbors by ORDER-SET Jaccard (co-orders /
+    union of order sets), neighbors below ``min_co`` co-orders pruned —
+    the precomputed "customers also bought" serving table, the
+    recommendation-side reading of the same basket self-join that
+    ``market_basket_pairs`` scores by lift.
+
+    Scale: pair generation co-partitions on l_orderkey (fan-out ≤
+    basket², never corpus-quadratic), the ``min_co`` prune drops the
+    long tail of coincidental 1-co-order pairs BEFORE the ranking
+    shuffle, marginals broadcast back, and top-k is a per-item
+    PARTITIONED window. Ties break (jaccard desc, co desc, neighbor id)
+    so the k-cut is deterministic in both engines."""
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .repartition("l_orderkey")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    marg = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    sim = (
+        co.join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("src"), F.col("n").alias("n_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("dst"), F.col("n").alias("n_dst"))),
+            "dst",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("co") / (F.col("n_src") + F.col("n_dst") - F.col("co")).cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("jaccard"), F.desc("co"), F.asc("dst")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("src").alias("p_partkey"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("dst").alias("neighbor_partkey"),
+            F.col("co").alias("co_orders"),
+            "jaccard",
+        )
+        .orderBy("p_partkey", "rank")
+    )
+
+
+ITEM_SIMILARITY_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+co AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ITEM_SIM_MIN_CO}
+),
+marg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+),
+sim AS (
+  SELECT co.src, co.dst, co.co,
+         ROUND(co.co / CAST(ms.n + md.n - co.co AS DOUBLE), 6) AS jaccard
+  FROM co
+  JOIN marg ms ON co.src = ms.l_partkey
+  JOIN marg md ON co.dst = md.l_partkey
+),
+ranked AS (
+  SELECT src, dst, co, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY jaccard DESC, co DESC, dst) AS rank
+  FROM sim
+)
+SELECT src AS p_partkey, CAST(rank AS INT) AS rank,
+       dst AS neighbor_partkey, co AS co_orders, jaccard
+FROM ranked
+WHERE rank <= {ITEM_SIM_TOP_K}
+ORDER BY p_partkey, rank
+""".strip()

@@ -1116,3 +1116,149 @@ WHERE p.n_days >= {SEASONAL_MIN_DAYS}
   AND CAST(g.n AS DOUBLE) >= {SEASONAL_RATIO} * p.profile_mean
 ORDER BY g.event_type, g.event_date, g.hod
 """.strip()
+
+# --- gaps and islands: per-user activity streaks ----------------------------
+
+
+def gaps_islands(events: DataFrame) -> DataFrame:
+    """Per-user consecutive-active-day streaks — the classic SQL
+    "gaps and islands" shape: distinct active days per user, island id
+    = day_number − row_number (constant exactly while days are
+    consecutive), islands aggregated to streaks, then one row per user
+    with the streak census (active days, streak count, longest streak
+    and its start date). The engagement metric behind "7-day streak"
+    badges and churn-risk features.
+
+    Determinism: pure integer arithmetic on day numbers; the longest
+    streak's start date ties (two equal-length streaks) break to the
+    EARLIEST start via MIN over the per-user longest-length window.
+
+    Scale: distinct (user, day) collapses the corpus first; both
+    windows and both aggregations share the user_id hash partitioning,
+    so after the first shuffle everything is partition-local."""
+    days = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .distinct()
+        .withColumn("dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    islands = (
+        days.withColumn("grp", F.col("dn") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("len"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    wmax = Window.partitionBy("user_id")
+    per_user = islands.withColumn("mx", F.max("len").over(wmax))
+    return (
+        per_user.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("mx"), F.col("start_day"))
+            ).alias("longest_streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAPS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+numbered AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '1970-01-01', day) AS dn
+  FROM days
+),
+islands AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day
+  FROM (SELECT user_id, day,
+               dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS g
+        FROM numbered)
+  GROUP BY user_id, g
+),
+marked AS (
+  SELECT user_id, len, start_day,
+         MAX(len) OVER (PARTITION BY user_id) AS mx
+  FROM islands
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       MIN(CASE WHEN len = mx THEN start_day END) AS longest_streak_start
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+""".strip()
+
+# --- date-spine gap fill ----------------------------------------------------
+
+
+def daily_gapfill(events: DataFrame) -> DataFrame:
+    """Calendar-complete daily series: a generated min→max date spine
+    LEFT-joined to the per-day aggregate so silent ingestion gaps
+    surface as explicit zero rows (``is_gap``) instead of vanishing
+    from GROUP BY output — the spine/gap-fill idiom every monitoring
+    chart and forecasting feature pipeline needs before it can trust
+    "days with no data" to mean zero rather than missing.
+
+    Determinism: counts are integers; the value sum accumulates in
+    DECIMAL. Scale: the spine explodes from a 1-row min/max aggregate
+    (days-sized, trivially broadcast); the daily aggregate collapses
+    the corpus before the join."""
+    daily = (
+        events.select(F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("v"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+            F.round(
+                F.coalesce(F.col("v"), F.lit(0).cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("total_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT spine.day,
+       COALESCE(daily.n_events, 0) AS n_events,
+       ROUND(CAST(COALESCE(daily.v, 0) AS DOUBLE), 6) AS total_value,
+       daily.n_events IS NULL AS is_gap
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+""".strip()

@@ -33,6 +33,8 @@ parquet reader, so the scan cost is O(selected row-groups), not O(table).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1550,4 +1552,335 @@ SELECT l_partkey AS p_partkey, n_suppliers,
 FROM part
 ORDER BY hhi DESC, total_qty DESC, p_partkey
 LIMIT 100
+""".strip()
+
+# --- Theil–Sen robust monthly trend -----------------------------------------
+
+
+def theilsen_trend(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation Theil–Sen slope of monthly revenue — the robust twin
+    of ``revenue_trend``'s OLS: the MEDIAN of all pairwise month-pair
+    slopes (y2−y1)/(x2−x1), which a single promotional-spike month
+    cannot drag the way it drags a least-squares fit (breakdown point
+    ~29% vs 0%). Reading both panels side by side separates a real
+    trend from one outlier month.
+
+    Determinism: monthly y is an exact DECIMAL sum and x an integer
+    month index, so every pairwise slope is the same double in both
+    engines; the median is picked positionally (row_number over the
+    sorted slopes, average of the two middles for even counts), not via
+    an engine-specific percentile implementation.
+
+    Scale: the pair join is per-nation over the MONTHLY aggregate —
+    O(months²) pairs per nation (~3k for a 7-year corpus), never over
+    raw orders; the heavy lifting stays in the one (nation, month)
+    aggregation that ``revenue_trend`` already needs."""
+    mo = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+            F.col("o_totalprice").cast("decimal(28,2)").alias("rev"),
+        )
+    )
+    monthly = mo.groupBy("n_name", "m").agg(F.sum("rev").alias("y"))
+    a = monthly.select("n_name", F.col("m").alias("x1"), F.col("y").alias("y1"))
+    b = monthly.select(
+        F.col("n_name").alias("n2"), F.col("m").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, (F.col("n_name") == F.col("n2")) & (F.col("x1") < F.col("x2")))
+        .select(
+            "n_name",
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("slope", "x1", "x2")
+    ranked = slopes.select(
+        "n_name",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("m_pairs"),
+    )
+    lo = F.floor((F.col("m_pairs") + 1) / 2)
+    hi = F.floor(F.col("m_pairs") / 2) + 1
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("n_name")
+        .agg(
+            F.max("m_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("theilsen_slope_per_month"),
+        )
+        .orderBy("n_name")
+    )
+
+
+THEILSEN_TREND_SQL = """
+WITH mo AS (
+  SELECT n.n_name,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         CAST(o.o_totalprice AS DECIMAL(28,2)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+monthly AS (
+  SELECT n_name, m, SUM(rev) AS y FROM mo GROUP BY n_name, m
+),
+slopes AS (
+  SELECT a.n_name, a.m AS x1, b.m AS x2,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.m < b.m
+),
+ranked AS (
+  SELECT n_name, slope,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY slope, x1, x2) AS rn,
+         COUNT(*) OVER (PARTITION BY n_name) AS m_pairs
+  FROM slopes
+)
+SELECT n_name,
+       CAST(MAX(m_pairs) AS BIGINT) AS n_pairs,
+       ROUND(AVG(slope), 6) AS theilsen_slope_per_month
+FROM ranked
+WHERE rn = FLOOR((m_pairs + 1) / 2) OR rn = FLOOR(m_pairs / 2) + 1
+GROUP BY n_name
+ORDER BY n_name
+""".strip()
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) injected as LITERALS in both engines so the check never
+# depends on two libm log10 implementations agreeing to the last bit.
+BENFORD_SHARES = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def benford_digits(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: the observed
+    share of each leading digit 1–9 against the Benford expectation
+    log10(1+1/d) — the classic forensic-accounting screen for invented
+    or systematically rounded amounts (fabricated numbers over-sample
+    digits 5–9). A fraud/DQ panel, not a distribution test: the panel
+    reports the per-digit excess and leaves the alarm threshold to the
+    reader.
+
+    The leading digit is extracted through integer/string arithmetic
+    (floor → bigint → first character), NOT floor(p/10^floor(log10 p)),
+    whose double log10 can land on 2.9999…96 at exact powers of ten and
+    misclassify a digit differently per engine. Prices are >= 1 in this
+    schema, so the integer part always has a first digit.
+
+    Scale: one scan, one 9-group aggregation, a broadcast join against
+    a 9-row literal spine so absent digits still report 0."""
+    spark = orders.sparkSession
+    spine = spark.createDataFrame(
+        [(d, BENFORD_SHARES[d]) for d in range(1, 10)],
+        "digit int, benford_share double",
+    )
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    tot = F.broadcast(obs.agg(F.sum("n_orders").alias("n_total")))
+    return (
+        F.broadcast(spine)
+        .join(obs, "digit", "left")
+        .join(tot)
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("n_orders"), F.lit(0)) / F.col("n_total").cast("double"), 6
+            ).alias("obs_share"),
+            "benford_share",
+            F.round(
+                F.coalesce(F.col("n_orders"), F.lit(0)) / F.col("n_total").cast("double")
+                - F.col("benford_share"),
+                6,
+            ).alias("excess"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_DIGITS_SQL = f"""
+WITH spine AS (
+  SELECT d AS digit, s AS benford_share FROM (VALUES
+    {", ".join(f"({d}, {BENFORD_SHARES[d]})" for d in range(1, 10))}
+  ) AS t(d, s)
+),
+obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS n_total FROM obs)
+SELECT spine.digit,
+       COALESCE(obs.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(obs.n_orders, 0) / CAST(tot.n_total AS DOUBLE), 6) AS obs_share,
+       spine.benford_share,
+       ROUND(COALESCE(obs.n_orders, 0) / CAST(tot.n_total AS DOUBLE)
+             - spine.benford_share, 6) AS excess
+FROM spine LEFT JOIN obs ON spine.digit = obs.digit, tot
+ORDER BY spine.digit
+""".strip()
+
+# --- revenue concentration: Gini / Lorenz -----------------------------------
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Customer revenue concentration in one row: the Gini coefficient
+    of per-customer lifetime spend (0 = perfectly equal, → 1 = one
+    whale) plus the top-10% revenue share — the headline numbers over
+    the Lorenz curve that ``customer_ltv_deciles`` tabulates. The
+    account-concentration risk metric beside ``supplier_concentration``'s
+    per-part HHI.
+
+    Gini from the rank identity G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n with y
+    ascending: Σ(i·yᵢ) accumulates in DECIMAL (rank × exact decimal
+    spend), so the statistic is order-independent; rank permutations
+    inside tied y values leave Σ(i·yᵢ) unchanged (equal y ⇒ y·Σi), so
+    the custkey tie-break is cosmetic, not load-bearing.
+
+    Scale: the ranking runs over the per-customer AGGREGATE (card.
+    |customers| ≪ |orders|) through ``exact_row_number``'s two-phase
+    range-partitioned rank — no single-partition window anywhere; the
+    final reduce is one 1-row aggregation."""
+    from .analytics import exact_row_number
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("y")
+    )
+    ranked, total = exact_row_number(spend, ["y", "o_custkey"], "rnk")
+    k_top = (total + 9) // 10  # ceil(n/10) customers form the top decile
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("y").alias("t"),
+        F.sum(F.col("y") * F.col("rnk").cast("decimal(12,0)")).alias("s_iy"),
+        F.sum(F.when(F.col("rnk") > total - k_top, F.col("y"))).alias("top_y"),
+    )
+    n = F.col("n_customers").cast("double")
+    return agg.select(
+        "n_customers",
+        F.col("t").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("s_iy").cast("double")
+            / (n * F.col("t").cast("double"))
+            - (n + 1) / n,
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_y").cast("double") / F.col("t").cast("double"), 6).alias(
+            "top10pct_share"
+        ),
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS y
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(y) AS t,
+         SUM(y * CAST(rnk AS DECIMAL(12,0))) AS s_iy,
+         SUM(CASE WHEN rnk > n - CAST(FLOOR((n + 9) / 10) AS BIGINT)
+                  THEN y END) AS top_y
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(t AS DOUBLE) AS total_revenue,
+       ROUND(2.0 * CAST(s_iy AS DOUBLE)
+               / (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(n_customers AS DOUBLE) + 1) / CAST(n_customers AS DOUBLE),
+             6) AS gini,
+       ROUND(CAST(top_y AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top10pct_share
+FROM agg
+""".strip()
+
+# --- Pareto skyline: price vs size ------------------------------------------
+
+
+def part_pareto_front(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: every part
+    for which no other part is simultaneously no-more-expensive and
+    no-smaller (with at least one strict) — the "efficient frontier"
+    query shape (Börzsönyi et al., ICDE 2001) a buyer reads as "the
+    only rational price points". Minimize p_retailprice, maximize
+    p_size.
+
+    Sort-based skyline: collapse to one (price → max size, count) row
+    per distinct price, order by price, and a part is dominated iff a
+    STRICTLY cheaper price has already shown a ≥ size (running max via
+    lag) or its own price point has a > size. Two window passes over
+    the per-price aggregate — never a pairwise NOT-EXISTS join.
+
+    Scale: the windows run on the distinct-price aggregate (≪ |part|);
+    at extreme scale the running max distributes the same way
+    ``exact_row_number`` does (range-partition by price, per-partition
+    running max, broadcast per-partition maxima as offsets) — the
+    documented swap-in, same two-phase discipline."""
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("mx_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_prices = per_price.withColumn(
+        "mx_cheaper", F.max("mx_size").over(w)
+    )
+    parts = part.join(
+        F.broadcast(frontier_prices), "p_retailprice"
+    ).filter(
+        (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("p_size")))
+        & (F.col("p_size") == F.col("mx_size"))
+    )
+    return parts.select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+PART_PARETO_FRONT_SQL = """
+WITH per_price AS (
+  SELECT p_retailprice, MAX(p_size) AS mx_size
+  FROM part GROUP BY p_retailprice
+),
+fp AS (
+  SELECT p_retailprice, mx_size,
+         MAX(mx_size) OVER (ORDER BY p_retailprice
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mx_cheaper
+  FROM per_price
+)
+SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+FROM part p JOIN fp ON p.p_retailprice = fp.p_retailprice
+WHERE (fp.mx_cheaper IS NULL OR fp.mx_cheaper < p.p_size)
+  AND p.p_size = fp.mx_size
+ORDER BY p.p_retailprice, p.p_partkey
 """.strip()

@@ -1022,17 +1022,19 @@ _ROUND6_WINDOW = [
     "supplier_concentration",
     "events_changepoint_scan",
     "docs_dp_source_counts",
-    "dim_order_scd2",
-    "events_asof_join",
-    "events_click_attribution",
-    "events_daily_type_cube",
-    "events_daily_type_pivot",
-    "events_daily_type_unpivot",
-    "events_retention_cohorts",
-    "events_tumbling_windows",
-    "gen_synthetic_events",
+    # keys NEW in this session (never driver-checked)
+    "orders_theilsen_trend",
+    "orders_benford_digits",
+    "orders_revenue_gini",
+    "part_pareto_front",
+    "orders_item_similarity",
+    "events_gaps_islands",
+    "events_daily_gapfill",
+    "docs_winnowing",
+    "docs_winnowing_pairs",
+    "docs_editdistance_verify",
+    # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
-    "stream_sessionize_closed",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1619,6 +1621,64 @@ register(
         )
     ),
     tx.SUPPLIER_RELIABILITY_SQL,
+)
+register(
+    "orders_theilsen_trend",  # robust (median-of-slopes) twin of the OLS trend
+    _q(
+        lambda spark, sf: tx.theilsen_trend(
+            *_t(spark, sf, "orders", "customer", "nation")
+        )
+    ),
+    tx.THEILSEN_TREND_SQL,
+)
+register(
+    "orders_benford_digits",  # first-digit forensic audit vs Benford literals
+    _q(lambda spark, sf: tx.benford_digits(load_table(spark, sf, "orders"))),
+    tx.BENFORD_DIGITS_SQL,
+)
+register(
+    "orders_revenue_gini",  # Gini + top-decile share via exact_row_number
+    _q(lambda spark, sf: tx.revenue_gini(load_table(spark, sf, "orders"))),
+    tx.REVENUE_GINI_SQL,
+)
+register(
+    "part_pareto_front",  # 2-D skyline (price vs size), sort-based
+    _q(lambda spark, sf: tx.part_pareto_front(load_table(spark, sf, "part"))),
+    tx.PART_PARETO_FRONT_SQL,
+)
+register(
+    "orders_item_similarity",  # item-item Jaccard top-k ("also bought")
+    _q(lambda spark, sf: analytics.item_similarity(load_table(spark, sf, "lineitem"))),
+    analytics.ITEM_SIMILARITY_SQL,
+)
+register(
+    "events_gaps_islands",  # per-user consecutive-day streak census
+    _q(lambda spark, sf: temporal.gaps_islands(load_table(spark, sf, "events"))),
+    temporal.GAPS_ISLANDS_SQL,
+)
+register(
+    "events_daily_gapfill",  # calendar spine LEFT join, explicit zero days
+    _q(lambda spark, sf: temporal.daily_gapfill(load_table(spark, sf, "events"))),
+    temporal.DAILY_GAPFILL_SQL,
+)
+register(
+    "docs_winnowing",  # MOSS winnowing fingerprint census per doc
+    _q(lambda spark, sf: llm_text.winnowing(_docs(spark, sf))),
+    llm_text.WINNOWING_SQL,
+)
+register(
+    "docs_winnowing_pairs",  # near-dup pairs over the winnowed index
+    _q(lambda spark, sf: llm_text.winnowing_pairs(_docs(spark, sf))),
+    llm_text.WINNOWING_PAIRS_SQL,
+)
+register(
+    "docs_editdistance_verify",  # levenshtein re-score of blocked candidates
+    _q(
+        lambda spark, sf: llm_dedup.editdistance_verify(
+            _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+        )
+    ),
+    llm_dedup.EDITDISTANCE_VERIFY_SQL,
 )
 
 def _apply_registration_order() -> None:

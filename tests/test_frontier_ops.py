@@ -1,0 +1,256 @@
+"""Fixture-level semantics for the frontier-panel operators added this
+session: Theil–Sen robust trend, Benford digit audit, Gini/Lorenz
+concentration, the 2-D Pareto skyline, item-item similarity,
+gaps-and-islands streaks, date-spine gap fill, MOSS winnowing, and
+edit-distance candidate verification. The sf0.01 oracle gate pins exact
+values; these pin the invariants the gate can't express (known-answer
+geometry, the winnowing detection guarantee, robustness-to-outlier)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_spark.llm import dedup, text
+from logistics_data_pipeline_spark.operators import analytics, temporal
+from logistics_data_pipeline_spark.operators import tpch_extra as tx
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ck, "O", float(price), datetime.datetime(y, m, 1), "1-URGENT")
+            for i, (ck, price, y, m) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def _dims(spark):
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(10, "ALPHA"), (20, "BETA")], "n_nationkey long, n_name string"
+    )
+    return customer, nation
+
+
+class TestTheilSen:
+    def test_exact_linear_slope(self, spark):
+        # monthly revenue 100, 200, 300, 400 -> every pairwise slope 100
+        rows = [(1, 100.0 * (m + 1), 2024, m + 1) for m in range(4)]
+        orders = _orders(spark, rows)
+        customer, nation = _dims(spark)
+        out = tx.theilsen_trend(orders, customer, nation).collect()
+        assert len(out) == 1
+        assert out[0].theilsen_slope_per_month == pytest.approx(100.0)
+        assert out[0].n_pairs == 6
+
+    def test_robust_to_one_outlier_month(self, spark):
+        # linear 100/month except one 100x spike month: the MEDIAN slope
+        # stays at the clean trend while OLS gets dragged
+        rows = [(1, 100.0 * (m + 1), 2024, m + 1) for m in range(7)]
+        rows[6] = (1, 40000.0, 2024, 7)  # spike at the END, where OLS leverage peaks
+        orders = _orders(spark, rows)
+        customer, nation = _dims(spark)
+        ts = tx.theilsen_trend(orders, customer, nation).collect()[0]
+        ols = tx.revenue_trend(orders, customer, nation).collect()[0]
+        assert abs(ts.theilsen_slope_per_month - 100.0) < 60.0
+        assert abs(ols.slope_per_month - 100.0) > 500.0
+
+
+class TestBenford:
+    def test_spine_complete_and_shares(self, spark):
+        # only digits 1 and 9 present; the other seven report 0
+        rows = [(1, 1234.0, 2024, 1)] * 3 + [(1, 9000.5, 2024, 2)]
+        out = tx.benford_digits(_orders(spark, rows)).collect()
+        assert [r.digit for r in out] == list(range(1, 10))
+        by_d = {r.digit: r for r in out}
+        assert by_d[1].n_orders == 3 and by_d[1].obs_share == pytest.approx(0.75)
+        assert by_d[9].n_orders == 1
+        assert by_d[5].n_orders == 0 and by_d[5].obs_share == 0.0
+        assert sum(r.obs_share for r in out) == pytest.approx(1.0, abs=1e-5)
+        # Benford expectation columns are the injected literals
+        assert by_d[1].benford_share == pytest.approx(0.30103, abs=1e-5)
+        assert by_d[1].excess == pytest.approx(0.75 - 0.30103, abs=1e-5)
+
+
+class TestGini:
+    def test_perfect_equality_is_zero(self, spark):
+        rows = [(ck, 500.0, 2024, 1) for ck in range(1, 9)]
+        out = tx.revenue_gini(_orders(spark, rows)).collect()[0]
+        assert out.gini == pytest.approx(0.0, abs=1e-6)
+        assert out.n_customers == 8
+
+    def test_total_concentration_approaches_limit(self, spark):
+        # one whale, nine dust accounts: G within a hair of (n-1)/n
+        rows = [(1, 1e6, 2024, 1)] + [(ck, 0.01, 2024, 1) for ck in range(2, 11)]
+        out = tx.revenue_gini(_orders(spark, rows)).collect()[0]
+        assert out.gini == pytest.approx(0.9, abs=1e-3)
+        assert out.top10pct_share == pytest.approx(1.0, abs=1e-3)
+
+
+class TestParetoFront:
+    def test_known_frontier(self, spark):
+        part = spark.createDataFrame(
+            [
+                (1, "a", "B", "T", 10, 5.0),   # frontier (cheapest)
+                (2, "b", "B", "T", 20, 7.0),   # frontier (bigger, pricier)
+                (3, "c", "B", "T", 15, 7.0),   # dominated by 2 (same price, smaller)
+                (4, "d", "B", "T", 8, 9.0),    # dominated by 1 and 2
+                (5, "e", "B", "T", 30, 12.0),  # frontier
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        )
+        keys = [r.p_partkey for r in tx.part_pareto_front(part).collect()]
+        assert keys == [1, 2, 5]
+
+    def test_equal_points_both_survive(self, spark):
+        part = spark.createDataFrame(
+            [(1, "a", "B", "T", 10, 5.0), (2, "b", "B", "T", 10, 5.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        )
+        keys = [r.p_partkey for r in tx.part_pareto_front(part).collect()]
+        assert keys == [1, 2]  # neither strictly dominates the other
+
+
+def _lineitem(spark, baskets):
+    rows = []
+    for ok, parts in enumerate(baskets):
+        for ln, pk in enumerate(parts):
+            rows.append((ok, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+
+
+class TestItemSimilarity:
+    def test_known_jaccard_and_rank(self, spark):
+        # parts 1,2 co-occur twice; 1,3 once (pruned by min_co=2)
+        li = _lineitem(spark, [[1, 2], [1, 2], [1, 3], [2]])
+        out = analytics.item_similarity(li, top_k=3, min_co=2).collect()
+        by_src = {(r.p_partkey, r.neighbor_partkey): r for r in out}
+        assert (1, 3) not in by_src
+        r = by_src[(1, 2)]
+        # |O1|=3, |O2|=3, co=2 -> 2/(3+3-2)
+        assert r.co_orders == 2 and r.jaccard == pytest.approx(0.5)
+        assert by_src[(2, 1)].jaccard == pytest.approx(0.5)  # symmetric
+        assert all(r.rank <= 3 for r in out)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, d, h), uid, "view", float(v), "{}")
+            for i, (uid, d, h, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+class TestGapsIslands:
+    def test_streak_census(self, spark):
+        # user 1: days 1-3 then 5 -> streaks [3, 1]; user 2: day 2 only
+        ev = _events(
+            spark,
+            [(1, 1, 9, 1), (1, 2, 9, 1), (1, 2, 15, 1), (1, 3, 9, 1),
+             (1, 5, 9, 1), (2, 2, 9, 1)],
+        )
+        out = {r.user_id: r for r in temporal.gaps_islands(ev).collect()}
+        u1 = out[1]
+        assert u1.n_active_days == 4 and u1.n_streaks == 2
+        assert u1.longest_streak == 3
+        assert u1.longest_streak_start == datetime.date(2024, 1, 1)
+        assert out[2].longest_streak == 1
+
+    def test_tie_breaks_to_earliest_start(self, spark):
+        # two 2-day streaks: days 1-2 and 5-6
+        ev = _events(spark, [(1, d, 9, 1) for d in (1, 2, 5, 6)])
+        out = temporal.gaps_islands(ev).collect()[0]
+        assert out.longest_streak == 2
+        assert out.longest_streak_start == datetime.date(2024, 1, 1)
+
+
+class TestDailyGapfill:
+    def test_gap_surfaces_as_zero_row(self, spark):
+        ev = _events(spark, [(1, 1, 9, 10), (1, 3, 9, 20)])  # day 2 silent
+        out = temporal.daily_gapfill(ev).collect()
+        assert [r.day for r in out] == [
+            datetime.date(2024, 1, 1), datetime.date(2024, 1, 2),
+            datetime.date(2024, 1, 3),
+        ]
+        gap = out[1]
+        assert gap.n_events == 0 and gap.total_value == 0.0 and gap.is_gap
+        assert not out[0].is_gap and out[0].total_value == pytest.approx(10.0)
+        assert sum(r.n_events for r in out) == 2
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+class TestWinnowing:
+    def test_detection_guarantee_and_density(self, spark):
+        # winnowing guarantee: any shared run of >= w+k-1 (=8) words
+        # yields at least one shared fingerprint
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        docs = _docs(
+            spark,
+            [
+                f"{shared} one two three four five six seven",
+                f"zero nine eight {shared}",
+                "completely different words with no overlap at all here",
+            ],
+        )
+        sel = text._winnow_selected(docs, text.WINNOW_K, text.WINNOW_W)
+        fp0 = {r.fp for r in sel.filter(F.col("doc_id") == 0).collect()}
+        fp1 = {r.fp for r in sel.filter(F.col("doc_id") == 1).collect()}
+        fp2 = {r.fp for r in sel.filter(F.col("doc_id") == 2).collect()}
+        assert fp0 & fp1, "shared 8-word run must share a fingerprint"
+        assert not (fp0 & fp2)
+        census = {r.doc_id: r for r in text.winnowing(docs).collect()}
+        for r in census.values():
+            assert 1 <= r.n_fingerprints <= r.n_kgrams
+            assert 0 < r.density <= 1.0
+
+    def test_short_doc_keeps_one_fingerprint(self, spark):
+        docs = _docs(spark, ["just four tiny words"])  # 4 tokens = 1 kgram
+        out = text.winnowing(docs).collect()
+        assert len(out) == 1 and out[0].n_fingerprints == 1
+        assert text.winnowing(_docs(spark, ["one two"])).count() == 0
+
+    def test_pairs_surface_duplicates(self, spark):
+        body = " ".join(f"tok{i} common word stream flowing" for i in range(10))
+        docs = _docs(spark, [body, body + " trailing extra", "other " * 30])
+        pairs = text.winnowing_pairs(docs).collect()
+        assert any({p.a_id, p.b_id} == {0, 1} for p in pairs)
+        for p in pairs:
+            assert 0 < p.fp_jaccard <= 1.0
+
+
+class TestEditDistanceVerify:
+    def test_identical_and_near_identical(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        docs = _docs(spark, [base, base, base.replace("lazy", "hazy", 1)])
+        out = dedup.editdistance_verify(docs).collect()
+        by_pair = {(r.a_id, r.b_id): r for r in out}
+        exact = by_pair[(0, 1)]
+        assert exact.edit_distance == 0 and exact.edit_similarity == 1.0
+        near = by_pair[(0, 2)]
+        assert 0 < near.edit_distance <= 2
+        assert near.edit_similarity > 0.98

@@ -111,6 +111,11 @@ ALLOWED = {
     # 1-row max-orderdate as-of scalar broadcast into the age bucketing
     "orders_backlog_aging": {"nested-loop join"},
     "tpch_q1_pricing_summary": {"wide scan"},  # q1 aggregates 7 lineitem cols
+    # 1-row total-order-count scalar for the per-digit shares
+    "orders_benford_digits": {"nested-loop join"},
+    # running max over the DISTINCT-PRICE aggregate (catalog-bounded,
+    # ≪ |part|); the documented two-phase swap-in mirrors exact_row_number
+    "part_pareto_front": {"unpartitioned window"},
 }
 
 
