@@ -3200,3 +3200,338 @@ SELECT bin_lo, n_pairs,
 FROM hist
 ORDER BY bin_lo
 """.strip()
+
+
+# --- exact (oracle-verifiable) quantizer training ---------------------------
+#
+# The Arrow-kernel trainers above (kmeans_centroids / pq_codebooks) run
+# multiple Lloyd rounds and stay rows-only: numpy partial-sum order is
+# not SQL-reproducible across engines. These exact twins pin ONE full
+# seeded train round — md5-ordered seed draw, one Lloyd update, final
+# assignment — with every intermediate rounded to 6 dp so Spark and
+# DuckDB agree bit-for-bit (VERDICT r5 #5: the same upgrade pattern that
+# took docs_simhash from rows-only to a full oracle). The multi-round
+# Arrow trainers remain the production path inside knn_ivf / knn_ivfpq,
+# recall-pinned by tools/ann_eval.py.
+
+KC_EXACT_CELLS = 16
+KC_EXACT_SEED = 7
+
+
+def _seed_rows(emb: DataFrame, n: int, seed: int) -> DataFrame:
+    """Deterministic seed draw shared by both exact trainers: the first
+    ``n`` vectors in md5('<vec_id>:<seed>') order, labeled 0..n-1. The
+    orderBy().limit() pair compiles to TakeOrderedAndProject (no global
+    sort shuffle); the row_number window then runs over exactly ``n``
+    rows (config-sized — reviewed in tools/explain_audit.py)."""
+    key = F.md5(
+        F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))
+    )
+    picked = (
+        emb.select("vec_id", "embedding", key.alias("k"))
+        .orderBy("k", "vec_id")
+        .limit(n)
+    )
+    w = Window.orderBy("k", "vec_id")
+    return picked.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"), "embedding"
+    )
+
+
+def _explode_vecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+
+
+def _cosine_argmax(x: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest cell by cosine against unit centroids: broadcast the
+    (cells × d)-row centroid frame, map-side fanout join on pos, one
+    (vec_id, cell) partial-agg shuffle, round 6 before ranking so
+    last-ulp summation order can never flip the argmax; ties break to
+    the lower cell on both engines."""
+    sims = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum(F.col("v") * F.col("c")), 6).alias("sim"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def kmeans_cells_exact(
+    emb: DataFrame, n_cells: int = KC_EXACT_CELLS, seed: int = KC_EXACT_SEED
+) -> DataFrame:
+    """Seeded k-means cell assignment, exact and driver-verifiable:
+    md5-ordered seed draw → unit-normalize → cosine-assign the corpus →
+    one Lloyd mean update (empty cells keep their seed centroid) →
+    re-normalize → final assignment. Output (vec_id, cell, cell_rank).
+
+    Scale: centroid frames are cells × d rows (config-bounded,
+    broadcast); each assignment is one map-side fanout join plus a
+    (vec_id, cell) hash aggregation; the update is a (cell, pos)
+    aggregation over assigned members — no driver collect anywhere,
+    corpus scanned twice (once per assignment round)."""
+    seeds = _seed_rows(emb, n_cells, seed)
+    c0raw = seeds.select(
+        "cell", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    n0 = c0raw.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    cent0 = c0raw.join(n0, "cell").select(
+        "cell",
+        "pos",
+        F.round(F.col("val") / F.nullif(F.col("nrm"), F.lit(0.0)), 6).alias("c"),
+    )
+    x = _explode_vecs(emb)
+    a0 = _cosine_argmax(x, cent0)
+    upd = (
+        a0.join(x, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+    )
+    n1 = upd.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm")
+    )
+    c1raw = upd.join(n1, "cell").select(
+        "cell",
+        "pos",
+        F.round(F.col("m") / F.nullif(F.col("nrm"), F.lit(0.0)), 6).alias("u"),
+    )
+    cent1 = (
+        cent0.join(c1raw, ["cell", "pos"], "left")
+        .select("cell", "pos", F.coalesce("u", "c").alias("c"))
+    )
+    return (
+        _cosine_argmax(x, cent1)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(1).cast("int").alias("cell_rank"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+KMEANS_CELLS_EXACT_SQL = f"""
+WITH sd AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{KC_EXACT_SEED}'), vec_id
+         ) - 1 AS cell
+  FROM embeddings
+),
+c0raw AS (
+  SELECT cell, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM sd WHERE cell < {KC_EXACT_CELLS}
+),
+n0 AS (SELECT cell, SQRT(SUM(val * val)) AS nrm FROM c0raw GROUP BY cell),
+cent0 AS (
+  SELECT r.cell, r.pos, ROUND(r.val / NULLIF(n.nrm, 0), 6) AS c
+  FROM c0raw r JOIN n0 n ON n.cell = r.cell
+),
+x AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+s0 AS (
+  SELECT x.vec_id, c.cell, ROUND(SUM(x.v * c.c), 6) AS sim
+  FROM x JOIN cent0 c ON c.pos = x.pos GROUP BY x.vec_id, c.cell
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM s0)
+  WHERE rn = 1
+),
+upd AS (
+  SELECT a.cell, x.pos, ROUND(AVG(x.v), 6) AS m
+  FROM a0 a JOIN x ON x.vec_id = a.vec_id GROUP BY a.cell, x.pos
+),
+n1 AS (SELECT cell, SQRT(SUM(m * m)) AS nrm FROM upd GROUP BY cell),
+c1raw AS (
+  SELECT u.cell, u.pos, ROUND(u.m / NULLIF(n.nrm, 0), 6) AS u
+  FROM upd u JOIN n1 n ON n.cell = u.cell
+),
+cent1 AS (
+  SELECT z.cell, z.pos, COALESCE(r.u, z.c) AS c
+  FROM cent0 z LEFT JOIN c1raw r ON r.cell = z.cell AND r.pos = z.pos
+),
+s1 AS (
+  SELECT x.vec_id, c.cell, ROUND(SUM(x.v * c.c), 6) AS sim
+  FROM x JOIN cent1 c ON c.pos = x.pos GROUP BY x.vec_id, c.cell
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(1 AS INT) AS cell_rank
+FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+  FROM s1)
+WHERE rn = 1
+ORDER BY vec_id
+""".strip()
+
+
+PQ_EXACT_SUBSPACES = 8
+PQ_EXACT_CELLS = 16
+PQ_EXACT_SEED = 11
+
+
+def pq_codes_exact(
+    emb: DataFrame,
+    n_subspaces: int = PQ_EXACT_SUBSPACES,
+    n_cells: int = PQ_EXACT_CELLS,
+    seed: int = PQ_EXACT_SEED,
+) -> DataFrame:
+    """Product-quantization codes from one exact seeded train round:
+    the same 16 md5-ordered seed vectors give every subspace its initial
+    codebook (their sub-slices), one L2 Lloyd update refines each
+    codeword (empty codes keep their seed), and the final argmin-L2
+    assignment emits long-form (vec_id, subspace, code, sq_err).
+
+    Scale: codebooks are subspaces × codes × dsub rows (config-bounded,
+    broadcast); distances aggregate per (vec_id, subspace, code) with
+    map-side partials; squared distances round to 6 dp before the argmin
+    rank so engine summation order cannot flip a code; ties break to the
+    lower code."""
+    seeds = _seed_rows(emb, n_cells, seed).withColumnRenamed("cell", "code")
+    # Subspace split (s = pos // dsub, p = pos % dsub) derives dsub from
+    # the array length per row — constant across the corpus, so no
+    # driver collect is needed to learn d.
+    xs = emb.select(
+        "vec_id",
+        F.size("embedding").alias("d"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos") / (F.col("d") / n_subspaces)).cast("int").alias("s"),
+        F.pmod(F.col("pos"), (F.col("d") / n_subspaces).cast("int")).alias("p"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent0 = seeds.select(
+        "code",
+        F.size("embedding").alias("d"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "code",
+        (F.col("pos") / (F.col("d") / n_subspaces)).cast("int").alias("s"),
+        F.pmod(F.col("pos"), (F.col("d") / n_subspaces).cast("int")).alias("p"),
+        F.round(F.col("val").cast("double"), 6).alias("c"),
+    )
+
+    def argmin_codes(cent: DataFrame) -> DataFrame:
+        d2 = (
+            xs.join(F.broadcast(cent), ["s", "p"])
+            .groupBy("vec_id", "s", "code")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+                ).alias("d2")
+            )
+        )
+        wv = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d2").asc(), F.col("code").asc()
+        )
+        return (
+            d2.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "code", "d2")
+        )
+
+    a0 = argmin_codes(cent0)
+    upd = (
+        a0.select("vec_id", "s", "code")
+        .join(xs, ["vec_id", "s"])
+        .groupBy("s", "code", "p")
+        .agg(F.round(F.avg("v"), 6).alias("u"))
+    )
+    cent1 = (
+        cent0.join(upd, ["s", "code", "p"], "left")
+        .select("s", "code", "p", F.coalesce("u", "c").alias("c"))
+    )
+    return (
+        argmin_codes(cent1)
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+            F.col("d2").alias("sq_err"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+PQ_CODES_EXACT_SQL = f"""
+WITH sd AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{PQ_EXACT_SEED}'), vec_id
+         ) - 1 AS code
+  FROM embeddings
+),
+cent0 AS (
+  SELECT code,
+         CAST(FLOOR(pos / (d / {PQ_EXACT_SUBSPACES})) AS INT) AS s,
+         pos % CAST(d / {PQ_EXACT_SUBSPACES} AS INT) AS p,
+         ROUND(val, 6) AS c
+  FROM (SELECT code, len(embedding) AS d,
+               unnest(range(0, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM sd WHERE code < {PQ_EXACT_CELLS})
+),
+xs AS (
+  SELECT vec_id,
+         CAST(FLOOR(pos / (d / {PQ_EXACT_SUBSPACES})) AS INT) AS s,
+         pos % CAST(d / {PQ_EXACT_SUBSPACES} AS INT) AS p,
+         v
+  FROM (SELECT vec_id, len(embedding) AS d,
+               unnest(range(0, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+),
+d0 AS (
+  SELECT x.vec_id, x.s, c.code,
+         ROUND(SUM((x.v - c.c) * (x.v - c.c)), 6) AS d2
+  FROM xs x JOIN cent0 c ON c.s = x.s AND c.p = x.p
+  GROUP BY x.vec_id, x.s, c.code
+),
+a0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+    FROM d0)
+  WHERE rn = 1
+),
+upd AS (
+  SELECT a.s, a.code, x.p, ROUND(AVG(x.v), 6) AS u
+  FROM a0 a JOIN xs x ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY a.s, a.code, x.p
+),
+cent1 AS (
+  SELECT z.s, z.code, z.p, COALESCE(r.u, z.c) AS c
+  FROM cent0 z LEFT JOIN upd r ON r.s = z.s AND r.code = z.code AND r.p = z.p
+),
+d1 AS (
+  SELECT x.vec_id, x.s, c.code,
+         ROUND(SUM((x.v - c.c) * (x.v - c.c)), 6) AS d2
+  FROM xs x JOIN cent1 c ON c.s = x.s AND c.p = x.p
+  GROUP BY x.vec_id, x.s, c.code
+)
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code,
+       d2 AS sq_err
+FROM (
+  SELECT vec_id, s, code, d2, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+  FROM d1)
+WHERE rn = 1
+ORDER BY vec_id, subspace
+""".strip()

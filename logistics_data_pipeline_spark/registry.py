@@ -922,12 +922,10 @@ register(
     _q(lambda spark, sf: llm_sim.embedding_neardup_lsh(_emb(spark, sf))),
 )
 register(
-    "emb_kmeans_cells",  # iterative Lloyd quantizer: not SQL-expressible → rows-only
-    _q(
-        lambda spark, sf: llm_sim.assign_cells(
-            _emb(spark, sf), llm_sim.kmeans_centroids(_emb(spark, sf))
-        )
-    ),
+    "emb_kmeans_cells",  # exact seeded train round (VERDICT r5 #5 upgrade);
+    # the multi-round Arrow trainer stays the knn_ivf production path
+    _q(lambda spark, sf: llm_sim.kmeans_cells_exact(_emb(spark, sf))),
+    llm_sim.KMEANS_CELLS_EXACT_SQL,
 )
 register(
     "docs_pack_sequences",
@@ -940,8 +938,10 @@ register(
     llm_text.DOC_BIGRAM_LOGPROB_SQL,
 )
 register(
-    "emb_pq_codes",  # iterative per-subspace Lloyd training → rows-only
-    _q(lambda spark, sf: llm_sim.pq_codes(_emb(spark, sf))),
+    "emb_pq_codes",  # exact seeded train round (VERDICT r5 #5 upgrade);
+    # iterative pq_codebooks training stays the knn_ivfpq production path
+    _q(lambda spark, sf: llm_sim.pq_codes_exact(_emb(spark, sf))),
+    llm_sim.PQ_CODES_EXACT_SQL,
 )
 register(
     "events_hopping_windows",
@@ -977,7 +977,10 @@ register(
 # window policy: (a) every key whose code changed this round — the
 # shared dedup-frame refactor, the sampling governor, the epoch-compare
 # and NULLIF oracle hardenings — then (b) the keys whose last driver
-# hash-match is the STALEST (round 1-2; the testdata has been
+# hash-match is the STALEST. Rows-only keys are EXCLUDED from the
+# window (the driver adds only a row-count there, which the local gate
+# already pins); never-driver-checked keys take those slots. (The
+# testdata has been
 # regenerated four times since). Keys NEW this round MUST be appended
 # here (not just register()-ed) or they wait a full round for a check.
 
@@ -990,12 +993,10 @@ _ROUND6_WINDOW = [
     "orders_item_pagerank",
     "docs_neardup_ngram",
     "docs_neardup_components",
-    "docs_neardup_minhash",
     "docs_dedup_keeper",
     "docs_dedup_cluster_stats",
     "docs_dedup_method_agreement",
     "docs_ensemble_components",
-    "docs_minhash_error_panel",
     "docs_containment",
     "docs_simhash_pairs",
     # keys NEW in round 6
@@ -1033,6 +1034,9 @@ _ROUND6_WINDOW = [
     "docs_winnowing",
     "docs_winnowing_pairs",
     "docs_editdistance_verify",
+    # rows-only → full-oracle upgrades (exact seeded train round)
+    "emb_kmeans_cells",
+    "emb_pq_codes",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]

@@ -254,3 +254,97 @@ class TestEditDistanceVerify:
         near = by_pair[(0, 2)]
         assert 0 < near.edit_distance <= 2
         assert near.edit_similarity > 0.98
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+class TestExactQuantizers:
+    """kmeans_cells_exact / pq_codes_exact: the oracle gate pins exact
+    cross-engine values; these pin the clustering geometry itself."""
+
+    def test_kmeans_cells_separates_two_clusters(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        # two tight cones on the unit sphere (cosine-separable)
+        a = [[1.0, 0.02 * i, 0.0, 0.0] for i in range(6)]
+        b = [[0.0, 0.02 * i, 0.0, 1.0] for i in range(6)]
+        emb = _emb_df(spark, a + b)
+        out = sim.kmeans_cells_exact(emb, n_cells=2, seed=7).collect()
+        assert len(out) == 12
+        assert all(r.cell_rank == 1 for r in out)
+        cells_a = {r.cell for r in out if r.vec_id < 6}
+        cells_b = {r.cell for r in out if r.vec_id >= 6}
+        assert len(cells_a) == 1 and len(cells_b) == 1
+        assert cells_a != cells_b
+
+    def test_kmeans_cells_deterministic(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        vecs = [[float((i * 7 + j * 3) % 5) + 0.1 for j in range(4)] for i in range(10)]
+        emb = _emb_df(spark, vecs)
+        r1 = sorted(map(tuple, sim.kmeans_cells_exact(emb, 3, seed=7).collect()))
+        r2 = sorted(map(tuple, sim.kmeans_cells_exact(emb, 3, seed=7).collect()))
+        assert r1 == r2
+
+    def test_pq_codes_shape_and_subspace_independence(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        # dim 4, 2 subspaces: first half clusters on axis-x, second on axis-y
+        vecs = [[10.0, 0.0, 0.0, 5.0], [10.1, 0.0, 0.0, 5.1],
+                [0.0, 10.0, 5.0, 0.0], [0.1, 10.0, 5.2, 0.0]]
+        emb = _emb_df(spark, vecs)
+        out = sim.pq_codes_exact(emb, n_subspaces=2, n_cells=2, seed=11).collect()
+        assert len(out) == 8  # 4 vectors x 2 subspaces
+        by_vs = {(r.vec_id, r.subspace): r for r in out}
+        assert set(by_vs) == {(v, s) for v in range(4) for s in range(2)}
+        # near-identical vectors land on the same code in every subspace
+        for s in range(2):
+            assert by_vs[(0, s)].code == by_vs[(1, s)].code
+            assert by_vs[(2, s)].code == by_vs[(3, s)].code
+            assert by_vs[(0, s)].code != by_vs[(2, s)].code
+        assert all(r.sq_err >= 0 for r in out)
+
+    def test_pq_exact_codes_match_numpy_reference(self, spark):
+        """Independent numpy re-derivation of the one-round spec: md5
+        seed order, rounded seed codebook, argmin-L2 assign, mean
+        update, re-assign — codes and errors must agree."""
+        import hashlib
+
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        vecs = [[float((i * 5 + j * 7) % 9) for j in range(4)] for i in range(9)]
+        emb = _emb_df(spark, vecs)
+        n_sub, n_cells, seed = 2, 2, 11
+        out = {
+            (r.vec_id, r.subspace): (r.code, r.sq_err)
+            for r in sim.pq_codes_exact(emb, n_sub, n_cells, seed).collect()
+        }
+
+        X = np.array(vecs)
+        order = sorted(
+            range(len(vecs)),
+            key=lambda i: (hashlib.md5(f"{i}:{seed}".encode()).hexdigest(), i),
+        )
+        dsub = X.shape[1] // n_sub
+        for s in range(n_sub):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            cb = np.round(Xs[order[:n_cells]], 6)
+            d2 = np.round(((Xs[:, None] - cb[None]) ** 2).sum(axis=2), 6)
+            a0 = np.argmin(d2, axis=1)  # np.argmin ties -> lowest index, same rule
+            cb1 = cb.copy()
+            for c in range(n_cells):
+                if (a0 == c).any():
+                    cb1[c] = np.round(Xs[a0 == c].mean(axis=0), 6)
+            d2b = np.round(((Xs[:, None] - cb1[None]) ** 2).sum(axis=2), 6)
+            a1 = np.argmin(d2b, axis=1)
+            for v in range(len(vecs)):
+                code, err = out[(v, s)]
+                assert code == a1[v], (v, s)
+                assert err == pytest.approx(d2b[v, a1[v]], abs=1e-9)

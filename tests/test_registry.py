@@ -14,8 +14,6 @@ ROWS_ONLY_OK: set[str] = {
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
     "emb_neardup_lsh",  # SRP-LSH candidate recall < 1 by construction
-    "emb_kmeans_cells",  # iterative Lloyd assignment
-    "emb_pq_codes",  # iterative per-subspace Lloyd training
     "emb_knn_ivfpq",  # probe-subset + quantization, approximate by design
     "events_approx_distinct",  # HLL sketch estimates are engine-specific
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible

@@ -116,6 +116,10 @@ ALLOWED = {
     # running max over the DISTINCT-PRICE aggregate (catalog-bounded,
     # ≪ |part|); the documented two-phase swap-in mirrors exact_row_number
     "part_pareto_front": {"unpartitioned window"},
+    # seed-labeling row_number over the TakeOrdered 16-row md5 sample
+    # (config-sized input — see _seed_rows in llm/similarity.py)
+    "emb_kmeans_cells": {"unpartitioned window"},
+    "emb_pq_codes": {"unpartitioned window"},
 }
 
 
