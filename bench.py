@@ -231,7 +231,13 @@ def main() -> None:
     # repair — spread across the full ~4-minute round, it can only
     # corrupt one sample per query.
     samples: dict[str, list[float]] = {name: [] for name in names}
+    # Contention sentinel (VERDICT r5 #8): host 1-min loadavg at the
+    # start of every round — with this container idle, external load of
+    # 4-5 routinely inflates whole windows 1.5-3x, and the recorded
+    # loads let a later round discard polluted comparisons mechanically.
+    loads: list[float] = []
     for _ in range(runs):
+        loads.append(round(os.getloadavg()[0], 1))
         for name in names:
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -267,6 +273,7 @@ def main() -> None:
         "queries_min": timings_min,
         "total_min": round(sum(timings_min.values()), 3),
         "sf": sf,
+        "loadavg_rounds": loads,
     }
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr, flush=True)
 
@@ -287,6 +294,7 @@ def main() -> None:
             "queries": compact,
             "sf": sf,
             "n": len(timings),
+            "load": loads,
         }
         if dropped:
             out["other_n"] = len(dropped)
