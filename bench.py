@@ -177,6 +177,9 @@ HEADLINE = [
     "docs_winnowing",
     "docs_winnowing_pairs",
     "docs_editdistance_verify",
+    "emb_semdedup",
+    "emb_cluster_balanced_sample",
+    "docs_dsir_weights",
 ]
 
 
@@ -217,6 +220,7 @@ def main() -> None:
         "mh_sig",
         "components",
         "copurchase_edges",
+        "kc_cells",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

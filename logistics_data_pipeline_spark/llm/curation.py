@@ -1188,3 +1188,106 @@ SELECT source, true_count,
 FROM n
 ORDER BY source
 """.strip()
+
+
+# --- DSIR importance weights ------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023, public):
+# hashed n-gram feature counts give a tractable bag-of-features model of
+# a TARGET distribution (here: the English subset — the usual "select
+# web data that looks like the curated set" setup) and the SOURCE (full
+# corpus); each document scores the sum over its tokens of
+# ln(p_target(bucket) / p_source(bucket)) with add-one smoothing over
+# the hashed vocabulary. High weight = looks like target; downstream
+# selection reuses the Efraimidis–Spirakis sampler (weighted_sample).
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight over md5-hashed unigram
+    buckets. Deterministic and engine-exact: the bucket hash, the
+    smoothed distributions, and the per-doc sum are all closed-form.
+
+    Scale: one token explode → (doc, bucket) map; bucket marginals are
+    a 256-row aggregate computed with conditional sums in the SAME pass
+    (no second corpus scan) and broadcast back; the per-doc reduce is
+    one hash aggregation keyed by doc_id. The 1-row corpus-total cross
+    join is the usual reviewed scalar append."""
+    from .text import _WS
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), _WS)
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("int").alias("is_t"),
+        F.explode(toks).alias("w"),
+    ).filter(F.col("w") != "")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("w"))), 1, 6), 16, 10)
+        .cast("long"),
+        F.lit(n_buckets),
+    )
+    bucketed = tok.select("doc_id", "is_t", b.alias("b"))
+    marg = bucketed.groupBy("b").agg(
+        F.count("*").alias("c_s"),
+        F.sum("is_t").alias("c_t"),
+    )
+    totals = marg.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    ratio = (
+        marg.join(F.broadcast(totals))
+        .select(
+            "b",
+            F.log(
+                ((F.col("c_t") + 1).cast("double") / (F.col("n_t") + n_buckets))
+                / ((F.col("c_s") + 1).cast("double") / (F.col("n_s") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("dsir_log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substring(md5('dsir:' || w), 1, 6)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM tok WHERE w <> ''
+),
+marg AS (
+  SELECT b, COUNT(*) AS c_s, SUM(is_t) AS c_t FROM bucketed GROUP BY b
+),
+totals AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM marg),
+ratio AS (
+  SELECT b,
+         LN((CAST(c_t + 1 AS DOUBLE) / (n_t + {DSIR_BUCKETS}))
+            / (CAST(c_s + 1 AS DOUBLE) / (n_s + {DSIR_BUCKETS}))) AS lr
+  FROM marg CROSS JOIN totals
+)
+SELECT bk.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(r.lr), 6) AS dsir_log_weight
+FROM bucketed bk JOIN ratio r ON r.b = bk.b
+GROUP BY bk.doc_id
+ORDER BY bk.doc_id
+""".strip()

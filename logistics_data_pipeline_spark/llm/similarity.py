@@ -3535,3 +3535,173 @@ FROM (
 WHERE rn = 1
 ORDER BY vec_id, subspace
 """.strip()
+
+
+# --- semantic dedup over learned cells (SemDeDup) ---------------------------
+#
+# SemDeDup (Abbas et al., 2023, public): embed, k-means cluster, then
+# look for near-duplicate pairs ONLY within a cluster — the clustering
+# is the blocking structure that keeps the pair set linear-ish at
+# corpus scale (cross-cluster semantic dups are rare by construction,
+# the accepted recall trade). Built on the exact one-round quantizer so
+# the whole chain is oracle-verifiable.
+
+SEMDEDUP_THRESHOLD = 0.4  # same non-vacuous bar as NEARDUP_THRESHOLD
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cell cosine dedup: a vector is dropped when some
+    LOWER-id vector in its k-means cell matches at ≥ threshold (the
+    deterministic keep-lowest rule — no transitive closure needed, so
+    one pair join decides membership). One row per vector:
+    (vec_id, cell, n_lower_dups, max_lower_cos, is_kept).
+
+    Scale: pairs exist only within a cell (sum of cellsize² — bounded
+    by the quantizer's balance, the SemDeDup contract) instead of n²;
+    cosine is the rounded zip_with/aggregate fold over the bounded
+    pair set; the final shape is one left join back to the assignment
+    (one row per vector, corpus-linear)."""
+    if cells is None:  # registry injects the shared persisted assignment
+        cells = kmeans_cells_exact(emb)
+    cells = cells.select("vec_id", "cell")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    m = emb.select("vec_id", "embedding").join(cells, "vec_id").select(
+        "vec_id", "cell", "embedding", nrm.alias("nrm")
+    )
+    a = m.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = m.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cell",
+            "b_id",
+            F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 6).alias("cos"),
+        )
+    )
+    agg = pairs.groupBy("b_id").agg(
+        F.sum((F.col("cos") >= threshold).cast("int")).cast("bigint").alias("n_lower_dups"),
+        F.max("cos").alias("max_lower_cos"),
+    )
+    return (
+        cells.join(agg, cells.vec_id == agg.b_id, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("n_lower_dups", F.lit(0).cast("bigint")).alias("n_lower_dups"),
+            "max_lower_cos",
+            (F.coalesce("n_lower_dups", F.lit(0)) == 0).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_KC_CELLS_CTE = KMEANS_CELLS_EXACT_SQL.rsplit("ORDER BY vec_id", 1)[0].strip()
+
+SEMDEDUP_SQL = f"""
+WITH cells AS (
+  {_KC_CELLS_CTE}
+),
+m AS (
+  SELECT c.vec_id, c.cell, e.embedding,
+         SQRT(list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                            v -> v * v), 'sum')) AS nrm
+  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+),
+pairs AS (
+  SELECT a.cell, b.vec_id AS b_id,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / (a.nrm * b.nrm), 6) AS cos
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT b_id,
+         CAST(SUM(CASE WHEN cos >= {SEMDEDUP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lower_dups,
+         MAX(cos) AS max_lower_cos
+  FROM pairs GROUP BY b_id
+)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       COALESCE(a.n_lower_dups, 0) AS n_lower_dups,
+       a.max_lower_cos,
+       COALESCE(a.n_lower_dups, 0) = 0 AS is_kept
+FROM cells c LEFT JOIN agg a ON a.b_id = c.vec_id
+ORDER BY c.vec_id
+""".strip()
+
+
+CBS_PER_CELL = 8
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int = CBS_PER_CELL,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced curation sample: up to ``per_cell`` vectors per
+    k-means cell in deterministic md5 order — the diversity-preserving
+    downsample (each semantic region keeps representation regardless of
+    its share of the corpus, the standard counter to majority-cluster
+    domination when trimming a training set).
+
+    Scale: the pick is one row_number window PARTITIONED BY cell (no
+    global sort) over the assignment — corpus-linear with per-cell
+    state only."""
+    if cells is None:  # registry injects the shared persisted assignment
+        cells = kmeans_cells_exact(emb)
+    cells = cells.select("vec_id", "cell")
+    key = F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(key, "vec_id")
+    return (
+        cells.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= per_cell)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+        )
+        .orderBy("cell", "pick_rank")
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = f"""
+WITH cells AS (
+  {_KC_CELLS_CTE}
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+  FROM cells
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(pick_rank AS INT) AS pick_rank
+FROM ranked WHERE pick_rank <= {CBS_PER_CELL}
+ORDER BY cell, pick_rank
+""".strip()

@@ -740,6 +740,8 @@ def _dedup_shared(spark, sf, name):
         )
     elif name == "copurchase_edges":  # item-pagerank graph table
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
+    elif name == "kc_cells":  # exact one-round k-means cell assignment
+        df = llm_sim.kmeans_cells_exact(_emb(spark, sf))
     else:  # pragma: no cover
         raise KeyError(name)
     df = df.persist()
@@ -924,7 +926,7 @@ register(
 register(
     "emb_kmeans_cells",  # exact seeded train round (VERDICT r5 #5 upgrade);
     # the multi-round Arrow trainer stays the knn_ivf production path
-    _q(lambda spark, sf: llm_sim.kmeans_cells_exact(_emb(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "kc_cells")),
     llm_sim.KMEANS_CELLS_EXACT_SQL,
 )
 register(
@@ -994,11 +996,7 @@ _ROUND6_WINDOW = [
     "docs_neardup_ngram",
     "docs_neardup_components",
     "docs_dedup_keeper",
-    "docs_dedup_cluster_stats",
-    "docs_dedup_method_agreement",
     "docs_ensemble_components",
-    "docs_containment",
-    "docs_simhash_pairs",
     # keys NEW in round 6
     "docs_perplexity_buckets",
     "docs_source_overlap",
@@ -1037,6 +1035,10 @@ _ROUND6_WINDOW = [
     # rows-only → full-oracle upgrades (exact seeded train round)
     "emb_kmeans_cells",
     "emb_pq_codes",
+    # SemDeDup / balanced-sample / DSIR (new, never driver-checked)
+    "emb_semdedup",
+    "emb_cluster_balanced_sample",
+    "docs_dsir_weights",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]
@@ -1683,6 +1685,29 @@ register(
         )
     ),
     llm_dedup.EDITDISTANCE_VERIFY_SQL,
+)
+register(
+    "emb_semdedup",  # SemDeDup: within-kmeans-cell cosine dedup, keep-lowest
+    _q(
+        lambda spark, sf: llm_sim.semdedup(
+            _emb(spark, sf), cells=_dedup_shared(spark, sf, "kc_cells")
+        )
+    ),
+    llm_sim.SEMDEDUP_SQL,
+)
+register(
+    "emb_cluster_balanced_sample",  # diversity-preserving per-cell downsample
+    _q(
+        lambda spark, sf: llm_sim.cluster_balanced_sample(
+            _emb(spark, sf), cells=_dedup_shared(spark, sf, "kc_cells")
+        )
+    ),
+    llm_sim.CLUSTER_BALANCED_SAMPLE_SQL,
+)
+register(
+    "docs_dsir_weights",  # DSIR hashed-ngram importance log-weights vs 'en' target
+    _q(lambda spark, sf: llm_cur.dsir_weights(_docs(spark, sf))),
+    llm_cur.DSIR_WEIGHTS_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -348,3 +348,68 @@ class TestExactQuantizers:
                 code, err = out[(v, s)]
                 assert code == a1[v], (v, s)
                 assert err == pytest.approx(d2b[v, a1[v]], abs=1e-9)
+
+
+class TestSemDedupAndCuration:
+    def test_semdedup_drops_higher_id_of_within_cell_dup(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        emb = _emb_df(spark, [
+            [1.0, 0.0, 0.0, 0.0],      # 0: kept (cell minimum)
+            [1.0, 0.001, 0.0, 0.0],    # 1: near-dup of 0 -> dropped
+            [0.0, 0.0, 1.0, 0.0],      # 2: other cell, kept
+            [0.0, 0.0, 0.99, 0.1],     # 3: near-dup of 2 -> dropped
+        ])
+        cells = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 1), (3, 1)], "vec_id long, cell int"
+        )
+        out = {r.vec_id: r for r in sim.semdedup(emb, threshold=0.9, cells=cells).collect()}
+        assert out[0].is_kept and not out[1].is_kept
+        assert out[2].is_kept and not out[3].is_kept
+        assert out[1].n_lower_dups == 1 and out[1].max_lower_cos > 0.99
+        assert out[0].max_lower_cos is None  # cell minimum has no lower pair
+
+    def test_semdedup_blocking_never_pairs_across_cells(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        # identical vectors in DIFFERENT cells: the SemDeDup recall
+        # trade — cross-cell dups are invisible by design
+        emb = _emb_df(spark, [[1.0, 0.0], [1.0, 0.0]])
+        cells = spark.createDataFrame([(0, 0), (1, 1)], "vec_id long, cell int")
+        out = sim.semdedup(emb, threshold=0.5, cells=cells).collect()
+        assert all(r.is_kept for r in out)
+
+    def test_cluster_balanced_sample_caps_every_cell(self, spark):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        emb = _emb_df(spark, [[float(i), 1.0] for i in range(20)])
+        cells = spark.createDataFrame(
+            [(i, i % 2) for i in range(20)], "vec_id long, cell int"
+        )
+        out = sim.cluster_balanced_sample(emb, per_cell=3, cells=cells).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.cell, []).append(r.pick_rank)
+        assert set(per) == {0, 1}
+        assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+    def test_dsir_upweights_target_looking_docs(self, spark):
+        from logistics_data_pipeline_spark.llm import curation as cur
+
+        rows = []
+        # target (en) docs speak 'alpha'; source-only (de) docs speak 'beta'
+        for i in range(5):
+            rows.append((i, "alpha " * 20, "en", "s0", 100))
+        for i in range(5, 10):
+            rows.append((i, "beta " * 20, "de", "s0", 100))
+        # two probe docs in the source distribution, one per dialect
+        rows.append((10, "alpha " * 20, "de", "s0", 100))
+        rows.append((11, "beta " * 20, "en", "s0", 100))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {r.doc_id: r.dsir_log_weight for r in cur.dsir_weights(docs).collect()}
+        # 'alpha' dominates the target distribution -> alpha-docs score
+        # higher than beta-docs regardless of their own lang label
+        assert out[10] > out[11]
+        assert out[0] > out[5]

@@ -120,6 +120,12 @@ ALLOWED = {
     # (config-sized input — see _seed_rows in llm/similarity.py)
     "emb_kmeans_cells": {"unpartitioned window"},
     "emb_pq_codes": {"unpartitioned window"},
+    # inherit kmeans_cells_exact's 16-row seed window through the shared
+    # (persisted) kc_cells assignment lineage
+    "emb_semdedup": {"unpartitioned window"},
+    "emb_cluster_balanced_sample": {"unpartitioned window"},
+    # 1-row corpus token-total broadcast into the 256-bucket ratio table
+    "docs_dsir_weights": {"nested-loop join"},
 }
 
 
