@@ -413,3 +413,71 @@ class TestSemDedupAndCuration:
         # higher than beta-docs regardless of their own lang label
         assert out[10] > out[11]
         assert out[0] > out[5]
+
+
+class TestGoldLayout:
+    """Partitioned writes + small-file compaction (sources/layout.py):
+    the operational answer to the reference's 50-row micro-batch files."""
+
+    def _events_df(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int"))
+            .cast("string")
+            .alias("event_date"),
+            (F.col("id") * 2).alias("value"),
+        )
+
+    def test_write_partitioned_prunes_and_round_trips(self, spark, tmp_path):
+        from logistics_data_pipeline_spark.sources import layout
+
+        df = self._events_df(spark)
+        out = str(tmp_path / "gold")
+        layout.write_partitioned(df, out, ("event_date",), rows_per_file=1000)
+        back = spark.read.parquet(out)
+        assert back.count() == 200
+        # partition pruning reaches the scan
+        plan = (
+            back.filter(F.col("event_date") == "2024-01-02")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+            "PartitionFilters"
+        )[1][:120]
+
+    def test_compaction_shrinks_file_count_and_preserves_rows(self, spark, tmp_path):
+        from logistics_data_pipeline_spark.sources import layout
+
+        out = str(tmp_path / "gold")
+        # simulate the 50-row-file problem: many tiny files per partition
+        df = self._events_df(spark).repartition(16)
+        df.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        before = layout.partition_file_stats(spark, out).collect()
+        assert all(r.n_files > 1 and r.needs_compaction for r in before)
+        pre = sorted(
+            tuple(r) for r in spark.read.parquet(out)
+            .select("event_id", "value", "event_date").collect()
+        )
+
+        done = layout.compact_partitions(spark, out)
+        assert sorted(done) == sorted(r.partition for r in before)
+        after = {r.partition: r for r in layout.partition_file_stats(spark, out).collect()}
+        for r in before:
+            assert after[r.partition].n_files == 1  # tiny test data -> one file
+            assert after[r.partition].total_bytes > 0
+        post = sorted(
+            tuple(r) for r in spark.read.parquet(out)
+            .select("event_id", "value", "event_date").collect()
+        )
+        assert pre == post  # byte-identical contents, fewer files
+
+    def test_compaction_skips_healthy_partitions(self, spark, tmp_path):
+        from logistics_data_pipeline_spark.sources import layout
+
+        out = str(tmp_path / "gold")
+        self._events_df(spark).coalesce(1).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(out)
+        stats = layout.partition_file_stats(spark, out).collect()
+        assert all(r.n_files == 1 for r in stats)
+        assert layout.compact_partitions(spark, out) == []
