@@ -221,6 +221,7 @@ def main() -> None:
         "components",
         "copurchase_edges",
         "kc_cells",
+        "winnow_fp",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

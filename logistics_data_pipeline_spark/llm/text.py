@@ -1821,12 +1821,20 @@ def _winnow_selected(docs: DataFrame, k: int, w: int) -> DataFrame:
     )
 
 
-def winnowing(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+def winnowing(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    sel: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc winnowing census: k-gram count, selected-fingerprint
     count, and density (≈ 2/(w+1) in expectation — the guarantee the
     panel lets you audit). Docs shorter than k tokens have no k-grams
-    and do not appear (mirrored in the oracle)."""
-    sel = _winnow_selected(docs, k, w)
+    and do not appear (mirrored in the oracle). ``sel`` injects the
+    shared persisted fingerprint frame (registry asset ``winnow_fp``)
+    so the census and the pair scan build the index once."""
+    if sel is None:
+        sel = _winnow_selected(docs, k, w)
     return (
         sel.groupBy("doc_id")
         .agg(
@@ -1844,6 +1852,7 @@ def winnowing_pairs(
     w: int = WINNOW_W,
     max_df: int = WINNOW_MAX_DF,
     min_shared: int = WINNOW_MIN_SHARED,
+    sel: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints,
     scored by fingerprint-set Jaccard — near-dup detection over the

@@ -742,6 +742,10 @@ def _dedup_shared(spark, sf, name):
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
         df = llm_sim.kmeans_cells_exact(_emb(spark, sf))
+    elif name == "winnow_fp":  # winnowing-selected fingerprint frame
+        df = llm_text._winnow_selected(
+            docs, llm_text.WINNOW_K, llm_text.WINNOW_W
+        )
     else:  # pragma: no cover
         raise KeyError(name)
     df = df.persist()
@@ -1669,12 +1673,20 @@ register(
 )
 register(
     "docs_winnowing",  # MOSS winnowing fingerprint census per doc
-    _q(lambda spark, sf: llm_text.winnowing(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_text.winnowing(
+            _docs(spark, sf), sel=_dedup_shared(spark, sf, "winnow_fp")
+        )
+    ),
     llm_text.WINNOWING_SQL,
 )
 register(
     "docs_winnowing_pairs",  # near-dup pairs over the winnowed index
-    _q(lambda spark, sf: llm_text.winnowing_pairs(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_text.winnowing_pairs(
+            _docs(spark, sf), sel=_dedup_shared(spark, sf, "winnow_fp")
+        )
+    ),
     llm_text.WINNOWING_PAIRS_SQL,
 )
 register(
