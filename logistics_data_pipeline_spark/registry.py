@@ -773,12 +773,13 @@ register(
     llm_dedup.NEARDUP_COMPONENTS_SQL,
 )
 register(
-    "docs_neardup_minhash",  # LSH banding: not SQL-expressible → rows-only
+    "docs_neardup_minhash",  # md5 hash family → bands + verify fully oracled
     _q(
         lambda spark, sf: llm_dedup.neardup_minhash(
             _docs(spark, sf), sig=_dedup_shared(spark, sf, "mh_sig")
         )
     ),
+    llm_dedup.NEARDUP_MINHASH_SQL,
 )
 register(
     "docs_simhash",  # md5-prefix token hash → signatures are SQL-reproducible
@@ -995,7 +996,6 @@ _ROUND6_WINDOW = [
     "events_type_effect_sizes",
     "multimodal_slice_neardup",
     "emb_incremental_topk",
-    "emb_cosine_histogram",
     "orders_item_pagerank",
     "docs_neardup_ngram",
     "docs_neardup_components",
@@ -1043,6 +1043,9 @@ _ROUND6_WINDOW = [
     "emb_semdedup",
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
+    # md5 hash-family swap → first-ever full-oracle driver check
+    "docs_neardup_minhash",
+    "docs_minhash_error_panel",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]
@@ -1517,7 +1520,7 @@ register(
     llm_sim.CELL_BALANCE_SQL,
 )
 register(
-    "docs_minhash_error_panel",  # sketch-vs-exact jaccard error (rows-only)
+    "docs_minhash_error_panel",  # sketch-vs-exact jaccard error, fully oracled
     _q(
         lambda spark, sf: llm_dedup.minhash_error_panel(
             _docs(spark, sf),
@@ -1525,6 +1528,7 @@ register(
             sig=_dedup_shared(spark, sf, "mh_sig"),
         )
     ),
+    llm_dedup.MINHASH_ERROR_PANEL_SQL,
 )
 register(
     "docs_shingle_df_stats",  # the join-size estimator that picks MAX_SHINGLE_DF

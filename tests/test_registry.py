@@ -10,7 +10,6 @@ from logistics_data_pipeline_spark import registry
 # Keys intentionally WITHOUT an oracle (non-SQL-expressible); everything
 # else must have one. Keep in sync with registry registrations.
 ROWS_ONLY_OK: set[str] = {
-    "docs_neardup_minhash",  # LSH banding over xxhash64
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
     "emb_neardup_lsh",  # SRP-LSH candidate recall < 1 by construction
@@ -19,7 +18,6 @@ ROWS_ONLY_OK: set[str] = {
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
     "events_hll_rollup",  # HLL sketch estimates are engine-specific
     "emb_ann_recall_panel",  # evaluates the approximate (rows-only) paths
-    "docs_minhash_error_panel",  # evaluates the xxhash64 sketch vs exact
 }
 
 
