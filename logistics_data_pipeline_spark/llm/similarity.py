@@ -650,6 +650,35 @@ def _tagged_block_sides(emb: DataFrame, n_blocks: int) -> DataFrame:
 SRP_SEED = 20260813
 
 
+def srp_planes(emb: DataFrame, n_bits: int, seed: int) -> DataFrame:
+    """Deterministic SRP hyperplanes (pos, j, g): standard-normal
+    components via Box-Muller over two md5-derived uniforms — the same
+    inverse-CDF-from-md5 recipe the DP release key uses — rounded to
+    6 dp so both engines project against the IDENTICAL plane matrix.
+    dims × n_bits rows, broadcastable at any corpus size; the
+    dimension list comes from the data itself (one tiny distinct over
+    the exploded positions), so nothing is collected driver-side."""
+    x = emb.select(F.posexplode("embedding").alias("pos", "_v")).select("pos")
+    dims = x.distinct()
+    js = emb.sparkSession.range(n_bits).select(F.col("id").cast("int").alias("j"))
+
+    def u(tag):
+        name = F.concat_ws(
+            ":", F.lit("srp"), F.lit(seed), F.col("j"), F.col("pos"), F.lit(tag)
+        )
+        return (
+            F.conv(F.substring(F.md5(name), 1, 12), 16, 10).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(2**48))
+
+    g = F.round(
+        F.sqrt(F.lit(-2.0) * F.log(u("u1")))
+        * F.cos(F.lit(6.283185307179586) * u("u2")),
+        6,
+    )
+    return dims.crossJoin(js).select("pos", "j", g.alias("g"))
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -669,54 +698,46 @@ def embedding_neardup_lsh(
     cosine ≥ 0.87) r=4/b=16 gives recall > 0.9999 while admitting
     ~6% of random pairs; at this table's registered threshold 0.4
     (θ ≈ 66°, barely off the 90° background) the same banding still
-    recalls ≈ 0.94 of threshold pairs but admits most random pairs —
+    recalls most threshold pairs but admits most random pairs —
     the honest reading is that LSH buys nothing for low thresholds,
     which is why the *exact* operators use block-pair decomposition
-    instead. Registered rows-only (approximate by construction); a unit
-    test pins measured recall vs the exact twin.
+    instead. Fully oracle-checked since the hyperplanes became
+    md5-derived (``srp_planes``): signatures, banding, candidates, and
+    the rounded-cosine verification are all ANSI-SQL-reproducible; a
+    unit test additionally pins measured recall vs the exact twin.
 
-    Scale shape: one Arrow pass for signatures (BLAS sign bits, seeded
-    hyperplanes regenerated per executor — nothing shipped), one
-    equi-join on (band, bucket), distinct, then an exact verify join —
-    every stage key-partitioned, nothing driver-side.
-    """
+    Scale shape: the plane matrix is dims × n_bits rows broadcast to a
+    map-side fanout join, projections partial-aggregate on
+    (vec_id, j), buckets on (vec_id, band) — then one equi-join on
+    (band, bucket), distinct, and an exact verify join — every stage
+    key-partitioned, nothing driver-side. Sign bits compare
+    ROUND(proj, 6) ≥ 0 in both engines so summation-order last-ulp
+    wobble cannot flip a bit."""
     import numpy as np
     import pandas as pd
 
     n_bands = n_bits // band_bits
-    sig_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
+    planes = srp_planes(emb, n_bits, seed)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    proj = (
+        x.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("g")).alias("pr"))
     )
-    weights = 1 << np.arange(band_bits, dtype=np.int64)
-
-    def _signatures(batches):
-        hyper = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            if hyper is None:
-                hyper = np.random.default_rng(seed).standard_normal(
-                    (m.shape[1], n_bits)
-                )
-            bits = (m @ hyper >= 0).astype(np.int64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out = {"vec_id": [], "band": [], "bucket": []}
-            for band in range(n_bands):
-                chunk = bits[:, band * band_bits : (band + 1) * band_bits]
-                out["vec_id"].append(ids)
-                out["band"].append(np.full(len(ids), band, dtype=np.int32))
-                out["bucket"].append(chunk @ weights)
-            yield pd.DataFrame(
-                {k: np.concatenate(v) for k, v in out.items()}
-            )
-
-    sigs = emb.select("vec_id", "embedding").mapInPandas(
-        _signatures, schema=sig_schema
+    bit_weight = F.when(
+        F.round(F.col("pr"), 6) >= 0,
+        F.pow(F.lit(2.0), (F.col("j") % band_bits)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    sigs = (
+        proj.select(
+            "vec_id",
+            F.floor(F.col("j") / band_bits).cast("int").alias("band"),
+            bit_weight.alias("w"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("w").alias("bucket"))
     )
     a = sigs.select(
         F.col("band"), F.col("bucket"), F.col("vec_id").alias("a_id")
@@ -735,9 +756,8 @@ def embedding_neardup_lsh(
     # fold: at this registered threshold (0.4) the bands admit MOST
     # pairs, so verification dominates the operator — einsum over each
     # Arrow batch measured ~2.5× faster end-to-end than the per-pair
-    # fold. Fine here because the key is rows-only anyway (the exact
-    # fold stays on the oracle-checked embedding_neardup twin, where
-    # bit-identical summation order is what the hash check needs).
+    # fold. The authoritative round-then-threshold happens in Spark
+    # below with F.round (HALF_UP), matching the oracle.
     va = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     vb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     joined = candidates.join(va, "a_id").join(vb, "b_id")
@@ -781,6 +801,56 @@ def embedding_neardup_lsh(
         .filter(F.col("cosine") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+_SRP_U48 = float(2**48)
+
+NEARDUP_LSH_SQL = f"""
+WITH x AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dims AS (SELECT DISTINCT pos FROM x),
+js AS (SELECT unnest(range(0, 64)) AS j),
+planes AS (
+  SELECT pos, j,
+         ROUND(
+           SQRT(-2.0 * LN((CAST(('0x' || substring(md5(
+                  'srp:{SRP_SEED}:' || j || ':' || pos || ':u1'), 1, 12)) AS BIGINT)
+                + 0.5) / {_SRP_U48}))
+           * COS(6.283185307179586
+                 * ((CAST(('0x' || substring(md5(
+                      'srp:{SRP_SEED}:' || j || ':' || pos || ':u2'), 1, 12)) AS BIGINT)
+                    + 0.5) / {_SRP_U48})), 6) AS g
+  FROM dims CROSS JOIN js
+),
+proj AS (
+  SELECT x.vec_id, p.j, SUM(x.v * p.g) AS pr
+  FROM x JOIN planes p ON p.pos = x.pos
+  GROUP BY x.vec_id, p.j
+),
+sigs AS (
+  SELECT vec_id, j // 4 AS band,
+         SUM(CASE WHEN ROUND(pr, 6) >= 0
+                  THEN CAST(POWER(2, j % 4) AS BIGINT) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.a_id
+JOIN embeddings b ON b.vec_id = c.b_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_THRESHOLD}
+ORDER BY a_id, b_id
+""".strip()
 
 
 EMBEDDING_NEARDUP_SQL = f"""

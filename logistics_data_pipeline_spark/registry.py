@@ -925,8 +925,9 @@ register(
 )
 
 register(
-    "emb_neardup_lsh",  # SRP-LSH candidate gen (seeded hyperplanes) + exact verify → rows-only
+    "emb_neardup_lsh",  # SRP-LSH with md5 Box-Muller hyperplanes → fully oracled
     _q(lambda spark, sf: llm_sim.embedding_neardup_lsh(_emb(spark, sf))),
+    llm_sim.NEARDUP_LSH_SQL,
 )
 register(
     "emb_kmeans_cells",  # exact seeded train round (VERDICT r5 #5 upgrade);
@@ -995,7 +996,6 @@ _ROUND6_WINDOW = [
     "supplier_reliability",
     "events_type_effect_sizes",
     "multimodal_slice_neardup",
-    "emb_incremental_topk",
     "orders_item_pagerank",
     "docs_neardup_ngram",
     "docs_neardup_components",
@@ -1046,6 +1046,7 @@ _ROUND6_WINDOW = [
     # md5 hash-family swap → first-ever full-oracle driver check
     "docs_neardup_minhash",
     "docs_minhash_error_panel",
+    "emb_neardup_lsh",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]

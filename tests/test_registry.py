@@ -12,7 +12,6 @@ from logistics_data_pipeline_spark import registry
 ROWS_ONLY_OK: set[str] = {
     "emb_knn_ivf",  # approximate probe subset
     "emb_neardup_cosine_fast",  # BLAS summation last-ulp vs SQL
-    "emb_neardup_lsh",  # SRP-LSH candidate recall < 1 by construction
     "emb_knn_ivfpq",  # probe-subset + quantization, approximate by design
     "events_approx_distinct",  # HLL sketch estimates are engine-specific
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
