@@ -180,6 +180,7 @@ HEADLINE = [
     "emb_semdedup",
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
+    "emb_knn_ivf_exact",
 ]
 
 

@@ -3335,19 +3335,15 @@ def _cosine_argmax(x: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_cells_exact(
+def kc_exact_centroids(
     emb: DataFrame, n_cells: int = KC_EXACT_CELLS, seed: int = KC_EXACT_SEED
 ) -> DataFrame:
-    """Seeded k-means cell assignment, exact and driver-verifiable:
-    md5-ordered seed draw → unit-normalize → cosine-assign the corpus →
-    one Lloyd mean update (empty cells keep their seed centroid) →
-    re-normalize → final assignment. Output (vec_id, cell, cell_rank).
-
-    Scale: centroid frames are cells × d rows (config-bounded,
-    broadcast); each assignment is one map-side fanout join plus a
-    (vec_id, cell) hash aggregation; the update is a (cell, pos)
-    aggregation over assigned members — no driver collect anywhere,
-    corpus scanned twice (once per assignment round)."""
+    """The exact one-round quantizer's trained centroid frame
+    (cell, pos, c): md5-ordered seed draw → unit-normalize →
+    cosine-assign → one Lloyd mean update (empty cells keep their
+    seed centroid) → re-normalize. cells × d rows, broadcastable;
+    shared by ``kmeans_cells_exact`` (final assignment) and
+    ``knn_ivf_exact`` (probe scoring)."""
     seeds = _seed_rows(emb, n_cells, seed)
     c0raw = seeds.select(
         "cell", F.posexplode("embedding").alias("pos", "val")
@@ -3375,12 +3371,27 @@ def kmeans_cells_exact(
         "pos",
         F.round(F.col("m") / F.nullif(F.col("nrm"), F.lit(0.0)), 6).alias("u"),
     )
-    cent1 = (
+    return (
         cent0.join(c1raw, ["cell", "pos"], "left")
         .select("cell", "pos", F.coalesce("u", "c").alias("c"))
     )
+
+
+def kmeans_cells_exact(
+    emb: DataFrame, n_cells: int = KC_EXACT_CELLS, seed: int = KC_EXACT_SEED
+) -> DataFrame:
+    """Seeded k-means cell assignment, exact and driver-verifiable:
+    the ``kc_exact_centroids`` train round followed by the final
+    cosine argmax. Output (vec_id, cell, cell_rank).
+
+    Scale: centroid frames are cells × d rows (config-bounded,
+    broadcast); each assignment is one map-side fanout join plus a
+    (vec_id, cell) hash aggregation; the update is a (cell, pos)
+    aggregation over assigned members — no driver collect anywhere,
+    corpus scanned twice (once per assignment round)."""
+    cent1 = kc_exact_centroids(emb, n_cells, seed)
     return (
-        _cosine_argmax(x, cent1)
+        _cosine_argmax(_explode_vecs(emb), cent1)
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
@@ -3774,4 +3785,142 @@ ranked AS (
 SELECT vec_id, CAST(cell AS INT) AS cell, CAST(pick_rank AS INT) AS pick_rank
 FROM ranked WHERE pick_rank <= {CBS_PER_CELL}
 ORDER BY cell, pick_rank
+""".strip()
+
+
+# --- oracle-checked IVF retrieval over the exact quantizer ------------------
+
+IVF_EXACT_N_QUERIES = 10
+IVF_EXACT_K = 5
+IVF_EXACT_NPROBE = 3
+
+
+def knn_ivf_exact(
+    emb: DataFrame,
+    n_queries: int = IVF_EXACT_N_QUERIES,
+    k: int = IVF_EXACT_K,
+    nprobe: int = IVF_EXACT_NPROBE,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k retrieval that is EXACTLY reproducible end-to-end:
+    queries score the ``kc_exact_centroids`` cells, probe the top
+    ``nprobe``, and re-rank only those cells' members by rounded
+    cosine — the same probe/scan shape as the production ``knn_ivf``
+    (multi-round Arrow quantizer, rows-only), but every stage, ties
+    included, pins to a DuckDB oracle. The pair that makes the
+    approximate path auditable: knn_ivf for throughput, this twin for
+    the driver's value-hash check.
+
+    Scale: centroid frame broadcast (cells × d rows); probe is a
+    per-query rank over ≤ cells rows; the candidate scan touches
+    nprobe/cells of the corpus via one equi-join on cell — the IVF
+    contract — and the re-rank is a per-query window over that subset."""
+    cent1 = kc_exact_centroids(emb)
+    if cells is None:  # registry injects the shared persisted assignment
+        cells = kmeans_cells_exact(emb)
+    assigned = cells.select("vec_id", "cell")
+    xq = _explode_vecs(emb).filter(F.col("vec_id") < n_queries)
+    ps = (
+        xq.join(F.broadcast(cent1), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum(F.col("v") * F.col("c")), 6).alias("sim"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    probe = (
+        ps.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    cand = probe.join(
+        assigned.filter(F.col("vec_id") >= n_queries).select(
+            F.col("vec_id").alias("cid"), "cell"
+        ),
+        "cell",
+    ).select("qid", "cid")
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    ce = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def _nrm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(dot / (_nrm("qv") * _nrm("cv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_KC_CHAIN = KMEANS_CELLS_EXACT_SQL.split("\nSELECT vec_id, CAST(cell AS INT)")[0].strip()
+
+KNN_IVF_EXACT_SQL = f"""
+{_KC_CHAIN},
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM s1)
+  WHERE rn = 1
+),
+ps AS (
+  SELECT x.vec_id AS qid, c.cell, ROUND(SUM(x.v * c.c), 6) AS sim
+  FROM x JOIN cent1 c ON c.pos = x.pos
+  WHERE x.vec_id < {IVF_EXACT_N_QUERIES}
+  GROUP BY x.vec_id, c.cell
+),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY sim DESC, cell ASC) AS rn
+    FROM ps)
+  WHERE rn <= {IVF_EXACT_NPROBE}
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probe p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id >= {IVF_EXACT_N_QUERIES}
+),
+scored AS (
+  SELECT c.qid, c.cid,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.cid
+)
+SELECT qid AS query_id, cid AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, cid, cosine, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored)
+WHERE rank <= {IVF_EXACT_K}
+ORDER BY query_id, rank
 """.strip()

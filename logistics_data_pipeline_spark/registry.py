@@ -999,7 +999,6 @@ _ROUND6_WINDOW = [
     "orders_item_pagerank",
     "docs_neardup_ngram",
     "docs_neardup_components",
-    "docs_dedup_keeper",
     "docs_ensemble_components",
     # keys NEW in round 6
     "docs_perplexity_buckets",
@@ -1047,6 +1046,7 @@ _ROUND6_WINDOW = [
     "docs_neardup_minhash",
     "docs_minhash_error_panel",
     "emb_neardup_lsh",
+    "emb_knn_ivf_exact",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]
@@ -1725,6 +1725,15 @@ register(
     "docs_dsir_weights",  # DSIR hashed-ngram importance log-weights vs 'en' target
     _q(lambda spark, sf: llm_cur.dsir_weights(_docs(spark, sf))),
     llm_cur.DSIR_WEIGHTS_SQL,
+)
+register(
+    "emb_knn_ivf_exact",  # oracle-checked IVF probe/scan over the exact quantizer
+    _q(
+        lambda spark, sf: llm_sim.knn_ivf_exact(
+            _emb(spark, sf), cells=_dedup_shared(spark, sf, "kc_cells")
+        )
+    ),
+    llm_sim.KNN_IVF_EXACT_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -481,3 +481,36 @@ class TestGoldLayout:
         stats = layout.partition_file_stats(spark, out).collect()
         assert all(r.n_files == 1 for r in stats)
         assert layout.compact_partitions(spark, out) == []
+
+
+class TestKnnIvfExact:
+    def test_probe_subset_of_bruteforce_with_recall(self, spark, sf_dir):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf = sim.knn_ivf_exact(emb)
+        bf = sim.knn_bruteforce(emb)
+        got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+        assert len(got) <= len(truth) or got  # k rows per query max
+        recall = len(got & truth) / len(truth)
+        # near-random synthetic vectors: cell membership carries little
+        # neighbor signal, so the honest floor is just above the
+        # nprobe/cells ≈ 0.19 random-probe baseline (0.4 measured at
+        # sf0.001); real clustered corpora sit far higher
+        assert recall >= 0.25
+        # every returned neighbor is a corpus vector, never a query
+        assert all(n >= sim.IVF_EXACT_N_QUERIES for _, n in got)
+
+    def test_rank_is_dense_per_query(self, spark, sf_dir):
+        from logistics_data_pipeline_spark.llm import similarity as sim
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = sim.knn_ivf_exact(emb).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.query_id, []).append(r.rank)
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))

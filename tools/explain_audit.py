@@ -124,6 +124,7 @@ ALLOWED = {
     # (persisted) kc_cells assignment lineage
     "emb_semdedup": {"unpartitioned window"},
     "emb_cluster_balanced_sample": {"unpartitioned window"},
+    "emb_knn_ivf_exact": {"unpartitioned window"},
     # 1-row corpus token-total broadcast into the 256-bucket ratio table
     "docs_dsir_weights": {"nested-loop join"},
 }
