@@ -181,6 +181,7 @@ HEADLINE = [
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
     "emb_knn_ivf_exact",
+    "multimodal_ahash_neardup",
 ]
 
 

@@ -409,3 +409,134 @@ SELECT a_id, b_id, n_slices_matched, CAST({SLICE_N} AS BIGINT) AS n_slices
 FROM pairs WHERE n_slices_matched >= {SLICE_MIN_MATCH}
 ORDER BY a_id, b_id
 """.strip()
+
+
+# --- perceptual-hash (aHash) near-dup ---------------------------------------
+
+AHASH_BLOCKS = 64
+AHASH_BYTES_PER_BLOCK = 4
+AHASH_BAND_BITS = 8  # 8 bands x 8 bits
+AHASH_MAX_HAMMING = 8
+
+
+def media_ahash_neardup(
+    docs: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Average-hash perceptual near-dup over the binary payloads: the
+    first 256 bytes (the ``resize_media`` canonical size) split into 64
+    four-byte blocks; bit_i = (block byte-sum > global mean) gives a
+    64-bit signature whose Hamming distance is robust to small LOCAL
+    edits (the aHash property real image pipelines rely on — here
+    applied to the opaque payload, the decode stub being honest about
+    the missing codec). Banding (8 × 8 bits) buckets candidates by the
+    pigeonhole bound — ≤ ``max_hamming`` differing bits with
+    max_hamming < 8 bands forces ≥ 1 identical band — then candidates
+    verify by exact Hamming.
+
+    Unlike every cosine/jaccard twin, the WHOLE operator is exact
+    integer arithmetic (byte sums, an exact /64 mean, bit compares), so
+    the oracle needs no rounding defenses at all.
+
+    Scale: signature build is map-side over the hex projection (same
+    ASCII-safe slicing as ``media_slice_neardup``); candidate pairs
+    come from the banded equi-join; the Hamming verify joins the
+    64-row-per-media bit frames only for candidates."""
+    need = AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK
+    media = docs_as_media(docs).select(
+        "media_id",
+        F.hex(F.col("content")).alias("hx"),
+        F.length("content").alias("n_bytes"),
+    ).filter(F.col("n_bytes") >= need)
+    rows = media.select(
+        "media_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(AHASH_BLOCKS - 1))).alias("b"),
+    )
+    block_sum = None
+    for j in range(AHASH_BYTES_PER_BLOCK):
+        start = (F.col("b") * AHASH_BYTES_PER_BLOCK + j) * 2 + 1
+        byte_v = F.conv(F.col("hx").substr(start, F.lit(2)), 16, 10).cast("long")
+        block_sum = byte_v if block_sum is None else block_sum + byte_v
+    blocks = rows.select("media_id", "b", block_sum.alias("v"))
+    means = blocks.groupBy("media_id").agg(
+        (F.sum("v") / F.lit(float(AHASH_BLOCKS))).alias("mean")
+    )
+    bits = blocks.join(means, "media_id").select(
+        "media_id", "b", (F.col("v") > F.col("mean")).cast("long").alias("bit")
+    )
+    bands = bits.groupBy(
+        "media_id", F.floor(F.col("b") / AHASH_BAND_BITS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2.0), (F.col("b") % AHASH_BAND_BITS)).cast("long")
+        ).alias("bv")
+    )
+    a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
+    b = bands.select("band", "bv", F.col("media_id").alias("b_id"))
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ba = bits.select(F.col("media_id").alias("a_id"), "b", F.col("bit").alias("x"))
+    bb = bits.select(F.col("media_id").alias("b_id"), "b", F.col("bit").alias("y"))
+    ham = (
+        cand.join(ba, "a_id")
+        .join(bb, ["b_id", "b"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.abs(F.col("x") - F.col("y"))).cast("bigint").alias("hamming"))
+    )
+    return (
+        ham.filter(F.col("hamming") <= max_hamming)
+        .orderBy("a_id", "b_id")
+    )
+
+
+MEDIA_AHASH_NEARDUP_SQL = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK}
+),
+blocks AS (
+  SELECT media_id, b,
+         CAST(('0x' || substring(hx, (b*{AHASH_BYTES_PER_BLOCK} + 0)*2 + 1, 2)) AS BIGINT)
+       + CAST(('0x' || substring(hx, (b*{AHASH_BYTES_PER_BLOCK} + 1)*2 + 1, 2)) AS BIGINT)
+       + CAST(('0x' || substring(hx, (b*{AHASH_BYTES_PER_BLOCK} + 2)*2 + 1, 2)) AS BIGINT)
+       + CAST(('0x' || substring(hx, (b*{AHASH_BYTES_PER_BLOCK} + 3)*2 + 1, 2)) AS BIGINT)
+         AS v
+  FROM media, (SELECT unnest(range(0, {AHASH_BLOCKS})) AS b)
+),
+means AS (
+  SELECT media_id, SUM(v) / {float(AHASH_BLOCKS)} AS mean
+  FROM blocks GROUP BY media_id
+),
+bits AS (
+  SELECT k.media_id, k.b,
+         CASE WHEN k.v > m.mean THEN 1 ELSE 0 END AS bit
+  FROM blocks k JOIN means m ON m.media_id = k.media_id
+),
+bands AS (
+  SELECT media_id, b // {AHASH_BAND_BITS} AS band,
+         SUM(bit * CAST(POWER(2, b % {AHASH_BAND_BITS}) AS BIGINT)) AS bv
+  FROM bits GROUP BY media_id, b // {AHASH_BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+),
+ham AS (
+  SELECT c.a_id, c.b_id,
+         CAST(SUM(ABS(x.bit - y.bit)) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.media_id = c.a_id
+  JOIN bits y ON y.media_id = c.b_id AND y.b = x.b
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id, hamming FROM ham
+WHERE hamming <= {AHASH_MAX_HAMMING}
+ORDER BY a_id, b_id
+""".strip()

@@ -923,6 +923,11 @@ register(
     _q(lambda spark, sf: llm_mm.sample_frames(llm_mm.docs_as_media(_docs(spark, sf)))),
     llm_mm.FRAME_SAMPLE_SQL,
 )
+register(
+    "multimodal_ahash_neardup",  # 64-bit average-hash + banded hamming pairs
+    _q(lambda spark, sf: llm_mm.media_ahash_neardup(_docs(spark, sf))),
+    llm_mm.MEDIA_AHASH_NEARDUP_SQL,
+)
 
 register(
     "emb_neardup_lsh",  # SRP-LSH with md5 Box-Muller hyperplanes → fully oracled
@@ -998,7 +1003,6 @@ _ROUND6_WINDOW = [
     "multimodal_slice_neardup",
     "orders_item_pagerank",
     "docs_neardup_ngram",
-    "docs_neardup_components",
     "docs_ensemble_components",
     # keys NEW in round 6
     "docs_perplexity_buckets",
@@ -1047,6 +1051,7 @@ _ROUND6_WINDOW = [
     "docs_minhash_error_panel",
     "emb_neardup_lsh",
     "emb_knn_ivf_exact",
+    "multimodal_ahash_neardup",
     # stalest driver hash-match (r01) as the re-verification canary
     "ingest_dedup_antijoin",
 ]

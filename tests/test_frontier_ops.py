@@ -514,3 +514,37 @@ class TestKnnIvfExact:
             per.setdefault(r.query_id, []).append(r.rank)
         for ranks in per.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestAhashNeardup:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_local_edit_survives_global_change_does_not(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal as mm
+
+        base = "the quick brown fox jumps over the lazy dog " * 8  # > 256 bytes
+        local = base[:100] + "X" * 4 + base[104:]  # 4-byte local patch
+        different = "zzzz " * 80
+        docs = self._docs(spark, [base, local, different])
+        out = {(r.a_id, r.b_id): r.hamming for r in
+               mm.media_ahash_neardup(docs).collect()}
+        assert (0, 1) in out  # local edit: few blocks flip
+        assert (0, 2) not in out and (1, 2) not in out
+
+    def test_identical_payloads_hamming_zero(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal as mm
+
+        t = "abcdefgh " * 40
+        docs = self._docs(spark, [t, t])
+        out = mm.media_ahash_neardup(docs).collect()
+        assert len(out) == 1 and out[0].hamming == 0
+
+    def test_short_payloads_excluded(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal as mm
+
+        docs = self._docs(spark, ["tiny", "also tiny"])
+        assert mm.media_ahash_neardup(docs).count() == 0
