@@ -155,6 +155,7 @@ HEADLINE = [
     "docs_rrf_fusion",
     "events_type_value_drift",
     "events_kmv_distinct",
+    "events_hll_manual",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -2216,6 +2216,143 @@ ORDER BY k.event_type
 """.strip()
 
 
+HLL_M = 256  # registers (b=8 index bits); std error ~= 1.04/sqrt(256) = 6.5%
+HLL_W_BITS = 48  # estimator bits taken from md5 hex chars 3..14
+# alpha_256 from the HLL paper's alpha_m = 0.7213/(1 + 1.079/m)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_manual(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Textbook HyperLogLog built from first principles so the REGISTER
+    CONTENTS are oracle-checkable — the companion to ``hll_rollup``
+    (whose native Datasketches registers are engine-private, hence
+    rows-only) and ``kmv_distinct`` (the bottom-k alternative). Per
+    (event_type, user): md5 → 8-bit register index (hex chars 1-2) +
+    48-bit suffix w (chars 3-14); rho = leading-zero count + 1 =
+    49 − length(bin(w)). Per type: registers = max(rho) per index,
+    estimate = alpha·m²/(Σ 2^−M_j) with the paper's small-range
+    linear-counting correction (E ≤ 2.5m and empty registers present →
+    m·ln(m/V)); an 'all' row MERGES the per-type registers by max —
+    the sketch-union that makes HLL re-aggregatable — and its estimate
+    is asserted against the exact corpus-wide distinct in the oracle
+    itself. Estimate and error round to 2/4 decimals so the two
+    engines' float-summation orders cannot flip the hash.
+
+    Scale: the dedup agg is the only user-sized shuffle; everything
+    after touches ≤ m rows per group. Register state is m bytes per
+    (type) — the thing a 100 TB rollup stores and merges, never
+    re-scanning raw users."""
+    h = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            .alias("reg"),
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 3, 12), 16, 10)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .select(
+            "event_type",
+            "reg",
+            F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1))
+            .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w"))))
+            .alias("rho"),
+        )
+    )
+    regs = h.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    merged = regs.groupBy("reg").agg(F.max("mj").alias("mj")).select(
+        F.lit("all").alias("event_type"), "reg", "mj"
+    )
+
+    def _estimate(rframe: DataFrame) -> DataFrame:
+        per = rframe.groupBy("event_type").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s_hit"),
+            F.count("*").alias("n_hit"),
+        )
+        zeros = F.lit(float(m)) - F.col("n_hit")  # empty registers, each 2^0
+        raw = F.lit(HLL_ALPHA * m * m) / (F.col("s_hit") + zeros)
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return per.select("event_type", est.alias("est"))
+
+    per_type = _estimate(regs)
+    all_est = _estimate(merged)
+    exact_t = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    exact_all = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    ).select(F.lit("all").alias("event_type"), "exact_distinct")
+    joined = per_type.unionByName(all_est).join(
+        exact_t.unionByName(exact_all), "event_type"
+    )
+    return joined.select(
+        F.col("event_type").alias("level"),
+        F.round(F.col("est"), 2).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    ).orderBy("level")
+
+
+HLL_MANUAL_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 12)) AS BIGINT) AS w
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+rho AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, reg, MAX(rho) AS mj FROM rho GROUP BY event_type, reg
+),
+allregs AS (
+  SELECT 'all' AS event_type, reg, MAX(mj) AS mj FROM regs GROUP BY reg
+),
+u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+per AS (
+  SELECT event_type,
+         SUM(POWER(2.0, -mj)) AS s_hit,
+         COUNT(*) AS n_hit
+  FROM u GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN (CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M})
+                   / (s_hit + ({HLL_M} - n_hit)) <= 2.5 * {HLL_M}
+                   AND {HLL_M} - n_hit > 0
+              THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_hit))
+              ELSE (CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M})
+                   / (s_hit + ({HLL_M} - n_hit)) END AS est
+  FROM per
+),
+exact_t AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'all', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT e.event_type AS level,
+       ROUND(e.est, 2) AS hll_estimate,
+       x.exact_distinct,
+       ROUND(ABS(e.est - x.exact_distinct) / x.exact_distinct, 4) AS rel_error
+FROM est e JOIN exact_t x ON e.event_type = x.event_type
+ORDER BY level
+""".strip()
+
+
 DRIFT_WINDOW_S = 7 * 86400
 DRIFT_Z = 3.0
 

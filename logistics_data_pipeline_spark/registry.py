@@ -1016,6 +1016,7 @@ _ROUND6_WINDOW = [
     "docs_rrf_fusion",
     "events_type_value_drift",
     "events_kmv_distinct",
+    "events_hll_manual",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1460,6 +1461,11 @@ register(
     "events_kmv_distinct",  # oracle-exact mergeable bottom-k distinct sketch
     _q(lambda spark, sf: analytics.kmv_distinct(load_table(spark, sf, "events"))),
     analytics.KMV_DISTINCT_SQL,
+)
+register(
+    "events_hll_manual",  # register-level oracle-exact HyperLogLog + merge
+    _q(lambda spark, sf: analytics.hll_manual(load_table(spark, sf, "events"))),
+    analytics.HLL_MANUAL_SQL,
 )
 register(
     "emb_label_prototypes",  # per-label exemplars nearest the centroid

@@ -248,6 +248,49 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestHllManual:
+    def test_small_range_exact_and_merge_bound(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(25):  # type S: 25 users << m -> linear counting regime
+            rows.append((base, "S", u, 1.0))
+        for u in range(5000):  # type L: harmonic-mean estimator regime
+            rows.append((base, "L", u, 1.0))
+        ev = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, user_id long, value double"
+        )
+        out = {r.level: r for r in analytics.hll_manual(ev).collect()}
+        # linear counting at tiny cardinality is near-exact (±couple %)
+        assert out["S"].exact_distinct == 25 and out["S"].rel_error < 0.10
+        # m=256 -> sigma ~ 1.04/16 = 6.5%; allow 4 sigma
+        assert out["L"].exact_distinct == 5000 and out["L"].rel_error < 0.26
+        # the merged row covers the union of both types (same universe ->
+        # 5000 distinct users) and its error obeys the same bound
+        assert out["all"].exact_distinct == 5000 and out["all"].rel_error < 0.26
+
+    def test_merge_equals_direct_sketch(self, spark):
+        """HLL union property: max-merging per-type registers gives the
+        IDENTICAL estimate a single sketch over all rows would give."""
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(base, "A", u, 1.0) for u in range(0, 900)]
+        rows += [(base, "B", u, 1.0) for u in range(600, 1500)]  # overlap
+        ev = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, user_id long, value double"
+        )
+        merged = {r.level: r for r in analytics.hll_manual(ev).collect()}["all"]
+        one_type = ev.withColumn("event_type", F.lit("X"))
+        direct = {r.level: r for r in analytics.hll_manual(one_type).collect()}["X"]
+        assert merged.hll_estimate == direct.hll_estimate
+
+
 class TestLabelPrototypes:
     def test_nearest_to_centroid_first(self, spark):
         from logistics_data_pipeline_spark.llm import similarity
