@@ -156,6 +156,7 @@ HEADLINE = [
     "events_type_value_drift",
     "events_kmv_distinct",
     "events_hll_manual",
+    "emb_power_iteration",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

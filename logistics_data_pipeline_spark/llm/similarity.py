@@ -2176,6 +2176,177 @@ def pca_project(emb: DataFrame, n_components: int = PCA_COMPONENTS) -> DataFrame
     )
 
 
+POWER_ITERS = 12  # shared with POWER_ITERATION_SQL — keep in sync
+POWER_ROUND = 9  # per-step vector rounding that keeps both engines bit-equal
+
+
+def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
+    """Top principal component by POWER ITERATION, fully oracle-checked
+    — the existence proof that iterative linear algebra is not outside
+    the exact-verification perimeter (``pca_project``'s numpy ``eigh``
+    is rows-only; this key pins the same PC1 against an unrolled
+    recursive-free SQL twin). The covariance comes from the exact
+    integer-microunit sums ``dim_covariance`` oracle-checks; the
+    iterate v ← Cv/‖Cv‖ runs exactly ``n_iter`` times with EVERY step
+    rounded to {POWER_ROUND} dp in both engines, so float summation
+    order can never drift the trajectories apart: whatever the
+    convergence state after n_iter steps, both engines hold the
+    identical vector. Sign is pinned by making the largest-|loading|
+    entry positive (ties → lowest dim). Output: one row per dimension
+    with the PC1 loading, the Rayleigh-quotient eigenvalue, and its
+    explained-variance share λ₁/trace(C).
+
+    Scale: the only corpus-sized work is the covariance aggregation
+    (O(d²) output, map-side partials); the iteration itself touches
+    64-row frames — at 100 TB it is driver-trivial state computed from
+    one pass, the same shape every distributed PCA takes. Here it stays
+    declarative (12 unrolled broadcast-join/agg steps on d-row frames)
+    so the HALF_UP rounding of both engines matches by construction."""
+    cov_ut = dim_covariance(emb).select("dim_i", "dim_j", "cov")
+    # mirror the triangle into the full matrix
+    mat = cov_ut.unionByName(
+        cov_ut.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "cov",
+        )
+    ).select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov")
+    spark = emb.sparkSession
+    d = F.broadcast(mat.agg((F.max("i") + 1).alias("d")))
+    # v0: uniform unit vector 1/sqrt(d), rounded like every later step
+    v = (
+        mat.select("i")
+        .distinct()
+        .crossJoin(d)
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.lit(1.0) / F.sqrt(F.col("d").cast("double")), POWER_ROUND).alias(
+                "val"
+            ),
+        )
+    )
+    # materialize the d²-row matrix once; localCheckpoint per step
+    # truncates the iterate's lineage (the same discipline as
+    # label_propagation — without it Catalyst re-analyzes a plan that
+    # doubles per iteration and planning time explodes)
+    # coalesce(1): these are d- and d²-row frames — single-partition
+    # checkpoints keep the per-step block/file count O(1) instead of
+    # O(shuffle.partitions) across the 12 steps
+    mat = mat.coalesce(1).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        w = (
+            mat.join(F.broadcast(v), mat.j == v.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("val")).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("dim"),
+                F.round(F.col("wv") / F.col("nrm"), POWER_ROUND).alias("val"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    # sign pin: flip so the largest-|val| entry (tie -> lowest dim) is >= 0
+    pivot = v.orderBy(F.abs(F.col("val")).desc(), F.col("dim").asc()).limit(1)
+    sgn = pivot.select(
+        F.when(F.col("val") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
+    )
+    v = v.crossJoin(F.broadcast(sgn)).select(
+        "dim", (F.col("val") * F.col("sgn")).alias("val")
+    )
+    # Rayleigh quotient lambda = v'Cv (v is unit up to rounding) + trace share
+    vc = mat.join(F.broadcast(v.select(F.col("dim").alias("j"), F.col("val").alias("vj"))), "j")
+    lam = (
+        vc.join(F.broadcast(v.select(F.col("dim").alias("i"), F.col("val").alias("vi"))), "i")
+        .agg(F.sum(F.col("vi") * F.col("cov") * F.col("vj")).alias("lam"))
+    )
+    tr = mat.filter(F.col("i") == F.col("j")).agg(F.sum("cov").alias("tr"))
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("val", 6).alias("pc1_loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tr"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _power_iteration_sql() -> str:
+    """Unrolled-CTE twin of ``power_iteration`` — one (w, n, v) CTE
+    triple per iteration, generated from the SAME module constants."""
+    steps = []
+    for t in range(1, POWER_ITERS + 1):
+        prev = f"v{t - 1}"
+        # AS MATERIALIZED: DuckDB inlines plain CTEs, and v{t}
+        # references w{t} twice -> an un-materialized chain expands
+        # 2^n_iter copies of the covariance scan (measured: FD
+        # exhaustion before the first row)
+        steps.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT m.i AS dim, SUM(m.cov * v.val) AS wv
+  FROM mat m JOIN {prev} v ON m.j = v.dim GROUP BY m.i
+),
+n{t} AS MATERIALIZED (SELECT SQRT(SUM(wv * wv)) AS nrm FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT dim, ROUND(wv / nrm, {POWER_ROUND}) AS val FROM w{t}, n{t}
+)"""
+        )
+    last = f"v{POWER_ITERS}"
+    return f"""
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {COV_SCALE}.0) AS BIGINT) AS q
+  FROM embeddings
+),
+cov_ut AS MATERIALIZED (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         ROUND((CAST(SUM(a.q * b.q) AS DOUBLE)
+                - CAST(SUM(a.q) AS DOUBLE) * CAST(SUM(b.q) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1) / {float(COV_SCALE) ** 2}, 10) AS cov
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+mat AS MATERIALIZED (
+  SELECT dim_i AS i, dim_j AS j, cov FROM cov_ut
+  UNION ALL
+  SELECT dim_j, dim_i, cov FROM cov_ut WHERE dim_i < dim_j
+),
+dd AS (SELECT MAX(i) + 1 AS d FROM mat),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT i AS dim,
+         ROUND(1.0 / SQRT(CAST(d AS DOUBLE)), {POWER_ROUND}) AS val
+  FROM mat, dd
+),
+{",".join(steps)},
+sgn AS (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn
+  FROM {last} ORDER BY ABS(val) DESC, dim ASC LIMIT 1
+),
+vf AS (SELECT dim, val * sgn AS val FROM {last}, sgn),
+lam AS (
+  SELECT SUM(vi.val * m.cov * vj.val) AS lam
+  FROM mat m JOIN vf vi ON m.i = vi.dim JOIN vf vj ON m.j = vj.dim
+),
+tr AS (SELECT SUM(cov) AS tr FROM mat WHERE i = j)
+SELECT CAST(vf.dim AS INT) AS dim,
+       ROUND(vf.val, 6) AS pc1_loading,
+       ROUND(lam.lam, 6) AS eigenvalue,
+       ROUND(lam.lam / tr.tr, 6) AS explained_share
+FROM vf, lam, tr
+ORDER BY dim
+""".strip()
+
+
+POWER_ITERATION_SQL = _power_iteration_sql()
+
+
 TRIPLET_ANCHORS = 10
 
 

@@ -1017,6 +1017,7 @@ _ROUND6_WINDOW = [
     "events_type_value_drift",
     "events_kmv_distinct",
     "events_hll_manual",
+    "emb_power_iteration",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1188,6 +1189,11 @@ register(
 register(
     "emb_pca_project",  # eigh on the bounded covariance → pure-map projection
     _q(lambda spark, sf: llm_sim.pca_project(_emb(spark, sf))),
+)
+register(
+    "emb_power_iteration",  # PC1 by 12 rounded power steps — full oracle twin
+    _q(lambda spark, sf: llm_sim.power_iteration(_emb(spark, sf))),
+    llm_sim.POWER_ITERATION_SQL,
 )
 register(
     "multimodal_dup_groups",  # level-0 binary dedup: checksum groups + keeper

@@ -248,6 +248,39 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestPowerIteration:
+    def test_converges_to_true_pc1(self, spark):
+        """After 12 rounded steps the iterate is (numerically) the top
+        eigenvector of the quantized covariance — checked against
+        numpy's eigh on the same rounded matrix."""
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rng = np.random.RandomState(7)
+        # anisotropic cloud: dominant direction along a random unit u
+        d, n = 16, 400
+        u = rng.randn(d); u /= np.linalg.norm(u)
+        pts = (rng.randn(n, 1) * 3.0) @ u[None, :] + rng.randn(n, d) * 0.3
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.power_iteration(emb).collect()
+        v = np.array([r.pc1_loading for r in sorted(out, key=lambda r: r.dim)])
+        lam = out[0].eigenvalue
+        # reference eigh on the SAME integer-quantized covariance
+        q = np.floor(pts * float(similarity.COV_SCALE))
+        c = np.cov(q, rowvar=False) / float(similarity.COV_SCALE) ** 2
+        evals, evecs = np.linalg.eigh(c)
+        top = evecs[:, -1]
+        assert abs(abs(v @ top) / np.linalg.norm(v)) > 0.999
+        assert abs(lam - evals[-1]) / evals[-1] < 0.01
+        # sign pin: largest-|loading| entry is positive
+        piv = max(range(d), key=lambda i: (abs(v[i]), -i))
+        assert v[piv] > 0
+
+
 class TestHllManual:
     def test_small_range_exact_and_merge_bound(self, spark):
         import datetime as dt
