@@ -157,6 +157,7 @@ HEADLINE = [
     "events_kmv_distinct",
     "events_hll_manual",
     "emb_power_iteration",
+    "docs_fuzzy_decontamination",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

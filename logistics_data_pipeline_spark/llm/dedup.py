@@ -387,6 +387,172 @@ ORDER BY a_id, b_id
 """.strip()
 
 
+FUZZY_CONTAM_J = 0.6
+
+
+def fuzzy_decontamination(
+    docs: DataFrame, threshold: float = FUZZY_CONTAM_J, sig: DataFrame | None = None
+) -> DataFrame:
+    """FUZZY train/eval decontamination: where ``decontamination``
+    (curation.py) scores exact 5-gram overlap, this pass catches
+    PARAPHRASED eval leakage — a train document that is a near-dup of
+    any val/test document — via the same banded-MinHash candidate
+    route as ``neardup_minhash``, restricted to train×eval pairs, then
+    exact-Jaccard verified. One row per train doc that collides with
+    ≥1 eval doc in any band: candidate count, max verified Jaccard,
+    the argmax eval doc (ties → lowest id), and the flag at
+    ``threshold`` (0.6: band recall ≈ 89% with 16×4 banding — the
+    LSH S-curve tradeoff the minhash error panel measures).
+
+    Scale: candidates are banded (never |train|×|eval|), the eval side
+    is the held-out fraction (broadcastable), and the signature table
+    is the shared cached asset every other MinHash key reuses."""
+    from .curation import split_assign  # function-level: avoids import cycle
+
+    if sig is None:
+        sig = track_persist(minhash_sig_table(docs))
+    splits = split_assign(docs).select("doc_id", "split")
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            ).alias("band_sig"),
+                        )
+                        for bi in range(N_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.band", "b.band_sig")
+        .join(splits, "doc_id")
+    )
+    tr = bands.filter(F.col("split") == "train").drop("split")
+    ev = bands.filter(F.col("split") != "train").drop("split")
+    cand = (
+        tr.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_id"), F.col("b.doc_id").alias("eval_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("sh_a")),
+            "train_id",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_b")),
+            "eval_id",
+        )
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("jaccard").desc(), F.col("eval_id").asc()
+    )
+    ranked = verified.withColumn("r", F.row_number().over(w))
+    agg = verified.groupBy("train_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    top = ranked.filter(F.col("r") == 1).select(
+        "train_id", F.col("eval_id").alias("top_eval_id")
+    )
+    return (
+        agg.join(top, "train_id")
+        .select(
+            F.col("train_id").alias("doc_id"),
+            "n_candidates",
+            "max_jaccard",
+            "top_eval_id",
+            (F.col("max_jaccard") >= threshold).alias("is_fuzzy_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _fuzzy_decontamination_sql() -> str:
+    from .curation import _hex_threshold
+
+    return rf"""
+WITH {_MINHASH_SIG_CTES},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_hex_threshold(0.1)}' THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_hex_threshold(0.2)}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+tb AS (
+  SELECT b.doc_id, b.band, b.band_sig, s.split
+  FROM bands b JOIN splits s ON s.doc_id = b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+  FROM tb a JOIN tb b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.split = 'train' AND b.split != 'train'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex0 GROUP BY doc_id),
+inter AS (
+  SELECT c.train_id, c.eval_id, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM cand c
+  JOIN ex0 ea ON ea.doc_id = c.train_id
+  JOIN ex0 eb ON eb.doc_id = c.eval_id AND eb.s = ea.s
+  GROUP BY c.train_id, c.eval_id
+),
+j AS (
+  SELECT c.train_id, c.eval_id,
+         ROUND(CAST(COALESCE(i.ix, 0) AS DOUBLE)
+               / (sa.sz + sb.sz - COALESCE(i.ix, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.train_id = c.train_id AND i.eval_id = c.eval_id
+  JOIN sizes sa ON c.train_id = sa.doc_id
+  JOIN sizes sb ON c.eval_id = sb.doc_id
+),
+agg AS (
+  SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS max_jaccard
+  FROM j GROUP BY train_id
+),
+top AS (
+  SELECT train_id, eval_id AS top_eval_id FROM (
+    SELECT train_id, eval_id,
+           ROW_NUMBER() OVER (PARTITION BY train_id
+                              ORDER BY jaccard DESC, eval_id ASC) AS r
+    FROM j)
+  WHERE r = 1
+)
+SELECT a.train_id AS doc_id, a.n_candidates, a.max_jaccard, t.top_eval_id,
+       a.max_jaccard >= {FUZZY_CONTAM_J} AS is_fuzzy_contaminated
+FROM agg a JOIN top t ON t.train_id = a.train_id
+ORDER BY doc_id
+""".strip()
+
+
 def simhash(docs: DataFrame, bits: int = 48, bands: int = 6) -> DataFrame:
     """SimHash signature: per-bit majority vote over a 48-bit token
     hash (first 12 hex chars of md5, parsed to bigint). 48 bits keeps

@@ -782,6 +782,15 @@ register(
     llm_dedup.NEARDUP_MINHASH_SQL,
 )
 register(
+    "docs_fuzzy_decontamination",  # banded MinHash train×eval leakage scan
+    _q(
+        lambda spark, sf: llm_dedup.fuzzy_decontamination(
+            _docs(spark, sf), sig=_dedup_shared(spark, sf, "mh_sig")
+        )
+    ),
+    llm_dedup._fuzzy_decontamination_sql(),
+)
+register(
     "docs_simhash",  # md5-prefix token hash → signatures are SQL-reproducible
     _q(lambda spark, sf: llm_dedup.simhash_long(_docs(spark, sf))),
     llm_dedup.SIMHASH_LONG_SQL,
@@ -1018,6 +1027,7 @@ _ROUND6_WINDOW = [
     "events_kmv_distinct",
     "events_hll_manual",
     "emb_power_iteration",
+    "docs_fuzzy_decontamination",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -248,6 +248,40 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestFuzzyDecontamination:
+    def test_planted_cross_split_paraphrase(self, spark):
+        import hashlib
+
+        from logistics_data_pipeline_spark.llm import curation, dedup
+
+        thr = curation._hex_threshold(0.2)  # below -> val/test, above -> train
+
+        def split_of(i):
+            return "eval" if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr else "train"
+
+        train_ids = [i for i in range(200) if split_of(i) == "train"]
+        eval_ids = [i for i in range(200) if split_of(i) == "eval"]
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+        rows = []
+        # planted leak: train doc shares ~95% of shingles with an eval doc
+        leak_train, leak_eval = train_ids[0], eval_ids[0]
+        rows.append((leak_train, base + "kilo lima"))
+        rows.append((leak_eval, base + "mike november"))
+        # background docs: unique texts, no overlap
+        for k, i in enumerate(train_ids[1:40]):
+            rows.append((i, f"unique train text t{k} " + " ".join(f"w{k}x{j}" for j in range(30))))
+        for k, i in enumerate(eval_ids[1:10]):
+            rows.append((i, f"unique eval text e{k} " + " ".join(f"v{k}y{j}" for j in range(30))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in dedup.fuzzy_decontamination(docs).collect()}
+        assert leak_train in out, "planted leak must surface as a candidate"
+        r = out[leak_train]
+        assert r.top_eval_id == leak_eval
+        assert r.is_fuzzy_contaminated and r.max_jaccard > 0.7
+        # background train docs share no bands with eval docs
+        assert all(i not in out for i in train_ids[1:40])
+
+
 class TestPowerIteration:
     def test_converges_to_true_pc1(self, spark):
         """After 12 rounded steps the iterate is (numerically) the top

@@ -52,6 +52,9 @@ ALLOWED = {
     "events_type_effect_sizes": {"nested-loop join"},
     # per-round broadcast of the 1-row node count into the rank update
     "orders_item_pagerank": {"nested-loop join"},
+    # 1-row scalars (norm per step, sign, Rayleigh lambda, trace)
+    # cross-joined into the 64-row eigenvector frame
+    "emb_power_iteration": {"nested-loop join"},
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
