@@ -158,6 +158,7 @@ HEADLINE = [
     "events_hll_manual",
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
+    "orders_kcore",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -2613,6 +2613,114 @@ FROM tri, wed
 """.strip()
 
 
+KCORE_K = 8
+KCORE_ROUNDS = 16  # oracle unrolls exactly this many peels — keep in sync
+
+
+def kcore(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_ROUNDS,
+    edges_od: DataFrame | None = None,
+) -> DataFrame:
+    """k-CORE of the degree-capped co-purchase graph — iterative peel
+    (drop every vertex with in-subgraph degree < k, repeat to fixpoint)
+    with a FULL oracle: the DuckDB twin unrolls exactly
+    ``KCORE_ROUNDS`` peel rounds as MATERIALIZED CTEs; once the peel
+    converges a round is idempotent, so as long as Spark's loop
+    converges within the same bound (asserted — unconverged runs RAISE,
+    the label_propagation discipline) the two engines hold the
+    identical core. Output: one row per core vertex with its in-core
+    degree — the dense-community backbone that survives after hubs
+    (cap) and fringe (peel) are gone; empty if no k-core exists.
+
+    Scale: each round is one degree aggregation + two semi-joins on
+    the surviving edge list, whose size only shrinks; lineage is cut
+    per round (localCheckpoint) so the plan stays round-sized. Rounds
+    to fixpoint is small in practice (degeneracy ordering converges
+    lazily); the cap bounds the starting degree like the triangle
+    census. Cited parity: the peel is the textbook Matula–Beck /
+    Batagelj–Zaveršnik iteration expressed relationally."""
+    if edges_od is None:
+        edges_od = copurchase_edges(lineitem)
+    keep0 = edges_od.filter(F.col("od") <= TRI_MAX_DEG)
+    und = keep0.select("src", "dst")
+    g = und.join(
+        und.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_edges = g.count()
+    for _ in range(max_rounds):
+        deg = g.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("v"))
+        ng = (
+            g.join(keep.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ng.count()
+        g = ng
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_rounds} rounds "
+            "(raise KCORE_ROUNDS and regenerate the oracle)"
+        )
+    return (
+        g.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("vertex"), "core_degree")
+        .orderBy("vertex")
+    )
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel twin of ``kcore`` — MATERIALIZED per round (DuckDB
+    inlines plain CTEs; each round references its predecessor three
+    times, so un-materialized expansion would be 3^rounds)."""
+    steps = []
+    for t in range(1, KCORE_ROUNDS + 1):
+        prev = f"g{t - 1}"
+        steps.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM {prev} GROUP BY src
+),
+k{t} AS MATERIALIZED (SELECT src AS v FROM d{t} WHERE d >= {KCORE_K}),
+g{t} AS MATERIALIZED (
+  SELECT g.src, g.dst FROM {prev} g
+  JOIN k{t} a ON g.src = a.v JOIN k{t} b ON g.dst = b.v
+)"""
+        )
+    last = f"g{KCORE_ROUNDS}"
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+keep AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e JOIN deg d ON e.src = d.src
+  WHERE d.od <= {TRI_MAX_DEG}
+),
+g0 AS MATERIALIZED (
+  SELECT k.src, k.dst FROM keep k
+  WHERE k.dst IN (SELECT DISTINCT src FROM keep)
+),
+{",".join(steps)}
+SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {last} GROUP BY src ORDER BY vertex
+""".strip()
+
+
+KCORE_SQL = _kcore_sql()
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """The undirected co-purchase edge list WITH out-degrees, ready for
     ``item_pagerank``'s rounds: (src, dst, od), distinct, partitioned on

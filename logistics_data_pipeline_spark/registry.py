@@ -1028,6 +1028,7 @@ _ROUND6_WINDOW = [
     "events_hll_manual",
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
+    "orders_kcore",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1506,6 +1507,16 @@ register(
     "docs_bm25_scores",  # Okapi BM25 ranked retrieval, deterministic mid-df query
     _q(lambda spark, sf: llm_text.bm25_scores(_docs(spark, sf))),
     llm_text.BM25_SCORES_SQL,
+)
+register(
+    "orders_kcore",  # iterative k-core peel, unrolled-CTE exact oracle
+    _q(
+        lambda spark, sf: analytics.kcore(
+            load_table(spark, sf, "lineitem"),
+            edges_od=_dedup_shared(spark, sf, "copurchase_edges"),
+        )
+    ),
+    analytics.KCORE_SQL,
 )
 register(
     "orders_graph_triangles",  # degree-capped triangle census + clustering coeff

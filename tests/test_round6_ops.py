@@ -248,6 +248,39 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestKcore:
+    def test_clique_survives_tail_peeled(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        # K5 clique (degrees 4) + path 5-6-7 hanging off vertex 0:
+        # the 3-core is exactly the clique; the path peels away over
+        # TWO rounds (7 first, then 6, then 5) — exercising iteration.
+        und = []
+        for a in range(5):
+            for b in range(5):
+                if a != b:
+                    und.append((a, b))
+        for a, b in [(0, 5), (5, 6), (6, 7)]:
+            und += [(a, b), (b, a)]
+        from collections import Counter
+
+        deg = Counter(s for s, _ in und)
+        edges = spark.createDataFrame(
+            [(s, d, deg[s]) for s, d in und], "src long, dst long, od long"
+        )
+        out = analytics.kcore(None, k=3, edges_od=edges).collect()
+        assert {r.vertex for r in out} == {0, 1, 2, 3, 4}
+        assert all(r.core_degree == 4 for r in out)
+
+    def test_no_core_empty(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        edges = spark.createDataFrame(
+            [(0, 1, 1), (1, 0, 1)], "src long, dst long, od long"
+        )
+        assert analytics.kcore(None, k=3, edges_od=edges).count() == 0
+
+
 class TestFuzzyDecontamination:
     def test_planted_cross_split_paraphrase(self, spark):
         import hashlib
