@@ -159,6 +159,7 @@ HEADLINE = [
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
     "orders_kcore",
+    "events_k_anonymity",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

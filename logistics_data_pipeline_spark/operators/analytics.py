@@ -2353,6 +2353,80 @@ ORDER BY level
 """.strip()
 
 
+K_ANON = 5
+K_ANON_VALUE_BUCKET = 10.0
+
+
+def k_anonymity(events: DataFrame, k: int = K_ANON) -> DataFrame:
+    """k-anonymity audit of an event release — the third leg of the
+    privacy toolkit beside the Laplace DP release
+    (``docs_dp_source_counts``) and the PII scrub (``docs_pii_scrub``).
+    Quasi-identifier = (event_type, event day, value decabucket): any
+    QI group with fewer than ``k`` DISTINCT users re-identifies —
+    publishing such a row narrows an attacker's candidate set below k.
+    One row per QI group: row count, distinct users, the violation
+    flag, and the group's share of all release rows (how much data a
+    suppress-violators policy would drop — the utility cost a
+    generalization step would have to beat).
+
+    Scale: one hash aggregation on the QI key with a distinct-count —
+    map-side partial aggregation applies; the 1-row total is a
+    broadcast scalar. At 100 TB the QI cardinality (types × days ×
+    buckets) stays config-bounded, so the output is tiny regardless of
+    corpus size."""
+    qi = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") / F.lit(K_ANON_VALUE_BUCKET))
+        .cast("bigint")
+        .alias("value_bucket"),
+        "user_id",
+    )
+    groups = qi.groupBy("event_type", "event_date", "value_bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    total = F.broadcast(groups.agg(F.sum("n_rows").alias("total_rows")))
+    return (
+        groups.crossJoin(total)
+        .select(
+            "event_type",
+            "event_date",
+            "value_bucket",
+            "n_rows",
+            "n_users",
+            (F.col("n_users") < k).alias("violates_k"),
+            F.round(F.col("n_rows") / F.col("total_rows").cast("double"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("event_type", "event_date", "value_bucket")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH qi AS (
+  SELECT event_type,
+         strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(FLOOR(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+         user_id
+  FROM events
+),
+groups AS (
+  SELECT event_type, event_date, value_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM qi GROUP BY event_type, event_date, value_bucket
+),
+tot AS (SELECT SUM(n_rows) AS total_rows FROM groups)
+SELECT event_type, event_date, value_bucket, n_rows, n_users,
+       n_users < {K_ANON} AS violates_k,
+       ROUND(n_rows / CAST(total_rows AS DOUBLE), 6) AS row_share
+FROM groups, tot
+ORDER BY event_type, event_date, value_bucket
+""".strip()
+
+
 DRIFT_WINDOW_S = 7 * 86400
 DRIFT_Z = 3.0
 

@@ -1029,6 +1029,7 @@ _ROUND6_WINDOW = [
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
     "orders_kcore",
+    "events_k_anonymity",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1483,6 +1484,11 @@ register(
     "events_hll_manual",  # register-level oracle-exact HyperLogLog + merge
     _q(lambda spark, sf: analytics.hll_manual(load_table(spark, sf, "events"))),
     analytics.HLL_MANUAL_SQL,
+)
+register(
+    "events_k_anonymity",  # QI-group re-identification audit + utility cost
+    _q(lambda spark, sf: analytics.k_anonymity(load_table(spark, sf, "events"))),
+    analytics.K_ANONYMITY_SQL,
 )
 register(
     "emb_label_prototypes",  # per-label exemplars nearest the centroid

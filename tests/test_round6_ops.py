@@ -248,6 +248,27 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestKAnonymity:
+    def test_small_group_flags(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import analytics
+
+        base = dt.datetime(2024, 3, 1, 10)
+        rows = []
+        # group A: 6 distinct users in one QI cell -> anonymous at k=5
+        for u in range(6):
+            rows.append((base, "A", u, 15.0))
+        # group B: 2 users, 10 rows -> violates (row count is NOT cover)
+        for i in range(10):
+            rows.append((base, "B", i % 2, 25.0))
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, user_id long, value double")
+        out = {r.event_type: r for r in analytics.k_anonymity(ev).collect()}
+        assert not out["A"].violates_k and out["A"].n_users == 6
+        assert out["B"].violates_k and out["B"].n_users == 2 and out["B"].n_rows == 10
+        assert abs(out["B"].row_share - 10 / 16) < 1e-6
+
+
 class TestKcore:
     def test_clique_survives_tail_peeled(self, spark):
         from logistics_data_pipeline_spark.operators import analytics
