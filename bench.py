@@ -160,6 +160,7 @@ HEADLINE = [
     "docs_fuzzy_decontamination",
     "orders_kcore",
     "events_k_anonymity",
+    "emb_pca_deflation",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -442,11 +442,26 @@ def media_ahash_neardup(
     come from the banded equi-join; the Hamming verify joins the
     64-row-per-media bit frames only for candidates."""
     need = AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK
-    media = docs_as_media(docs).select(
-        "media_id",
-        F.hex(F.col("content")).alias("hx"),
-        F.length("content").alias("n_bytes"),
-    ).filter(F.col("n_bytes") >= need)
+    # truncate the hex projection to the 2·need chars the block reads
+    # ever touch BEFORE the 64-way explode: carrying the full payload
+    # hex through the explode multiplied corpus bytes ×64 (measured
+    # 12.9 s -> the fix's job is to make the exploded row width O(1))
+    # repartition("media_id"): the corpus arrives as one parquet file,
+    # so without a shuffle the 64-way explode + 256 hex-byte parses run
+    # in a SINGLE task (measured: the whole 12.9 s was one core); the
+    # shuffle moves only (media_id, 512-char hx) rows
+    # explicit partition count: keyless AQE coalescing folds a plain
+    # repartition("media_id") back into ONE task on this corpus size
+    media = (
+        docs_as_media(docs)
+        .select(
+            "media_id",
+            F.substring(F.hex(F.col("content")), 1, 2 * need).alias("hx"),
+            F.length("content").alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= need)
+        .repartition(32, "media_id")
+    )
     rows = media.select(
         "media_id",
         "hx",
@@ -461,16 +476,25 @@ def media_ahash_neardup(
     means = blocks.groupBy("media_id").agg(
         (F.sum("v") / F.lit(float(AHASH_BLOCKS))).alias("mean")
     )
-    bits = blocks.join(means, "media_id").select(
-        "media_id", "b", (F.col("v") > F.col("mean")).cast("long").alias("bit")
+    # persist: bits feeds the band build AND both sides of the Hamming
+    # verify — without it the scan+explode+256-hex-parse chain
+    # recomputes per consumer (measured: the key's entire 12.9 s)
+    from ..session import track_persist
+
+    bits = track_persist(
+        blocks.join(means, "media_id").select(
+            "media_id", "b", (F.col("v") > F.col("mean")).cast("long").alias("bit")
+        )
     )
-    bands = bits.groupBy(
-        "media_id", F.floor(F.col("b") / AHASH_BAND_BITS).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.col("bit")
-            * F.pow(F.lit(2.0), (F.col("b") % AHASH_BAND_BITS)).cast("long")
-        ).alias("bv")
+    bands = track_persist(
+        bits.groupBy(
+            "media_id", F.floor(F.col("b") / AHASH_BAND_BITS).cast("int").alias("band")
+        ).agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2.0), (F.col("b") % AHASH_BAND_BITS)).cast("long")
+            ).alias("bv")
+        )
     )
     a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
     b = bands.select("band", "bv", F.col("media_id").alias("b_id"))
@@ -480,13 +504,60 @@ def media_ahash_neardup(
         .select("a_id", "b_id")
         .distinct()
     )
-    ba = bits.select(F.col("media_id").alias("a_id"), "b", F.col("bit").alias("x"))
-    bb = bits.select(F.col("media_id").alias("b_id"), "b", F.col("bit").alias("y"))
+    # Hamming verify on PACKED signatures: the 8 band bytes folded into
+    # two 32-bit halves (top-bit-safe in signed BIGINT on both engines),
+    # hamming = popcount(xor(lo)) + popcount(xor(hi)). One row per
+    # candidate pair — the bit-level formulation this replaces joined a
+    # 64-row frame per side (candidates × 64 verify rows; with 8-bit
+    # bands the candidate set is O(corpus²/256·bands), measured 45M
+    # rows and the key's whole 12.9 s at sf0.1).
+    sigs = bands.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("band") < AHASH_BLOCKS // (2 * AHASH_BAND_BITS),
+                F.col("bv")
+                * F.pow(
+                    F.lit(2.0), (F.col("band") % 4).cast("double") * AHASH_BAND_BITS
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                F.col("band") >= AHASH_BLOCKS // (2 * AHASH_BAND_BITS),
+                F.col("bv")
+                * F.pow(
+                    F.lit(2.0), (F.col("band") % 4).cast("double") * AHASH_BAND_BITS
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
     ham = (
-        cand.join(ba, "a_id")
-        .join(bb, ["b_id", "b"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.abs(F.col("x") - F.col("y"))).cast("bigint").alias("hamming"))
+        cand.join(
+            sigs.select(
+                F.col("media_id").alias("a_id"),
+                F.col("lo").alias("lo_a"),
+                F.col("hi").alias("hi_a"),
+            ),
+            "a_id",
+        )
+        .join(
+            sigs.select(
+                F.col("media_id").alias("b_id"),
+                F.col("lo").alias("lo_b"),
+                F.col("hi").alias("hi_b"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
     )
     return (
         ham.filter(F.col("hamming") <= max_hamming)
@@ -496,7 +567,8 @@ def media_ahash_neardup(
 
 MEDIA_AHASH_NEARDUP_SQL = f"""
 WITH media AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS hx
+  SELECT doc_id AS media_id,
+         substring(hex(encode(text)), 1, {2 * AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK}) AS hx
   FROM documents
   WHERE octet_length(encode(text)) >= {AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK}
 ),
@@ -528,13 +600,23 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
 ),
+sigs AS (
+  SELECT media_id,
+         SUM(CASE WHEN band < 4
+                  THEN bv * CAST(POWER(2, (band % 4) * {AHASH_BAND_BITS}) AS BIGINT)
+                  ELSE 0 END) AS lo,
+         SUM(CASE WHEN band >= 4
+                  THEN bv * CAST(POWER(2, (band % 4) * {AHASH_BAND_BITS}) AS BIGINT)
+                  ELSE 0 END) AS hi
+  FROM bands GROUP BY media_id
+),
 ham AS (
   SELECT c.a_id, c.b_id,
-         CAST(SUM(ABS(x.bit - y.bit)) AS BIGINT) AS hamming
+         CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))
+              AS BIGINT) AS hamming
   FROM cand c
-  JOIN bits x ON x.media_id = c.a_id
-  JOIN bits y ON y.media_id = c.b_id AND y.b = x.b
-  GROUP BY c.a_id, c.b_id
+  JOIN sigs sa ON sa.media_id = c.a_id
+  JOIN sigs sb ON sb.media_id = c.b_id
 )
 SELECT a_id, b_id, hamming FROM ham
 WHERE hamming <= {AHASH_MAX_HAMMING}

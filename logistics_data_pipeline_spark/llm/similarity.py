@@ -2202,16 +2202,47 @@ def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
     one pass, the same shape every distributed PCA takes. Here it stays
     declarative (12 unrolled broadcast-join/agg steps on d-row frames)
     so the HALF_UP rounding of both engines matches by construction."""
+    mat = _cov_full_matrix(emb)
+    # materialize the d²-row matrix once; localCheckpoint per step
+    # truncates the iterate's lineage (the same discipline as
+    # label_propagation — without it Catalyst re-analyzes a plan that
+    # doubles per iteration and planning time explodes); coalesce(1):
+    # these are d- and d²-row frames — single-partition checkpoints
+    # keep the per-step block/file count O(1) instead of
+    # O(shuffle.partitions) across the 12 steps
+    mat = mat.coalesce(1).localCheckpoint(eager=True)
+    v, lam = _pc_once(mat, n_iter)
+    tr = mat.filter(F.col("i") == F.col("j")).agg(F.sum("cov").alias("tr"))
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("val", 6).alias("pc1_loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tr"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _cov_full_matrix(emb: DataFrame) -> DataFrame:
+    """(i, j, cov) full-matrix mirror of ``dim_covariance``'s upper
+    triangle — shared by ``power_iteration`` and ``pca_deflation``."""
     cov_ut = dim_covariance(emb).select("dim_i", "dim_j", "cov")
-    # mirror the triangle into the full matrix
-    mat = cov_ut.unionByName(
+    return cov_ut.unionByName(
         cov_ut.filter(F.col("dim_i") < F.col("dim_j")).select(
             F.col("dim_j").alias("dim_i"),
             F.col("dim_i").alias("dim_j"),
             "cov",
         )
     ).select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov")
-    spark = emb.sparkSession
+
+
+def _pc_once(mat: DataFrame, n_iter: int):
+    """One power-iteration eigenpair on a (checkpointed) matrix frame:
+    n_iter rounded steps from the uniform start, sign-pinned vector and
+    the (unrounded) Rayleigh-quotient lambda as a 1-row frame."""
     d = F.broadcast(mat.agg((F.max("i") + 1).alias("d")))
     # v0: uniform unit vector 1/sqrt(d), rounded like every later step
     v = (
@@ -2225,14 +2256,6 @@ def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
             ),
         )
     )
-    # materialize the d²-row matrix once; localCheckpoint per step
-    # truncates the iterate's lineage (the same discipline as
-    # label_propagation — without it Catalyst re-analyzes a plan that
-    # doubles per iteration and planning time explodes)
-    # coalesce(1): these are d- and d²-row frames — single-partition
-    # checkpoints keep the per-step block/file count O(1) instead of
-    # O(shuffle.partitions) across the 12 steps
-    mat = mat.coalesce(1).localCheckpoint(eager=True)
     for _ in range(n_iter):
         w = (
             mat.join(F.broadcast(v), mat.j == v.dim)
@@ -2257,24 +2280,188 @@ def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
     v = v.crossJoin(F.broadcast(sgn)).select(
         "dim", (F.col("val") * F.col("sgn")).alias("val")
     )
-    # Rayleigh quotient lambda = v'Cv (v is unit up to rounding) + trace share
+    # Rayleigh quotient lambda = v'Cv (v is unit up to rounding)
     vc = mat.join(F.broadcast(v.select(F.col("dim").alias("j"), F.col("val").alias("vj"))), "j")
     lam = (
         vc.join(F.broadcast(v.select(F.col("dim").alias("i"), F.col("val").alias("vi"))), "i")
         .agg(F.sum(F.col("vi") * F.col("cov") * F.col("vj")).alias("lam"))
     )
+    return v, lam
+
+
+PCA_DEFLATE_COMPONENTS = 3
+DEFLATE_LAM_ROUND = 12  # lambda rounding before the rank-1 subtraction
+DEFLATE_MAT_ROUND = 10  # deflated-matrix re-rounding (same as cov's 10 dp)
+
+
+def pca_deflation(
+    emb: DataFrame,
+    n_components: int = PCA_DEFLATE_COMPONENTS,
+    n_iter: int = POWER_ITERS,
+) -> DataFrame:
+    """Top-k principal components by power iteration + HOTELLING
+    DEFLATION, fully oracle-checked — extends ``power_iteration``'s PC1
+    existence proof to a spectrum: after each eigenpair (v, λ) the
+    matrix is deflated C ← ROUND(C − λ·v vᵀ, {DEFLATE_MAT_ROUND}) and
+    the next component is iterated on the residual. λ is rounded to
+    {DEFLATE_LAM_ROUND} dp before the rank-1 subtraction so the
+    deflated matrices — like every iterate — are bit-equal across
+    engines. Output: (component, dim) loadings with each component's
+    eigenvalue and explained-variance share of the ORIGINAL trace;
+    pytest cross-checks the spectrum against ``pca_project``'s numpy
+    ``eigh`` on the same quantized covariance.
+
+    Convergence caveat (stated, not hidden): the key's CONTRACT is the
+    exact t-step trajectory, which both engines reproduce bit-for-bit
+    regardless of spectrum; power iteration's distance to the true
+    eigenvector after t steps scales as (λ₂/λ₁)^t, so on a
+    near-isotropic corpus (the synthetic embeddings are one) the
+    reported components are partially-converged Rayleigh panels, and
+    their eigenvalues need not come out sorted. The pytest pins the
+    separated-spectrum case where 12 steps suffice; ``pca_project``
+    (numpy eigh) remains the production eigensolver.
+
+    Scale: identical to ``power_iteration`` — corpus work is the one
+    covariance aggregation; the k·n_iter step frames are d-row."""
+    mat = _cov_full_matrix(emb).coalesce(1).localCheckpoint(eager=True)
     tr = mat.filter(F.col("i") == F.col("j")).agg(F.sum("cov").alias("tr"))
+    outs = []
+    for c in range(n_components):
+        v, lam = _pc_once(mat, n_iter)
+        lam_r = F.broadcast(
+            lam.select(F.round("lam", DEFLATE_LAM_ROUND).alias("lam"))
+        )
+        outs.append(
+            v.crossJoin(lam_r).select(
+                F.lit(c).cast("int").alias("component"),
+                F.col("dim").cast("int").alias("dim"),
+                "val",
+                "lam",
+            )
+        )
+        if c < n_components - 1:
+            vi = F.broadcast(v.select(F.col("dim").alias("i"), F.col("val").alias("vi")))
+            vj = F.broadcast(v.select(F.col("dim").alias("j"), F.col("val").alias("vj")))
+            mat = (
+                mat.join(vi, "i")
+                .join(vj, "j")
+                .crossJoin(lam_r)
+                .select(
+                    "i",
+                    "j",
+                    F.round(
+                        F.col("cov") - F.col("lam") * F.col("vi") * F.col("vj"),
+                        DEFLATE_MAT_ROUND,
+                    ).alias("cov"),
+                )
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+    all_pcs = outs[0]
+    for o in outs[1:]:
+        all_pcs = all_pcs.unionByName(o)
     return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
+        all_pcs.crossJoin(F.broadcast(tr))
         .select(
-            F.col("dim").cast("int").alias("dim"),
-            F.round("val", 6).alias("pc1_loading"),
+            "component",
+            "dim",
+            F.round("val", 6).alias("loading"),
             F.round("lam", 6).alias("eigenvalue"),
             F.round(F.col("lam") / F.col("tr"), 6).alias("explained_share"),
         )
-        .orderBy("dim")
+        .orderBy("component", "dim")
     )
+
+
+def _pca_deflation_sql() -> str:
+    """Unrolled twin of ``pca_deflation``: per component, the same
+    (w, n, v) MATERIALIZED chain as POWER_ITERATION_SQL plus a rank-1
+    deflation CTE feeding the next component's chain."""
+    parts = []
+    for c in range(PCA_DEFLATE_COMPONENTS):
+        m = f"mat{c}"
+        p = f"c{c}"
+        # v0 for this component
+        parts.append(
+            f"""v{p}_0 AS MATERIALIZED (
+  SELECT DISTINCT i AS dim,
+         ROUND(1.0 / SQRT(CAST(d AS DOUBLE)), {POWER_ROUND}) AS val
+  FROM {m}, dd
+)"""
+        )
+        for t in range(1, POWER_ITERS + 1):
+            prev = f"v{p}_{t - 1}"
+            parts.append(
+                f"""w{p}_{t} AS MATERIALIZED (
+  SELECT m.i AS dim, SUM(m.cov * v.val) AS wv
+  FROM {m} m JOIN {prev} v ON m.j = v.dim GROUP BY m.i
+),
+n{p}_{t} AS MATERIALIZED (SELECT SQRT(SUM(wv * wv)) AS nrm FROM w{p}_{t}),
+v{p}_{t} AS MATERIALIZED (
+  SELECT dim, ROUND(wv / nrm, {POWER_ROUND}) AS val FROM w{p}_{t}, n{p}_{t}
+)"""
+            )
+        last = f"v{p}_{POWER_ITERS}"
+        parts.append(
+            f"""sgn{p} AS MATERIALIZED (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn
+  FROM {last} ORDER BY ABS(val) DESC, dim ASC LIMIT 1
+),
+vf{p} AS MATERIALIZED (SELECT dim, val * sgn AS val FROM {last}, sgn{p}),
+lam{p} AS MATERIALIZED (
+  SELECT ROUND(SUM(vi.val * m.cov * vj.val), {DEFLATE_LAM_ROUND}) AS lam
+  FROM {m} m JOIN vf{p} vi ON m.i = vi.dim JOIN vf{p} vj ON m.j = vj.dim
+)"""
+        )
+        if c < PCA_DEFLATE_COMPONENTS - 1:
+            parts.append(
+                f"""mat{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         ROUND(m.cov - l.lam * vi.val * vj.val, {DEFLATE_MAT_ROUND}) AS cov
+  FROM {m} m
+  JOIN vf{p} vi ON m.i = vi.dim
+  JOIN vf{p} vj ON m.j = vj.dim
+  CROSS JOIN lam{p} l
+)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {c} AS component, vf.dim, vf.val, l.lam
+FROM vfc{c} vf CROSS JOIN lamc{c} l"""
+        for c in range(PCA_DEFLATE_COMPONENTS)
+    )
+    return f"""
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {COV_SCALE}.0) AS BIGINT) AS q
+  FROM embeddings
+),
+cov_ut AS MATERIALIZED (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         ROUND((CAST(SUM(a.q * b.q) AS DOUBLE)
+                - CAST(SUM(a.q) AS DOUBLE) * CAST(SUM(b.q) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1) / {float(COV_SCALE) ** 2}, 10) AS cov
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+mat0 AS MATERIALIZED (
+  SELECT dim_i AS i, dim_j AS j, cov FROM cov_ut
+  UNION ALL
+  SELECT dim_j, dim_i, cov FROM cov_ut WHERE dim_i < dim_j
+),
+dd AS (SELECT MAX(i) + 1 AS d FROM mat0),
+tr AS (SELECT SUM(cov) AS tr FROM mat0 WHERE i = j),
+{",".join(parts)}
+SELECT CAST(component AS INT) AS component, CAST(dim AS INT) AS dim,
+       ROUND(val, 6) AS loading,
+       ROUND(lam, 6) AS eigenvalue,
+       ROUND(lam / tr.tr, 6) AS explained_share
+FROM ({selects}) u CROSS JOIN tr
+ORDER BY component, dim
+""".strip()
+
+
+PCA_DEFLATION_SQL = _pca_deflation_sql()
 
 
 def _power_iteration_sql() -> str:

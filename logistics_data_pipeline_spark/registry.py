@@ -1030,6 +1030,7 @@ _ROUND6_WINDOW = [
     "docs_fuzzy_decontamination",
     "orders_kcore",
     "events_k_anonymity",
+    "emb_pca_deflation",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1206,6 +1207,11 @@ register(
     "emb_power_iteration",  # PC1 by 12 rounded power steps — full oracle twin
     _q(lambda spark, sf: llm_sim.power_iteration(_emb(spark, sf))),
     llm_sim.POWER_ITERATION_SQL,
+)
+register(
+    "emb_pca_deflation",  # top-3 eigenpairs via deflation — full oracle twin
+    _q(lambda spark, sf: llm_sim.pca_deflation(_emb(spark, sf))),
+    llm_sim.PCA_DEFLATION_SQL,
 )
 register(
     "multimodal_dup_groups",  # level-0 binary dedup: checksum groups + keeper

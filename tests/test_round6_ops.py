@@ -369,6 +369,40 @@ class TestPowerIteration:
         assert v[piv] > 0
 
 
+class TestPcaDeflation:
+    def test_spectrum_matches_eigh(self, spark):
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rng = np.random.RandomState(11)
+        d, n = 12, 300
+        # three planted directions with distinct variances 9/4/1
+        basis = np.linalg.qr(rng.randn(d, d))[0][:, :3]
+        pts = (
+            rng.randn(n, 3) * np.array([3.0, 2.0, 1.0])
+        ) @ basis.T + rng.randn(n, d) * 0.05
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.pca_deflation(emb).collect()
+        assert len(out) == 3 * d
+        q = np.floor(pts * float(similarity.COV_SCALE))
+        c = np.cov(q, rowvar=False) / float(similarity.COV_SCALE) ** 2
+        evals, evecs = np.linalg.eigh(c)
+        for comp in range(3):
+            rows = sorted((r for r in out if r.component == comp), key=lambda r: r.dim)
+            v = np.array([r.loading for r in rows])
+            lam = rows[0].eigenvalue
+            ref = evecs[:, -1 - comp]
+            assert abs(abs(v @ ref) / np.linalg.norm(v)) > 0.99, comp
+            assert abs(lam - evals[-1 - comp]) / evals[-1 - comp] < 0.02, comp
+        # eigenvalues strictly decreasing across components
+        lams = [next(r for r in out if r.component == c2).eigenvalue for c2 in range(3)]
+        assert lams[0] > lams[1] > lams[2]
+
+
 class TestHllManual:
     def test_small_range_exact_and_merge_bound(self, spark):
         import datetime as dt

@@ -55,6 +55,8 @@ ALLOWED = {
     # 1-row scalars (norm per step, sign, Rayleigh lambda, trace)
     # cross-joined into the 64-row eigenvector frame
     "emb_power_iteration": {"nested-loop join"},
+    # same scalar pattern per deflated component (λ, sign, trace)
+    "emb_pca_deflation": {"nested-loop join"},
     # 1-row release-total scalar joined into the QI-group table
     "events_k_anonymity": {"nested-loop join"},
     # 1-row grand total; running share over the CATALOG-sized part dim
