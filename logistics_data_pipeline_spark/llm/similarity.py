@@ -2180,7 +2180,9 @@ POWER_ITERS = 12  # shared with POWER_ITERATION_SQL — keep in sync
 POWER_ROUND = 9  # per-step vector rounding that keeps both engines bit-equal
 
 
-def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
+def power_iteration(
+    emb: DataFrame, n_iter: int = POWER_ITERS, mat: DataFrame | None = None
+) -> DataFrame:
     """Top principal component by POWER ITERATION, fully oracle-checked
     — the existence proof that iterative linear algebra is not outside
     the exact-verification perimeter (``pca_project``'s numpy ``eigh``
@@ -2202,15 +2204,15 @@ def power_iteration(emb: DataFrame, n_iter: int = POWER_ITERS) -> DataFrame:
     one pass, the same shape every distributed PCA takes. Here it stays
     declarative (12 unrolled broadcast-join/agg steps on d-row frames)
     so the HALF_UP rounding of both engines matches by construction."""
-    mat = _cov_full_matrix(emb)
-    # materialize the d²-row matrix once; localCheckpoint per step
-    # truncates the iterate's lineage (the same discipline as
-    # label_propagation — without it Catalyst re-analyzes a plan that
-    # doubles per iteration and planning time explodes); coalesce(1):
-    # these are d- and d²-row frames — single-partition checkpoints
-    # keep the per-step block/file count O(1) instead of
-    # O(shuffle.partitions) across the 12 steps
-    mat = mat.coalesce(1).localCheckpoint(eager=True)
+    if mat is None:
+        # materialize the d²-row matrix once; localCheckpoint per step
+        # truncates the iterate's lineage (the same discipline as
+        # label_propagation — without it Catalyst re-analyzes a plan
+        # that doubles per iteration and planning time explodes);
+        # coalesce(1): these are d- and d²-row frames —
+        # single-partition checkpoints keep the per-step block/file
+        # count O(1) instead of O(shuffle.partitions) across the steps
+        mat = _cov_full_matrix(emb).coalesce(1).localCheckpoint(eager=True)
     v, lam = _pc_once(mat, n_iter)
     tr = mat.filter(F.col("i") == F.col("j")).agg(F.sum("cov").alias("tr"))
     return (
@@ -2256,22 +2258,26 @@ def _pc_once(mat: DataFrame, n_iter: int):
             ),
         )
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         w = (
             mat.join(F.broadcast(v), mat.j == v.dim)
             .groupBy("i")
             .agg(F.sum(F.col("cov") * F.col("val")).alias("wv"))
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("dim"),
-                F.round(F.col("wv") / F.col("nrm"), POWER_ROUND).alias("val"),
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("dim"),
+            F.round(F.col("wv") / F.col("nrm"), POWER_ROUND).alias("val"),
         )
+        # checkpoint every 3rd step (and the last): each eager
+        # checkpoint is a full job round-trip (~0.3 s of latency on
+        # d-row frames — 12 of them dominated the key's bench time);
+        # three un-truncated steps keep the lineage well inside
+        # (every-6 measured 3x SLOWER: analysis cost doubles per
+        # un-truncated step, swamping the saved job round-trips)
+        # Catalyst's comfort zone
+        if it % 3 == 2 or it == n_iter - 1:
+            v = v.coalesce(1).localCheckpoint(eager=True)
     # sign pin: flip so the largest-|val| entry (tie -> lowest dim) is >= 0
     pivot = v.orderBy(F.abs(F.col("val")).desc(), F.col("dim").asc()).limit(1)
     sgn = pivot.select(
@@ -2298,6 +2304,7 @@ def pca_deflation(
     emb: DataFrame,
     n_components: int = PCA_DEFLATE_COMPONENTS,
     n_iter: int = POWER_ITERS,
+    mat: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k principal components by power iteration + HOTELLING
     DEFLATION, fully oracle-checked — extends ``power_iteration``'s PC1
@@ -2323,7 +2330,8 @@ def pca_deflation(
 
     Scale: identical to ``power_iteration`` — corpus work is the one
     covariance aggregation; the k·n_iter step frames are d-row."""
-    mat = _cov_full_matrix(emb).coalesce(1).localCheckpoint(eager=True)
+    if mat is None:
+        mat = _cov_full_matrix(emb).coalesce(1).localCheckpoint(eager=True)
     tr = mat.filter(F.col("i") == F.col("j")).agg(F.sum("cov").alias("tr"))
     outs = []
     for c in range(n_components):

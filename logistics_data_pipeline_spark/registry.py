@@ -742,6 +742,12 @@ def _dedup_shared(spark, sf, name):
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
         df = llm_sim.kmeans_cells_exact(_emb(spark, sf))
+    elif name == "cov_mat":  # checkpointed full covariance matrix (d² rows)
+        df = (
+            llm_sim._cov_full_matrix(_emb(spark, sf))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     elif name == "winnow_fp":  # winnowing-selected fingerprint frame
         df = llm_text._winnow_selected(
             docs, llm_text.WINNOW_K, llm_text.WINNOW_W
@@ -1205,12 +1211,20 @@ register(
 )
 register(
     "emb_power_iteration",  # PC1 by 12 rounded power steps — full oracle twin
-    _q(lambda spark, sf: llm_sim.power_iteration(_emb(spark, sf))),
+    _q(
+        lambda spark, sf: llm_sim.power_iteration(
+            _emb(spark, sf), mat=_dedup_shared(spark, sf, "cov_mat")
+        )
+    ),
     llm_sim.POWER_ITERATION_SQL,
 )
 register(
     "emb_pca_deflation",  # top-3 eigenpairs via deflation — full oracle twin
-    _q(lambda spark, sf: llm_sim.pca_deflation(_emb(spark, sf))),
+    _q(
+        lambda spark, sf: llm_sim.pca_deflation(
+            _emb(spark, sf), mat=_dedup_shared(spark, sf, "cov_mat")
+        )
+    ),
     llm_sim.PCA_DEFLATION_SQL,
 )
 register(
