@@ -2582,10 +2582,6 @@ def graph_triangles(
             und.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
         )
     )
-    # e feeds the triangle closure; o feeds BOTH sides of the wedge
-    # self-join — Catalyst has no ReuseExchange across aliased branches,
-    # so persist each once (operator-scoped, released between queries)
-    e = track_persist(capped.filter(F.col("src") < F.col("dst")))
     # Degree orientation: point every edge from its lower-(degree, id)
     # endpoint to the higher one. Each triangle then has exactly one
     # vertex with two OUT-edges, so pairing out-neighbors per source
@@ -2612,21 +2608,23 @@ def graph_triangles(
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
         ).select("src", "dst")
     )
-    pairs_ = (
-        o.alias("x")
-        .join(o.alias("y"), "src")
-        .filter(F.col("x.dst") < F.col("y.dst"))
-        .select(
-            F.least("x.dst", "y.dst").alias("a"),
-            F.greatest("x.dst", "y.dst").alias("c"),
-        )
+    # Per-EDGE adjacency intersection instead of the wedge self-join:
+    # each triangle has exactly one vertex with two out-edges under the
+    # orientation, so Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|
+    # counts every triangle once. The former pairs formulation
+    # MATERIALIZED Σ C(out_deg, 2) wedge rows and shuffled them into a
+    # semi-join (the measured bulk of the key's ~10 s); here the
+    # out-neighbor lists (≤ cap elements, sorted for a merge-step
+    # intersect) attach to each edge in two equi-joins and the
+    # intersection is map-side codegen — no wedge frame ever exists.
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    n_tri = (
+        o.join(adj.select(F.col("src").alias("src"), F.col("nbrs").alias("na")), "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb")), "dst")
+        .select(F.size(F.array_intersect("na", "nb")).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("n_triangles"))
+        .select(F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias("n_triangles"))
     )
-    tri = pairs_.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-        "left_semi",
-    )
-    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     # wedge count centered anywhere: sum over vertices of C(deg, 2) in
     # the capped graph (deg from the symmetric capped list)
     n_wed = (
