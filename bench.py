@@ -161,6 +161,7 @@ HEADLINE = [
     "orders_kcore",
     "events_k_anonymity",
     "emb_pca_deflation",
+    "docs_lsh_s_curve",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

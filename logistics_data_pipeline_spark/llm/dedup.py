@@ -254,28 +254,13 @@ def minhash_sig_table(
     return sh.groupBy("doc_id").agg(*mins, F.collect_set("s").alias("shingles"))
 
 
-def neardup_minhash(
-    docs: DataFrame, threshold: float = 0.7, sig: DataFrame | None = None
-) -> DataFrame:
-    """MinHash+LSH near-dup: banded candidate generation, then exact
-    Jaccard verification of candidates (output: confirmed pairs with
-    estimated and exact similarity).
-
-    The per-doc table (64 minhashes + the shingle set for
-    verification) is built in ONE aggregation and persisted: without
-    that, Catalyst re-evaluates the shingle pipeline for each of its
-    four consumers (both band self-join sides + both verification
-    joins) — no ReuseExchange across aliased branches. The persisted
-    table is one row per doc, trivially cacheable at any scale."""
-    if sig is None:
-        # track_persist: a fresh persist per call with no in-plan release
-        # point would otherwise accumulate for the session's lifetime and
-        # degrade later queries (judge r3: 2.3 s fresh vs 8.2 s hot session).
-        sig = track_persist(minhash_sig_table(docs))
-    # band key = the concatenated minhash values themselves (not a
-    # re-hash): exact, collision-free across engines, and the string is
-    # bounded at 4 × 10 digits — SQL-reproducible where murmur3 is not
-    bands = sig.select(
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) rows from a signature table — the
+    16×4 concatenated-minhash band keys shared by ``neardup_minhash``,
+    ``fuzzy_decontamination`` and ``lsh_s_curve``. The band key is the
+    concatenated minhash values themselves (not a re-hash): exact,
+    collision-free across engines, bounded at 4 × 10 digits."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -295,8 +280,13 @@ def neardup_minhash(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.band_sig")
+
+
+def band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (a_id < b_id) pairs colliding in ≥ 1 band."""
+    bands = band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -306,6 +296,27 @@ def neardup_minhash(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+
+
+def neardup_minhash(
+    docs: DataFrame, threshold: float = 0.7, sig: DataFrame | None = None
+) -> DataFrame:
+    """MinHash+LSH near-dup: banded candidate generation, then exact
+    Jaccard verification of candidates (output: confirmed pairs with
+    estimated and exact similarity).
+
+    The per-doc table (64 minhashes + the shingle set for
+    verification) is built in ONE aggregation and persisted: without
+    that, Catalyst re-evaluates the shingle pipeline for each of its
+    four consumers (both band self-join sides + both verification
+    joins) — no ReuseExchange across aliased branches. The persisted
+    table is one row per doc, trivially cacheable at any scale."""
+    if sig is None:
+        # track_persist: a fresh persist per call with no in-plan release
+        # point would otherwise accumulate for the session's lifetime and
+        # degrade later queries (judge r3: 2.3 s fresh vs 8.2 s hot session).
+        sig = track_persist(minhash_sig_table(docs))
+    candidates = band_candidates(sig)
     # verify candidates with exact shingle Jaccard (no false positives);
     # shingle sets come from the same persisted sig table
     verified = (
@@ -412,30 +423,7 @@ def fuzzy_decontamination(
     if sig is None:
         sig = track_persist(minhash_sig_table(docs))
     splits = split_assign(docs).select("doc_id", "split")
-    bands = (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"mh{bi * ROWS_PER_BAND + r}")
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            ).alias("band_sig"),
-                        )
-                        for bi in range(N_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.band", "b.band_sig")
-        .join(splits, "doc_id")
-    )
+    bands = band_rows(sig).join(splits, "doc_id")
     tr = bands.filter(F.col("split") == "train").drop("split")
     ev = bands.filter(F.col("split") != "train").drop("split")
     cand = (
@@ -1779,6 +1767,118 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(MAX(ABS(est - jaccard)), 6) AS max_abs_err,
        ROUND(AVG(est - jaccard), 6) AS bias
 FROM agr
+""".strip()
+
+
+LSH_CURVE_BIN = 0.05
+LSH_CURVE_MIN_J = 0.05
+
+
+def lsh_s_curve(
+    docs: DataFrame,
+    scores: DataFrame | None = None,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """LSH S-CURVE panel: theoretical vs OBSERVED candidate probability
+    per exact-Jaccard bin — the tuning chart for the 16×4 banding. For
+    every ground-truth pair (the capped inverted-index exact scores),
+    did it collide in ≥1 MinHash band? Per 0.05-wide similarity bin:
+    pair count, candidate count, observed rate, the theoretical
+    1−(1−s^r)^b at the bin midpoint, and the gap. Where
+    ``minhash_error_panel`` grades the ESTIMATOR, this grades the
+    CANDIDATE GENERATOR — the number that decides whether a chosen
+    (bands, rows) setting recalls the 0.6-similarity paraphrases that
+    ``fuzzy_decontamination`` hunts.
+
+    Scale: reuses the shared exact-pair and signature assets; the band
+    self-join is the same bucketed candidate route as the dedup path,
+    and the panel itself is ≤ 20 rows."""
+    if scores is None:
+        scores = ngram_pair_scores(docs)
+    gt = scores.filter(F.col("jaccard") >= LSH_CURVE_MIN_J).select(
+        "a_id", "b_id", "jaccard"
+    )
+    if sig is None:
+        sig = track_persist(minhash_sig_table(docs))
+    cand = band_candidates(sig).withColumn("hit", F.lit(1))
+    marked = gt.join(cand, ["a_id", "b_id"], "left").select(
+        F.floor(F.col("jaccard") / LSH_CURVE_BIN).cast("bigint").alias("bin"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    mid = (F.col("bin") + 0.5) * LSH_CURVE_BIN
+    theo = 1.0 - F.pow(
+        1.0 - F.pow(mid, F.lit(float(ROWS_PER_BAND))), F.lit(float(N_BANDS))
+    )
+    return (
+        marked.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("hit").cast("bigint").alias("n_candidates"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * LSH_CURVE_BIN, 2).alias("bin_lo"),
+            "n_pairs",
+            "n_candidates",
+            F.round(F.col("n_candidates") / F.col("n_pairs").cast("double"), 6).alias(
+                "observed_rate"
+            ),
+            F.round(theo, 6).alias("theoretical_rate"),
+            F.round(
+                F.abs(
+                    F.col("n_candidates") / F.col("n_pairs").cast("double") - theo
+                ),
+                6,
+            ).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+LSH_S_CURVE_SQL = rf"""
+WITH {_MINHASH_SIG_CTES},
+ex AS (  -- ground truth uses the SAME df-capped index as the ngram path
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a_id, b_id,
+         ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) AS jaccard
+  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) >= {LSH_CURVE_MIN_J}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+marked AS (
+  SELECT CAST(FLOOR(t.jaccard / {LSH_CURVE_BIN}) AS BIGINT) AS bin,
+         CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t
+  LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+)
+SELECT bin,
+       ROUND(bin * {LSH_CURVE_BIN}, 2) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_candidates,
+       ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate,
+       ROUND(1.0 - POWER(1.0 - POWER((bin + 0.5) * {LSH_CURVE_BIN},
+                                     {float(ROWS_PER_BAND)}),
+                         {float(N_BANDS)}), 6) AS theoretical_rate,
+       ROUND(ABS(SUM(hit) / CAST(COUNT(*) AS DOUBLE)
+                 - (1.0 - POWER(1.0 - POWER((bin + 0.5) * {LSH_CURVE_BIN},
+                                            {float(ROWS_PER_BAND)}),
+                                {float(N_BANDS)}))), 6) AS abs_gap
+FROM marked
+GROUP BY bin
+ORDER BY bin
 """.strip()
 
 

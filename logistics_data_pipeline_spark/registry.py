@@ -788,6 +788,17 @@ register(
     llm_dedup.NEARDUP_MINHASH_SQL,
 )
 register(
+    "docs_lsh_s_curve",  # theoretical vs observed band-candidate recall curve
+    _q(
+        lambda spark, sf: llm_dedup.lsh_s_curve(
+            _docs(spark, sf),
+            scores=_dedup_shared(spark, sf, "jac_scores"),
+            sig=_dedup_shared(spark, sf, "mh_sig"),
+        )
+    ),
+    llm_dedup.LSH_S_CURVE_SQL,
+)
+register(
     "docs_fuzzy_decontamination",  # banded MinHash train×eval leakage scan
     _q(
         lambda spark, sf: llm_dedup.fuzzy_decontamination(
@@ -1037,6 +1048,7 @@ _ROUND6_WINDOW = [
     "orders_kcore",
     "events_k_anonymity",
     "emb_pca_deflation",
+    "docs_lsh_s_curve",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

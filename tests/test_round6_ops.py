@@ -248,6 +248,35 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestLshSCurve:
+    def test_high_bins_recalled_low_bins_not(self, spark):
+        from logistics_data_pipeline_spark.llm import dedup
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo ").split()
+        rows = []
+        # 10 near-identical pairs (high jaccard) + 10 low-overlap pairs
+        for k in range(10):
+            t = " ".join(base) + f" suffix{k}"
+            rows.append((2 * k, t + " x"))
+            rows.append((2 * k + 1, t + " y"))
+        for k in range(10):
+            rows.append((100 + 2 * k, f"group{k} " + " ".join(f"a{k}w{j}" for j in range(25)) + " shared common tokens here"))
+            rows.append((101 + 2 * k, f"group{k} " + " ".join(f"b{k}w{j}" for j in range(25)) + " shared common tokens here"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.lsh_s_curve(docs).collect()
+        assert out, "panel must not be empty"
+        hi = [r for r in out if r.bin_lo >= 0.85]
+        lo = [r for r in out if r.bin_lo <= 0.15]
+        # near-identical pairs are (almost) always banded together
+        assert hi and all(r.observed_rate >= 0.9 for r in hi)
+        # the theoretical curve agrees: ~1.0 up high, ~0 down low
+        assert all(r.theoretical_rate > 0.98 for r in hi)
+        assert all(r.theoretical_rate < 0.05 for r in lo)
+        # counts are consistent
+        assert all(r.n_candidates <= r.n_pairs for r in out)
+
+
 class TestKAnonymity:
     def test_small_group_flags(self, spark):
         import datetime as dt
