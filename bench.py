@@ -162,6 +162,8 @@ HEADLINE = [
     "events_k_anonymity",
     "emb_pca_deflation",
     "docs_lsh_s_curve",
+    "orders_duplicate_invoices",
+    "events_attribution_models",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -437,10 +437,12 @@ def media_ahash_neardup(
     integer arithmetic (byte sums, an exact /64 mean, bit compares), so
     the oracle needs no rounding defenses at all.
 
-    Scale: signature build is map-side over the hex projection (same
-    ASCII-safe slicing as ``media_slice_neardup``); candidate pairs
-    come from the banded equi-join; the Hamming verify joins the
-    64-row-per-media bit frames only for candidates."""
+    Scale: signature build is map-side over the truncated hex
+    projection (same ASCII-safe slicing as ``media_slice_neardup``),
+    spread across tasks by an explicit repartition; candidate pairs
+    come from the banded equi-join; the Hamming verify is ONE row per
+    candidate pair — the 64 signature bits packed into two 32-bit
+    BIGINT halves, distance = bit_count(xor(lo)) + bit_count(xor(hi))."""
     need = AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK
     # truncate the hex projection to the 2·need chars the block reads
     # ever touch BEFORE the 64-way explode: carrying the full payload

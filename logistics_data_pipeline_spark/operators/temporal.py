@@ -1262,3 +1262,117 @@ SELECT spine.day,
 FROM spine LEFT JOIN daily ON spine.day = daily.day
 ORDER BY spine.day
 """.strip()
+
+
+ATTRIB_DECAY_TAU_S = 600.0  # 10-min half-life-ish time-decay constant
+
+
+def attribution_models(events: DataFrame) -> DataFrame:
+    """Multi-touch attribution credit per (purchase, prior click) under
+    the four standard marketing models in one pass: LINEAR (1/n),
+    FIRST-touch and LAST-touch flags (deterministic tie-breaks on
+    click id), and TIME-DECAY (exp(−Δt/τ) normalized per purchase,
+    τ = 10 min) — the comparison table an attribution migration runs
+    before switching models. Clicks attach by the same 30-minute
+    lookback as ``purchase_click_attribution``, via the same
+    bucketed-equality range join (never clicks × purchases).
+
+    Scale: pair volume is the range-join candidate set (bounded per
+    (user, bucket)); the per-purchase normalizations are two window
+    functions partitioned by purchase_id. exp() is double math on both
+    engines; 6-dp rounding absorbs last-ulp libm differences — the
+    same defense every cosine twin uses."""
+    win_s = ATTRIBUTION_MINUTES * 60
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p_b = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.unix_timestamp("p_ts") - win_s) / win_s),
+                    F.floor(F.unix_timestamp("p_ts") / win_s),
+                )
+            )
+        ),
+    )
+    c_b = clicks.withColumn(
+        "bucket", F.floor(F.unix_timestamp("click_ts") / win_s)
+    )
+    pairs = p_b.join(c_b, ["user_id", "bucket"]).filter(
+        (F.col("click_ts") > F.col("p_ts") - F.expr(f"INTERVAL {win_s} SECONDS"))
+        & (F.col("click_ts") <= F.col("p_ts"))
+    ).select("purchase_id", "click_id", "p_ts", "click_ts")
+    w_all = Window.partitionBy("purchase_id")
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").asc(), F.col("click_id").asc()
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    dt_s = F.col("p_ts").cast("double") - F.col("click_ts").cast("double")
+    decay_w = F.exp(-dt_s / F.lit(ATTRIB_DECAY_TAU_S))
+    return (
+        pairs.select(
+            "purchase_id",
+            "click_id",
+            F.count("*").over(w_all).cast("bigint").alias("n_clicks"),
+            F.row_number().over(w_first).alias("rn_f"),
+            F.row_number().over(w_last).alias("rn_l"),
+            decay_w.alias("w"),
+            F.sum(decay_w).over(w_all).alias("w_sum"),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "n_clicks",
+            F.round(F.lit(1.0) / F.col("n_clicks"), 6).alias("linear_credit"),
+            (F.col("rn_f") == 1).alias("is_first_touch"),
+            (F.col("rn_l") == 1).alias("is_last_touch"),
+            F.round(F.col("w") / F.col("w_sum"), 6).alias("time_decay_credit"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+ATTRIBUTION_MODELS_SQL = f"""
+WITH purchases AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.purchase_id, c.click_id, p.p_ts, c.click_ts
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts > p.p_ts - INTERVAL {ATTRIBUTION_MINUTES} MINUTE
+   AND c.click_ts <= p.p_ts
+),
+scored AS (
+  SELECT purchase_id, click_id,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts ASC, click_id ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts DESC, click_id DESC) AS rn_l,
+         EXP(-(epoch(p_ts) - epoch(click_ts)) / {ATTRIB_DECAY_TAU_S}) AS w,
+         SUM(EXP(-(epoch(p_ts) - epoch(click_ts)) / {ATTRIB_DECAY_TAU_S}))
+           OVER (PARTITION BY purchase_id) AS w_sum
+  FROM pairs
+)
+SELECT purchase_id, click_id,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       ROUND(1.0 / n_clicks, 6) AS linear_credit,
+       rn_f = 1 AS is_first_touch,
+       rn_l = 1 AS is_last_touch,
+       ROUND(w / w_sum, 6) AS time_decay_credit
+FROM scored
+ORDER BY purchase_id, click_id
+""".strip()

@@ -1884,3 +1884,95 @@ WHERE (fp.mx_cheaper IS NULL OR fp.mx_cheaper < p.p_size)
   AND p.p_size = fp.mx_size
 ORDER BY p.p_retailprice, p.p_partkey
 """.strip()
+
+
+DUPINV_PRICE_TOL = 0.01  # relative total-price tolerance (1%)
+DUPINV_DAYS = 7
+
+
+def duplicate_invoices(orders: DataFrame) -> DataFrame:
+    """Duplicate-submission detection over STRUCTURED records — the
+    entity-resolution twin of the text near-dup family: two orders by
+    the SAME customer whose totals agree within 1% and whose order
+    dates fall within 7 days are flagged as probable double entries
+    (retry storms, double-clicks, replayed batches — the classic
+    duplicate-invoice audit). Output: one row per flagged pair with
+    the relative price gap and day gap, plus an exact_amount flag for
+    the to-the-cent repeats that auto-void safely.
+
+    Scale: candidates are BLOCKED on o_custkey (one shuffle; per-block
+    pair volume is C(orders-per-customer, 2), bounded by customer
+    activity, never |orders|²); the tolerance checks are map-side on
+    the joined pairs. The same blocking discipline as the
+    sorted-neighborhood text pass, applied to a dimension key."""
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("order_a"),
+        F.col("b.o_orderkey").alias("order_b"),
+        F.col("a.price").alias("price_a"),
+        F.col("b.price").alias("price_b"),
+        F.datediff(F.col("b.d"), F.col("a.d")).alias("day_gap_signed"),
+    )
+    rel_gap = F.abs(
+        F.col("price_a").cast("double") - F.col("price_b").cast("double")
+    ) / F.greatest(F.col("price_a"), F.col("price_b")).cast("double")
+    day_gap = F.abs(F.col("day_gap_signed"))
+    return (
+        pairs.filter(
+            (rel_gap <= DUPINV_PRICE_TOL) & (day_gap <= DUPINV_DAYS)
+        )
+        .select(
+            "custkey",
+            "order_a",
+            "order_b",
+            # decimals leave the engine as ROUNDED DOUBLES: the harness
+            # canonicalizer hashes pandas dtypes, and Spark DECIMAL
+            # arrives as object vs DuckDB's float64
+            F.round(F.col("price_a").cast("double"), 2).alias("price_a"),
+            F.round(F.col("price_b").cast("double"), 2).alias("price_b"),
+            F.round(rel_gap, 6).alias("rel_price_gap"),
+            day_gap.cast("bigint").alias("day_gap"),
+            (F.col("price_a") == F.col("price_b")).alias("exact_amount"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
+
+
+DUPLICATE_INVOICES_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey AS custkey,
+         a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+         a.price AS price_a, b.price AS price_b,
+         ABS(date_diff('day', a.d, b.d)) AS day_gap,
+         ABS(CAST(a.price AS DOUBLE) - CAST(b.price AS DOUBLE))
+           / CAST(GREATEST(a.price, b.price) AS DOUBLE) AS rel_gap
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+)
+SELECT custkey, order_a, order_b,
+       ROUND(CAST(price_a AS DOUBLE), 2) AS price_a,
+       ROUND(CAST(price_b AS DOUBLE), 2) AS price_b,
+       ROUND(rel_gap, 6) AS rel_price_gap,
+       CAST(day_gap AS BIGINT) AS day_gap,
+       price_a = price_b AS exact_amount
+FROM pairs
+WHERE rel_gap <= {DUPINV_PRICE_TOL} AND day_gap <= {DUPINV_DAYS}
+ORDER BY custkey, order_a, order_b
+""".strip()

@@ -579,6 +579,11 @@ register(
     temporal.PURCHASE_CLICK_ATTRIBUTION_SQL,
 )
 register(
+    "events_attribution_models",  # linear/first/last/time-decay credits
+    _q(lambda spark, sf: temporal.attribution_models(load_table(spark, sf, "events"))),
+    temporal.ATTRIBUTION_MODELS_SQL,
+)
+register(
     "events_retention_cohorts",
     _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
     temporal.RETENTION_COHORTS_SQL,
@@ -1049,6 +1054,8 @@ _ROUND6_WINDOW = [
     "events_k_anonymity",
     "emb_pca_deflation",
     "docs_lsh_s_curve",
+    "orders_duplicate_invoices",
+    "events_attribution_models",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",
@@ -1448,6 +1455,11 @@ register(
     "emb_hamming_cosine_calibration",  # sign-code QA: cosine per hamming bucket
     _q(lambda spark, sf: llm_sim.hamming_cosine_calibration(_emb(spark, sf))),
     llm_sim.HAMMING_COSINE_CALIBRATION_SQL,
+)
+register(
+    "orders_duplicate_invoices",  # customer-blocked double-entry audit
+    _q(lambda spark, sf: tx.duplicate_invoices(load_table(spark, sf, "orders"))),
+    tx.DUPLICATE_INVOICES_SQL,
 )
 register(
     "supplier_concentration",  # per-part HHI single-sourcing risk

@@ -248,6 +248,73 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestAttributionModels:
+    def test_credits_and_flags(self, spark):
+        import datetime as dt
+        import math
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: clicks at -20min, -10min, -1min before purchase id 100
+            (1, t0 - dt.timedelta(minutes=20), 1, "click", 0.0),
+            (2, t0 - dt.timedelta(minutes=10), 1, "click", 0.0),
+            (3, t0 - dt.timedelta(minutes=1), 1, "click", 0.0),
+            (100, t0, 1, "purchase", 9.99),
+            # a click outside the 30-min lookback never attributes
+            (4, t0 - dt.timedelta(minutes=45), 1, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = {r.click_id: r for r in temporal.attribution_models(ev).collect()}
+        assert set(out) == {1, 2, 3}
+        assert all(r.n_clicks == 3 and abs(r.linear_credit - 1 / 3) < 1e-6 for r in out.values())
+        assert out[1].is_first_touch and not out[1].is_last_touch
+        assert out[3].is_last_touch and not out[3].is_first_touch
+        # time decay favors the most recent click
+        assert out[3].time_decay_credit > out[2].time_decay_credit > out[1].time_decay_credit
+        ws = [math.exp(-m * 60 / temporal.ATTRIB_DECAY_TAU_S) for m in (20, 10, 1)]
+        assert abs(out[3].time_decay_credit - ws[2] / sum(ws)) < 1e-5
+        # credits normalize to 1 per purchase
+        assert abs(sum(r.time_decay_credit for r in out.values()) - 1.0) < 1e-5
+
+
+class TestDuplicateInvoices:
+    def test_planted_double_entry(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.date(2024, 5, 1)
+        rows = [
+            # planted duplicate: same customer, same cents, next day
+            (1, 10, 500.00, d0),
+            (2, 10, 500.00, d0 + dt.timedelta(days=1)),
+            # near-duplicate: within 0.1% and 3 days
+            (3, 11, 1000.00, d0),
+            (4, 11, 1000.50, d0 + dt.timedelta(days=3)),
+            # same customer but price differs 5% -> not flagged
+            (5, 12, 200.00, d0),
+            (6, 12, 210.00, d0),
+            # same price but 30 days apart -> not flagged
+            (7, 13, 300.00, d0),
+            (8, 13, 300.00, d0 + dt.timedelta(days=30)),
+            # different customers, identical orders -> not flagged
+            (9, 14, 400.00, d0),
+            (10, 15, 400.00, d0),
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+        )
+        out = tpch_extra.duplicate_invoices(orders).collect()
+        got = {(r.order_a, r.order_b): r for r in out}
+        assert set(got) == {(1, 2), (3, 4)}
+        assert got[(1, 2)].exact_amount and got[(1, 2)].day_gap == 1
+        assert not got[(3, 4)].exact_amount and got[(3, 4)].day_gap == 3
+
+
 class TestLshSCurve:
     def test_high_bins_recalled_low_bins_not(self, spark):
         from logistics_data_pipeline_spark.llm import dedup
