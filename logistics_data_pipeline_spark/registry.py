@@ -1029,13 +1029,11 @@ register(
 # here (not just register()-ed) or they wait a full round for a check.
 
 _ROUND6_WINDOW = [
-    "supplier_reliability",
-    "events_type_effect_sizes",
-    "multimodal_slice_neardup",
-    "orders_item_pagerank",
-    "docs_neardup_ngram",
-    "docs_ensemble_components",
-    # keys NEW in round 6
+    # exactly the driver's 50-key budget: every key never yet
+    # driver-checked (47 — all of round 6's additions), then 3 slots
+    # for keys whose IMPLEMENTATION changed under an already-green name
+    # (md5 MinHash family swap, exact-seeded k-means) and whose oracle
+    # upgrade has therefore never been driver-hash-verified
     "docs_perplexity_buckets",
     "docs_source_overlap",
     "docs_token_dup_inflation",
@@ -1068,7 +1066,6 @@ _ROUND6_WINDOW = [
     "supplier_concentration",
     "events_changepoint_scan",
     "docs_dp_source_counts",
-    # keys NEW in this session (never driver-checked)
     "orders_theilsen_trend",
     "orders_benford_digits",
     "orders_revenue_gini",
@@ -1079,21 +1076,14 @@ _ROUND6_WINDOW = [
     "docs_winnowing",
     "docs_winnowing_pairs",
     "docs_editdistance_verify",
-    # rows-only → full-oracle upgrades (exact seeded train round)
-    "emb_kmeans_cells",
-    "emb_pq_codes",
-    # SemDeDup / balanced-sample / DSIR (new, never driver-checked)
     "emb_semdedup",
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
-    # md5 hash-family swap → first-ever full-oracle driver check
-    "docs_neardup_minhash",
-    "docs_minhash_error_panel",
-    "emb_neardup_lsh",
     "emb_knn_ivf_exact",
     "multimodal_ahash_neardup",
-    # stalest driver hash-match (r01) as the re-verification canary
-    "ingest_dedup_antijoin",
+    "docs_neardup_minhash",
+    "emb_neardup_lsh",
+    "emb_kmeans_cells",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
