@@ -164,6 +164,7 @@ HEADLINE = [
     "docs_lsh_s_curve",
     "orders_duplicate_invoices",
     "events_attribution_models",
+    "events_ewma_control",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

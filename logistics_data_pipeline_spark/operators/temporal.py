@@ -1376,3 +1376,85 @@ SELECT purchase_id, click_id,
 FROM scored
 ORDER BY purchase_id, click_id
 """.strip()
+
+
+EWMA_LAMBDA = 0.3
+EWMA_LOOKBACK_H = 24
+EWMA_Z = 3.0
+
+
+def ewma_control(events: DataFrame) -> DataFrame:
+    """EWMA control chart over hourly event volumes — the classic
+    SPC monitor beside the MAD robust-z (value outliers) and the
+    rate-burst RANGE baseline: per (type, hour), the exponentially
+    weighted moving average of the PREVIOUS {EWMA_LOOKBACK_H} hourly
+    counts (weight λ(1−λ)^(gap−1), renormalized over the lags actually
+    present, so gaps and series edges stay unbiased), a Poisson-scaled
+    deviation z = (count − ewma)/√ewma, and the |z| > {EWMA_Z} alarm.
+
+    Scale: the hourly rollup is one aggregation; the baseline is a
+    bounded-band self-join on hour INDEX equality-ranges (each row
+    joins ≤ {EWMA_LOOKBACK_H} predecessors of its own type — never a
+    full history scan), the same bucketed range-join discipline as the
+    attribution pass. Σ of ≤ 24 doubles differs across engines only in
+    the last ulp; 6-dp rounding absorbs it (the standard defense)."""
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    from ..session import track_persist
+
+    hourly = track_persist(hourly)
+    cur, prior = hourly.alias("cur"), hourly.alias("prior")
+    gap = F.col("cur.h") - F.col("prior.h")
+    w = F.lit(EWMA_LAMBDA) * F.pow(F.lit(1.0 - EWMA_LAMBDA), gap - 1)
+    base = (
+        cur.join(
+            prior,
+            (F.col("cur.event_type") == F.col("prior.event_type"))
+            & (gap >= 1)
+            & (gap <= EWMA_LOOKBACK_H),
+        )
+        .groupBy(F.col("cur.event_type").alias("event_type"), F.col("cur.h").alias("h"))
+        .agg(
+            (F.sum(w * F.col("prior.cnt")) / F.sum(w)).alias("ewma")
+        )
+    )
+    z = (F.col("cnt") - F.col("ewma")) / F.sqrt(F.col("ewma"))
+    return (
+        hourly.join(base, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            "cnt",
+            F.round("ewma", 6).alias("ewma"),
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > EWMA_Z, F.lit(False)).alias("is_alarm"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+EWMA_CONTROL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT cur.event_type, cur.h,
+         SUM({EWMA_LAMBDA} * POWER(1.0 - {EWMA_LAMBDA}, cur.h - prior.h - 1) * prior.cnt)
+           / SUM({EWMA_LAMBDA} * POWER(1.0 - {EWMA_LAMBDA}, cur.h - prior.h - 1)) AS ewma
+  FROM hourly cur JOIN hourly prior
+    ON prior.event_type = cur.event_type
+   AND cur.h - prior.h BETWEEN 1 AND {EWMA_LOOKBACK_H}
+  GROUP BY cur.event_type, cur.h
+)
+SELECT hh.event_type, hh.h AS hour_idx, hh.cnt,
+       ROUND(b.ewma, 6) AS ewma,
+       ROUND((hh.cnt - b.ewma) / SQRT(b.ewma), 6) AS z,
+       COALESCE(ABS((hh.cnt - b.ewma) / SQRT(b.ewma)) > {EWMA_Z}, FALSE) AS is_alarm
+FROM hourly hh LEFT JOIN base b ON b.event_type = hh.event_type AND b.h = hh.h
+ORDER BY hh.event_type, hour_idx
+""".strip()

@@ -584,6 +584,11 @@ register(
     temporal.ATTRIBUTION_MODELS_SQL,
 )
 register(
+    "events_ewma_control",  # EWMA control chart over hourly volumes
+    _q(lambda spark, sf: temporal.ewma_control(load_table(spark, sf, "events"))),
+    temporal.EWMA_CONTROL_SQL,
+)
+register(
     "events_retention_cohorts",
     _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
     temporal.RETENTION_COHORTS_SQL,
@@ -1083,7 +1088,10 @@ _ROUND6_WINDOW = [
     "multimodal_ahash_neardup",
     "docs_neardup_minhash",
     "emb_neardup_lsh",
-    "emb_kmeans_cells",
+    # (emb_kmeans_cells ceded its slot to events_ewma_control: the
+    # kc_cells asset's correctness is exercised indirectly by
+    # emb_semdedup / emb_cluster_balanced_sample above)
+    "events_ewma_control",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only

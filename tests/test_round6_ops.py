@@ -248,6 +248,35 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestEwmaControl:
+    def test_planted_spike_alarms(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 2, 1)
+        rows = []
+        eid = 0
+        # 48 steady hours of 20 events, then one 200-event spike hour
+        for h in range(48):
+            for i in range(20):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=i), 1, "A", 1.0)); eid += 1
+        for i in range(200):
+            rows.append((eid, t0 + dt.timedelta(hours=48, seconds=i), 1, "A", 1.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = sorted(temporal.ewma_control(ev).collect(), key=lambda r: r.hour_idx)
+        spike = out[-1]
+        assert spike.cnt == 200 and spike.is_alarm
+        assert abs(spike.ewma - 20.0) < 1e-6  # steady baseline
+        # steady hours with a full lookback never alarm
+        for r in out[24:-1]:
+            assert not r.is_alarm and abs(r.ewma - 20.0) < 1e-6
+        # the first hour has no prior -> no baseline, no alarm
+        assert out[0].ewma is None and not out[0].is_alarm
+
+
 class TestAttributionModels:
     def test_credits_and_flags(self, spark):
         import datetime as dt
