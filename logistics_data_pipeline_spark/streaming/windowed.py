@@ -67,6 +67,37 @@ def events_file_stream(spark: SparkSession, json_dir: str, max_files: int = 10) 
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC enrichment: the event stream joined to a static
+    (batch) dimension on event_type — the lookup-table pattern every
+    production stream runs (carrier metadata, type→SLA maps, feature
+    registries). The static side is broadcast, so the join is
+    stateless and map-side: no watermark, no join state, every
+    micro-batch re-reads the dim snapshot (which is exactly the
+    stream-static contract — a dim update is picked up on the next
+    trigger without restarting the query). Left join keeps events
+    whose type has no dim row (enrichment must never drop facts).
+
+    The same call works in a pure-batch plan — the stream==batch
+    equality test feeds both legs through this one function."""
+    d = F.broadcast(
+        dim.select(
+            F.col("event_type"),
+            F.col("category"),
+            F.col("sla_minutes"),
+        )
+    )
+    return events.join(d, "event_type", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.col("category"), F.lit("unknown")).alias("category"),
+        F.col("sla_minutes"),
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon:
     ``dropDuplicatesWithinWatermark`` keeps the first arrival of each

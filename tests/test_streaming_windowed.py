@@ -199,3 +199,41 @@ def test_hopping_counts_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in hopping_window_counts(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_enrich_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: the broadcast dim join produces the
+    identical enriched rows whether the events arrive as a stream or a
+    batch, including the left-join 'unknown' fallback for types absent
+    from the dim."""
+    from logistics_data_pipeline_spark.streaming.windowed import enrich_stream
+
+    src = tmp_path / "stream_src"
+    ev = _dump_events_json(spark, sf_dir, src)
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    # dim covers all but one type -> that type must fall back, not drop
+    covered = sorted(types)[:-1] if len(types) > 1 else types
+    dim = spark.createDataFrame(
+        [(t, f"cat_{t[:2]}", 30 + 5 * i) for i, t in enumerate(covered)],
+        "event_type string, category string, sla_minutes long",
+    )
+    stream = enrich_stream(
+        __import__(
+            "logistics_data_pipeline_spark.streaming.windowed", fromlist=["x"]
+        ).events_file_stream(spark, str(src)),
+        dim,
+    )
+    run_to_memory(stream, "enriched_out", "append", str(tmp_path / "ckpt"))
+    key = lambda r: (r.event_id, r.category, r.sla_minutes)
+    got = sorted(map(key, spark.table("enriched_out").collect()))
+    want = sorted(map(key, enrich_stream(ev, dim).collect()))
+    assert got == want and len(want) == ev.count()
+    if len(types) > 1:
+        missing = sorted(types)[-1]
+        fell_back = [
+            r for r in spark.table("enriched_out").collect()
+            if r.event_type == missing
+        ]
+        assert fell_back and all(
+            r.category == "unknown" and r.sla_minutes is None for r in fell_back
+        )
