@@ -165,6 +165,8 @@ HEADLINE = [
     "orders_duplicate_invoices",
     "events_attribution_models",
     "events_ewma_control",
+    "events_top_paths",
+    "orders_kaplan_meier",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -1458,3 +1458,85 @@ SELECT hh.event_type, hh.h AS hour_idx, hh.cnt,
 FROM hourly hh LEFT JOIN base b ON b.event_type = hh.event_type AND b.h = hh.h
 ORDER BY hh.event_type, hour_idx
 """.strip()
+
+
+PATH_STEPS = 3
+PATH_TOP = 25
+
+
+def top_paths(events: DataFrame, steps: int = PATH_STEPS, k: int = PATH_TOP) -> DataFrame:
+    """PATH ANALYSIS: the top-{PATH_TOP} most-traveled {PATH_STEPS}-step
+    event-type sequences across user sessions (30-min gap, the same
+    sessionizer cut as ``user_sessions``), each with its traversal
+    count, how many distinct users walked it, and the share of walks
+    that end in a purchase on the final step — the "what do users do
+    before converting" query behind every journey-analysis dashboard.
+
+    Scale: one window pass (partitioned by user) both cuts sessions
+    and leads the next {PATH_STEPS - 1} types; the count-and-rank is a
+    hash aggregation on the path string. Window state is per-user —
+    the standard sessionization shuffle, never cross-user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    leads = [F.lead("event_type", j).over(ws).alias(f"t{j}") for j in range(1, steps)]
+    walked = sess.select(
+        "user_id", F.col("event_type").alias("t0"), *leads
+    ).filter(F.col(f"t{steps - 1}").isNotNull())
+    path = F.concat_ws(" > ", *[F.col(f"t{j}") for j in range(steps)])
+    agg = walked.groupBy(path.alias("path")).agg(
+        F.count("*").cast("bigint").alias("n_walks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.avg((F.col(f"t{steps - 1}") == "purchase").cast("double")), 6
+        ).alias("ends_in_purchase_rate"),
+    )
+    return (
+        agg.orderBy(F.desc("n_walks"), "path")
+        .limit(k)
+        .select("path", "n_walks", "n_users", "ends_in_purchase_rate")
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_id
+  FROM ordered
+),
+walked AS (
+  SELECT user_id,
+         event_type AS t0,
+         LEAD(event_type, 1) OVER ws AS t1,
+         LEAD(event_type, 2) OVER ws AS t2
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_walks,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         ROUND(AVG(CASE WHEN t2 = 'purchase' THEN 1.0 ELSE 0.0 END), 6)
+           AS ends_in_purchase_rate
+  FROM walked WHERE t2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_walks, n_users, ends_in_purchase_rate
+FROM agg ORDER BY n_walks DESC, path LIMIT {PATH_TOP}
+""".strip()

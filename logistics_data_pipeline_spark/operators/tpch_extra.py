@@ -1976,3 +1976,130 @@ FROM pairs
 WHERE rel_gap <= {DUPINV_PRICE_TOL} AND day_gap <= {DUPINV_DAYS}
 ORDER BY custkey, order_a, order_b
 """.strip()
+
+
+def kaplan_meier(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """KAPLAN–MEIER estimator of order-fulfilment time WITH censoring
+    — the survival-analysis member of the statistics family (beside
+    Theil–Sen, Wilson, Cohen's d): fulfilled orders (status 'F')
+    contribute an EVENT at T = days from order to last line shipment;
+    open/partial orders (and orders with no lines yet) are CENSORED at
+    the corpus's last observed ship date, exactly how a naive
+    "average fulfilment time over completed orders" silently
+    survivorship-biases low. One row per distinct event day: number at
+    risk, events, censored, and the product-limit survival
+    S(t) = Π(1 − dᵢ/nᵢ) computed as EXP(ΣLN(factor)) — the windowed
+    running product both engines express identically (a zero factor,
+    everyone-fulfils-at-the-last-day, short-circuits to 0 by flag, not
+    LN(0)).
+
+    Scale: one per-order MAX(shipdate) aggregation + a broadcast 1-row
+    corpus max; the KM table itself is |distinct days| rows, and both
+    running windows are over that bounded frame (allowlisted
+    unpartitioned windows, same reasoning as the Zipf fit)."""
+    ship = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    corpus_max = F.broadcast(
+        lineitem.agg(F.max(F.col("l_shipdate").cast("date")).alias("cmax"))
+    )
+    subj = (
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .join(ship, orders.o_orderkey == ship.l_orderkey, "left")
+        .crossJoin(corpus_max)
+        .select(
+            F.when(
+                (F.col("st") == "F") & F.col("last_ship").isNotNull(),
+                F.datediff(F.col("last_ship"), F.col("od")),
+            )
+            .otherwise(F.datediff(F.col("cmax"), F.col("od")))
+            .cast("bigint")
+            .alias("t_days"),
+            ((F.col("st") == "F") & F.col("last_ship").isNotNull())
+            .alias("is_event"),
+        )
+    )
+    per_t = subj.groupBy("t_days").agg(
+        F.sum(F.col("is_event").cast("long")).cast("bigint").alias("d"),
+        F.sum((~F.col("is_event")).cast("long")).cast("bigint").alias("c"),
+    )
+    w_rev = Window.orderBy("t_days").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    factor = 1.0 - F.col("d") / F.col("n_risk").cast("double")
+    return (
+        per_t.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev))
+        .withColumn("factor", factor)
+        .withColumn("hit_zero", F.max((F.col("factor") == 0).cast("int")).over(w_cum))
+        .withColumn(
+            "survival",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.log(F.col("factor"))).over(w_cum))
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t_days",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored_same_day"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH ship AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+cm AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS cmax FROM lineitem),
+subj AS (
+  SELECT CASE WHEN o.o_orderstatus = 'F' AND s.last_ship IS NOT NULL
+              THEN date_diff('day', CAST(o.o_orderdate AS DATE), s.last_ship)
+              ELSE date_diff('day', CAST(o.o_orderdate AS DATE), cm.cmax)
+         END AS t_days,
+         o.o_orderstatus = 'F' AND s.last_ship IS NOT NULL AS is_event
+  FROM orders o
+  LEFT JOIN ship s ON s.l_orderkey = o.o_orderkey
+  CROSS JOIN cm
+),
+per_t AS (
+  SELECT t_days,
+         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM subj GROUP BY t_days
+),
+km AS (
+  SELECT t_days, d, c,
+         SUM(d + c) OVER (ORDER BY t_days
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_risk
+  FROM per_t
+),
+km2 AS (
+  SELECT *, 1.0 - d / CAST(n_risk AS DOUBLE) AS factor FROM km
+),
+km3 AS (
+  SELECT *,
+         MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hit_zero,
+         SUM(LN(CASE WHEN factor = 0 THEN 1.0 ELSE factor END))
+           OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lnsum
+  FROM km2
+)
+SELECT t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events,
+       c AS n_censored_same_day,
+       ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(lnsum) END, 6) AS survival
+FROM km3
+WHERE d > 0
+ORDER BY t_days
+""".strip()

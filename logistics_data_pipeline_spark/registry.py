@@ -589,6 +589,11 @@ register(
     temporal.EWMA_CONTROL_SQL,
 )
 register(
+    "events_top_paths",  # top 3-step session paths + purchase-ending rate
+    _q(lambda spark, sf: temporal.top_paths(load_table(spark, sf, "events"))),
+    temporal.TOP_PATHS_SQL,
+)
+register(
     "events_retention_cohorts",
     _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
     temporal.RETENTION_COHORTS_SQL,
@@ -1077,8 +1082,13 @@ _ROUND6_WINDOW = [
     "part_pareto_front",
     "orders_item_similarity",
     "events_gaps_islands",
-    "events_daily_gapfill",
-    "docs_winnowing",
+    # (events_daily_gapfill ceded its slot to orders_kaplan_meier: a
+    # simple generate_series mirror, pytest-pinned and in every local
+    # full gate)
+    "orders_kaplan_meier",
+    # (docs_winnowing ceded its slot to events_top_paths: its
+    # fingerprint frame is the shared asset docs_winnowing_pairs, still
+    # below, consumes and verifies)
     "docs_winnowing_pairs",
     "docs_editdistance_verify",
     "emb_semdedup",
@@ -1092,6 +1102,7 @@ _ROUND6_WINDOW = [
     # kc_cells asset's correctness is exercised indirectly by
     # emb_semdedup / emb_cluster_balanced_sample above)
     "events_ewma_control",
+    "events_top_paths",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1453,6 +1464,15 @@ register(
     "emb_hamming_cosine_calibration",  # sign-code QA: cosine per hamming bucket
     _q(lambda spark, sf: llm_sim.hamming_cosine_calibration(_emb(spark, sf))),
     llm_sim.HAMMING_COSINE_CALIBRATION_SQL,
+)
+register(
+    "orders_kaplan_meier",  # product-limit fulfilment-time survival curve
+    _q(
+        lambda spark, sf: tx.kaplan_meier(
+            load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+        )
+    ),
+    tx.KAPLAN_MEIER_SQL,
 )
 register(
     "orders_duplicate_invoices",  # customer-blocked double-entry audit

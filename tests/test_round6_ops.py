@@ -248,6 +248,77 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestTopPaths:
+    def test_session_cut_and_purchase_rate(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 1, 1, 9)
+        rows = []
+        eid = 0
+        # 5 users walk view > click > purchase within one session
+        for u in range(5):
+            for j, et in enumerate(["view", "click", "purchase"]):
+                rows.append((eid, t0 + dt.timedelta(minutes=j), u, et, 1.0)); eid += 1
+        # 2 users walk view > click > view
+        for u in range(5, 7):
+            for j, et in enumerate(["view", "click", "view"]):
+                rows.append((eid, t0 + dt.timedelta(minutes=j), u, et, 1.0)); eid += 1
+        # a >30-min gap must CUT the path (user 7 never forms a 3-walk)
+        rows.append((eid, t0, 7, "view", 1.0)); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=5), 7, "click", 1.0)); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=50), 7, "purchase", 1.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = {r.path: r for r in temporal.top_paths(ev).collect()}
+        assert out["view > click > purchase"].n_walks == 5
+        assert out["view > click > purchase"].n_users == 5
+        assert out["view > click > purchase"].ends_in_purchase_rate == 1.0
+        assert out["view > click > view"].n_walks == 2
+        assert out["view > click > view"].ends_in_purchase_rate == 0.0
+        # the gap-cut walk never appears
+        assert all("purchase" != p.split(" > ")[2] or r.n_users <= 5
+                   for p, r in out.items())
+        assert len(out) == 2
+
+
+class TestKaplanMeier:
+    def test_survival_steps_and_censoring(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.date(2024, 1, 1)
+        # 4 orders: events at day 2 (two orders), day 5 (one); one open
+        # order censored at corpus max (day 5 ship)
+        orders = spark.createDataFrame(
+            [
+                (1, "F", d0), (2, "F", d0), (3, "F", d0), (4, "O", d0),
+            ],
+            "o_orderkey long, o_orderstatus string, o_orderdate date",
+        )
+        li = spark.createDataFrame(
+            [
+                (1, d0 + dt.timedelta(days=2)),
+                (2, d0 + dt.timedelta(days=2)),
+                (3, d0 + dt.timedelta(days=5)),
+                (4, d0 + dt.timedelta(days=1)),  # open order, partial ship
+            ],
+            "l_orderkey long, l_shipdate date",
+        )
+        out = {r.t_days: r for r in tpch_extra.kaplan_meier(orders, li).collect()}
+        assert set(out) == {2, 5}
+        # day 2: 4 at risk, 2 events -> S = 0.5
+        assert out[2].n_risk == 4 and out[2].n_events == 2
+        assert abs(out[2].survival - 0.5) < 1e-6
+        # day 5: censored open order (t=5) still at risk alongside the
+        # event -> n_risk 2, S = 0.5 * (1 - 1/2) = 0.25
+        assert out[5].n_risk == 2 and out[5].n_events == 1
+        assert abs(out[5].survival - 0.25) < 1e-6
+
+
 class TestEwmaControl:
     def test_planted_spike_alarms(self, spark):
         import datetime as dt

@@ -59,6 +59,9 @@ ALLOWED = {
     "emb_pca_deflation": {"nested-loop join"},
     # 1-row release-total scalar joined into the QI-group table
     "events_k_anonymity": {"nested-loop join"},
+    # 1-row corpus-max censor date; both KM running windows are over
+    # the |distinct days|-row product-limit table (bounded input)
+    "orders_kaplan_meier": {"nested-loop join", "unpartitioned window"},
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
