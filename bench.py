@@ -167,6 +167,7 @@ HEADLINE = [
     "events_ewma_control",
     "events_top_paths",
     "orders_kaplan_meier",
+    "events_markov_stationary",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -1540,3 +1540,117 @@ agg AS (
 SELECT path, n_walks, n_users, ends_in_purchase_rate
 FROM agg ORDER BY n_walks DESC, path LIMIT {PATH_TOP}
 """.strip()
+
+
+MARKOV_ITERS = 12
+MARKOV_ROUND = 9
+
+
+def markov_stationary(events: DataFrame, n_iter: int = MARKOV_ITERS) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the behavior Markov chain — where
+    does a user's session settle if the ``type_transition_matrix``
+    dynamics run forever. π ← normalize(πP) iterated exactly
+    ``n_iter`` times from uniform, every step rounded to
+    {MARKOV_ROUND} dp — the same bit-stable unrolled-iteration
+    contract as ``power_iteration`` (types with no outgoing
+    transitions leak mass; the per-step L1 renormalization puts it
+    back deterministically). P's entries are single exact-integer
+    divisions, identical in both engines. Output: one row per event
+    type with its stationary share (types unreachable in the chain
+    report 0).
+
+    Scale: the transition count is the only corpus-sized pass; the
+    chain itself is |types|² — driver-trivial, kept declarative for
+    the rounding parity."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = counts.groupBy("from_type").agg(F.sum("n").alias("t"))
+    mat = (
+        counts.join(tot, "from_type")
+        .select("from_type", "to_type", (F.col("n") / F.col("t")).alias("p"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    types = events.select(F.col("event_type").alias("t")).distinct()
+    n_types = F.broadcast(types.agg(F.count("*").alias("k")))
+    v = types.crossJoin(n_types).select(
+        "t", F.round(F.lit(1.0) / F.col("k"), MARKOV_ROUND).alias("val")
+    )
+    for it in range(n_iter):
+        stepped = (
+            mat.join(F.broadcast(v), mat.from_type == v.t)
+            .groupBy(F.col("to_type").alias("t"))
+            .agg(F.sum(F.col("val") * F.col("p")).alias("m"))
+        )
+        s = stepped.agg(F.sum("m").alias("s"))
+        v = stepped.crossJoin(F.broadcast(s)).select(
+            "t", F.round(F.col("m") / F.col("s"), MARKOV_ROUND).alias("val")
+        )
+        if it % 3 == 2 or it == n_iter - 1:
+            v = v.coalesce(1).localCheckpoint(eager=True)
+    return (
+        types.join(v, "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.round(F.coalesce(F.col("val"), F.lit(0.0)), 6).alias("stationary_p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _markov_stationary_sql() -> str:
+    steps = []
+    for t in range(1, MARKOV_ITERS + 1):
+        prev = f"v{t - 1}"
+        steps.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT mat.to_type AS t, SUM(v.val * mat.p) AS m
+  FROM mat JOIN {prev} v ON mat.from_type = v.t GROUP BY mat.to_type
+),
+s{t} AS MATERIALIZED (SELECT SUM(m) AS s FROM m{t}),
+v{t} AS MATERIALIZED (
+  SELECT t, ROUND(m / s, {MARKOV_ROUND}) AS val FROM m{t}, s{t}
+)"""
+        )
+    last = f"v{MARKOV_ITERS}"
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+mat AS MATERIALIZED (
+  SELECT from_type, to_type,
+         n / SUM(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+types AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+kk AS (SELECT COUNT(*) AS k FROM types),
+v0 AS MATERIALIZED (
+  SELECT t, ROUND(1.0 / k, {MARKOV_ROUND}) AS val FROM types, kk
+),
+{",".join(steps)}
+SELECT ty.t AS event_type,
+       ROUND(COALESCE(v.val, 0.0), 6) AS stationary_p
+FROM types ty LEFT JOIN {last} v ON v.t = ty.t
+ORDER BY event_type
+""".strip()
+
+
+MARKOV_STATIONARY_SQL = _markov_stationary_sql()

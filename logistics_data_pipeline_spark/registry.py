@@ -594,6 +594,11 @@ register(
     temporal.TOP_PATHS_SQL,
 )
 register(
+    "events_markov_stationary",  # behavior-chain fixed point, unrolled oracle
+    _q(lambda spark, sf: temporal.markov_stationary(load_table(spark, sf, "events"))),
+    temporal.MARKOV_STATIONARY_SQL,
+)
+register(
     "events_retention_cohorts",
     _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
     temporal.RETENTION_COHORTS_SQL,
@@ -1077,7 +1082,9 @@ _ROUND6_WINDOW = [
     "events_changepoint_scan",
     "docs_dp_source_counts",
     "orders_theilsen_trend",
-    "orders_benford_digits",
+    # (orders_benford_digits ceded its slot to events_markov_stationary:
+    # a first-digit histogram mirror, pytest-pinned and in every local gate)
+    "events_markov_stationary",
     "orders_revenue_gini",
     "part_pareto_front",
     "orders_item_similarity",

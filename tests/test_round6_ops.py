@@ -248,6 +248,40 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestMarkovStationary:
+    def test_two_state_chain_converges_to_known_pi(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        # one user alternates A,A,B,A,A,B,... -> P(A->A)=.5, P(A->B)=.5,
+        # P(B->A)=1  =>  stationary pi = (2/3, 1/3)
+        t0 = dt.datetime(2024, 1, 1)
+        seq = ["A", "A", "B"] * 40
+        rows = [(i, t0 + dt.timedelta(seconds=i), 1, et, 1.0) for i, et in enumerate(seq)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = {r.event_type: r.stationary_p for r in temporal.markov_stationary(ev).collect()}
+        assert abs(out["A"] - 2 / 3) < 1e-3
+        assert abs(out["B"] - 1 / 3) < 1e-3
+        assert abs(sum(out.values()) - 1.0) < 1e-5
+
+    def test_unreachable_type_reports_zero(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0 + dt.timedelta(seconds=i), 1, "A", 1.0) for i in range(20)]
+        rows.append((99, t0, 2, "Z", 1.0))  # lone event, never in a transition
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = {r.event_type: r.stationary_p for r in temporal.markov_stationary(ev).collect()}
+        assert out["Z"] == 0.0 and abs(out["A"] - 1.0) < 1e-6
+
+
 class TestTopPaths:
     def test_session_cut_and_purchase_rate(self, spark):
         import datetime as dt
