@@ -168,6 +168,7 @@ HEADLINE = [
     "events_top_paths",
     "orders_kaplan_meier",
     "events_markov_stationary",
+    "events_stl_decompose",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -1654,3 +1654,105 @@ ORDER BY event_type
 
 
 MARKOV_STATIONARY_SQL = _markov_stationary_sql()
+
+
+STL_HALF_WIN = 12  # centered 25-hour trend window
+
+
+def stl_decompose(events: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of hourly event volume per type
+    — STL's classic shape (trend + daily seasonal + remainder) in
+    pure window algebra: trend = centered 25-hour moving average
+    (NULL until the window is full, never a half-window edge
+    estimate), seasonal = the hour-of-day mean of the detrended
+    series re-centered to Σ=0 (so trend keeps the level), remainder =
+    what neither explains. The remainder column is where incidents
+    live after rush-hour cycles are explained away — the
+    decomposition ``seasonal_deviation`` implies, materialized.
+
+    Scale: one hourly rollup, then three window/group passes over the
+    (types × hours) frame — all partitioned by type, no corpus
+    rescans."""
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-STL_HALF_WIN, STL_HALF_WIN)
+    )
+    with_trend = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.when(
+            F.count("*").over(wt) == 2 * STL_HALF_WIN + 1,
+            F.avg(F.col("cnt").cast("double")).over(wt),
+        ).alias("trend"),
+    )
+    hod = (F.col("h") % 24).alias("hour_of_day")
+    det = with_trend.select(
+        "event_type", "h", "cnt", "trend", hod,
+        (F.col("cnt") - F.col("trend")).alias("detr"),
+    )
+    seas_raw = det.groupBy("event_type", "hour_of_day").agg(
+        F.avg("detr").alias("s_raw")
+    )
+    seas = seas_raw.select(
+        "event_type",
+        "hour_of_day",
+        (
+            F.col("s_raw")
+            - F.avg("s_raw").over(Window.partitionBy("event_type"))
+        ).alias("seasonal"),
+    )
+    out = det.join(seas, ["event_type", "hour_of_day"], "left")
+    return out.select(
+        "event_type",
+        F.col("h").alias("hour_idx"),
+        "hour_of_day",
+        "cnt",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("cnt") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("remainder"),
+    ).orderBy("event_type", "hour_idx")
+
+
+STL_DECOMPOSE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, h, cnt,
+         CASE WHEN COUNT(*) OVER w = {2 * STL_HALF_WIN + 1}
+              THEN AVG(CAST(cnt AS DOUBLE)) OVER w END AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {STL_HALF_WIN} PRECEDING AND {STL_HALF_WIN} FOLLOWING)
+),
+det AS (
+  SELECT *, h % 24 AS hour_of_day, cnt - trend AS detr FROM tr
+),
+seas_raw AS (
+  SELECT event_type, hour_of_day, AVG(detr) AS s_raw
+  FROM det GROUP BY event_type, hour_of_day
+),
+seas AS (
+  SELECT event_type, hour_of_day,
+         s_raw - AVG(s_raw) OVER (PARTITION BY event_type) AS seasonal
+  FROM seas_raw
+)
+SELECT d.event_type, d.h AS hour_idx, d.hour_of_day, d.cnt,
+       ROUND(d.trend, 6) AS trend,
+       ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(d.cnt - d.trend - s.seasonal, 6) AS remainder
+FROM det d
+LEFT JOIN seas s ON s.event_type = d.event_type AND s.hour_of_day = d.hour_of_day
+ORDER BY d.event_type, hour_idx
+""".strip()

@@ -599,6 +599,11 @@ register(
     temporal.MARKOV_STATIONARY_SQL,
 )
 register(
+    "events_stl_decompose",  # trend + daily seasonal + remainder split
+    _q(lambda spark, sf: temporal.stl_decompose(load_table(spark, sf, "events"))),
+    temporal.STL_DECOMPOSE_SQL,
+)
+register(
     "events_retention_cohorts",
     _q(lambda spark, sf: temporal.retention_cohorts(load_table(spark, sf, "events"))),
     temporal.RETENTION_COHORTS_SQL,
@@ -1085,7 +1090,9 @@ _ROUND6_WINDOW = [
     # (orders_benford_digits ceded its slot to events_markov_stationary:
     # a first-digit histogram mirror, pytest-pinned and in every local gate)
     "events_markov_stationary",
-    "orders_revenue_gini",
+    # (orders_revenue_gini ceded its slot to events_stl_decompose: a
+    # sorted-share mirror, pytest-pinned and in every local gate)
+    "events_stl_decompose",
     "part_pareto_front",
     "orders_item_similarity",
     "events_gaps_islands",

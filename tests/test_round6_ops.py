@@ -248,6 +248,41 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestStlDecompose:
+    def test_planted_daily_cycle_recovered(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # 6 days: base 10/hour, hours 8-16 get +15 (a working-day bump)
+        for d in range(6):
+            for h in range(24):
+                n = 10 + (15 if 8 <= h <= 16 else 0)
+                for i in range(n):
+                    rows.append((eid, t0 + dt.timedelta(days=d, hours=h, seconds=i), 1, "A", 1.0))
+                    eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        out = temporal.stl_decompose(ev).collect()
+        # seasonal: peak hours clearly above trough hours
+        seas = {}
+        for r in out:
+            if r.seasonal is not None:
+                seas[r.hour_of_day] = r.seasonal
+        assert seas[12] - seas[2] > 10
+        # remainder is small where trend is defined (clean periodic signal)
+        rems = [abs(r.remainder) for r in out if r.remainder is not None]
+        assert rems and sum(rems) / len(rems) < 3.0
+        # edges (first/last 12 hours) have no trend
+        hs = sorted(r.hour_idx for r in out)
+        first = next(r for r in out if r.hour_idx == hs[0])
+        assert first.trend is None and first.remainder is None
+
+
 class TestMarkovStationary:
     def test_two_state_chain_converges_to_known_pi(self, spark):
         import datetime as dt
