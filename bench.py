@@ -169,6 +169,7 @@ HEADLINE = [
     "orders_kaplan_meier",
     "events_markov_stationary",
     "events_stl_decompose",
+    "emb_mmd_labels",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

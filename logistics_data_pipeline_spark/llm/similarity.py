@@ -4290,3 +4290,161 @@ FROM (
 WHERE rank <= {IVF_EXACT_K}
 ORDER BY query_id, rank
 """.strip()
+
+
+MMD_SIGMA2 = 32.0  # fixed RBF bandwidth sigma^2 = d/2 for d = 64
+MMD_SAMPLE_HEX = "4000"  # 25% md5 pair governor, the histogram's knob
+
+
+def mmd_labels(emb: DataFrame, sample_hex: str = MMD_SAMPLE_HEX) -> DataFrame:
+    """MMD² two-sample test between every pair of label groups — the
+    kernel answer to "are these two slices drawn from the same
+    embedding distribution", the statistic behind domain-shift checks
+    on corpus slices (sources, time windows, augmentation arms).
+    MMD²(A,B) = E_AA[k] + E_BB[k] − 2·E_AB[k] with the RBF kernel
+    k = exp(−‖x−y‖²/2σ²), σ² = {MMD_SIGMA2} (d/2 for the 64-dim
+    corpus). Per-pair kernel values round to 6 dp and average as
+    DECIMAL(10,6) — exact in any accumulation order, the calibration
+    panel's trick — so the estimator hash-matches across engines.
+    A deterministic md5 pair governor subsamples the O(n²) pair space
+    (rate {MMD_SAMPLE_HEX}/ffff, identical predicate text in the
+    oracle); the within-group means are computed once per label and
+    joined into the 45-row label-pair matrix.
+
+    Scale: block-pair equi-join decomposition (never BNLJ), governor
+    applied BEFORE the vector math; at 100 TB drop the rate, not the
+    shape. ‖x−y‖² = n_a² + n_b² − 2·dot rides the codegen
+    posexplode-agg dot."""
+    left, right = _block_pair_sides(emb, 8)
+    n_groups = 8 * 9 // 2
+    left = left.repartition(n_groups, "p", "q")
+    pairs = left.join(right, ["p", "q"]).filter(
+        (F.col("p") != F.col("q")) | (F.col("l_id") < F.col("r_id"))
+    )
+    sampled = pairs.select(
+        F.least("l_id", "r_id").alias("a_id"),
+        F.greatest("l_id", "r_id").alias("b_id"),
+        "ln_",
+        "rn",
+        "lv",
+        "rv",
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit("mmd"),
+                    F.col("a_id").cast("string"),
+                    F.col("b_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < F.lit(sample_hex)
+    )
+    ex = sampled.select(
+        "a_id", "b_id", "ln_", "rn",
+        F.posexplode(F.arrays_zip("lv", "rv")).alias("pos", "z"),
+    ).select(
+        "a_id", "b_id", "ln_", "rn",
+        (F.col("z.lv") * F.col("z.rv")).alias("prod"),
+    )
+    d2 = (
+        F.col("ln_") * F.col("ln_")
+        + F.col("rn") * F.col("rn")
+        - 2.0 * F.col("dot")
+    )
+    per_pair = (
+        ex.groupBy("a_id", "b_id", "ln_", "rn")
+        .agg(F.sum("prod").alias("dot"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.exp(-d2 / F.lit(2.0 * MMD_SIGMA2)), 6)
+            .cast("decimal(10,6)")
+            .alias("k"),
+        )
+    )
+    lab = emb.select("vec_id", "label")
+    tagged = (
+        per_pair.join(
+            lab.select(F.col("vec_id").alias("a_id"), F.col("label").alias("la")),
+            "a_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("b_id"), F.col("label").alias("lb")),
+            "b_id",
+        )
+    )
+    within = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.avg("k").cast("double").alias("w_mean"))
+    )
+    cross = (
+        tagged.filter(F.col("la") != F.col("lb"))
+        .groupBy(
+            F.least("la", "lb").alias("label_a"),
+            F.greatest("la", "lb").alias("label_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_cross_pairs"),
+            F.avg("k").cast("double").alias("cross_mean"),
+        )
+    )
+    wa = within.select(F.col("label").alias("label_a"), F.col("w_mean").alias("wa"))
+    wb = within.select(F.col("label").alias("label_b"), F.col("w_mean").alias("wb"))
+    return (
+        cross.join(F.broadcast(wa), "label_a")
+        .join(F.broadcast(wb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_cross_pairs",
+            F.round("wa", 6).alias("within_a_mean"),
+            F.round("wb", 6).alias("within_b_mean"),
+            F.round("cross_mean", 6).alias("cross_mean"),
+            F.round(
+                F.col("wa") + F.col("wb") - 2.0 * F.col("cross_mean"), 6
+            ).alias("mmd2"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+MMD_LABELS_SQL = f"""
+WITH pr AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS la, b.label AS lb,
+         CAST(ROUND(EXP(-(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[]))
+                          + list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[]))
+                          - 2 * list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])))
+                        / {2.0 * MMD_SIGMA2}), 6) AS DECIMAL(10,6)) AS k
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE substring(md5('mmd_' || CAST(a.vec_id AS VARCHAR)
+                      || '_' || CAST(b.vec_id AS VARCHAR)), 1, 4)
+        < '{MMD_SAMPLE_HEX}'
+),
+within AS (
+  SELECT la AS label, CAST(AVG(k) AS DOUBLE) AS w_mean
+  FROM pr WHERE la = lb GROUP BY la
+),
+crossp AS (
+  SELECT LEAST(la, lb) AS label_a, GREATEST(la, lb) AS label_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+         CAST(AVG(k) AS DOUBLE) AS cross_mean
+  FROM pr WHERE la != lb GROUP BY 1, 2
+)
+SELECT c.label_a, c.label_b, c.n_cross_pairs,
+       ROUND(wa.w_mean, 6) AS within_a_mean,
+       ROUND(wb.w_mean, 6) AS within_b_mean,
+       ROUND(c.cross_mean, 6) AS cross_mean,
+       ROUND(wa.w_mean + wb.w_mean - 2 * c.cross_mean, 6) AS mmd2
+FROM crossp c
+JOIN within wa ON wa.label = c.label_a
+JOIN within wb ON wb.label = c.label_b
+ORDER BY c.label_a, c.label_b
+""".strip()

@@ -1093,7 +1093,9 @@ _ROUND6_WINDOW = [
     # (orders_revenue_gini ceded its slot to events_stl_decompose: a
     # sorted-share mirror, pytest-pinned and in every local gate)
     "events_stl_decompose",
-    "part_pareto_front",
+    # (part_pareto_front ceded its slot to emb_mmd_labels: a skyline
+    # window mirror, pytest-pinned and in every local gate)
+    "emb_mmd_labels",
     "orders_item_similarity",
     "events_gaps_islands",
     # (events_daily_gapfill ceded its slot to orders_kaplan_meier: a
@@ -1259,6 +1261,11 @@ register(
         )
     ),
     llm_sim.POWER_ITERATION_SQL,
+)
+register(
+    "emb_mmd_labels",  # RBF-kernel MMD² two-sample matrix across labels
+    _q(lambda spark, sf: llm_sim.mmd_labels(_emb(spark, sf))),
+    llm_sim.MMD_LABELS_SQL,
 )
 register(
     "emb_pca_deflation",  # top-3 eigenpairs via deflation — full oracle twin

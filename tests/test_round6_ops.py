@@ -248,6 +248,33 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestMmdLabels:
+    def test_shifted_group_scores_higher(self, spark):
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rng = np.random.RandomState(3)
+        d, n = 8, 120
+        a = rng.randn(n, d)            # label 0: standard normal
+        b = rng.randn(n, d)            # label 1: same distribution
+        c = rng.randn(n, d) + 3.0      # label 2: mean-shifted cloud
+        rows = []
+        for lbl, m in ((0, a), (1, b), (2, c)):
+            for i in range(n):
+                rows.append((lbl * n + i, [float(x) for x in m[i]], lbl))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        # full pair space for the test (rate knob wide open)
+        out = {(r.label_a, r.label_b): r for r in
+               similarity.mmd_labels(emb, sample_hex="g").collect()}
+        same = out[(0, 1)].mmd2
+        shifted = min(out[(0, 2)].mmd2, out[(1, 2)].mmd2)
+        assert shifted > 10 * max(same, 1e-6)
+        assert abs(same) < 0.01  # identical distributions ~ 0
+
+
 class TestStlDecompose:
     def test_planted_daily_cycle_recovered(self, spark):
         import datetime as dt
