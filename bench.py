@@ -170,6 +170,7 @@ HEADLINE = [
     "events_markov_stationary",
     "events_stl_decompose",
     "emb_mmd_labels",
+    "emb_linear_probe",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -4448,3 +4448,236 @@ JOIN within wa ON wa.label = c.label_a
 JOIN within wb ON wb.label = c.label_b
 ORDER BY c.label_a, c.label_b
 """.strip()
+
+
+PROBE_ITERS = 12
+PROBE_ROUND = 9
+PROBE_LAMBDA = 0.1
+PROBE_TARGET_LABEL = 0
+
+
+def linear_probe_gd(emb: DataFrame, n_iter: int = PROBE_ITERS) -> DataFrame:
+    """IN-ENGINE MODEL TRAINING with bit-exact cross-engine
+    verification: a ridge-regression linear probe (label {PROBE_TARGET_LABEL}
+    vs rest) trained by exactly ``n_iter`` gradient-descent steps on
+    the EXACT integer moments XᵀX and Xᵀy — the capstone of the
+    unrolled-iteration family (power iteration → deflation → Markov →
+    this). The moments use ``dim_covariance``'s microunit quantization
+    (exact BIGINT sums, partitioning-independent); the step size
+    η = 1/(tr(XᵀX)/n + λ·d) is a deterministic expression of those
+    moments and bounds the Hessian spectrum, so the trajectory is
+    stable AND identical in both engines (every iterate rounds to
+    {PROBE_ROUND} dp). Output: one row per dimension with the learned
+    weight, plus the closed-form training MSE
+    (yᵀy − 2wᵀXᵀy + wᵀXᵀXw)/n and the positive count — no second
+    data pass, the moments already contain the loss.
+
+    Scale: ONE corpus pass builds the d²+d moments (map-side partial
+    aggregation); training itself touches d-row frames. This is
+    exactly how distributed linear models train at 100 TB — sufficient
+    statistics in one pass, driver-sized optimization — expressed
+    declaratively so the oracle can replay it."""
+    q = F.floor(F.col("v").cast("double") * F.lit(float(COV_SCALE))).cast("bigint")
+    elems = (
+        emb.select(
+            "vec_id",
+            (F.col("label") == PROBE_TARGET_LABEL).cast("long").alias("y"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select("vec_id", "y", "dim", q.alias("q"))
+        .repartition("vec_id")
+    )
+    a, b = elems.alias("a"), elems.alias("b")
+    xtx_ut = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            (
+                F.sum(F.col("a.q") * F.col("b.q")).cast("double")
+                / F.lit(float(COV_SCALE) ** 2)
+            ).alias("xx")
+        )
+    )
+    mat = (
+        xtx_ut.unionByName(
+            xtx_ut.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "xx"
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    xty = (
+        elems.groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("q") * F.col("y")).cast("double")
+                / F.lit(float(COV_SCALE))
+            ).alias("xy")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    scal = F.broadcast(
+        elems.groupBy()
+        .agg(
+            (F.countDistinct("vec_id")).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("ny_elems"),
+            (F.max("dim") + 1).cast("double").alias("d"),
+        )
+        .crossJoin(
+            mat.filter(F.col("i") == F.col("j")).agg(F.sum("xx").alias("tr"))
+        )
+        .select(
+            "n",
+            "d",
+            "tr",
+            (F.col("ny_elems") / F.col("d")).alias("n_pos"),
+            F.round(
+                F.lit(1.0)
+                / (F.col("tr") / F.col("n") + F.lit(PROBE_LAMBDA) * F.col("d")),
+                PROBE_ROUND,
+            ).alias("eta"),
+        )
+    )
+    w = mat.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(0.0).alias("val")
+    )
+    for it in range(n_iter):
+        gw = (
+            mat.join(F.broadcast(w), mat.j == w.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("xx") * F.col("val")).alias("g"))
+        )
+        w = (
+            gw.join(xty.select(F.col("dim").alias("i"), "xy"), "i")
+            .join(
+                F.broadcast(w.select(F.col("dim").alias("i"), F.col("val").alias("wv"))),
+                "i",
+            )
+            .crossJoin(scal)
+            .select(
+                F.col("i").alias("dim"),
+                F.round(
+                    F.col("wv")
+                    - F.col("eta")
+                    * (
+                        (F.col("g") - F.col("xy")) / F.col("n")
+                        + F.lit(PROBE_LAMBDA) * F.col("wv")
+                    ),
+                    PROBE_ROUND,
+                ).alias("val"),
+            )
+        )
+        if it % 3 == 2 or it == n_iter - 1:
+            w = w.coalesce(1).localCheckpoint(eager=True)
+    # closed-form training MSE from the same moments:
+    # (y'y - 2 w'X'y + w'XtX w) / n     (y'y = n_pos, y being 0/1)
+    wxy = (
+        w.join(xty, "dim")
+        .agg(F.sum(F.col("val") * F.col("xy")).alias("wxy"))
+    )
+    wxxw = (
+        mat.join(
+            F.broadcast(w.select(F.col("dim").alias("i"), F.col("val").alias("vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(w.select(F.col("dim").alias("j"), F.col("val").alias("vj"))),
+            "j",
+        )
+        .agg(F.sum(F.col("vi") * F.col("xx") * F.col("vj")).alias("wxxw"))
+    )
+    return (
+        w.crossJoin(F.broadcast(wxy))
+        .crossJoin(F.broadcast(wxxw))
+        .crossJoin(scal)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("val", 6).alias("weight"),
+            F.round(
+                (F.col("n_pos") - 2.0 * F.col("wxy") + F.col("wxxw")) / F.col("n"),
+                6,
+            ).alias("train_mse"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _linear_probe_sql() -> str:
+    steps = []
+    for t in range(1, PROBE_ITERS + 1):
+        prev = f"w{t - 1}"
+        steps.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT m.i AS dim, SUM(m.xx * w.val) AS g
+  FROM mat m JOIN {prev} w ON m.j = w.dim GROUP BY m.i
+),
+w{t} AS MATERIALIZED (
+  SELECT g.dim,
+         ROUND(w.val - s.eta * ((g.g - x.xy) / s.n + {PROBE_LAMBDA} * w.val),
+               {PROBE_ROUND}) AS val
+  FROM g{t} g
+  JOIN xty x ON x.dim = g.dim
+  JOIN {prev} w ON w.dim = g.dim
+  CROSS JOIN scal s
+)"""
+        )
+    last = f"w{PROBE_ITERS}"
+    return f"""
+WITH el AS (
+  SELECT vec_id,
+         CASE WHEN label = {PROBE_TARGET_LABEL} THEN 1 ELSE 0 END AS y,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {COV_SCALE}.0) AS BIGINT) AS q
+  FROM embeddings
+),
+xtx_ut AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(SUM(a.q * b.q) AS DOUBLE) / {float(COV_SCALE) ** 2} AS xx
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+mat AS MATERIALIZED (
+  SELECT i, j, xx FROM xtx_ut
+  UNION ALL
+  SELECT j, i, xx FROM xtx_ut WHERE i < j
+),
+xty AS MATERIALIZED (
+  SELECT dim, CAST(SUM(q * y) AS DOUBLE) / {COV_SCALE}.0 AS xy
+  FROM el GROUP BY dim
+),
+scal AS MATERIALIZED (
+  SELECT n, d, tr, n_pos,
+         ROUND(1.0 / (tr / n + {PROBE_LAMBDA} * d), {PROBE_ROUND}) AS eta
+  FROM (
+    SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n,
+           CAST(MAX(dim) + 1 AS DOUBLE) AS d,
+           CAST(SUM(y) AS DOUBLE) / CAST(MAX(dim) + 1 AS DOUBLE) AS n_pos
+    FROM el) a
+  CROSS JOIN (SELECT SUM(xx) AS tr FROM mat WHERE i = j) b
+),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT i AS dim, 0.0 AS val FROM mat
+),
+{",".join(steps)},
+wxy AS (SELECT SUM(w.val * x.xy) AS wxy FROM {last} w JOIN xty x ON x.dim = w.dim),
+wxxw AS (
+  SELECT SUM(wi.val * m.xx * wj.val) AS wxxw
+  FROM mat m JOIN {last} wi ON m.i = wi.dim JOIN {last} wj ON m.j = wj.dim
+)
+SELECT CAST(w.dim AS INT) AS dim,
+       ROUND(w.val, 6) AS weight,
+       ROUND((s.n_pos - 2.0 * wxy.wxy + wxxw.wxxw) / s.n, 6) AS train_mse,
+       CAST(s.n_pos AS BIGINT) AS n_pos
+FROM {last} w, wxy, wxxw, scal s
+ORDER BY dim
+""".strip()
+
+
+LINEAR_PROBE_SQL = _linear_probe_sql()

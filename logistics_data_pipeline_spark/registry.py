@@ -1097,7 +1097,9 @@ _ROUND6_WINDOW = [
     # window mirror, pytest-pinned and in every local gate)
     "emb_mmd_labels",
     "orders_item_similarity",
-    "events_gaps_islands",
+    # (events_gaps_islands ceded its slot to emb_linear_probe: the
+    # classic islands mirror, pytest-pinned and in every local gate)
+    "emb_linear_probe",
     # (events_daily_gapfill ceded its slot to orders_kaplan_meier: a
     # simple generate_series mirror, pytest-pinned and in every local
     # full gate)
@@ -1261,6 +1263,11 @@ register(
         )
     ),
     llm_sim.POWER_ITERATION_SQL,
+)
+register(
+    "emb_linear_probe",  # in-engine ridge probe trained by unrolled GD
+    _q(lambda spark, sf: llm_sim.linear_probe_gd(_emb(spark, sf))),
+    llm_sim.LINEAR_PROBE_SQL,
 )
 register(
     "emb_mmd_labels",  # RBF-kernel MMD² two-sample matrix across labels

@@ -248,6 +248,37 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestLinearProbe:
+    def test_separable_data_learns_direction(self, spark):
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity
+
+        rng = np.random.RandomState(5)
+        d, n = 8, 200
+        u = np.zeros(d); u[0] = 1.0  # positives shifted along dim 0
+        pts, labels = [], []
+        for i in range(n):
+            pos = i < n // 2
+            x = rng.randn(d) * 0.3 + (2.0 * u if pos else -2.0 * u)
+            pts.append(x); labels.append(0 if pos else 1)  # target label 0
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in pts[i]], labels[i]) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = sorted(similarity.linear_probe_gd(emb).collect(), key=lambda r: r.dim)
+        w = np.array([r.weight for r in out])
+        mse = out[0].train_mse
+        assert out[0].n_pos == n // 2
+        # the discriminative dimension dominates the learned weights
+        assert w[0] > 3 * max(abs(w[1:]).max(), 1e-9)
+        # trained MSE beats the w=0 baseline (= n_pos/n = 0.5)
+        assert mse < 0.25
+        # scores separate the classes perfectly on this margin
+        scores = np.array(pts) @ w
+        assert scores[: n // 2].min() > scores[n // 2:].max()
+
+
 class TestMmdLabels:
     def test_shifted_group_scores_higher(self, spark):
         import numpy as np

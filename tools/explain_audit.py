@@ -57,6 +57,9 @@ ALLOWED = {
     "emb_power_iteration": {"nested-loop join"},
     # same scalar pattern per deflated component (λ, sign, trace)
     "emb_pca_deflation": {"nested-loop join"},
+    # 1-row moment scalars (n, d, trace, eta) + closed-form MSE terms
+    # cross-joined into the d-row weight frame per GD step
+    "emb_linear_probe": {"nested-loop join"},
     # 1-row release-total scalar joined into the QI-group table
     "events_k_anonymity": {"nested-loop join"},
     # 1-row corpus-max censor date; both KM running windows are over
