@@ -171,6 +171,8 @@ HEADLINE = [
     "events_stl_decompose",
     "emb_mmd_labels",
     "emb_linear_probe",
+    "lineitem_leadtime_anova",
+    "orders_promo_did",
     "emb_label_prototypes",
     "docs_delete_propagation",
     "orders_revenue_trend",

@@ -2103,3 +2103,219 @@ FROM km3
 WHERE d > 0
 ORDER BY t_days
 """.strip()
+
+
+def leadtime_anova(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """One-way ANOVA of order→ship lead time across ORDER PRIORITIES —
+    does stated priority actually explain delivery-speed variance, the
+    F-statistic companion to the pairwise Cohen's d panel
+    (``type_effect_sizes``). Sums of squares come from per-group exact
+    moments (Σt, Σt², n over integer day counts — order-independent),
+    so SSB/SSW and F = (SSB/(k−1)) / (SSW/(N−k)) hash-match without
+    distributional tables (df are reported; the p-value lookup is a
+    client-side concern, as with every test statistic here). One row:
+    F, df, the η² effect size SSB/SST, and the grand mean.
+
+    Scale: one broadcast of the orders (priority, date) projection
+    onto lineitem, a k ≤ 5-group moment aggregation; everything after
+    is arithmetic on a 5-row frame."""
+    t = (
+        F.col("l_shipdate").cast("date").cast("timestamp").cast("long")
+        - F.col("o_orderdate").cast("date").cast("timestamp").cast("long")
+    ) / F.lit(86400.0)
+    per = (
+        lineitem.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                F.col("o_orderpriority").alias("mode"),
+            ),
+            "l_orderkey",
+        )
+        .select("mode", t.alias("t"))
+        .groupBy("mode")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("t").alias("s1"),
+            F.sum(F.col("t") * F.col("t")).alias("s2"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.count("*").cast("double").alias("k"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    ssb = joined.agg(
+        F.sum(
+            (F.col("s1") / F.col("n") - F.col("t1") / F.col("nn"))
+            * (F.col("s1") / F.col("n") - F.col("t1") / F.col("nn"))
+            * F.col("n")
+        ).alias("ssb")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb))
+        .select(
+            (F.col("t2") - F.col("t1") * F.col("t1") / F.col("nn")).alias("sst"),
+            "ssb",
+            "nn",
+            "k",
+            "t1",
+        )
+        .select(
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / F.nullif(
+                    (F.col("sst") - F.col("ssb")) / (F.col("nn") - F.col("k")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("f_stat"),
+            (F.col("k") - 1).cast("bigint").alias("df_between"),
+            (F.col("nn") - F.col("k")).cast("bigint").alias("df_within"),
+            F.round(F.col("ssb") / F.nullif(F.col("sst"), F.lit(0.0)), 6).alias(
+                "eta_squared"
+            ),
+            F.round(F.col("t1") / F.col("nn"), 6).alias("grand_mean_days"),
+        )
+    )
+
+
+LEADTIME_ANOVA_SQL = """
+WITH pg AS (
+  SELECT o.o_orderpriority AS mode,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) * 1.0) AS s1,
+         SUM(POWER(date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) * 1.0, 2)) AS s2
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2,
+         CAST(COUNT(*) AS DOUBLE) AS k
+  FROM pg
+),
+ssb AS (
+  SELECT SUM((pg.s1 / pg.n - tot.t1 / tot.nn)
+             * (pg.s1 / pg.n - tot.t1 / tot.nn) * pg.n) AS ssb
+  FROM pg, tot
+)
+SELECT ROUND((ssb.ssb / (tot.k - 1))
+             / NULLIF(((tot.t2 - tot.t1 * tot.t1 / tot.nn) - ssb.ssb)
+                      / (tot.nn - tot.k), 0), 6) AS f_stat,
+       CAST(tot.k - 1 AS BIGINT) AS df_between,
+       CAST(tot.nn - tot.k AS BIGINT) AS df_within,
+       ROUND(ssb.ssb / NULLIF(tot.t2 - tot.t1 * tot.t1 / tot.nn, 0), 6)
+         AS eta_squared,
+       ROUND(tot.t1 / tot.nn, 6) AS grand_mean_days
+FROM tot, ssb
+""".strip()
+
+
+def promo_did(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES panel for the PROMO part family — the
+    causal-inference-shaped counterpart of q14's promo revenue share:
+    split the corpus at its temporal midpoint (a deterministic
+    data-derived cutoff, integer-day arithmetic in both engines) and
+    compare how the average discounted line revenue of PROMO parts
+    moved against non-PROMO parts across the two halves. DiD = (treated
+    after − before) − (control after − before): the control difference
+    absorbs market-wide drift that a naive before/after on PROMO alone
+    would misattribute. Cell means come from DECIMAL-exact sums, so
+    the 2×2 table and the estimate hash-match.
+
+    Scale: one broadcast part-class join onto lineitem, one 4-cell
+    aggregation — the panel is O(1) output regardless of corpus."""
+    cls = F.broadcast(
+        part.select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("p_type").startswith("PROMO").alias("is_promo"),
+        )
+    )
+    d = F.col("l_shipdate").cast("date")
+    days = F.datediff(d, F.lit("1970-01-01").cast("date"))
+    rng = lineitem.agg(
+        F.min(days).alias("lo"), F.max(days).alias("hi")
+    ).select(
+        "lo", "hi", F.floor((F.col("lo") + F.col("hi")) / 2).alias("cut")
+    )
+    rev = (F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))).cast(
+        "decimal(24,6)"
+    )
+    tagged = (
+        lineitem.join(cls, "l_partkey")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "is_promo",
+            (days > F.col("cut")).alias("is_after"),
+            rev.alias("rev"),
+        )
+    )
+
+    def _cell(promo: bool, after: bool, what: str):
+        cond = (F.col("is_promo") == promo) & (F.col("is_after") == after)
+        if what == "n":
+            return F.sum(cond.cast("long")).cast("bigint")
+        return F.sum(F.when(cond, F.col("rev"))).cast("double") / F.sum(
+            cond.cast("long")
+        )
+
+    agg = tagged.agg(
+        _cell(True, False, "m").alias("promo_before_raw"),
+        _cell(True, True, "m").alias("promo_after_raw"),
+        _cell(False, False, "m").alias("other_before_raw"),
+        _cell(False, True, "m").alias("other_after_raw"),
+        (_cell(True, False, "n") + _cell(True, True, "n")).alias("n_promo"),
+        (_cell(False, False, "n") + _cell(False, True, "n")).alias("n_other"),
+    )
+    return agg.select(
+        F.round("promo_before_raw", 6).alias("promo_before"),
+        F.round("promo_after_raw", 6).alias("promo_after"),
+        F.round("other_before_raw", 6).alias("other_before"),
+        F.round("other_after_raw", 6).alias("other_after"),
+        "n_promo",
+        "n_other",
+        F.round(
+            (F.col("promo_after_raw") - F.col("promo_before_raw"))
+            - (F.col("other_after_raw") - F.col("other_before_raw")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+PROMO_DID_SQL = """
+WITH days AS (
+  SELECT l.l_partkey,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS dd,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6)) AS rev,
+         p.p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+rng AS (
+  SELECT CAST(FLOOR((MIN(dd) + MAX(dd)) / 2.0) AS BIGINT) AS cut
+  FROM (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS dd
+        FROM lineitem)
+),
+cells AS (
+  SELECT is_promo, d.dd > r.cut AS is_after,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev
+  FROM days d, rng r
+  GROUP BY 1, 2
+)
+SELECT ROUND(pb.mean_rev, 6) AS promo_before,
+       ROUND(pa.mean_rev, 6) AS promo_after,
+       ROUND(ob.mean_rev, 6) AS other_before,
+       ROUND(oa.mean_rev, 6) AS other_after,
+       pa.n + pb.n AS n_promo,
+       oa.n + ob.n AS n_other,
+       ROUND((pa.mean_rev - pb.mean_rev) - (oa.mean_rev - ob.mean_rev), 6)
+         AS did_estimate
+FROM cells pa, cells pb, cells oa, cells ob
+WHERE pa.is_promo AND pa.is_after AND pb.is_promo AND NOT pb.is_after
+  AND NOT oa.is_promo AND oa.is_after AND NOT ob.is_promo AND NOT ob.is_after
+""".strip()

@@ -1086,7 +1086,9 @@ _ROUND6_WINDOW = [
     "supplier_concentration",
     "events_changepoint_scan",
     "docs_dp_source_counts",
-    "orders_theilsen_trend",
+    # (orders_theilsen_trend ceded its slot to lineitem_leadtime_anova:
+    # an exact-decimal median-slope mirror, pytest-pinned, local gate)
+    "lineitem_leadtime_anova",
     # (orders_benford_digits ceded its slot to events_markov_stationary:
     # a first-digit histogram mirror, pytest-pinned and in every local gate)
     "events_markov_stationary",
@@ -1108,7 +1110,9 @@ _ROUND6_WINDOW = [
     # fingerprint frame is the shared asset docs_winnowing_pairs, still
     # below, consumes and verifies)
     "docs_winnowing_pairs",
-    "docs_editdistance_verify",
+    # (docs_editdistance_verify ceded its slot to orders_promo_did: a
+    # levenshtein mirror over SNM candidates, pytest-pinned, local gate)
+    "orders_promo_did",
     "emb_semdedup",
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
@@ -1492,6 +1496,24 @@ register(
     "emb_hamming_cosine_calibration",  # sign-code QA: cosine per hamming bucket
     _q(lambda spark, sf: llm_sim.hamming_cosine_calibration(_emb(spark, sf))),
     llm_sim.HAMMING_COSINE_CALIBRATION_SQL,
+)
+register(
+    "lineitem_leadtime_anova",  # one-way F across order priorities + eta²
+    _q(
+        lambda spark, sf: tx.leadtime_anova(
+            load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+        )
+    ),
+    tx.LEADTIME_ANOVA_SQL,
+)
+register(
+    "orders_promo_did",  # difference-in-differences on the promo family
+    _q(
+        lambda spark, sf: tx.promo_did(
+            load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+        )
+    ),
+    tx.PROMO_DID_SQL,
 )
 register(
     "orders_kaplan_meier",  # product-limit fulfilment-time survival curve

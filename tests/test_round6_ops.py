@@ -248,6 +248,74 @@ class TestKmvDistinct:
         assert out["L"].rel_error < 4 / (62 ** 0.5)
 
 
+class TestLeadtimeAnova:
+    def test_separated_groups_large_f(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.date(2024, 1, 1)
+        orders, li = [], []
+        ok = 0
+        # URGENT ships in ~2 days, LOW in ~20: priority explains variance
+        for prio, lead in (("1-URGENT", 2), ("5-LOW", 20)):
+            for i in range(30):
+                ok += 1
+                orders.append((ok, prio, d0))
+                li.append((ok, d0 + dt.timedelta(days=lead + (i % 3))))
+        o = spark.createDataFrame(orders, "o_orderkey long, o_orderpriority string, o_orderdate date")
+        l = spark.createDataFrame(li, "l_orderkey long, l_shipdate date")
+        r = tpch_extra.leadtime_anova(l, o).collect()[0]
+        assert r.df_between == 1 and r.df_within == 58
+        assert r.f_stat > 100 and r.eta_squared > 0.9
+        assert abs(r.grand_mean_days - (3 + 21) / 2) < 0.5
+
+    def test_identical_groups_f_near_zero(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.date(2024, 1, 1)
+        orders, li = [], []
+        for k, prio in enumerate(("1-URGENT", "5-LOW")):
+            for i in range(20):
+                oid = k * 100 + i
+                orders.append((oid, prio, d0))
+                li.append((oid, d0 + dt.timedelta(days=5 + (i % 5))))
+        o = spark.createDataFrame(orders, "o_orderkey long, o_orderpriority string, o_orderdate date")
+        l = spark.createDataFrame(li, "l_orderkey long, l_shipdate date")
+        r = tpch_extra.leadtime_anova(l, o).collect()[0]
+        assert r.f_stat < 1e-6 and r.eta_squared < 1e-6
+
+
+class TestPromoDid:
+    def test_planted_lift_recovered(self, spark):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        d0 = dt.date(2024, 1, 1)
+        part = spark.createDataFrame(
+            [(1, "PROMO BRUSHED"), (2, "STANDARD POLISHED")],
+            "p_partkey long, p_type string",
+        )
+        li = []
+        # both families at 100 before; after the midpoint PROMO jumps to
+        # 150 while control stays -> DiD = +50 net of zero drift
+        for day, promo_price, other_price in ((0, 100.0, 100.0), (10, 150.0, 100.0)):
+            for i in range(10):
+                li.append((1, d0 + dt.timedelta(days=day), promo_price, 0.0))
+                li.append((2, d0 + dt.timedelta(days=day), other_price, 0.0))
+        l = spark.createDataFrame(
+            li, "l_partkey long, l_shipdate date, l_extendedprice double, l_discount double"
+        )
+        r = tpch_extra.promo_did(l, part).collect()[0]
+        assert r.promo_before == 100.0 and r.promo_after == 150.0
+        assert r.other_before == 100.0 and r.other_after == 100.0
+        assert r.did_estimate == 50.0
+        assert r.n_promo == 20 and r.n_other == 20
+
+
 class TestLinearProbe:
     def test_separable_data_learns_direction(self, spark):
         import numpy as np

@@ -65,6 +65,10 @@ ALLOWED = {
     # 1-row corpus-max censor date; both KM running windows are over
     # the |distinct days|-row product-limit table (bounded input)
     "orders_kaplan_meier": {"nested-loop join", "unpartitioned window"},
+    # 1-row grand-moment scalars joined into the ≤5-row group frame
+    "lineitem_leadtime_anova": {"nested-loop join"},
+    # 1-row midpoint-cutoff scalar appended to every line
+    "orders_promo_did": {"nested-loop join"},
     # 1-row grand total; running share over the CATALOG-sized part dim
     # (not the fact) — single task is right below ~1e8 SKUs, see docstring
     "orders_abc_analysis": {"nested-loop join", "unpartitioned window"},
