@@ -1770,6 +1770,115 @@ FROM agr
 """.strip()
 
 
+# --- b-bit minhash (Li & König 2010): store b bits per hash, correct the
+# collision inflation --------------------------------------------------------
+
+
+def bbit_minhash(
+    docs: DataFrame,
+    threshold: float = MINHASH_ERR_THRESHOLD,
+    exact: DataFrame | None = None,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """b-bit MinHash estimation panel (Li & König, WWW 2010): keep only
+    the LOW b BITS of each of the 64 minhashes — a 32×/64× signature
+    compression — and estimate Jaccard from b-bit agreement with the
+    collision correction Ĵ = (E_b − C_b)/(1 − C_b), C_b = 2^-b (two
+    unrelated minima still agree on b bits with probability ~2^-b).
+    Per ground-truth pair (exact capped-index Jaccard ≥ ``threshold``)
+    emits the full-signature estimate beside the corrected b=2 and b=1
+    estimates, so the compression/accuracy trade is measured on THIS
+    corpus: at 100 TB the 2-bit signature is 16 B/doc instead of
+    512 B/doc, the difference between a broadcastable sketch table and
+    a shuffled one.
+
+    Scale: signatures join to the (small) ground-truth pair set by id;
+    the 3×64-term agreement is a map-side codegen expression; low bits
+    are ``mh % 2^b`` so both engines derive them from the SAME oracled
+    md5 affine family — no new hash material."""
+    if exact is None:
+        exact = ngram_pair_scores(docs)
+    exact = exact.filter(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", "jaccard"
+    )
+    if sig is None:
+        sig = track_persist(minhash_signatures(docs))
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree64 = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    agree2 = sum(
+        (F.pmod(F.col(f"a{i}"), F.lit(4)) == F.pmod(F.col(f"b{i}"), F.lit(4))).cast(
+            "int"
+        )
+        for i in range(N_HASHES)
+    )
+    agree1 = sum(
+        (F.pmod(F.col(f"a{i}"), F.lit(2)) == F.pmod(F.col(f"b{i}"), F.lit(2))).cast(
+            "int"
+        )
+        for i in range(N_HASHES)
+    )
+    k = float(N_HASHES)
+    return (
+        exact.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            F.round(agree64.cast("double") / F.lit(k), 6).alias("est_full"),
+            F.round(
+                (agree2.cast("double") / F.lit(k) - F.lit(0.25)) / F.lit(0.75), 6
+            ).alias("est_b2"),
+            F.round(
+                (agree1.cast("double") / F.lit(k) - F.lit(0.5)) / F.lit(0.5), 6
+            ).alias("est_b1"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+BBIT_MINHASH_SQL = rf"""
+WITH {_MINHASH_SIG_CTES},
+ex AS (  -- ground truth uses the SAME df-capped index as the ngram path
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a_id, b_id,
+         ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) AS jaccard
+  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) >= {MINHASH_ERR_THRESHOLD}
+)
+SELECT t.a_id, t.b_id, t.jaccard,
+       ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+             / {float(N_HASHES)}, 6) AS est_full,
+       ROUND((SUM(CASE WHEN sa.mh % 4 = sb.mh % 4 THEN 1 ELSE 0 END)
+              / {float(N_HASHES)} - 0.25) / 0.75, 6) AS est_b2,
+       ROUND((SUM(CASE WHEN sa.mh % 2 = sb.mh % 2 THEN 1 ELSE 0 END)
+              / {float(N_HASHES)} - 0.5) / 0.5, 6) AS est_b1
+FROM truth t
+JOIN sig sa ON sa.doc_id = t.a_id
+JOIN sig sb ON sb.doc_id = t.b_id AND sb.i = sa.i
+GROUP BY t.a_id, t.b_id, t.jaccard
+ORDER BY t.a_id, t.b_id
+""".strip()
+
+
 LSH_CURVE_BIN = 0.05
 LSH_CURVE_MIN_J = 0.05
 

@@ -2936,6 +2936,190 @@ LIMIT {top}
 ITEM_PAGERANK_SQL = _pagerank_sql()
 
 
+# --- HITS hubs/authorities on the customer->part bipartite graph ------------
+
+# Integer fixed-point scale for HITS scores. Overflow bound: each
+# normalization computes SUM(score) * SCALE with SUM(score over one
+# side's raw totals) <= SCALE * max_degree, so SCALE^2 * max_degree
+# must stay under 2^63 — SCALE=10^7 tolerates max_degree ~9e4; at a
+# 100 TB graph you'd drop SCALE a decade per degree decade (the knob
+# is exactness-preserving: both engines move together).
+HITS_SCALE = 10**7
+HITS_ITERS = 6
+HITS_TOP = 25
+
+
+def graph_hits(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iters: int = HITS_ITERS,
+    top: int = HITS_TOP,
+) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer->part purchase graph
+    in EXACT INTEGER arithmetic: a part's authority is the (normalized)
+    sum of its buyers' hub scores, a customer's hub score the sum of
+    their parts' authorities — "authoritative parts" are the ones
+    well-connected customers converge on, a different centrality from
+    PageRank's random walk (co-purchase adjacency) or raw volume (ABC).
+    Every round L1-normalizes both sides back to ``HITS_SCALE`` with
+    integer division only, so the fixed-iteration result is bit-exact
+    and the DuckDB twin (same rounds unrolled as MATERIALIZED CTEs)
+    hash-matches. Returns the top ``top`` parts by authority and top
+    ``top`` customers by hub score, tagged by ``node_type``.
+
+    Scale: per round two (edges ⋈ score-vector) joins keyed on the
+    bipartite sides plus two grouped sums — O(|edges|) intermediates,
+    the standard data-parallel HITS shape; the edge list persists once
+    and each round localCheckpoints so the plan stays one-round deep
+    (same discipline as ``item_pagerank``). Normalization totals are
+    1-row broadcasts, never a driver collect."""
+    from ..session import track_persist
+
+    edges = track_persist(
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .repartition("cust")
+    )
+    custs = edges.select("cust").distinct()
+    nc = F.broadcast(custs.agg(F.count("*").alias("n")))
+    h = custs.join(nc).select(
+        "cust", F.expr(f"CAST({HITS_SCALE} AS BIGINT) div n").alias("h")
+    )
+    for _i in range(iters):
+        a_raw = (
+            edges.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        ta = F.broadcast(a_raw.agg(F.sum("a_raw").alias("t")))
+        a = a_raw.join(ta).select(
+            "part", F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a")
+        )
+        h_raw = (
+            edges.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        th = F.broadcast(h_raw.agg(F.sum("h_raw").alias("t")))
+        h = (
+            h_raw.join(th)
+            .select(
+                "cust",
+                F.expr(f"(h_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    a_final = (
+        edges.join(h, "cust").groupBy("part").agg(F.sum("h").alias("a_raw"))
+    )
+    ta = F.broadcast(a_final.agg(F.sum("a_raw").alias("t")))
+    a = a_final.join(ta).select(
+        "part", F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a")
+    )
+    top_parts = (
+        a.orderBy(F.desc("a"), F.asc("part"))
+        .limit(top)
+        .select(
+            F.lit("part").alias("node_type"),
+            F.col("part").alias("node_id"),
+            F.col("a").alias("score_units"),
+        )
+    )
+    top_custs = (
+        h.orderBy(F.desc("h"), F.asc("cust"))
+        .limit(top)
+        .select(
+            F.lit("customer").alias("node_type"),
+            F.col("cust").alias("node_id"),
+            F.col("h").alias("score_units"),
+        )
+    )
+    return (
+        top_parts.unionAll(top_custs)
+        .withColumn(
+            "score_share",
+            F.round(F.col("score_units").cast("double") / HITS_SCALE, 9),
+        )
+        .orderBy("node_type", F.desc("score_units"), F.asc("node_id"))
+    )
+
+
+def _hits_sql(iters: int = HITS_ITERS, top: int = HITS_TOP) -> str:
+    """DuckDB twin: the same integer rounds unrolled as MATERIALIZED
+    CTEs (each score vector is referenced twice — once by the next
+    round, once by the normalization total — and a plain CTE would
+    inline 2^n copies; see the iterative-oracle lesson in SURVEY §8)."""
+    s = HITS_SCALE
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""araw{i} AS MATERIALIZED (
+  SELECT e.part, SUM({prev_h}.h) AS a_raw
+  FROM edges e JOIN {prev_h} ON {prev_h}.cust = e.cust
+  GROUP BY e.part
+),
+a{i} AS MATERIALIZED (
+  SELECT part,
+         CAST((a_raw * CAST({s} AS BIGINT))
+              // (SELECT SUM(a_raw) FROM araw{i}) AS BIGINT) AS a
+  FROM araw{i}
+),
+hraw{i} AS MATERIALIZED (
+  SELECT e.cust, SUM(a{i}.a) AS h_raw
+  FROM edges e JOIN a{i} ON a{i}.part = e.part
+  GROUP BY e.cust
+),
+h{i} AS MATERIALIZED (
+  SELECT cust,
+         CAST((h_raw * CAST({s} AS BIGINT))
+              // (SELECT SUM(h_raw) FROM hraw{i}) AS BIGINT) AS h
+  FROM hraw{i}
+)""")
+        prev_h = f"h{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS MATERIALIZED (
+  SELECT cust,
+         CAST({s} AS BIGINT) // (SELECT COUNT(DISTINCT cust) FROM edges) AS h
+  FROM (SELECT DISTINCT cust FROM edges)
+),
+{rounds_sql},
+afinraw AS MATERIALIZED (
+  SELECT e.part, SUM({prev_h}.h) AS a_raw
+  FROM edges e JOIN {prev_h} ON {prev_h}.cust = e.cust
+  GROUP BY e.part
+),
+afin AS MATERIALIZED (
+  SELECT part,
+         CAST((a_raw * CAST({s} AS BIGINT))
+              // (SELECT SUM(a_raw) FROM afinraw) AS BIGINT) AS a
+  FROM afinraw
+),
+topparts AS (
+  SELECT 'part' AS node_type, part AS node_id, a AS score_units
+  FROM afin ORDER BY a DESC, part ASC LIMIT {top}
+),
+topcusts AS (
+  SELECT 'customer' AS node_type, cust AS node_id, h AS score_units
+  FROM {prev_h} ORDER BY h DESC, cust ASC LIMIT {top}
+)
+SELECT node_type, node_id, CAST(score_units AS BIGINT) AS score_units,
+       ROUND(CAST(score_units AS DOUBLE) / {s}, 9) AS score_share
+FROM (SELECT * FROM topparts UNION ALL SELECT * FROM topcusts)
+ORDER BY node_type, score_units DESC, node_id ASC
+""".strip()
+
+
+GRAPH_HITS_SQL = _hits_sql()
+
+
 # --- item-item similarity (co-purchase Jaccard top-k) -----------------------
 
 ITEM_SIM_TOP_K = 3

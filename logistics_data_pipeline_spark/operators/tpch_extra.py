@@ -673,8 +673,14 @@ def q21_waiting_suppliers(
         orders.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).withColumn(
+        # epoch-seconds compare on BOTH engines (matches Q21_SQL's epoch
+        # arithmetic): date_add would truncate the timestamp to DATE and
+        # silently diverge if the generator ever emits a time-of-day.
         "is_late",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)).cast("int"),
+        (
+            F.col("l_shipdate").cast("double")
+            > F.col("o_orderdate").cast("double") + Q21_LATE_DAYS * 86400
+        ).cast("int"),
     )
     per_order = l.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -705,7 +711,7 @@ def q21_waiting_suppliers(
 Q21_SQL = f"""
 WITH l AS (
   SELECT l_orderkey, l_suppkey,
-         CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END AS is_late
+         CASE WHEN epoch(l_shipdate) > epoch(o_orderdate) + {Q21_LATE_DAYS} * 86400 THEN 1 ELSE 0 END AS is_late
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 per_order AS (

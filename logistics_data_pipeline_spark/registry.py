@@ -1892,6 +1892,29 @@ register(
     llm_sim.KNN_IVF_EXACT_SQL,
 )
 
+# --- round-6 continuation-2 additions ---------------------------------------
+
+register(
+    "orders_graph_hits",  # exact-integer HITS on the customer->part bipartite graph
+    _q(
+        lambda spark, sf: analytics.graph_hits(
+            load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+        )
+    ),
+    analytics.GRAPH_HITS_SQL,
+)
+register(
+    "docs_bbit_minhash",  # Li-König b-bit minhash compression/accuracy panel
+    _q(
+        lambda spark, sf: llm_dedup.bbit_minhash(
+            _docs(spark, sf),
+            exact=_dedup_shared(spark, sf, "jac_scores"),
+            sig=_dedup_shared(spark, sf, "mh_sig"),
+        )
+    ),
+    llm_dedup.BBIT_MINHASH_SQL,
+)
+
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
     missing = [k for k in _ROUND6_WINDOW if k not in _QUERIES]

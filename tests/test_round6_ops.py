@@ -1072,3 +1072,51 @@ class TestDpSourceCounts:
         # deterministic: same input -> identical release
         again = curation.dp_source_counts(docs).collect()
         assert out == again
+
+
+class TestGraphHits:
+    def _graph(self, spark):
+        # one order per customer; part 100 in every basket, 101..104
+        # exclusive to one customer each; customer 1 also buys 101+102
+        orders = spark.createDataFrame(
+            [(k, k) for k in (1, 2, 3, 4)], "o_orderkey long, o_custkey long"
+        )
+        lines = [(1, 100), (1, 101), (1, 102), (2, 100), (3, 100), (4, 100), (4, 103)]
+        lineitem = spark.createDataFrame(lines, "l_orderkey long, l_partkey long")
+        return orders, lineitem
+
+    def test_authority_concentrates_on_shared_part(self, spark):
+        from logistics_data_pipeline_spark.operators import analytics
+
+        orders, lineitem = self._graph(spark)
+        out = analytics.graph_hits(orders, lineitem, iters=3, top=10).collect()
+        parts = [r for r in out if r.node_type == "part"]
+        custs = [r for r in out if r.node_type == "customer"]
+        assert parts and custs
+        # part 100 (bought by everyone) is the top authority by a margin
+        assert parts[0].node_id == 100
+        assert parts[0].score_units > 2 * parts[1].score_units
+        # hub mass: customer 1 (3 parts incl. two 100%-owned) tops
+        assert custs[0].node_id == 1
+        # integer L1 normalization: each side sums to ~SCALE (div slack)
+        ssum = sum(r.score_units for r in parts)
+        assert 0.99 * analytics.HITS_SCALE <= ssum <= analytics.HITS_SCALE
+        # deterministic
+        again = analytics.graph_hits(orders, lineitem, iters=3, top=10).collect()
+        assert out == again
+
+
+class TestBbitMinhash:
+    def test_exact_duplicates_estimate_one(self, spark):
+        docs = _docs(spark)
+        out = {(r.a_id, r.b_id): r for r in dedup.bbit_minhash(docs).collect()}
+        assert (0, 100) in out and (1, 101) in out
+        for pair in ((0, 100), (1, 101)):
+            r = out[pair]
+            # identical shingle sets: every estimator saturates at 1
+            assert r.jaccard == 1.0
+            assert r.est_full == 1.0 and r.est_b2 == 1.0 and r.est_b1 == 1.0
+        for r in out.values():
+            assert r.jaccard >= dedup.MINHASH_ERR_THRESHOLD
+            # corrected estimators stay in a sane band around truth
+            assert -0.5 <= r.est_b1 <= 1.0 and -0.1 <= r.est_b2 <= 1.0
