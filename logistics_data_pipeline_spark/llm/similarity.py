@@ -4681,3 +4681,154 @@ ORDER BY dim
 
 
 LINEAR_PROBE_SQL = _linear_probe_sql()
+
+
+# --- maximal marginal relevance (diversified top-k selection) ---------------
+
+MMR_QUERY_ID = 0  # the query vector: vec_id 0's embedding
+MMR_POOL = 100  # relevance-ranked candidate pool fed to the greedy loop
+MMR_K = 10  # selections
+MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+
+
+def mmr_select(
+    emb: DataFrame,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the vector maximizing
+    λ·cos(v, query) − (1−λ)·max_{s∈selected} cos(v, s) — the standard
+    redundancy-suppressing selection for retrieval results and for
+    diversity-preserving training-data subset picks (a per-query
+    SemDeDup). The query is ``vec_id = MMR_QUERY_ID``'s embedding; all
+    cosines are rounded to 6 dp BEFORE comparisons, ties break on
+    vec_id, so the greedy trace is deterministic and the DuckDB twin
+    (the same ``k`` steps unrolled as MATERIALIZED CTEs) hash-matches.
+
+    Scale: relevance is one broadcast-query corpus scan (the
+    ``knn_bruteforce`` shape); the greedy loop runs on the top-``pool``
+    candidates only, with the pool×pool cosine matrix computed ONCE and
+    persisted, so each of the k−1 steps is a max-aggregation over an
+    index-config-bounded pair table — never a corpus rescan, and the
+    driver holds nothing (selection state is a k-row frame)."""
+    from ..session import track_persist
+
+    q = F.broadcast(
+        _with_norm(emb.filter(F.col("vec_id") == MMR_QUERY_ID), "q_id", "q", "qn")
+    )
+    cand_all = _with_norm(
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID), "vec_id", "v", "vn"
+    )
+    rel = cand_all.crossJoin(q).select(
+        "vec_id",
+        "v",
+        "vn",
+        F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+            "rel"
+        ),
+    )
+    cand = track_persist(
+        rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(pool)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("i"), F.col("v").alias("va"), F.col("vn").alias("na")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("j"), F.col("v").alias("vb"), F.col("vn").alias("nb")
+    )
+    pairm = track_persist(
+        a.join(b, F.col("i") != F.col("j")).select(
+            "i",
+            "j",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+    )
+    scores = cand.select("vec_id", "rel")
+    sel = (
+        scores.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"), "vec_id", "rel", F.col("rel").alias("mmr_score")
+        )
+    )
+    for t in range(2, k + 1):
+        sel_ids = sel.select(F.col("vec_id").alias("j"))
+        msim = (
+            pairm.join(F.broadcast(sel_ids), "j")
+            .groupBy("i")
+            .agg(F.max("cos").alias("m"))
+        )
+        step_score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("m"), 6
+        )
+        pick = (
+            scores.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(msim.withColumnRenamed("i", "vec_id"), "vec_id")
+            .select("vec_id", "rel", step_score.alias("mmr_score"))
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(t).alias("rank"), "vec_id", "rel", "mmr_score")
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "rank", "vec_id", F.col("rel").alias("relevance"), "mmr_score"
+    ).orderBy("rank")
+
+
+def _mmr_sql(
+    k: int = MMR_K, pool: int = MMR_POOL, lam: float = MMR_LAMBDA
+) -> str:
+    """DuckDB twin: the same greedy trace, k−1 steps unrolled as
+    MATERIALIZED CTEs over the same persisted-pool shapes."""
+    steps = []
+    prev = "sel1"
+    for t in range(2, k + 1):
+        steps.append(f"""pick{t} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam} * c.rel - {round(1.0 - lam, 10)} * ms.m, 6) AS mmr_score
+  FROM cand c
+  JOIN (SELECT i, MAX(cos) AS m FROM pairm
+        WHERE j IN (SELECT vec_id FROM {prev}) GROUP BY i) ms ON ms.i = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY mmr_score DESC, c.vec_id ASC
+  LIMIT 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL SELECT vec_id, rel, {t} AS rank, mmr_score FROM pick{t}
+)""")
+        prev = f"sel{t}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+            FROM embeddings WHERE vec_id = {MMR_QUERY_ID}),
+rel AS (
+  SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS v,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q0.q), 6) AS rel
+  FROM embeddings c CROSS JOIN q0
+  WHERE c.vec_id != {MMR_QUERY_ID}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id ASC LIMIT {pool}
+),
+pairm AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel, 1 AS rank, rel AS mmr_score
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+{steps_sql}
+SELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance, mmr_score
+FROM {prev}
+ORDER BY rank
+""".strip()
+
+
+MMR_SELECT_SQL = _mmr_sql()

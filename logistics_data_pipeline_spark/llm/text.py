@@ -351,6 +351,113 @@ ORDER BY b.w1, b.w2
 """.strip()
 
 
+KN_DISCOUNT = 0.75  # absolute discount D, the standard KN default
+
+
+def kneser_ney_bigram(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing that made count-based LMs
+    competitive, and the scorer a data pipeline reaches for when MLE
+    bigram probabilities (``bigram_lm_counts``) zero out on unseen
+    continuations:
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + (D · N1+(w1,·)/c(w1)) · N1+(·,w2)/B
+
+    where N1+(w1,·) counts distinct continuations of w1, N1+(·,w2)
+    counts distinct contexts preceding w2 (the "how novel a word is
+    this" signal that replaces raw frequency), and B is the number of
+    distinct bigram types. All counts are integers; the probability is
+    one fixed-association double expression, so the DuckDB twin
+    hash-matches.
+
+    Scale: one bigram count aggregation, then three partition-window
+    passes over the (already aggregated, vocabulary-sized) type table —
+    no second scan of the token stream; the ``NGRAM_MIN_COUNT`` output
+    cut happens after counting, so smoothing mass is computed over the
+    full type inventory."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .filter(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    wc1 = Window.partitionBy("w1")
+    wc2 = Window.partitionBy("w2")
+    big = (
+        big.withColumn("c1", F.sum("n_bigram").over(wc1))
+        .withColumn("n1f", F.count("*").over(wc1))
+        .withColumn("n1p", F.count("*").over(wc2))
+    )
+    types = F.broadcast(big.groupBy().agg(F.count("*").alias("n_types")))
+    d = KN_DISCOUNT
+    c1d = F.col("c1").cast("double")
+    p_cont = F.col("n1p").cast("double") / F.col("n_types").cast("double")
+    p_kn = (
+        F.greatest(F.col("n_bigram").cast("double") - F.lit(d), F.lit(0.0)) / c1d
+        + (F.lit(d) * F.col("n1f").cast("double") / c1d) * p_cont
+    )
+    return (
+        big.join(types)
+        .filter(F.col("n_bigram") >= NGRAM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            F.col("c1").alias("n_context"),
+            F.col("n1f").alias("n_continuations"),
+            F.col("n1p").alias("n_histories"),
+            F.round(F.col("n_bigram") / c1d, 6).alias("p_mle"),
+            F.round(p_cont, 6).alias("p_cont"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+KNESER_NEY_BIGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks
+  WHERE regexp_full_match(t[i + 1], '[a-z]+') AND regexp_full_match(t[i + 2], '[a-z]+')
+),
+big AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(n_bigram) AS c1, COUNT(*) AS n1f FROM big GROUP BY w1),
+hist AS (SELECT w2, COUNT(*) AS n1p FROM big GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM big)
+SELECT b.w1, b.w2, b.n_bigram,
+       CAST(c.c1 AS BIGINT) AS n_context,
+       c.n1f AS n_continuations,
+       h.n1p AS n_histories,
+       ROUND(b.n_bigram / CAST(c.c1 AS DOUBLE), 6) AS p_mle,
+       ROUND(CAST(h.n1p AS DOUBLE) / CAST(t.n_types AS DOUBLE), 6) AS p_cont,
+       ROUND(GREATEST(CAST(b.n_bigram AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+               / CAST(c.c1 AS DOUBLE)
+             + ({KN_DISCOUNT} * CAST(c.n1f AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+               * (CAST(h.n1p AS DOUBLE) / CAST(t.n_types AS DOUBLE)), 6) AS p_kn
+FROM big b
+JOIN ctx c ON b.w1 = c.w1
+JOIN hist h ON b.w2 = h.w2
+CROSS JOIN types t
+WHERE b.n_bigram >= {NGRAM_MIN_COUNT}
+ORDER BY b.w1, b.w2
+""".strip()
+
+
 def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
     """Per-document average log-probability under the corpus's add-one-
     smoothed bigram LM — the count-based perplexity proxy quality
@@ -1962,4 +2069,95 @@ JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
 WHERE n_shared >= {WINNOW_MIN_SHARED}
 ORDER BY a_id, b_id
+""".strip()
+
+
+# --- readability (Flesch-style, vowel-run syllable proxy) -------------------
+
+READ_SENT_LEN = 15  # pseudo-sentence length: the corpus has no punctuation
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch-style reading-ease panel: words, a vowel-run syllable
+    proxy (each maximal ``[aeiou]+`` run ≈ one syllable — the standard
+    cheap approximation when no dictionary is available), and
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    pseudo-sentences of ``READ_SENT_LEN`` words since the synthetic
+    corpus carries no punctuation. A curation signal in the same
+    family as ``text_stats``'s quality score, but targeting structural
+    complexity rather than lexical diversity.
+
+    Scale: map-only — two regexp passes and a split per document, all
+    JVM-side codegen; no shuffle beyond the output sort."""
+    t = F.trim(F.lower(F.col("text")))
+    n_words = F.size(F.split(t, r"\s+"))
+    runs = F.regexp_replace(t, "[aeiou]+", "@")
+    n_syll = F.length(runs) - F.length(F.regexp_replace(runs, "@", ""))
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        (F.col("n_words") / F.lit(READ_SENT_LEN)).cast("bigint"),
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return (
+        base.withColumn("n_sentences", n_sent)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            "n_sentences",
+            F.round(spw, 6).alias("syll_per_word"),
+            flesch.alias("flesch"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("flesch") >= 90, "very_easy")
+            .when(F.col("flesch") >= 60, "standard")
+            .when(F.col("flesch") >= 30, "difficult")
+            .otherwise("very_difficult"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+READABILITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(trim(lower(text)), '[aeiou]+', '@', 'g'))
+              - length(regexp_replace(
+                  regexp_replace(trim(lower(text)), '[aeiou]+', '@', 'g'),
+                  '@', '', 'g')) AS BIGINT) AS n_syllables
+  FROM documents
+),
+sent AS (
+  SELECT doc_id, n_words, n_syllables,
+         GREATEST(CAST(1 AS BIGINT), n_words // {READ_SENT_LEN}) AS n_sentences
+  FROM base WHERE n_words > 0
+),
+scored AS (
+  SELECT doc_id, n_words, n_syllables, n_sentences,
+         ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS syll_per_word,
+         ROUND(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           AS flesch
+  FROM sent
+)
+SELECT doc_id, n_words, n_syllables, n_sentences, syll_per_word, flesch,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 60 THEN 'standard'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored
+ORDER BY doc_id
 """.strip()

@@ -1914,6 +1914,30 @@ register(
     ),
     llm_dedup.BBIT_MINHASH_SQL,
 )
+register(
+    "docs_kneser_ney_bigram",  # interpolated KN-smoothed bigram LM table
+    _q(lambda spark, sf: llm_text.kneser_ney_bigram(_docs(spark, sf))),
+    llm_text.KNESER_NEY_BIGRAM_SQL,
+)
+register(
+    "emb_mmr_select",  # maximal-marginal-relevance diversified top-k
+    _q(lambda spark, sf: llm_sim.mmr_select(_emb(spark, sf))),
+    llm_sim.MMR_SELECT_SQL,
+)
+register(
+    "docs_readability",  # Flesch-style reading ease, vowel-run syllable proxy
+    _q(lambda spark, sf: llm_text.readability(_docs(spark, sf))),
+    llm_text.READABILITY_SQL,
+)
+register(
+    "stream_hopping_counts",  # watermarked hopping-window agg via real stream graph
+    _q(
+        lambda spark, sf: streaming_windowed.hopping_counts_stream_batch(
+            spark, load_table(spark, sf, "events")
+        )
+    ),
+    streaming_windowed.HOPPING_STREAM_SQL,
+)
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES

@@ -368,3 +368,48 @@ def click_attribution_pairs_stream(events: DataFrame) -> DataFrame:
         "click_id",
         "c_ts",
     )
+
+
+def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-checkable wrapper for the watermarked hopping-window agg:
+    round-trip the events table through the real streaming graph (JSON
+    dump → file stream → 10/5-min hopping window state → availableNow
+    drain, complete output so every window state row is emitted and the
+    result is bit-equal to the batch twin — append-mode finalization
+    semantics are pinned separately in the windowed streaming tests).
+    The DuckDB oracle is the same hopping expansion the batch
+    ``events_hopping_windows`` key proves."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="hopping_")
+    src = f"{work}/src"
+    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).option("timestampFormat", JSON_TS_FMT).json(src)
+    name = f"hopping_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        hopping_windowed_counts(events_file_stream(spark, src)),
+        name,
+        "complete",
+        f"{work}/ckpt",
+    )
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+HOPPING_STREAM_SQL = """
+WITH hopped AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 * 1000000)
+           AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 2)) AS j)
+)
+SELECT window_start,
+       window_start + INTERVAL 10 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM hopped
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+""".strip()

@@ -1120,3 +1120,102 @@ class TestBbitMinhash:
             assert r.jaccard >= dedup.MINHASH_ERR_THRESHOLD
             # corrected estimators stay in a sane band around truth
             assert -0.5 <= r.est_b1 <= 1.0 and -0.1 <= r.est_b2 <= 1.0
+
+
+class TestKneserNeyBigram:
+    def test_probability_mass_and_discount(self, spark):
+        # every doc repeats the same two-word cycle: all bigrams clear
+        # NGRAM_MIN_COUNT, so each context's full continuation set is
+        # visible in the output and its KN mass must sum to ~1
+        docs = spark.createDataFrame(
+            [(i, "alpha beta alpha beta alpha gamma " * 3, "en", "s", 10)
+             for i in range(5)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = text.kneser_ney_bigram(docs).collect()
+        assert rows
+        disc, seen_mass, lam = {}, {}, {}
+        for r in rows:
+            assert 0.0 < r.p_kn <= 1.0
+            assert r.p_cont > 0.0
+            # the discounted term alone sits below MLE; interpolation
+            # adds it back via the continuation distribution
+            lam_w1 = text.KN_DISCOUNT * r.n_continuations / r.n_context
+            assert abs(r.p_kn - ((r.n_bigram - text.KN_DISCOUNT) / r.n_context
+                                 + lam_w1 * r.p_cont)) < 1e-5
+            seen_mass.setdefault(r.w1, 0.0)
+            seen_mass[r.w1] += (r.n_bigram - text.KN_DISCOUNT) / r.n_context
+            lam[r.w1] = lam_w1
+        # full-vocabulary mass: discounted seen mass + lambda(w1) * 1
+        # (sum of p_cont over ALL words is exactly 1) must equal 1
+        for w1 in seen_mass:
+            assert abs(seen_mass[w1] + lam[w1] - 1.0) < 1e-6, w1
+
+
+class TestMmrSelect:
+    def test_diversity_beats_pure_relevance(self, spark):
+        # vec 0 = query; vecs 1,2 nearly identical and most relevant;
+        # vec 3 orthogonal-ish but still relevant
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.8, 0.6, 0.0, 0.0], 0),      # relevant
+            (2, [0.8, 0.6, 0.001, 0.0], 0),    # near-duplicate of 1
+            (3, [0.8, -0.6, 0.0, 0.0], 0),     # equally relevant, diverse
+            (4, [0.1, 0.0, 0.0, 1.0], 0),      # barely relevant
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = similarity.mmr_select(emb, k=3, pool=4).collect()
+        assert [r.rank for r in out] == [1, 2, 3]
+        # first pick is the most relevant vector
+        assert out[0].vec_id == 1
+        # second pick skips the near-duplicate (vec 2) for the diverse vec 3
+        assert out[1].vec_id == 3
+        # the duplicate only enters once the diverse option is exhausted
+        assert out[2].vec_id == 2
+        # redundancy penalty: mmr scores are <= relevance from rank 2 on
+        assert out[1].mmr_score <= out[1].relevance
+        assert out[0].mmr_score == out[0].relevance
+
+
+class TestReadability:
+    def test_known_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa bb aa bb", "en", "s", 11)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        r = text.readability(docs).collect()[0]
+        assert r.n_words == 4
+        assert r.n_syllables == 2  # two 'aa' vowel runs, 'bb' has none
+        assert r.n_sentences == 1
+        assert abs(r.syll_per_word - 0.5) < 1e-9
+        expected = round(206.835 - 1.015 * 4.0 - 84.6 * 0.5, 6)
+        assert abs(r.flesch - expected) < 1e-9
+
+
+class TestStreamHoppingCounts:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from logistics_data_pipeline_spark.operators import temporal
+        from logistics_data_pipeline_spark.streaming import windowed
+
+        base = dt.datetime(2024, 3, 1, 10, 0, 0)
+        rows = [
+            (i, base + dt.timedelta(minutes=3 * i), i % 4, "A" if i % 2 else "B",
+             float(i) + 0.25, "{}")
+            for i in range(40)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        got = windowed.hopping_counts_stream_batch(spark, ev).collect()
+        want = (
+            temporal.hopping_window_counts(ev)
+            .orderBy("window_start", "event_type")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
