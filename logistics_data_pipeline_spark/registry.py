@@ -1058,7 +1058,10 @@ _ROUND6_WINDOW = [
     "docs_source_overlap",
     "docs_token_dup_inflation",
     "emb_label_centroid_sim",
-    "docs_corpus_datasheet",
+    # (docs_corpus_datasheet ceded its slot to stream_hopping_counts:
+    # a one-row stats rollup, pytest-pinned, local gate; the stream
+    # leg exercises a REAL stream graph the driver has never run)
+    "stream_hopping_counts",
     "emb_label_outliers",
     "docs_bm25_scores",
     "orders_graph_triangles",
@@ -1069,21 +1072,39 @@ _ROUND6_WINDOW = [
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
     "orders_kcore",
-    "events_k_anonymity",
+    # (events_k_anonymity ceded its slot to orders_reorder_intervals:
+    # a group-count-threshold mirror, pytest-pinned, local gate)
+    "orders_reorder_intervals",
     "emb_pca_deflation",
     "docs_lsh_s_curve",
-    "orders_duplicate_invoices",
+    # (orders_duplicate_invoices ceded its slot to orders_graph_hits:
+    # a windowed dup-detect mirror, pytest-pinned and in every local
+    # gate; HITS is a genuinely new 13-round iterative oracle)
+    "orders_graph_hits",
     "events_attribution_models",
     "emb_label_prototypes",
     "docs_delete_propagation",
-    "orders_revenue_trend",
-    "orders_cohort_ltv",
-    "docs_tokenizer_fertility",
+    # (orders_revenue_trend ceded its slot to docs_bbit_minhash: an
+    # exact-decimal OLS mirror, pytest-pinned, local gate; the b-bit
+    # estimator panel rides the round-6 md5 MinHash family upgrade)
+    "docs_bbit_minhash",
+    # (orders_cohort_ltv ceded its slot to docs_kneser_ney_bigram:
+    # integer-cents cohort pivot, pytest-pinned, local gate)
+    "docs_kneser_ney_bigram",
+    # (docs_tokenizer_fertility ceded its slot to
+    # docs_crosslingual_neardup: a per-lang token-share mirror,
+    # pytest-pinned, local gate; the cross-lingual leakage grid is new)
+    "docs_crosslingual_neardup",
     "docs_dedup_threshold_sweep",
     "emb_sign_codes",
-    "orders_backlog_aging",
+    # (orders_backlog_aging ceded its slot to emb_mmr_select: an
+    # epoch age-bucket mirror, pytest-pinned, local gate; MMR is a
+    # new 10-step greedy trace oracle)
+    "emb_mmr_select",
     "emb_hamming_cosine_calibration",
-    "supplier_concentration",
+    # (supplier_concentration ceded its slot to docs_readability: an
+    # HHI share-sum mirror, pytest-pinned, local gate)
+    "docs_readability",
     "events_changepoint_scan",
     "docs_dp_source_counts",
     # (orders_theilsen_trend ceded its slot to lineitem_leadtime_anova:
@@ -1937,6 +1958,20 @@ register(
         )
     ),
     streaming_windowed.HOPPING_STREAM_SQL,
+)
+register(
+    "docs_crosslingual_neardup",  # language-pair near-dup leakage grid
+    _q(
+        lambda spark, sf: llm_dedup.crosslingual_neardup(
+            _docs(spark, sf), scores=_dedup_shared(spark, sf, "jac_scores")
+        )
+    ),
+    llm_dedup.CROSSLINGUAL_NEARDUP_SQL,
+)
+register(
+    "orders_reorder_intervals",  # per-customer reorder cadence (integer moments)
+    _q(lambda spark, sf: analytics.reorder_intervals(load_table(spark, sf, "orders"))),
+    analytics.REORDER_INTERVALS_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -1219,3 +1219,52 @@ class TestStreamHoppingCounts:
             .collect()
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+class TestCrosslingualNeardup:
+    def test_grid_complete_and_duplicate_detected(self, spark):
+        rows = []
+        for i in range(10):
+            rows.append((i, f"the quick brown fox jumps over dog {i} zz yy xx", "en", "s", 40))
+        # doc 100: exact copy of doc 0's text but tagged German
+        rows.append((100, rows[0][1], "de", "s", 40))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {(r.lang_a, r.lang_b): r for r in dedup.crosslingual_neardup(docs).collect()}
+        # full upper-triangle grid over {de, en}
+        assert set(out) == {("de", "de"), ("de", "en"), ("en", "en")}
+        x = out[("de", "en")]
+        assert x.is_crosslingual and x.n_pairs >= 1 and x.max_jaccard == 1.0
+        assert out[("de", "de")].n_pairs == 0
+
+
+class TestReorderIntervals:
+    def test_known_cadence(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # customer 1: perfectly regular weekly orders -> cv 0
+        for k in range(5):
+            rows.append((100 + k, 1, base + dt.timedelta(days=7 * k)))
+        # customer 2: gaps of 1, 3 days -> mean 2d, sd sqrt(2)
+        for k, day in enumerate((0, 1, 4)):
+            rows.append((200 + k, 2, base + dt.timedelta(days=day)))
+        # customer 3: only 2 orders (1 gap) -> filtered out
+        rows.append((300, 3, base))
+        rows.append((301, 3, base + dt.timedelta(days=2)))
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        )
+        from logistics_data_pipeline_spark.operators import analytics
+
+        out = {r.o_custkey: r for r in analytics.reorder_intervals(orders).collect()}
+        assert set(out) == {1, 2}
+        r1 = out[1]
+        assert r1.n_orders == 5 and r1.avg_gap_days == 7.0
+        assert r1.std_gap_days == 0.0 and r1.cv_gap == 0.0
+        r2 = out[2]
+        assert r2.n_orders == 3 and r2.avg_gap_days == 2.0
+        assert r2.min_gap_days == 1.0 and r2.max_gap_days == 3.0
+        assert abs(r2.std_gap_days - round(2**0.5, 6)) < 1e-6

@@ -144,6 +144,18 @@ ALLOWED = {
     "emb_knn_ivf_exact": {"unpartitioned window"},
     # 1-row corpus token-total broadcast into the 256-bucket ratio table
     "docs_dsir_weights": {"nested-loop join"},
+    # per-round broadcast of the 1-row normalization totals (node count,
+    # sum of raw authority/hub mass) into each score update
+    "orders_graph_hits": {"nested-loop join"},
+    # broadcast 1-row query vector vs corpus scan (the knn_bruteforce
+    # shape) + the pool×pool (i != j) pair matrix over the 100-row
+    # candidate pool — both sides config-bounded before the non-equi join
+    "emb_mmr_select": {"nested-loop join"},
+    # 1-row bigram-type-count scalar joined into the KN continuation term
+    "docs_kneser_ney_bigram": {"nested-loop join"},
+    # distinct-langs × distinct-langs grid cross (config-sized, the
+    # zero-cell completion — same reasoning as docs_lang_source_chi2)
+    "docs_crosslingual_neardup": {"nested-loop join"},
 }
 
 
