@@ -246,6 +246,7 @@ def main() -> None:
         "copurchase_edges",
         "kc_cells",
         "winnow_fp",
+        "emb_pairs",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

@@ -1291,3 +1291,114 @@ FROM bucketed bk JOIN ratio r ON r.b = bk.b
 GROUP BY bk.doc_id
 ORDER BY bk.doc_id
 """.strip()
+
+
+# --- Gopher quality rules (Rae et al. 2021, Appendix A subset) --------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The Gopher quality-rule panel (Rae et al. 2021, Appendix A —
+    the de-facto standard heuristic gate reused by MassiveText /
+    RefinedWeb / Dolma): per document, the measured value AND pass
+    flag for each applicable rule, the overall verdict, and a
+    first-fail reason. Rules over line structure (bullet/ellipsis
+    ratios) are omitted — this corpus is single-line — and documented
+    as such rather than computed against fake lines; the panel is the
+    complement to ``quality_filter`` (generic signals) and
+    ``quality_classifier`` (learned weights): fixed published
+    thresholds, reproducible across pipelines.
+
+    Scale: one token pass per document, all JVM-side split/filter/
+    regexp codegen — map-only until the output sort."""
+    t = F.trim(F.lower(F.col("text")))
+    toks = F.split(t, r"\s+")
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    p_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    p_wlen = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN
+    )
+    p_alpha = F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC
+    p_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    reason = (
+        F.when(~p_words, "WORD_COUNT")
+        .when(~p_wlen, "MEAN_WORD_LEN")
+        .when(~p_alpha, "ALPHA_FRAC")
+        .when(~p_stop, "STOPWORDS")
+        .otherwise(None)
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "alpha_word_frac",
+            "stop_hits",
+            p_words.alias("pass_word_count"),
+            p_wlen.alias("pass_mean_word_len"),
+            p_alpha.alias("pass_alpha_frac"),
+            p_stop.alias("pass_stopwords"),
+            reason.alias("fail_reason"),
+        )
+        .withColumn("keep", F.col("fail_reason").isNull())
+        .orderBy("doc_id")
+    )
+
+
+GOPHER_RULES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_words,
+         ROUND(CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                    x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS alpha_word_frac,
+         CAST(len(list_intersect(
+                list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                ['the','be','to','of','and','that','have','with'])) AS INT) AS stop_hits
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+         (mean_word_len >= {GOPHER_MIN_MEAN_WLEN} AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}) AS pass_mean_word_len,
+         (alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha_frac,
+         (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS pass_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+       pass_word_count, pass_mean_word_len, pass_alpha_frac, pass_stopwords,
+       CASE WHEN NOT pass_word_count THEN 'WORD_COUNT'
+            WHEN NOT pass_mean_word_len THEN 'MEAN_WORD_LEN'
+            WHEN NOT pass_alpha_frac THEN 'ALPHA_FRAC'
+            WHEN NOT pass_stopwords THEN 'STOPWORDS'
+            ELSE NULL END AS fail_reason,
+       (pass_word_count AND pass_mean_word_len AND pass_alpha_frac AND pass_stopwords) AS keep
+FROM flagged
+ORDER BY doc_id
+""".strip()

@@ -624,3 +624,248 @@ SELECT a_id, b_id, hamming FROM ham
 WHERE hamming <= {AHASH_MAX_HAMMING}
 ORDER BY a_id, b_id
 """.strip()
+
+
+# --- pHash: 2-D DCT perceptual hash over the canonical 16x16 grid ----------
+
+PHASH_N = 16  # pixel grid side: the 256-byte canonical payload as 16x16
+PHASH_K = 8  # keep the low-frequency 8x8 DCT block (pHash standard)
+PHASH_COS_SCALE = 10**6  # fixed-point cosine table scale
+# cos(pi*(2x+1)*u / (2N)) scaled to integers — the SAME 128 literals are
+# interpolated into the SQL twin, so the DCT is exact integer arithmetic
+# in both engines (term bound: 255 * 1e6 * 16 * 1e6 * 16 = 6.6e16 per
+# coefficient, x63 for the mean compare = 4.1e18 < 2^63).
+import math as _math
+
+PHASH_COS = [
+    round(_math.cos(_math.pi * (2 * x + 1) * u / (2 * PHASH_N)) * PHASH_COS_SCALE)
+    for x in range(PHASH_N)
+    for u in range(PHASH_K)
+]  # index: x * PHASH_K + u
+PHASH_BAND_BITS = 8
+PHASH_MAX_HAMMING = 10
+
+
+def media_phash_neardup(
+    docs: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """pHash perceptual near-dup: the canonical 256-byte payload read
+    as a 16×16 pixel grid → 2-D DCT-II (SEPARABLE: a 16→8 row pass
+    then a 16→8 column pass — never the 4-nested-loop form) → keep the
+    low-frequency 8×8 block → bit_i = (coeff·63 > Σ coeffs excl. DC),
+    the integer cross-multiplied form of "above the AC mean" — the
+    classic pHash recipe (DC excluded, mean variant), with every step
+    in exact integer arithmetic via a fixed-point cosine table shared
+    verbatim with the SQL twin. pHash survives global brightness/
+    contrast shifts that defeat ``media_ahash_neardup`` (aHash), since
+    those land mostly in the DC term the signature discards; banding +
+    packed-signature Hamming verify are the same pigeonhole machinery.
+
+    Scale: two map-side DCT passes (8× explode each, O(1)-width rows
+    after the hex truncate), per-media aggregations, banded equi-join
+    candidates, 1-row-per-pair popcount verify — no all-pairs step."""
+    from ..session import track_persist
+
+    need = PHASH_N * PHASH_N
+    media = (
+        docs_as_media(docs)
+        .select(
+            "media_id",
+            F.substring(F.hex(F.col("content")), 1, 2 * need).alias("hx"),
+            F.length("content").alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= need)
+        .repartition(32, "media_id")
+    )
+    cos_arr = F.array(*[F.lit(c).cast("long") for c in PHASH_COS])
+    px = media.select(
+        "media_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(need - 1))).alias("i"),
+    ).select(
+        "media_id",
+        (F.col("i") % PHASH_N).alias("x"),
+        (F.col("i") / PHASH_N).cast("int").alias("y"),
+        F.conv(F.col("hx").substr(F.col("i") * 2 + 1, F.lit(2)), 16, 10)
+        .cast("long")
+        .alias("p"),
+    )
+    t1 = (
+        px.select(
+            "media_id",
+            "y",
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_K - 1))).alias("u"),
+            "x",
+            "p",
+        )
+        .select(
+            "media_id",
+            "y",
+            "u",
+            (
+                F.col("p")
+                * F.element_at(cos_arr, F.col("x") * PHASH_K + F.col("u") + 1)
+            ).alias("term"),
+        )
+        .groupBy("media_id", "u", "y")
+        .agg(F.sum("term").alias("t"))
+    )
+    coeffs = track_persist(
+        t1.select(
+            "media_id",
+            "u",
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_K - 1))).alias("v"),
+            "y",
+            "t",
+        )
+        .select(
+            "media_id",
+            "u",
+            "v",
+            (
+                F.col("t")
+                * F.element_at(cos_arr, F.col("y") * PHASH_K + F.col("v") + 1)
+            ).alias("term"),
+        )
+        .groupBy("media_id", "u", "v")
+        .agg(F.sum("term").alias("c"))
+    )
+    n_ac = PHASH_K * PHASH_K - 1  # 63 AC coefficients
+    s_ac = coeffs.filter(~((F.col("u") == 0) & (F.col("v") == 0))).groupBy(
+        "media_id"
+    ).agg(F.sum("c").alias("s"))
+    bits = track_persist(
+        coeffs.join(s_ac, "media_id").select(
+            "media_id",
+            (F.col("u") * PHASH_K + F.col("v")).alias("b"),
+            F.when((F.col("u") == 0) & (F.col("v") == 0), F.lit(0))
+            .otherwise((F.col("c") * n_ac > F.col("s")).cast("int"))
+            .cast("long")
+            .alias("bit"),
+        )
+    )
+    bands = track_persist(
+        bits.groupBy(
+            "media_id",
+            F.floor(F.col("b") / PHASH_BAND_BITS).cast("int").alias("band"),
+        ).agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2.0), (F.col("b") % PHASH_BAND_BITS)).cast("long")
+            ).alias("bv")
+        )
+    )
+    a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
+    b = bands.select("band", "bv", F.col("media_id").alias("b_id"))
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    half = PHASH_K * PHASH_K // (2 * PHASH_BAND_BITS)  # 4 bands per packed half
+    sigs = bands.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("band") < half,
+                F.col("bv")
+                * F.pow(
+                    F.lit(2.0), (F.col("band") % 4).cast("double") * PHASH_BAND_BITS
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                F.col("band") >= half,
+                F.col("bv")
+                * F.pow(
+                    F.lit(2.0), (F.col("band") % 4).cast("double") * PHASH_BAND_BITS
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
+    sa = sigs.select(F.col("media_id").alias("a_id"), F.col("lo").alias("alo"), F.col("hi").alias("ahi"))
+    sb = sigs.select(F.col("media_id").alias("b_id"), F.col("lo").alias("blo"), F.col("hi").alias("bhi"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_PHASH_COS_SQL = "[" + ", ".join(str(c) for c in PHASH_COS) + "]"
+
+MEDIA_PHASH_NEARDUP_SQL = f"""
+WITH cosl AS (SELECT {_PHASH_COS_SQL}::BIGINT[] AS l),
+media AS (
+  SELECT doc_id AS media_id,
+         substring(hex(encode(text)), 1, {2 * PHASH_N * PHASH_N}) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {PHASH_N * PHASH_N}
+),
+px AS (
+  SELECT media_id,
+         i % {PHASH_N} AS x, i // {PHASH_N} AS y,
+         CAST(('0x' || substring(hx, i*2 + 1, 2)) AS BIGINT) AS p
+  FROM media, (SELECT unnest(range(0, {PHASH_N * PHASH_N})) AS i)
+),
+t1 AS (
+  SELECT media_id, u, y, CAST(SUM(p * l[x * {PHASH_K} + u + 1]) AS BIGINT) AS t
+  FROM px, (SELECT unnest(range(0, {PHASH_K})) AS u), cosl
+  GROUP BY media_id, u, y
+),
+coeffs AS (
+  SELECT media_id, u, v, CAST(SUM(t * l[y * {PHASH_K} + v + 1]) AS BIGINT) AS c
+  FROM t1, (SELECT unnest(range(0, {PHASH_K})) AS v), cosl
+  GROUP BY media_id, u, v
+),
+s_ac AS (
+  SELECT media_id, CAST(SUM(c) AS BIGINT) AS s
+  FROM coeffs WHERE NOT (u = 0 AND v = 0) GROUP BY media_id
+),
+bits AS (
+  SELECT k.media_id, k.u * {PHASH_K} + k.v AS b,
+         CASE WHEN k.u = 0 AND k.v = 0 THEN 0
+              WHEN k.c * {PHASH_K * PHASH_K - 1} > m.s THEN 1 ELSE 0 END AS bit
+  FROM coeffs k JOIN s_ac m ON m.media_id = k.media_id
+),
+bands AS (
+  SELECT media_id, b // {PHASH_BAND_BITS} AS band,
+         SUM(bit * CAST(POWER(2, b % {PHASH_BAND_BITS}) AS BIGINT)) AS bv
+  FROM bits GROUP BY media_id, b // {PHASH_BAND_BITS}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+),
+sigs AS (
+  SELECT media_id,
+         SUM(CASE WHEN band < 4
+                  THEN bv * CAST(POWER(2, (band % 4) * {PHASH_BAND_BITS}) AS BIGINT)
+                  ELSE 0 END) AS lo,
+         SUM(CASE WHEN band >= 4
+                  THEN bv * CAST(POWER(2, (band % 4) * {PHASH_BAND_BITS}) AS BIGINT)
+                  ELSE 0 END) AS hi
+  FROM bands GROUP BY media_id
+)
+SELECT c.a_id, c.b_id,
+       CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))
+            AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.media_id = c.a_id
+JOIN sigs sb ON sb.media_id = c.b_id
+WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {PHASH_MAX_HAMMING}
+ORDER BY c.a_id, c.b_id
+""".strip()

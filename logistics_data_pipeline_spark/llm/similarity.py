@@ -899,13 +899,16 @@ ORDER BY label, pos
 """.strip()
 
 
-def semantic_neardup_enriched(emb: DataFrame, docs: DataFrame) -> DataFrame:
+def semantic_neardup_enriched(
+    emb: DataFrame, docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Embedding near-dup pairs joined back to document metadata on both
     sides (vec_id == doc_id) — the cross-table step a semantic-dedup
     pipeline runs before deciding keepers. The (tiny) pair set probes
     the documents table twice via aliased joins; at scale the pair side
     is the broadcast side."""
-    pairs = embedding_neardup(emb)
+    if pairs is None:
+        pairs = embedding_neardup(emb)
     a_meta = docs.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
@@ -1594,7 +1597,9 @@ ORDER BY vec_id, pos
 
 
 def semantic_dedup_keeper(
-    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic dedup end-to-end over the embedding space: exact
     cosine near-dup pairs (block-pair equi-join) → connected components
@@ -1604,7 +1609,9 @@ def semantic_dedup_keeper(
     Oracle replays the pair SQL + recursive reachability CTE."""
     from .dedup import label_propagation
 
-    pairs = embedding_neardup(emb, threshold).select("a_id", "b_id")
+    if pairs is None:
+        pairs = embedding_neardup(emb, threshold)
+    pairs = pairs.select("a_id", "b_id")
     labels = label_propagation(
         emb.select(F.col("vec_id").alias("node_id")), pairs
     )

@@ -3320,3 +3320,119 @@ FROM per
 WHERE n_gaps >= {REORDER_MIN_GAPS}
 ORDER BY o_custkey
 """.strip()
+
+
+# --- A/B experiment readout: SRM guard + Welch lift -------------------------
+
+AB_SPLIT_HEX = "8"  # md5 first hex nibble < '8' -> arm A (50/50 design)
+AB_SRM_CHI2_CRIT = 3.841  # chi-square 1-dof at alpha = 0.05
+
+
+def ab_test_srm(events: DataFrame) -> DataFrame:
+    """One-row A/B experiment readout over a DETERMINISTIC md5
+    assignment (first hex nibble of md5(user_id) — the hash-bucketing
+    every experimentation platform uses, reproducible in ANSI SQL):
+    per-arm user/event counts, the sample-ratio-mismatch chi² against
+    the 50/50 design (the guardrail that invalidates a run before
+    anyone reads the lift), per-arm mean event value from exact
+    DECIMAL sums, the relative lift, and the Welch z on the
+    per-event means. Moments accumulate as DECIMAL (order-independent),
+    so both engines agree bit-for-bit.
+
+    Scale: one scan, one conditional-aggregate pass (plus the exact
+    two-stage distinct-user count per arm); no joins."""
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX
+    v = F.col("value").cast("decimal(18,2)")
+    v2 = (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)")).cast(
+        "decimal(38,4)"
+    )
+    per_user = events.select(
+        arm_a.alias("is_a"), "user_id", v.alias("v"), v2.alias("v2")
+    )
+    users = (
+        per_user.select("is_a", "user_id")
+        .distinct()
+        .groupBy()
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_users_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_users_b"),
+        )
+    )
+    agg = per_user.groupBy().agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("s_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v2"))).alias("ss_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v2"))).alias("ss_b"),
+    )
+    j = users.crossJoin(agg)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa, ssb = F.col("ss_a").cast("double"), F.col("ss_b").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    var_a = (ssa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
+    ua, ub = F.col("n_users_a").cast("double"), F.col("n_users_b").cast("double")
+    srm = (ua - ub) * (ua - ub) / (ua + ub)
+    welch = (mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)
+    return j.select(
+        "n_users_a",
+        "n_users_b",
+        "n_a",
+        "n_b",
+        F.round(srm, 6).alias("srm_chi2"),
+        (srm < AB_SRM_CHI2_CRIT).alias("srm_pass"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.nullif(mean_b, F.lit(0.0)), 6).alias("lift"),
+        F.round(welch, 6).alias("welch_z"),
+    )
+
+
+AB_TEST_SRM_SQL = f"""
+WITH tagged AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}' AS is_a,
+         user_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+              AS DECIMAL(38,4)) AS v2
+  FROM events
+),
+users AS (
+  SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_users_a,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_users_b
+  FROM (SELECT DISTINCT is_a, user_id FROM tagged)
+),
+agg AS (
+  SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN is_a THEN v END) AS s_a,
+         SUM(CASE WHEN NOT is_a THEN v END) AS s_b,
+         SUM(CASE WHEN is_a THEN v2 END) AS ss_a,
+         SUM(CASE WHEN NOT is_a THEN v2 END) AS ss_b
+  FROM tagged
+)
+SELECT n_users_a, n_users_b, n_a, n_b,
+       ROUND((CAST(n_users_a AS DOUBLE) - CAST(n_users_b AS DOUBLE))
+             * (CAST(n_users_a AS DOUBLE) - CAST(n_users_b AS DOUBLE))
+             / (CAST(n_users_a AS DOUBLE) + CAST(n_users_b AS DOUBLE)), 6) AS srm_chi2,
+       ((CAST(n_users_a AS DOUBLE) - CAST(n_users_b AS DOUBLE))
+        * (CAST(n_users_a AS DOUBLE) - CAST(n_users_b AS DOUBLE))
+        / (CAST(n_users_a AS DOUBLE) + CAST(n_users_b AS DOUBLE))
+        < {AB_SRM_CHI2_CRIT}) AS srm_pass,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+       ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+       ROUND((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / NULLIF(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0), 6) AS lift,
+       ROUND((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / SQRT(((CAST(ss_a AS DOUBLE)
+                      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                    + ((CAST(ss_b AS DOUBLE)
+                        - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6) AS welch_z
+FROM users CROSS JOIN agg
+""".strip()

@@ -763,6 +763,8 @@ def _dedup_shared(spark, sf, name):
                 F.col("jaccard") >= 0.7
             ),
         )
+    elif name == "emb_pairs":  # exact cosine near-dup pairs (block-pair join)
+        df = llm_sim.embedding_neardup(_emb(spark, sf))
     elif name == "copurchase_edges":  # item-pagerank graph table
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
@@ -938,7 +940,7 @@ register(
 )
 register(
     "emb_neardup_cosine",
-    _q(lambda spark, sf: llm_sim.embedding_neardup(_emb(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "emb_pairs")),
     llm_sim.EMBEDDING_NEARDUP_SQL,
 )
 register(
@@ -950,7 +952,8 @@ register(
     "emb_semantic_neardup_enriched",
     _q(
         lambda spark, sf: llm_sim.semantic_neardup_enriched(
-            _emb(spark, sf), _docs(spark, sf)
+            _emb(spark, sf), _docs(spark, sf),
+            pairs=_dedup_shared(spark, sf, "emb_pairs"),
         )
     ),
     llm_sim.SEMANTIC_NEARDUP_ENRICHED_SQL,
@@ -1083,7 +1086,10 @@ _ROUND6_WINDOW = [
     "orders_graph_hits",
     "events_attribution_models",
     "emb_label_prototypes",
-    "docs_delete_propagation",
+    # (docs_delete_propagation ceded its slot to
+    # multimodal_phash_neardup: a set-subtraction panel mirror,
+    # pytest-pinned, local gate; pHash is a new integer-DCT operator)
+    "multimodal_phash_neardup",
     # (orders_revenue_trend ceded its slot to docs_bbit_minhash: an
     # exact-decimal OLS mirror, pytest-pinned, local gate; the b-bit
     # estimator panel rides the round-6 md5 MinHash family upgrade)
@@ -1096,7 +1102,10 @@ _ROUND6_WINDOW = [
     # pytest-pinned, local gate; the cross-lingual leakage grid is new)
     "docs_crosslingual_neardup",
     "docs_dedup_threshold_sweep",
-    "emb_sign_codes",
+    # (emb_sign_codes ceded its slot to events_ab_test_srm: a 1-bit
+    # sign mirror, pytest-pinned, local gate; the A/B readout is a
+    # new md5-bucketed experiment panel)
+    "events_ab_test_srm",
     # (orders_backlog_aging ceded its slot to emb_mmr_select: an
     # epoch age-bucket mirror, pytest-pinned, local gate; MMR is a
     # new 10-step greedy trace oracle)
@@ -1106,7 +1115,10 @@ _ROUND6_WINDOW = [
     # HHI share-sum mirror, pytest-pinned, local gate)
     "docs_readability",
     "events_changepoint_scan",
-    "docs_dp_source_counts",
+    # (docs_dp_source_counts ceded its slot to docs_gopher_rules: a
+    # deterministic md5-Laplace release mirror, pytest-pinned, local
+    # gate; the Gopher panel is a new published-threshold gate)
+    "docs_gopher_rules",
     # (orders_theilsen_trend ceded its slot to lineitem_leadtime_anova:
     # an exact-decimal median-slope mirror, pytest-pinned, local gate)
     "lineitem_leadtime_anova",
@@ -1158,7 +1170,11 @@ register(
 )
 register(
     "emb_semantic_dedup_keeper",
-    _q(lambda spark, sf: llm_sim.semantic_dedup_keeper(_emb(spark, sf))),
+    _q(
+        lambda spark, sf: llm_sim.semantic_dedup_keeper(
+            _emb(spark, sf), pairs=_dedup_shared(spark, sf, "emb_pairs")
+        )
+    ),
     llm_sim.SEMANTIC_DEDUP_KEEPER_SQL,
 )
 register(
@@ -1972,6 +1988,21 @@ register(
     "orders_reorder_intervals",  # per-customer reorder cadence (integer moments)
     _q(lambda spark, sf: analytics.reorder_intervals(load_table(spark, sf, "orders"))),
     analytics.REORDER_INTERVALS_SQL,
+)
+register(
+    "docs_gopher_rules",  # published Gopher quality-rule panel (fixed thresholds)
+    _q(lambda spark, sf: llm_cur.gopher_rules(_docs(spark, sf))),
+    llm_cur.GOPHER_RULES_SQL,
+)
+register(
+    "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
+    _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
+    llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "events_ab_test_srm",  # md5-bucketed A/B readout: SRM chi2 + Welch lift
+    _q(lambda spark, sf: analytics.ab_test_srm(load_table(spark, sf, "events"))),
+    analytics.AB_TEST_SRM_SQL,
 )
 
 def _apply_registration_order() -> None:

@@ -1268,3 +1268,77 @@ class TestReorderIntervals:
         assert r2.n_orders == 3 and r2.avg_gap_days == 2.0
         assert r2.min_gap_days == 1.0 and r2.max_gap_days == 3.0
         assert abs(r2.std_gap_days - round(2**0.5, 6)) < 1e-6
+
+
+class TestGopherRules:
+    def test_known_flags(self, spark):
+        from logistics_data_pipeline_spark.llm import curation
+
+        good = ("the be to of and that have with " + "word " * 52).strip()  # 60 words
+        short = "the be tiny"
+        longw = " ".join(["pneumonoultramicroscopic"] * 60)  # mean len 24
+        docs = spark.createDataFrame(
+            [(1, good, "en", "s", 1), (2, short, "en", "s", 1), (3, longw, "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {r.doc_id: r for r in curation.gopher_rules(docs).collect()}
+        assert out[1].keep and out[1].fail_reason is None
+        assert out[1].n_words == 60 and out[1].stop_hits == 8
+        assert not out[2].keep and out[2].fail_reason == "WORD_COUNT"
+        assert not out[3].keep and out[3].fail_reason == "MEAN_WORD_LEN"
+        assert out[3].pass_word_count and not out[3].pass_mean_word_len
+
+
+class TestAbTestSrm:
+    def test_matches_reference_computation(self, spark):
+        import datetime as dt
+        import hashlib
+        import statistics
+
+        base = dt.datetime(2024, 5, 1)
+        rows, vals = [], {}
+        for uid in range(200):
+            for k in range(3):
+                v = round((uid % 7) + k * 0.5, 2)
+                rows.append((uid * 10 + k, base, uid, "A", v, "{}"))
+                vals.setdefault(uid, []).append(v)
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        from logistics_data_pipeline_spark.operators import analytics
+
+        r = analytics.ab_test_srm(ev).collect()[0]
+        arm_a = {u for u in vals if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"}
+        assert r.n_users_a == len(arm_a)
+        assert r.n_users_b == 200 - len(arm_a)
+        va = [v for u in arm_a for v in vals[u]]
+        vb = [v for u in vals if u not in arm_a for v in vals[u]]
+        assert r.n_a == len(va) and r.n_b == len(vb)
+        assert abs(r.mean_a - statistics.mean(va)) < 1e-6
+        assert abs(r.mean_b - statistics.mean(vb)) < 1e-6
+        expected_srm = (r.n_users_a - r.n_users_b) ** 2 / 200
+        assert abs(r.srm_chi2 - expected_srm) < 1e-6
+
+
+class TestPhashNeardup:
+    def test_identical_and_perturbed_payloads(self, spark):
+        from logistics_data_pipeline_spark.llm import multimodal
+
+        body = ("spark dct perceptual hash block " * 12)[:300]
+        perturbed = body[:150] + "XY" + body[152:]  # 2-byte local edit
+        docs = spark.createDataFrame(
+            [(1, body, "en", "s", 300), (2, body, "en", "s", 300),
+             (3, perturbed, "en", "s", 300),
+             (4, "completely different content " * 11, "en", "s", 300)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {(r.a_id, r.b_id): r.hamming
+               for r in multimodal.media_phash_neardup(docs).collect()}
+        # identical payloads: hamming 0
+        assert out[(1, 2)] == 0
+        # a 2-byte local edit stays within the hamming budget
+        assert (1, 3) in out and out[(1, 3)] <= multimodal.PHASH_MAX_HAMMING
+        for h in out.values():
+            assert 0 <= h <= multimodal.PHASH_MAX_HAMMING

@@ -156,6 +156,9 @@ ALLOWED = {
     # distinct-langs × distinct-langs grid cross (config-sized, the
     # zero-cell completion — same reasoning as docs_lang_source_chi2)
     "docs_crosslingual_neardup": {"nested-loop join"},
+    # two 1-row aggregate legs (distinct-user counts × event moments)
+    # cross-joined into the single report row
+    "events_ab_test_srm": {"nested-loop join"},
 }
 
 
