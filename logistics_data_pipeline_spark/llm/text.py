@@ -2161,3 +2161,124 @@ SELECT doc_id, n_words, n_syllables, n_sentences, syll_per_word, flesch,
 FROM scored
 ORDER BY doc_id
 """.strip()
+
+
+# --- held-out perplexity: md5 train/eval split bigram LM --------------------
+
+HOLDOUT_TRAIN_HEX = "c"  # md5 first nibble < 'c' -> train (75% design)
+
+
+def holdout_perplexity(docs: DataFrame) -> DataFrame:
+    """Held-out LM evaluation: split the corpus 75/25 by a
+    deterministic md5 hash of doc_id, train the add-one-smoothed
+    bigram LM on the TRAIN side only, and score each EVAL document —
+    average log-probability plus the unseen-bigram fraction. Where
+    ``doc_bigram_logprob`` scores in-sample (its smoothing never meets
+    an unseen pair), this is the out-of-sample number that actually
+    measures generalization — the eval-side droop vs the in-sample
+    score is the overfitting gap, and a per-doc OOV spike marks
+    contamination or domain shift. Unseen contexts fall back to
+    ln(1/(0+V)) via COALESCE in both engines.
+
+    Scale: same keyed shuffles as the in-sample scorer (bigram, then
+    doc_id); the train/eval predicate is a map-side hash — no extra
+    pass, no skew."""
+    from pyspark.sql import Window
+
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit(
+        HOLDOUT_TRAIN_HEX
+    )
+    toks = docs.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "doc_id", "is_train", "w1", F.lead("w1", 1).over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .filter(F.col("w1").rlike("^[a-z]+$") & F.col("w2").rlike("^[a-z]+$"))
+    )
+    train = pairs.filter(F.col("is_train"))
+    big = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        train.select(F.col("w1").alias("tok"))
+        .union(train.select(F.col("w2").alias("tok")))
+        .agg(F.countDistinct("tok").alias("v"))
+        .withColumn("_k", F.lit(1))
+    )
+    ev = pairs.filter(~F.col("is_train"))
+    scored = (
+        ev.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .withColumn("c12", F.coalesce(F.col("c12"), F.lit(0)))
+        .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .select(
+            "doc_id",
+            (F.col("c12") == 0).cast("int").alias("unseen"),
+            F.log(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("unseen").cast("bigint").alias("n_unseen"),
+            F.round(
+                F.sum("unseen").cast("double") / F.count("*"), 6
+            ).alias("oov_frac"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+HOLDOUT_PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{HOLDOUT_TRAIN_HEX}' AS is_train,
+         t, unnest(range(0, len(t) - 1)) AS i
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT doc_id, is_train, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks
+  WHERE regexp_full_match(t[i + 1], '[a-z]+') AND regexp_full_match(t[i + 2], '[a-z]+')
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs WHERE is_train GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM pairs WHERE is_train GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT w1 AS tok FROM pairs WHERE is_train
+        UNION ALL SELECT w2 FROM pairs WHERE is_train)
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN COALESCE(b.c12, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+         ln((COALESCE(b.c12, 0) + 1)
+            / CAST(COALESCE(c.c1, 0) + vocab.v AS DOUBLE)) AS logp
+  FROM pairs p
+  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN ctx c ON p.w1 = c.w1
+  CROSS JOIN vocab
+  WHERE NOT p.is_train
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       ROUND(CAST(SUM(unseen) AS DOUBLE) / COUNT(*), 6) AS oov_frac,
+       ROUND(AVG(logp), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()

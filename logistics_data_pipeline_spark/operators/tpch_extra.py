@@ -2325,3 +2325,152 @@ FROM cells pa, cells pb, cells oa, cells ob
 WHERE pa.is_promo AND pa.is_after AND pb.is_promo AND NOT pb.is_after
   AND NOT oa.is_promo AND oa.is_after AND NOT ob.is_promo AND NOT ob.is_after
 """.strip()
+
+
+# --- ABC x XYZ: revenue concentration x demand variability ------------------
+
+XYZ_X, XYZ_Y = 0.5, 1.0  # weekly-demand CV cuts: X stable, Y variable, Z erratic
+
+
+def abc_xyz(lineitem: DataFrame) -> DataFrame:
+    """The ABC×XYZ inventory matrix: revenue concentration class (the
+    ``abc_analysis`` Pareto cut) crossed with demand VARIABILITY class
+    from the coefficient of variation of weekly shipped quantity —
+    AX items (high value, stable demand) get tight reorder automation,
+    CZ items (low value, erratic) get make-to-order. Weeks with zero
+    demand count in the variance through the total-week denominator
+    (zero weeks contribute 0 to Σq and Σq², so no per-part calendar
+    gap-fill join is needed). All moments accumulate as DECIMAL and the
+    CV is one fixed-association double expression, so the oracle
+    hash-matches.
+
+    Scale: two fact aggregations (per-part revenue; per-part-week
+    quantity then per-part moments) + the catalog-sized ABC running
+    window (same single-task bound as ``abc_analysis``); the week-count
+    scalar broadcasts."""
+    from pyspark.sql import Window
+
+    rev = lineitem.groupBy("l_partkey").agg(F.sum(_rev()).alias("rev_dec"))
+    total = rev.agg(F.sum("rev_dec").alias("_total"))
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    abc = (
+        rev.join(F.broadcast(total))
+        .withColumn("cum_dec", F.sum("rev_dec").over(w))
+        .select(
+            "l_partkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_dec").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= ABC_A, "A")
+            .when(F.col("cum_share") <= ABC_B, "B")
+            .otherwise("C"),
+        )
+    )
+    wk = (
+        lineitem.select(
+            "l_partkey",
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        )
+        .groupBy("l_partkey", "wk")
+        .agg(F.sum("q").cast("decimal(18,2)").alias("qd"))
+    )
+    nweeks = F.broadcast(
+        wk.select("wk").distinct().agg(F.count("*").alias("n_weeks"))
+    )
+    mom = wk.groupBy("l_partkey").agg(
+        F.sum("qd").alias("s_dec"),
+        F.sum((F.col("qd") * F.col("qd")).cast("decimal(38,4)")).alias("ss_dec"),
+        F.count("*").cast("bigint").alias("n_active_weeks"),
+    )
+    nn = F.col("n_weeks").cast("double")
+    s = F.col("s_dec").cast("double")
+    ss = F.col("ss_dec").cast("double")
+    mean = s / nn
+    var = (ss - s * s / nn) / (nn - F.lit(1.0))
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / F.nullif(mean, F.lit(0.0))
+    xyz = (
+        F.when(F.col("demand_cv") < XYZ_X, "X")
+        .when(F.col("demand_cv") < XYZ_Y, "Y")
+        .otherwise("Z")
+    )
+    return (
+        mom.join(nweeks)
+        .select(
+            "l_partkey",
+            "n_active_weeks",
+            F.round(cv, 6).alias("demand_cv"),
+        )
+        .join(abc, "l_partkey")
+        .withColumn("xyz_class", xyz)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "revenue",
+            "abc_class",
+            "n_active_weeks",
+            "demand_cv",
+            "xyz_class",
+            F.concat(F.col("abc_class"), F.col("xyz_class")).alias("cell"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ABC_XYZ_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+abc AS (
+  SELECT l_partkey,
+         CAST(rev_dec AS DOUBLE) AS revenue,
+         CASE WHEN ROUND(CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / CAST((SELECT SUM(rev_dec) FROM rev) AS DOUBLE), 6) <= {ABC_A} THEN 'A'
+              WHEN ROUND(CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / CAST((SELECT SUM(rev_dec) FROM rev) AS DOUBLE), 6) <= {ABC_B} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev
+),
+wk AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qd
+  FROM lineitem GROUP BY 1, 2
+),
+nweeks AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS n_weeks FROM wk),
+mom AS (
+  SELECT l_partkey,
+         SUM(qd) AS s_dec,
+         SUM(CAST(qd * qd AS DECIMAL(38,4))) AS ss_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_active_weeks
+  FROM wk GROUP BY 1
+),
+cvt AS (
+  SELECT m.l_partkey, m.n_active_weeks,
+         ROUND(SQRT(GREATEST((CAST(m.ss_dec AS DOUBLE)
+                              - CAST(m.s_dec AS DOUBLE) * CAST(m.s_dec AS DOUBLE)
+                                / CAST(n.n_weeks AS DOUBLE))
+                             / (CAST(n.n_weeks AS DOUBLE) - 1.0), 0.0))
+               / NULLIF(CAST(m.s_dec AS DOUBLE) / CAST(n.n_weeks AS DOUBLE), 0.0), 6)
+           AS demand_cv
+  FROM mom m CROSS JOIN nweeks n
+)
+SELECT c.l_partkey AS p_partkey, a.revenue, a.abc_class,
+       c.n_active_weeks, c.demand_cv,
+       CASE WHEN c.demand_cv < {XYZ_X} THEN 'X'
+            WHEN c.demand_cv < {XYZ_Y} THEN 'Y'
+            ELSE 'Z' END AS xyz_class,
+       a.abc_class || CASE WHEN c.demand_cv < {XYZ_X} THEN 'X'
+                           WHEN c.demand_cv < {XYZ_Y} THEN 'Y'
+                           ELSE 'Z' END AS cell
+FROM cvt c JOIN abc a ON a.l_partkey = c.l_partkey
+ORDER BY p_partkey
+""".strip()

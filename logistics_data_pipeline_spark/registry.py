@@ -1085,7 +1085,10 @@ _ROUND6_WINDOW = [
     # gate; HITS is a genuinely new 13-round iterative oracle)
     "orders_graph_hits",
     "events_attribution_models",
-    "emb_label_prototypes",
+    # (emb_label_prototypes ceded its slot to docs_holdout_perplexity:
+    # a decimal centroid-mean mirror, pytest-pinned, local gate; the
+    # held-out LM eval is a genuinely new out-of-sample scorer)
+    "docs_holdout_perplexity",
     # (docs_delete_propagation ceded its slot to
     # multimodal_phash_neardup: a set-subtraction panel mirror,
     # pytest-pinned, local gate; pHash is a new integer-DCT operator)
@@ -1101,7 +1104,9 @@ _ROUND6_WINDOW = [
     # docs_crosslingual_neardup: a per-lang token-share mirror,
     # pytest-pinned, local gate; the cross-lingual leakage grid is new)
     "docs_crosslingual_neardup",
-    "docs_dedup_threshold_sweep",
+    # (docs_dedup_threshold_sweep ceded its slot to part_abc_xyz:
+    # five scalar-cross threshold counts, pytest-pinned, local gate)
+    "part_abc_xyz",
     # (emb_sign_codes ceded its slot to events_ab_test_srm: a 1-bit
     # sign mirror, pytest-pinned, local gate; the A/B readout is a
     # new md5-bucketed experiment panel)
@@ -1998,6 +2003,16 @@ register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
     _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "part_abc_xyz",  # ABC revenue class x XYZ weekly-demand-CV class matrix
+    _q(lambda spark, sf: tx.abc_xyz(load_table(spark, sf, "lineitem"))),
+    tx.ABC_XYZ_SQL,
+)
+register(
+    "docs_holdout_perplexity",  # md5 train/eval split, out-of-sample bigram LM
+    _q(lambda spark, sf: llm_text.holdout_perplexity(_docs(spark, sf))),
+    llm_text.HOLDOUT_PERPLEXITY_SQL,
 )
 register(
     "events_ab_test_srm",  # md5-bucketed A/B readout: SRM chi2 + Welch lift

