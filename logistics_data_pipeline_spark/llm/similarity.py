@@ -4842,3 +4842,106 @@ ORDER BY rank
 
 
 MMR_SELECT_SQL = _mmr_sql()
+
+
+# --- Mahalanobis (diagonal) OOD scoring -------------------------------------
+
+MAHA_CRIT = 93.217  # chi-square 0.99 quantile at d=64 — the OOD flag line
+
+
+def mahalanobis_ood(emb: DataFrame) -> DataFrame:
+    """Out-of-distribution scoring by DIAGONAL Mahalanobis distance:
+    score(v) = Σ_d (v_d − μ_d)²/σ²_d against the corpus per-dimension
+    moments — the cheap member of the OOD family (full-covariance
+    Mahalanobis needs the inverse ``emb_covariance`` provides; the
+    diagonal is the 1-pass approximation production filters run first).
+    Flags vectors above the χ²₆₄ 0.99 line. Complements
+    ``emb_label_outliers`` (which scores against the vector's OWN label
+    centroid): this is corpus-global, label-free.
+
+    Exactness: moments come from the ``dim_stats`` integer-microunit
+    sums (FLOOR(v·10⁶) — no round-half ties); each per-dimension term
+    is derived from those exact sums with one fixed-association double
+    expression, ROUNDED TO 6 DP, and accumulated as DECIMAL — so the
+    per-vector sum is order-independent and both engines agree
+    bit-for-bit. Zero-variance dimensions NULL out (NULLIF) and drop
+    from the sum in both engines; ``n_dims_used`` reports how many
+    contributed.
+
+    Scale: one posexplode + dimension-keyed aggregation for the
+    moments (d groups), the 64-row moment table broadcast back, one
+    vector-keyed aggregation for the scores — no windows, no skew."""
+    q = F.floor(F.col("v").cast("double") * F.lit(float(DIM_STATS_SCALE))).cast(
+        "bigint"
+    )
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"), q.alias("q"))
+    n = F.count("*")
+    s1 = F.sum(F.col("q"))
+    s2 = F.sum(F.col("q") * F.col("q"))
+    dims = F.broadcast(
+        el.groupBy("dim").agg(
+            n.cast("bigint").alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    mu_q = F.col("s1").cast("double") / nn
+    var_q = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nn
+    ) / (nn - F.lit(1.0))
+    term = (
+        (F.col("q").cast("double") - mu_q)
+        * (F.col("q").cast("double") - mu_q)
+        / F.nullif(var_q, F.lit(0.0))
+    )
+    scored = el.join(dims, "dim").select(
+        "vec_id",
+        "label",
+        F.round(term, 6).cast("decimal(28,6)").alias("t6"),
+    )
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.count("t6").cast("bigint").alias("n_dims_used"),
+            F.round(F.sum("t6").cast("double"), 6).alias("maha_sq"),
+        )
+        .withColumn("is_outlier", F.col("maha_sq") > MAHA_CRIT)
+        .orderBy("vec_id")
+    )
+
+
+MAHALANOBIS_OOD_SQL = f"""
+WITH el AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS v,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {float(DIM_STATS_SCALE)}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+dims AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2
+  FROM el GROUP BY dim
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(ROUND((CAST(e.q AS DOUBLE) - CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE))
+                    * (CAST(e.q AS DOUBLE) - CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE))
+                    / NULLIF((CAST(d.s2 AS DOUBLE)
+                              - CAST(d.s1 AS DOUBLE) * CAST(d.s1 AS DOUBLE) / CAST(d.n AS DOUBLE))
+                             / (CAST(d.n AS DOUBLE) - 1.0), 0.0), 6)
+              AS DECIMAL(28,6)) AS t6
+  FROM el e JOIN dims d ON e.dim = d.dim
+)
+SELECT vec_id, label,
+       CAST(COUNT(t6) AS BIGINT) AS n_dims_used,
+       ROUND(CAST(SUM(t6) AS DOUBLE), 6) AS maha_sq,
+       ROUND(CAST(SUM(t6) AS DOUBLE), 6) > {MAHA_CRIT} AS is_outlier
+FROM scored
+GROUP BY vec_id, label
+ORDER BY vec_id
+""".strip()

@@ -1150,7 +1150,10 @@ _ROUND6_WINDOW = [
     "docs_winnowing_pairs",
     # (docs_editdistance_verify ceded its slot to orders_promo_did: a
     # levenshtein mirror over SNM candidates, pytest-pinned, local gate)
-    "orders_promo_did",
+    # (orders_promo_did ceded its slot to emb_mahalanobis_ood: a
+    # four-cell difference-of-means mirror, pytest-pinned, local
+    # gate; the OOD scorer is a new decimal-accumulated panel)
+    "emb_mahalanobis_ood",
     "emb_semdedup",
     "emb_cluster_balanced_sample",
     "docs_dsir_weights",
@@ -2003,6 +2006,11 @@ register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
     _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "emb_mahalanobis_ood",  # diagonal-Mahalanobis corpus-global OOD flags
+    _q(lambda spark, sf: llm_sim.mahalanobis_ood(_emb(spark, sf))),
+    llm_sim.MAHALANOBIS_OOD_SQL,
 )
 register(
     "part_abc_xyz",  # ABC revenue class x XYZ weekly-demand-CV class matrix

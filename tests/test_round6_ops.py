@@ -1396,3 +1396,19 @@ class TestAbcXyz:
         assert out[1].cell == "AX" and out[1].n_active_weeks == 10
         assert out[2].abc_class == "C" and out[2].xyz_class == "Z"
         assert out[2].demand_cv > 1.0
+
+
+class TestMahalanobisOod:
+    def test_planted_outlier_flags(self, spark):
+        rows = [(i, [1.0 + (i % 5) * 0.01, 2.0 - (i % 7) * 0.01, 0.5, -0.5], 0)
+                for i in range(60)]
+        rows.append((999, [50.0, -50.0, 9.0, 9.0], 1))  # far outside
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r.vec_id: r for r in similarity.mahalanobis_ood(emb).collect()}
+        assert len(out) == 61
+        assert out[999].is_outlier
+        assert out[999].maha_sq > max(r.maha_sq for v, r in out.items() if v != 999)
+        # every dimension varies in this fixture -> all contribute
+        assert all(r.n_dims_used == 4 for r in out.values())
