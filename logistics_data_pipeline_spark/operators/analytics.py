@@ -3436,3 +3436,138 @@ SELECT n_users_a, n_users_b, n_a, n_b,
                        / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6) AS welch_z
 FROM users CROSS JOIN agg
 """.strip()
+
+
+# --- monthly seasonal index over order revenue ------------------------------
+
+
+def seasonal_index(orders: DataFrame) -> DataFrame:
+    """Classical monthly seasonal index over order revenue: each
+    calendar month's average monthly total divided by the grand average
+    monthly total — the multiplicative seasonality table a demand
+    forecast multiplies into its trend (events_stl_decompose is the
+    additive per-day twin on the event stream; this is the planning
+    calendar on the order book). All totals accumulate as DECIMAL; the
+    index is one fixed-association double division, so the oracle
+    hash-matches.
+
+    Scale: one aggregation to (year, month) totals — at most a few
+    hundred groups regardless of corpus size — then a 12-group
+    average; everything after the first agg is constant-sized."""
+    ym = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"))
+    per_month = ym.groupBy("mo").agg(
+        F.count("*").cast("bigint").alias("n_years"),
+        F.sum("tot").alias("mo_sum"),
+    )
+    grand = F.broadcast(
+        ym.agg(
+            F.sum("tot").alias("g_sum"), F.count("*").cast("bigint").alias("g_n")
+        )
+    )
+    mo_avg = F.col("mo_sum").cast("double") / F.col("n_years").cast("double")
+    g_avg = F.col("g_sum").cast("double") / F.col("g_n").cast("double")
+    return (
+        per_month.join(grand)
+        .select(
+            "mo",
+            "n_years",
+            F.round(mo_avg, 6).alias("avg_month_revenue"),
+            F.round(mo_avg / g_avg, 6).alias("seasonal_index"),
+        )
+        .orderBy("mo")
+    )
+
+
+SEASONAL_INDEX_SQL = """
+WITH ym AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+  FROM orders GROUP BY 1, 2
+),
+per_month AS (
+  SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_years, SUM(tot) AS mo_sum
+  FROM ym GROUP BY mo
+),
+grand AS (
+  SELECT SUM(tot) AS g_sum, CAST(COUNT(*) AS BIGINT) AS g_n FROM ym
+)
+SELECT CAST(mo AS INT) AS mo, n_years,
+       ROUND(CAST(mo_sum AS DOUBLE) / CAST(n_years AS DOUBLE), 6) AS avg_month_revenue,
+       ROUND((CAST(mo_sum AS DOUBLE) / CAST(n_years AS DOUBLE))
+             / (CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE)), 6) AS seasonal_index
+FROM per_month CROSS JOIN grand
+ORDER BY mo
+""".strip()
+
+
+# --- experiment power / sample-size panel -----------------------------------
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha 0.05
+POWER_Z_BETA = 0.841621  # power 0.80
+POWER_MDE_FRACS = [0.01, 0.02, 0.05, 0.10]
+
+
+def power_analysis(events: DataFrame) -> DataFrame:
+    """Experiment sizing panel from the observed metric distribution:
+    for each minimum-detectable-effect (1/2/5/10% of the mean), the
+    per-arm sample size n = 2(z_α/2+z_β)²σ²/δ² at α=0.05, power 0.80 —
+    the "how long must this A/B run" table ``events_ab_test_srm``'s
+    readout presumes. Moments from exact DECIMAL sums; each row is one
+    fixed-association double expression.
+
+    Scale: one conditional-aggregate scan; the 4-row MDE grid is a
+    literal inline table."""
+    v = F.col("value").cast("decimal(18,2)")
+    v2 = (v * v).cast("decimal(38,4)")
+    agg = events.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v2).alias("ss"),
+    )
+    grid = None
+    for frac in POWER_MDE_FRACS:
+        row = agg.select(F.lit(frac).alias("mde_frac"), "n", "s", "ss")
+        grid = row if grid is None else grid.unionAll(row)
+    nn = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nn
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nn
+    ) / (nn - F.lit(1.0))
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    delta = F.col("mde_frac") * mean
+    n_req = F.lit(2.0) * F.lit(z2) * var / (delta * delta)
+    return grid.select(
+        "mde_frac",
+        F.round(mean, 6).alias("metric_mean"),
+        F.round(var, 6).alias("metric_var"),
+        F.ceil(n_req).cast("bigint").alias("n_per_arm"),
+    ).orderBy("mde_frac")
+
+
+POWER_ANALYSIS_SQL = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS ss
+  FROM events
+),
+grid AS (SELECT unnest([{", ".join(str(f) for f in POWER_MDE_FRACS)}]) AS mde_frac)
+SELECT g.mde_frac,
+       ROUND(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS metric_mean,
+       ROUND((CAST(a.ss AS DOUBLE)
+              - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+             / (CAST(a.n AS DOUBLE) - 1.0), 6) AS metric_var,
+       CAST(CEIL(2.0 * {(POWER_Z_ALPHA + POWER_Z_BETA) ** 2}
+                 * ((CAST(a.ss AS DOUBLE)
+                     - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                    / (CAST(a.n AS DOUBLE) - 1.0))
+                 / ((g.mde_frac * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)))
+                    * (g.mde_frac * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)))))
+            AS BIGINT) AS n_per_arm
+FROM grid g CROSS JOIN agg a
+ORDER BY g.mde_frac
+""".strip()

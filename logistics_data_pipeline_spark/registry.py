@@ -1126,7 +1126,9 @@ _ROUND6_WINDOW = [
     "docs_gopher_rules",
     # (orders_theilsen_trend ceded its slot to lineitem_leadtime_anova:
     # an exact-decimal median-slope mirror, pytest-pinned, local gate)
-    "lineitem_leadtime_anova",
+    # (lineitem_leadtime_anova ceded its slot to orders_seasonal_index:
+    # a grand-moment F mirror, pytest-pinned, local gate)
+    "orders_seasonal_index",
     # (orders_benford_digits ceded its slot to events_markov_stationary:
     # a first-digit histogram mirror, pytest-pinned and in every local gate)
     "events_markov_stationary",
@@ -1136,7 +1138,9 @@ _ROUND6_WINDOW = [
     # (part_pareto_front ceded its slot to emb_mmd_labels: a skyline
     # window mirror, pytest-pinned and in every local gate)
     "emb_mmd_labels",
-    "orders_item_similarity",
+    # (orders_item_similarity ceded its slot to events_power_analysis:
+    # an order-set Jaccard mirror, pytest-pinned, local gate)
+    "events_power_analysis",
     # (events_gaps_islands ceded its slot to emb_linear_probe: the
     # classic islands mirror, pytest-pinned and in every local gate)
     "emb_linear_probe",
@@ -2006,6 +2010,16 @@ register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
     _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "orders_seasonal_index",  # classical monthly multiplicative seasonality
+    _q(lambda spark, sf: analytics.seasonal_index(load_table(spark, sf, "orders"))),
+    analytics.SEASONAL_INDEX_SQL,
+)
+register(
+    "events_power_analysis",  # MDE -> per-arm sample-size sizing table
+    _q(lambda spark, sf: analytics.power_analysis(load_table(spark, sf, "events"))),
+    analytics.POWER_ANALYSIS_SQL,
 )
 register(
     "emb_mahalanobis_ood",  # diagonal-Mahalanobis corpus-global OOD flags

@@ -1412,3 +1412,54 @@ class TestMahalanobisOod:
         assert out[999].maha_sq > max(r.maha_sq for v, r in out.items() if v != 999)
         # every dimension varies in this fixture -> all contribute
         assert all(r.n_dims_used == 4 for r in out.values())
+
+
+class TestSeasonalIndex:
+    def test_flat_series_indexes_to_one(self, spark):
+        import datetime as dt
+
+        rows = []
+        k = 0
+        for yr in (2023, 2024):
+            for mo in range(1, 13):
+                for d in (3, 17):
+                    rows.append((k, 1, "O", 100.0, dt.datetime(yr, mo, d), "1-URGENT"))
+                    k += 1
+        orders = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        from logistics_data_pipeline_spark.operators import analytics
+
+        out = analytics.seasonal_index(orders).collect()
+        assert [r.mo for r in out] == list(range(1, 13))
+        for r in out:
+            assert r.n_years == 2
+            assert abs(r.seasonal_index - 1.0) < 1e-9
+
+
+class TestPowerAnalysis:
+    def test_monotone_and_reference_value(self, spark):
+        import datetime as dt
+        import statistics
+
+        vals = [round((i % 10) + 0.25, 2) for i in range(500)]
+        ev = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1), i, "A", v, "{}") for i, v in enumerate(vals)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        from logistics_data_pipeline_spark.operators import analytics
+
+        out = analytics.power_analysis(ev).collect()
+        assert [r.mde_frac for r in out] == [0.01, 0.02, 0.05, 0.1]
+        # smaller detectable effect -> more samples, ~quadratically
+        assert out[0].n_per_arm > out[1].n_per_arm > out[3].n_per_arm
+        mean, var = statistics.mean(vals), statistics.variance(vals)
+        import math
+        expected = math.ceil(
+            2 * (analytics.POWER_Z_ALPHA + analytics.POWER_Z_BETA) ** 2 * var
+            / (0.05 * mean) ** 2
+        )
+        assert abs(out[2].n_per_arm - expected) <= 1

@@ -165,6 +165,8 @@ ALLOWED = {
     # 1-row train-vocab-size scalar broadcast into the eval scorer
     # (same shape as docs_bigram_logprob)
     "docs_holdout_perplexity": {"nested-loop join"},
+    # 1-row grand-average scalar joined into the 12-row month table
+    "orders_seasonal_index": {"nested-loop join"},
 }
 
 
