@@ -2282,3 +2282,136 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """.strip()
+
+
+# --- RAKE keyword extraction ------------------------------------------------
+
+RAKE_TOP = 50
+
+
+def rake_keywords(docs: DataFrame) -> DataFrame:
+    """RAKE (Rose et al. 2010) keyword extraction: candidate phrases
+    are maximal stopword-free token runs (the gaps-and-islands split on
+    the STOPWORDS delimiters), each word scores degree/frequency
+    (degree = Σ sizes of the phrases it appears in — co-occurrence
+    reach; frequency = raw count), and a phrase scores the sum of its
+    member word scores — longer phrases of well-connected words win.
+    Top ``RAKE_TOP`` unique phrases corpus-wide.
+
+    Determinism: word scores are rounded to 6 dp then accumulated as
+    DECIMAL per phrase (order-independent), phrase text reassembles via
+    an order-pinned aggregation (sorted struct array here, string_agg
+    ORDER BY in the twin), ties order by phrase text.
+
+    Scale: token stream → one windowed island pass per doc (keyed by
+    doc_id — never a global window) → two vocabulary-sized
+    aggregations → a phrase-sized rollup; the top-k is TakeOrdered."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).withColumn(
+        "is_stop",
+        F.col("w").isin(*STOPWORDS) | ~F.col("w").rlike("^[a-z]+$"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    isl = toks.withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(win)
+    ).filter(~F.col("is_stop"))
+    sizes = isl.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    withsz = isl.join(sizes, ["doc_id", "phrase_id"])
+    wstats = withsz.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("sz").alias("degree"),
+    )
+    wscore = wstats.select(
+        "w",
+        F.round(
+            F.col("degree").cast("double") / F.col("freq").cast("double"), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("wscore"),
+    )
+    phrases = (
+        withsz.join(wscore, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("wscore").alias("pscore"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.round(F.max("pscore").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
+
+
+_RAKE_STOPS_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+RAKE_KEYWORDS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS w,
+         (t[i + 1] IN ({_RAKE_STOPS_SQL})
+          OR NOT regexp_full_match(t[i + 1], '[a-z]+')) AS is_stop
+  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents))
+),
+isl AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS phrase_id,
+         is_stop
+  FROM toks
+),
+kept AS (SELECT doc_id, pos, w, phrase_id FROM isl WHERE NOT is_stop),
+sizes AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM kept GROUP BY 1, 2
+),
+withsz AS (
+  SELECT k.doc_id, k.phrase_id, k.pos, k.w, s.sz
+  FROM kept k JOIN sizes s ON k.doc_id = s.doc_id AND k.phrase_id = s.phrase_id
+),
+wscore AS (
+  SELECT w,
+         CAST(ROUND(CAST(SUM(sz) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              AS DECIMAL(28,6)) AS wscore
+  FROM withsz GROUP BY w
+),
+phrases AS (
+  SELECT t.doc_id, t.phrase_id,
+         string_agg(t.w, ' ' ORDER BY t.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         SUM(ws.wscore) AS pscore
+  FROM withsz t JOIN wscore ws ON t.w = ws.w
+  GROUP BY t.doc_id, t.phrase_id
+)
+SELECT phrase,
+       MAX(n_words) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(CAST(MAX(pscore) AS DOUBLE), 6) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY score DESC, phrase ASC
+LIMIT {RAKE_TOP}
+""".strip()

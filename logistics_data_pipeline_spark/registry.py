@@ -1084,7 +1084,10 @@ _ROUND6_WINDOW = [
     # a windowed dup-detect mirror, pytest-pinned and in every local
     # gate; HITS is a genuinely new 13-round iterative oracle)
     "orders_graph_hits",
-    "events_attribution_models",
+    # (events_attribution_models ceded its slot to docs_rake_keywords:
+    # position-rule credit splits, pytest-pinned, local gate; RAKE is
+    # a new two-window extraction oracle)
+    "docs_rake_keywords",
     # (emb_label_prototypes ceded its slot to docs_holdout_perplexity:
     # a decimal centroid-mean mirror, pytest-pinned, local gate; the
     # held-out LM eval is a genuinely new out-of-sample scorer)
@@ -2010,6 +2013,11 @@ register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
     _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "docs_rake_keywords",  # RAKE degree/frequency phrase extraction
+    _q(lambda spark, sf: llm_text.rake_keywords(_docs(spark, sf))),
+    llm_text.RAKE_KEYWORDS_SQL,
 )
 register(
     "orders_seasonal_index",  # classical monthly multiplicative seasonality

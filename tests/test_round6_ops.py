@@ -1463,3 +1463,22 @@ class TestPowerAnalysis:
             / (0.05 * mean) ** 2
         )
         assert abs(out[2].n_per_arm - expected) <= 1
+
+
+class TestRakeKeywords:
+    def test_multiword_connected_phrase_wins(self, spark):
+        # "fast spark engine" recurs as a phrase; "slow" only alone
+        body = "fast spark engine of fast spark engine and slow to fast spark engine"
+        docs = spark.createDataFrame(
+            [(1, body, "en", "s", len(body)), (2, body, "en", "s", len(body))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = text.rake_keywords(docs).collect()
+        top = out[0]
+        assert top.phrase == "fast spark engine"
+        assert top.n_words == 3 and top.n_occurrences == 6
+        # each member word: freq 6 (or 7 for 'fast'), degree = 3 per phrase
+        # occurrence -> word score ~3; phrase score ~9 > any 1-word phrase
+        assert top.score > 8.0
+        by_phrase = {r.phrase: r for r in out}
+        assert by_phrase["slow"].score < top.score
