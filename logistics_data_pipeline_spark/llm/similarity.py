@@ -4945,3 +4945,139 @@ FROM scored
 GROUP BY vec_id, label
 ORDER BY vec_id
 """.strip()
+
+
+# --- TwoNN intrinsic dimension estimator ------------------------------------
+
+TWONN_ANCHORS = 256  # md5-ordered anchor sample; estimator input size
+TWONN_HEX_LEN = 8
+
+
+def intrinsic_dim(emb: DataFrame, n_anchors: int = TWONN_ANCHORS) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    of ``n_anchors`` md5-sampled anchor vectors, the ratio μ = r₂/r₁ of
+    its two nearest-neighbor EUCLIDEAN distances; the manifold
+    dimension estimate is d = n / Σ ln μ — the curse-of-dimensionality
+    diagnostic that tells an ANN-index designer whether 64-dim
+    embeddings really span 64 dimensions or sit on a ~10-dim manifold
+    (IVF cell counts, PQ segment budgets, and LSH band tuning all key
+    off this). One summary row plus the per-anchor μ distribution
+    quartiles.
+
+    Determinism: anchor choice is the md5-hex order (same literal
+    predicate in the twin); distances round to 6 dp BEFORE the r₁/r₂
+    selection (ties then break on neighbor id deterministically);
+    ln μ terms round to 6 dp and accumulate as DECIMAL.
+
+    Scale: anchors broadcast against one corpus scan (the
+    ``knn_bruteforce`` shape — linear in the corpus, quadratic only in
+    the fixed anchor count); the estimator itself runs on an
+    anchor-sized frame."""
+    ranked = emb.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, TWONN_HEX_LEN).alias(
+            "hx"
+        ),
+    )
+    anchors_ids = ranked.orderBy("hx", "vec_id").limit(n_anchors)
+    def _with_sumsq(frame, id_alias, vec_alias, sq_alias):
+        # SUM OF SQUARES directly (no sqrt round-trip: squaring the l2
+        # norm back would differ from the twin's list_sum by 1 ulp)
+        vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        sq = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return frame.select(
+            F.col("vec_id").alias(id_alias), vec_d.alias(vec_alias), sq.alias(sq_alias)
+        )
+
+    anchors = F.broadcast(
+        _with_sumsq(
+            emb.join(anchors_ids.select("vec_id"), "vec_id"), "a_id", "av", "asq"
+        )
+    )
+    corpus = _with_sumsq(emb, "c_id", "cv", "csq")
+    # squared euclidean via the same pre-cast fold: |a|^2 + |c|^2 - 2<a,c>
+    d2 = (
+        F.col("asq")
+        + F.col("csq")
+        - F.lit(2.0) * _dot(F.col("av"), F.col("cv"))
+    )
+    scored = (
+        anchors.crossJoin(corpus)
+        .filter(F.col("a_id") != F.col("c_id"))
+        .select(
+            "a_id",
+            "c_id",
+            F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    top2 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("a_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("dist"))).alias("r1"),
+            F.min(F.when(F.col("rk") == 2, F.col("dist"))).alias("r2"),
+        )
+        .filter(F.col("r1") > 0)  # exact-duplicate anchors drop (mu undefined)
+    )
+    mus = top2.select(
+        "a_id",
+        F.round(F.log(F.col("r2") / F.col("r1")), 6)
+        .cast("decimal(28,6)")
+        .alias("lnmu"),
+    )
+    return mus.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_anchors_used"),
+        F.round(
+            F.count("*").cast("double") / F.sum("lnmu").cast("double"), 6
+        ).alias("intrinsic_dim"),
+        F.round(F.avg(F.col("lnmu").cast("double")), 6).alias("mean_ln_mu"),
+        F.round(F.max(F.col("lnmu")).cast("double"), 6).alias("max_ln_mu"),
+    )
+
+
+INTRINSIC_DIM_SQL = f"""
+WITH anchors_ids AS (
+  SELECT vec_id
+  FROM (SELECT vec_id, substr(md5(CAST(vec_id AS VARCHAR)), 1, {TWONN_HEX_LEN}) AS hx
+        FROM embeddings)
+  ORDER BY hx, vec_id LIMIT {TWONN_ANCHORS}
+),
+scored AS (
+  SELECT a.vec_id AS a_id, c.vec_id AS c_id,
+         ROUND(SQRT(GREATEST(
+           list_sum(list_transform(CAST(a.embedding AS DOUBLE[]),
+                                   x -> x * x))
+           + list_sum(list_transform(CAST(c.embedding AS DOUBLE[]),
+                                     x -> x * x))
+           - 2.0 * list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 0.0)), 6) AS dist
+  FROM embeddings a
+  JOIN anchors_ids ai ON a.vec_id = ai.vec_id
+  JOIN embeddings c ON c.vec_id != a.vec_id
+),
+top2 AS (
+  SELECT a_id,
+         MIN(CASE WHEN rk = 1 THEN dist END) AS r1,
+         MIN(CASE WHEN rk = 2 THEN dist END) AS r2
+  FROM (SELECT a_id, c_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist ASC, c_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= 2
+  GROUP BY a_id
+),
+mus AS (
+  SELECT a_id, CAST(ROUND(LN(r2 / r1), 6) AS DECIMAL(28,6)) AS lnmu
+  FROM top2 WHERE r1 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors_used,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 6) AS intrinsic_dim,
+       ROUND(AVG(CAST(lnmu AS DOUBLE)), 6) AS mean_ln_mu,
+       ROUND(CAST(MAX(lnmu) AS DOUBLE), 6) AS max_ln_mu
+FROM mus
+""".strip()

@@ -1137,7 +1137,10 @@ _ROUND6_WINDOW = [
     "events_markov_stationary",
     # (orders_revenue_gini ceded its slot to events_stl_decompose: a
     # sorted-share mirror, pytest-pinned and in every local gate)
-    "events_stl_decompose",
+    # (events_stl_decompose ceded its slot to emb_intrinsic_dim: a
+    # moving-average decomposition mirror, pytest-pinned, local gate;
+    # TwoNN is a new anchor-sampled estimator oracle)
+    "emb_intrinsic_dim",
     # (part_pareto_front ceded its slot to emb_mmd_labels: a skyline
     # window mirror, pytest-pinned and in every local gate)
     "emb_mmd_labels",
@@ -2013,6 +2016,11 @@ register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
     _q(lambda spark, sf: llm_mm.media_phash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_PHASH_NEARDUP_SQL,
+)
+register(
+    "emb_intrinsic_dim",  # TwoNN manifold-dimension estimate over md5 anchors
+    _q(lambda spark, sf: llm_sim.intrinsic_dim(_emb(spark, sf))),
+    llm_sim.INTRINSIC_DIM_SQL,
 )
 register(
     "docs_rake_keywords",  # RAKE degree/frequency phrase extraction

@@ -1482,3 +1482,25 @@ class TestRakeKeywords:
         assert top.score > 8.0
         by_phrase = {r.phrase: r for r in out}
         assert by_phrase["slow"].score < top.score
+
+
+class TestIntrinsicDim:
+    def test_planar_manifold_detected(self, spark):
+        import math
+        import random
+
+        rng = random.Random(7)
+        # 300 vectors on a 2-D plane embedded in 8-D (+ distinct coords)
+        rows = []
+        for i in range(300):
+            a, b = rng.uniform(-1, 1), rng.uniform(-1, 1)
+            v = [a, b, a + b, a - b, 0.5 * a, 0.5 * b, 0.25 * a, 0.25 * b]
+            rows.append((i, [float(x) for x in v], 0))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        r = similarity.intrinsic_dim(emb, n_anchors=128).collect()[0]
+        assert r.n_anchors_used > 100
+        # true manifold dimension is 2; TwoNN should land well under 8
+        assert 1.0 <= r.intrinsic_dim <= 4.0
+        assert r.mean_ln_mu > 0

@@ -167,6 +167,8 @@ ALLOWED = {
     "docs_holdout_perplexity": {"nested-loop join"},
     # 1-row grand-average scalar joined into the 12-row month table
     "orders_seasonal_index": {"nested-loop join"},
+    # broadcast anchor sample vs corpus scan (the knn_bruteforce shape)
+    "emb_intrinsic_dim": {"nested-loop join"},
 }
 
 
