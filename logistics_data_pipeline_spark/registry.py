@@ -1994,6 +1994,15 @@ register(
     streaming_windowed.HOPPING_STREAM_SQL,
 )
 register(
+    "stream_dedup_watermark",  # at-least-once -> effectively-once via stream dedup
+    _q(
+        lambda spark, sf: streaming_windowed.dedup_counts_stream_batch(
+            spark, load_table(spark, sf, "events")
+        )
+    ),
+    streaming_windowed.DEDUP_STREAM_SQL,
+)
+register(
     "docs_crosslingual_neardup",  # language-pair near-dup leakage grid
     _q(
         lambda spark, sf: llm_dedup.crosslingual_neardup(

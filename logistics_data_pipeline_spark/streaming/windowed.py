@@ -397,6 +397,72 @@ def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataF
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+# Replay horizon must exceed the events table's ~30-day span so the
+# watermark never passes any record during the bounded replay: dedup is
+# then exact (no state eviction, no late-drop) and stream == batch
+# bit-for-bit. Production tightens this to the transport's real
+# redelivery horizon (minutes-hours), which bounds state at any scale.
+DEDUP_STREAM_WATERMARK = "45 days"
+
+
+def dedup_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-checkable wrapper for watermarked streaming dedup
+    (§2.9; reference consumer `src/stream/consumer_to_minio.py` relies
+    on at-least-once MinIO writes, and the warehouse NOT-IN insert
+    `src/warehouse/_init_duckdb.py:53` re-dedups downstream — this key
+    moves that guarantee into the stream itself): every event whose
+    event_id ≡ 0 (mod 10) is re-delivered (producer-retry simulation),
+    the doubled stream runs through the REAL graph (JSON dump → file
+    stream → withWatermark → dropDuplicatesWithinWatermark →
+    availableNow drain), and the deduped sink is rolled up per type.
+    First-wins is value-neutral here because redeliveries are exact
+    copies. State is O(keys-in-horizon), not O(stream length) — the
+    shape that survives an unbounded 100 TB/day stream.
+
+    Oracle: the same per-type rollup over the original (undoubled)
+    events table, which is what exact dedup must reproduce."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="streamdedup_")
+    src = f"{work}/src"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    doubled = events.select(*cols).unionByName(
+        events.filter(F.col("event_id") % 10 == 0).select(*cols)
+    )
+    doubled.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(src)
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
+        name,
+        "append",
+        f"{work}/ckpt",
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DEDUP_STREAM_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
 HOPPING_STREAM_SQL = """
 WITH hopped AS (
   SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 * 1000000)

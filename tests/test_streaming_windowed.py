@@ -77,6 +77,32 @@ def test_dedup_stream_drops_redeliveries_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) == 200
 
 
+def test_dedup_counts_stream_batch_matches_undoubled_rollup(spark, sf_dir):
+    """The registered stream_dedup_watermark wrapper: doubling 10% of
+    events through the real dedup stream graph must reproduce the
+    per-type rollup of the ORIGINAL table exactly (the oracle
+    contract)."""
+    from logistics_data_pipeline_spark.streaming.windowed import (
+        dedup_counts_stream_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {tuple(r) for r in dedup_counts_stream_batch(spark, ev).collect()}
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir, tmp_path):
     """One availableNow drain: every session the batch sessionizer finds
     is emitted closed except each user's final (still-open) one."""
