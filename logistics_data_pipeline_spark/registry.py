@@ -70,6 +70,7 @@ from .operators import dq_summary as dqs
 from .operators import temporal
 from .operators import tpch_extra as tx
 from .operators import kpi, monitoring, quality, schema_tests, staging, star, validity
+from .sources import bucketed as _bucketed
 from .sources import generator
 from .sources.bronze import incremental_insert
 from .streaming import windowed as streaming_windowed
@@ -2065,6 +2066,13 @@ register(
     "events_ab_test_srm",  # md5-bucketed A/B readout: SRM chi2 + Welch lift
     _q(lambda spark, sf: analytics.ab_test_srm(load_table(spark, sf, "events"))),
     analytics.AB_TEST_SRM_SQL,
+)
+register(
+    "events_zorder_extents",  # Z-order vs time-sorted layout: per-file 2-D extents
+    _q(
+        lambda spark, sf: _bucketed.zorder_extents(load_table(spark, sf, "events"))
+    ),
+    _bucketed.ZORDER_EXTENTS_SQL,
 )
 
 def _apply_registration_order() -> None:

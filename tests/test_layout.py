@@ -122,3 +122,31 @@ def test_zorder_write_shrinks_rowgroup_bounding_boxes(spark, sf_dir, tmp_path):
     naive_area = mean_bbox_area(naive_dir)
     z_area = mean_bbox_area(z_dir)
     assert z_area < naive_area / 5, (naive_area, z_area)
+
+
+def test_zorder_extents_balances_both_dimensions(spark, sf_dir):
+    """The layout diagnostic's defining property: the time-sorted
+    layout leaves per-file USER extents near the full grid (every file
+    spans ~all users → no skipping on user predicates), while the
+    Z-order layout shrinks the user extents by an order of magnitude
+    without letting time extents blow up to full-grid either."""
+    from logistics_data_pipeline_spark.sources.bucketed import (
+        ZORDER_FILES,
+        zorder_extents,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.layout: r for r in zorder_extents(ev).collect()}
+    assert set(rows) == {"linear", "zorder"}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin.n_buckets == ZORDER_FILES and zo.n_buckets == ZORDER_FILES
+    full_grid = 65535
+    # time-sorted: files each cover ~the whole user range
+    assert lin.sum_user_extent > 0.8 * full_grid * ZORDER_FILES
+    # z-order: user extents collapse by >=4x, and the max time extent
+    # stays below the full grid (no file degenerates to "spans all").
+    # A single bucket straddling a high-order curve-bit flip can still
+    # span the full user grid (Z-order's known worst case), so the
+    # assertion is on the SUM, which the straddlers can't dominate.
+    assert zo.sum_user_extent < lin.sum_user_extent / 4
+    assert zo.max_ts_extent < full_grid

@@ -65,6 +65,11 @@ ALLOWED = {
     # 1-row corpus-max censor date; both KM running windows are over
     # the |distinct days|-row product-limit table (bounded input)
     "orders_kaplan_meier": {"nested-loop join", "unpartitioned window"},
+    # 1-row global min/max scalars broadcast into the grid projection;
+    # the NTILE global sort is the diagnostic's point — it mirrors the
+    # range exchange write_zordered pays on the real write path (at
+    # scale the write IS the layout; this key audits it per partition)
+    "events_zorder_extents": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
