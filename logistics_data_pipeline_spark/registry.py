@@ -1060,8 +1060,18 @@ _ROUND6_WINDOW = [
     # upgrade has therefore never been driver-hash-verified
     "docs_perplexity_buckets",
     "docs_source_overlap",
-    "docs_token_dup_inflation",
-    "emb_label_centroid_sim",
+    # (docs_token_dup_inflation ceded its slot to
+    # stream_dedup_watermark: a token-sum rollup over the SAME
+    # components asset docs_neardup_minhash below verifies,
+    # pytest-pinned, local gate; the dedup stream leg runs a second
+    # REAL stream graph — dropDuplicatesWithinWatermark — the driver
+    # has never exercised)
+    "stream_dedup_watermark",
+    # (emb_label_centroid_sim ceded its slot to events_zorder_extents:
+    # its sibling emb_label_outliers below drives the same
+    # label-centroid join family; the Z-order layout diagnostic is a
+    # genuinely new bit-interleave + NTILE oracle shape)
+    "events_zorder_extents",
     # (docs_corpus_datasheet ceded its slot to stream_hopping_counts:
     # a one-row stats rollup, pytest-pinned, local gate; the stream
     # leg exercises a REAL stream graph the driver has never run)
