@@ -3571,3 +3571,164 @@ SELECT g.mde_frac,
 FROM grid g CROSS JOIN agg a
 ORDER BY g.mde_frac
 """.strip()
+
+
+def cuped_adjustment(events: DataFrame) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) readout:
+    the variance-reduction companion to ``events_ab_test_srm`` /
+    ``events_power_analysis``. The event span is cut at its midpoint:
+    each user's PRE-period spend is the covariate X, their
+    experiment-period spend the metric Y; θ = cov(X,Y)/var(X) from the
+    pooled user panel, and each arm's adjusted mean is
+    mean(Y_arm) − θ·(mean(X_arm) − mean(X)). The panel also reports the
+    variance-reduction fraction r² = cov²/(var X·var Y) — the % of
+    metric variance the covariate removes, i.e. how much shorter the
+    experiment can run. Deterministic md5 arm assignment (same nibble
+    rule as the SRM key); all moments accumulate as exact DECIMALs, so
+    θ and the adjusted means agree bit-for-bit across engines.
+
+    Scale: one scan for the 1-row midpoint scalar (broadcast), one
+    user-keyed aggregation (the only shuffle), then a single-row moment
+    aggregate — no joins on the big table."""
+    stats = events.agg(
+        F.expr("(unix_timestamp(min(ts)) + unix_timestamp(max(ts))) DIV 2").alias(
+            "mid_s"
+        )
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    pre = F.unix_timestamp("ts") <= F.col("mid_s")
+    pu = (
+        events.crossJoin(F.broadcast(stats))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, v)), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, v)), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+        .select(
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < AB_SPLIT_HEX
+            ).alias("is_a"),
+            "x",
+            "y",
+            (F.col("x") * F.col("x")).cast("decimal(38,4)").alias("xx"),
+            (F.col("x") * F.col("y")).cast("decimal(38,4)").alias("xy"),
+            (F.col("y") * F.col("y")).cast("decimal(38,4)").alias("yy"),
+        )
+    )
+    m = pu.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+        F.sum("yy").alias("syy"),
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("x"))).alias("sx_a"),
+        F.sum(F.when(F.col("is_a"), F.col("y"))).alias("sy_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("x"))).alias("sx_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("y"))).alias("sy_b"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    var_x = F.col("sxx").cast("double") - sx * sx / n
+    var_y = F.col("syy").cast("double") - sy * sy / n
+    theta = cov / F.nullif(var_x, F.lit(0.0))
+    # keep the exact association order of the SQL twin (100*cov*cov/den)
+    r2_pct = F.lit(100.0) * cov * cov / F.nullif(var_x * var_y, F.lit(0.0))
+    mean_x = sx / n
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ya = F.col("sy_a").cast("double") / na
+    yb = F.col("sy_b").cast("double") / nb
+    ya_adj = ya - theta * (F.col("sx_a").cast("double") / na - mean_x)
+    yb_adj = yb - theta * (F.col("sx_b").cast("double") / nb - mean_x)
+    return m.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(r2_pct, 6).alias("var_reduction_pct"),
+        F.round(ya, 6).alias("mean_a_raw"),
+        F.round(yb, 6).alias("mean_b_raw"),
+        F.round((ya - yb) / F.nullif(yb, F.lit(0.0)), 6).alias("lift_raw"),
+        F.round(ya_adj, 6).alias("mean_a_adj"),
+        F.round(yb_adj, 6).alias("mean_b_adj"),
+        F.round((ya_adj - yb_adj) / F.nullif(yb_adj, F.lit(0.0)), 6).alias(
+            "lift_adj"
+        ),
+    )
+
+
+CUPED_SQL = f"""
+WITH stats AS (
+  SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT)
+          + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2 AS mid_s
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= mid_s
+                                THEN CAST(value AS DECIMAL(18,2)) END), 0)
+              AS DECIMAL(18,2)) AS x,
+         CAST(COALESCE(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > mid_s
+                                THEN CAST(value AS DECIMAL(18,2)) END), 0)
+              AS DECIMAL(18,2)) AS y
+  FROM events, stats
+  GROUP BY user_id, mid_s
+),
+tagged AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}' AS is_a,
+         x, y,
+         CAST(x * x AS DECIMAL(38,4)) AS xx,
+         CAST(x * y AS DECIMAL(38,4)) AS xy,
+         CAST(y * y AS DECIMAL(38,4)) AS yy
+  FROM pu
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(xx) AS sxx, SUM(xy) AS sxy, SUM(yy) AS syy,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+         SUM(CASE WHEN is_a THEN x END) AS sx_a,
+         SUM(CASE WHEN is_a THEN y END) AS sy_a,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN NOT is_a THEN x END) AS sx_b,
+         SUM(CASE WHEN NOT is_a THEN y END) AS sy_b
+  FROM tagged
+),
+d AS (
+  SELECT n, n_a, n_b,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cov,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS var_x,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS var_y,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ya,
+         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS yb,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS xa,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS xb
+  FROM m
+),
+t AS (
+  SELECT *,
+         cov / NULLIF(var_x, 0.0) AS theta,
+         ya - (cov / NULLIF(var_x, 0.0)) * (xa - mean_x) AS ya_adj,
+         yb - (cov / NULLIF(var_x, 0.0)) * (xb - mean_x) AS yb_adj
+  FROM d
+)
+SELECT n, n_a, n_b,
+       ROUND(theta, 6) AS theta,
+       ROUND(100.0 * cov * cov / NULLIF(var_x * var_y, 0.0), 6) AS var_reduction_pct,
+       ROUND(ya, 6) AS mean_a_raw,
+       ROUND(yb, 6) AS mean_b_raw,
+       ROUND((ya - yb) / NULLIF(yb, 0.0), 6) AS lift_raw,
+       ROUND(ya_adj, 6) AS mean_a_adj,
+       ROUND(yb_adj, 6) AS mean_b_adj,
+       ROUND((ya_adj - yb_adj) / NULLIF(yb_adj, 0.0), 6) AS lift_adj
+FROM t
+""".strip()

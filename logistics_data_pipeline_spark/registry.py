@@ -2087,6 +2087,11 @@ register(
     analytics.AB_TEST_SRM_SQL,
 )
 register(
+    "events_cuped",  # CUPED variance-reduction experiment readout
+    _q(lambda spark, sf: analytics.cuped_adjustment(load_table(spark, sf, "events"))),
+    analytics.CUPED_SQL,
+)
+register(
     "events_zorder_extents",  # Z-order vs time-sorted layout: per-file 2-D extents
     _q(
         lambda spark, sf: _bucketed.zorder_extents(load_table(spark, sf, "events"))

@@ -1504,3 +1504,39 @@ class TestIntrinsicDim:
         # true manifold dimension is 2; TwoNN should land well under 8
         assert 1.0 <= r.intrinsic_dim <= 4.0
         assert r.mean_ln_mu > 0
+
+
+class TestCuped:
+    def test_correlated_covariate_reduces_variance(self, spark):
+        import datetime
+        import random
+
+        rng = random.Random(11)
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for uid in range(200):
+            persistent = rng.uniform(10, 100)  # user's stable spend level
+            # pre-period event (covariate) and post-period event (metric):
+            # Y strongly tracks X, so CUPED should remove most variance
+            rows.append((uid * 2, base + datetime.timedelta(days=1), uid,
+                         "purchase", round(persistent + rng.uniform(-2, 2), 2)))
+            rows.append((uid * 2 + 1, base + datetime.timedelta(days=20), uid,
+                         "purchase", round(persistent + rng.uniform(-2, 2), 2)))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        from logistics_data_pipeline_spark.operators.analytics import cuped_adjustment
+
+        r = cuped_adjustment(ev).collect()[0]
+        assert r.n == 200 and r.n_a + r.n_b == 200
+        # Y = X + small noise: theta near 1, most variance explained
+        assert 0.8 < r.theta < 1.2
+        assert r.var_reduction_pct > 80.0
+        # adjustment is mean-preserving: the weighted arm means still
+        # average to the overall post-period mean
+        raw = (r.n_a * r.mean_a_raw + r.n_b * r.mean_b_raw) / r.n
+        adj = (r.n_a * r.mean_a_adj + r.n_b * r.mean_b_adj) / r.n
+        assert abs(raw - adj) < 1e-6
+        # no true treatment effect was planted: adjusted lift is small
+        # and its noise is tighter than (or comparable to) the raw lift
+        assert abs(r.lift_adj) <= abs(r.lift_raw) + 1e-9

@@ -70,6 +70,8 @@ ALLOWED = {
     # range exchange write_zordered pays on the real write path (at
     # scale the write IS the layout; this key audits it per partition)
     "events_zorder_extents": {"nested-loop join", "unpartitioned window"},
+    # 1-row midpoint-epoch scalar broadcast into the pre/post split
+    "events_cuped": {"nested-loop join"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
