@@ -2474,3 +2474,142 @@ SELECT c.l_partkey AS p_partkey, a.revenue, a.abc_class,
 FROM cvt c JOIN abc a ON a.l_partkey = c.l_partkey
 ORDER BY p_partkey
 """.strip()
+
+
+# --- safety stock / reorder point (classic inventory control) ---------------
+
+SAFETY_Z = 1.645  # one-sided 95% cycle-service-level z
+SAFETY_MIN_DAYS = 5  # parts need >=5 demand days and >=5 order lines
+SAFETY_MIN_LINES = 5
+SAFETY_TOP = 100
+
+
+def part_safety_stock(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-part safety stock and reorder point under stochastic demand
+    AND stochastic lead time — the inventory-control readout a
+    logistics warehouse sets its replenishment triggers from:
+    SS = z·sqrt(μ_L·σ_D² + μ_D²·σ_L²), ROP = μ_D·μ_L + SS, with daily
+    demand moments from the per-(part, ship-day) quantity series and
+    lead-time moments from the order→ship gap per line. Quantities
+    accumulate as DECIMAL and lead gaps as INTEGER epoch seconds, so
+    every moment is order-independent and the engines agree
+    bit-for-bit; only the final sqrt/round runs in doubles (identical
+    expression shape both sides).
+
+    Scale: one order-key fact join (the orders side projected to two
+    columns before the shuffle), ONE combined (part, day) pre-aggregate
+    that carries demand and lead moments together (map-side partials),
+    then a part-keyed rollup — the big table is read once."""
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    lead_s = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    ).cast("bigint")
+    day = F.to_date("l_shipdate")
+    per_day = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_partkey", day.alias("d"), q.alias("q"), lead_s.alias("ls"))
+        .groupBy("l_partkey", "d")
+        .agg(
+            F.sum("q").cast("decimal(18,2)").alias("dq"),
+            F.sum("ls").alias("l1"),
+            F.sum(F.col("ls") * F.col("ls")).alias("l2"),
+            F.count("*").cast("bigint").alias("nl"),
+        )
+    )
+    per_part = per_day.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dq").alias("sd1"),
+        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,4)")).alias("sd2"),
+        F.sum("l1").alias("sl1"),
+        F.sum("l2").alias("sl2"),
+        F.sum("nl").alias("n_li"),
+    )
+    nd = F.col("n_days").cast("double")
+    nli = F.col("n_li").cast("double")
+    sd1, sd2 = F.col("sd1").cast("double"), F.col("sd2").cast("double")
+    sl1, sl2 = F.col("sl1").cast("double"), F.col("sl2").cast("double")
+    mu_d = sd1 / nd
+    var_d = (sd2 - sd1 * sd1 / nd) / (nd - F.lit(1.0))
+    mu_l = sl1 / nli / F.lit(86400.0)
+    var_l = (sl2 - sl1 * sl1 / nli) / (nli - F.lit(1.0)) / F.lit(86400.0) / F.lit(
+        86400.0
+    )
+    ss = F.lit(SAFETY_Z) * F.sqrt(
+        F.greatest(mu_l * var_d + mu_d * mu_d * var_l, F.lit(0.0))
+    )
+    rop = mu_d * mu_l + ss
+    return (
+        per_part.filter(
+            (F.col("n_days") >= SAFETY_MIN_DAYS) & (F.col("n_li") >= SAFETY_MIN_LINES)
+        )
+        .select(
+            "l_partkey",
+            "n_days",
+            "n_li",
+            F.round(mu_d, 6).alias("mu_demand"),
+            F.round(F.sqrt(F.greatest(var_d, F.lit(0.0))), 6).alias("sd_demand"),
+            F.round(mu_l, 6).alias("mu_lead_days"),
+            F.round(F.sqrt(F.greatest(var_l, F.lit(0.0))), 6).alias("sd_lead_days"),
+            F.round(ss, 6).alias("safety_stock"),
+            F.round(rop, 6).alias("reorder_point"),
+        )
+        .orderBy(F.col("reorder_point").desc(), "l_partkey")
+        .limit(SAFETY_TOP)
+    )
+
+
+PART_SAFETY_STOCK_SQL = f"""
+WITH per_day AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dq,
+         SUM(CAST(floor(epoch(l_shipdate)) AS BIGINT)
+             - CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS l1,
+         SUM((CAST(floor(epoch(l_shipdate)) AS BIGINT)
+              - CAST(floor(epoch(o_orderdate)) AS BIGINT))
+             * (CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                - CAST(floor(epoch(o_orderdate)) AS BIGINT))) AS l2,
+         CAST(COUNT(*) AS BIGINT) AS nl
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(dq) AS sd1,
+         SUM(CAST(dq * dq AS DECIMAL(38,4))) AS sd2,
+         SUM(l1) AS sl1, SUM(l2) AS sl2,
+         CAST(SUM(nl) AS BIGINT) AS n_li
+  FROM per_day GROUP BY 1
+),
+d AS (
+  SELECT l_partkey, n_days, n_li,
+         CAST(sd1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu_d,
+         (CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+                                / CAST(n_days AS DOUBLE))
+           / (CAST(n_days AS DOUBLE) - 1.0) AS var_d,
+         CAST(sl1 AS DOUBLE) / CAST(n_li AS DOUBLE) / 86400.0 AS mu_l,
+         (CAST(sl2 AS DOUBLE) - CAST(sl1 AS DOUBLE) * CAST(sl1 AS DOUBLE)
+                                / CAST(n_li AS DOUBLE))
+           / (CAST(n_li AS DOUBLE) - 1.0) / 86400.0 / 86400.0 AS var_l
+  FROM per_part
+  WHERE n_days >= {SAFETY_MIN_DAYS} AND n_li >= {SAFETY_MIN_LINES}
+),
+t AS (
+  SELECT l_partkey, n_days, n_li, mu_d, var_d, mu_l, var_l,
+         {SAFETY_Z} * SQRT(GREATEST(mu_l * var_d + mu_d * mu_d * var_l, 0.0)) AS ss
+  FROM d
+)
+SELECT l_partkey, n_days, n_li,
+       ROUND(mu_d, 6) AS mu_demand,
+       ROUND(SQRT(GREATEST(var_d, 0.0)), 6) AS sd_demand,
+       ROUND(mu_l, 6) AS mu_lead_days,
+       ROUND(SQRT(GREATEST(var_l, 0.0)), 6) AS sd_lead_days,
+       ROUND(ss, 6) AS safety_stock,
+       ROUND(mu_d * mu_l + ss, 6) AS reorder_point
+FROM t
+ORDER BY reorder_point DESC, l_partkey
+LIMIT {SAFETY_TOP}
+""".strip()

@@ -2087,6 +2087,15 @@ register(
     analytics.AB_TEST_SRM_SQL,
 )
 register(
+    "part_safety_stock",  # inventory-control SS/ROP under stochastic demand+lead
+    _q(
+        lambda spark, sf: tx.part_safety_stock(
+            load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+        )
+    ),
+    tx.PART_SAFETY_STOCK_SQL,
+)
+register(
     "events_cuped",  # CUPED variance-reduction experiment readout
     _q(lambda spark, sf: analytics.cuped_adjustment(load_table(spark, sf, "events"))),
     analytics.CUPED_SQL,
