@@ -2685,6 +2685,139 @@ FROM tri, wed
 """.strip()
 
 
+LP_MAX_DEG = TRI_MAX_DEG  # same hub-cap discipline as the triangle census
+LP_RA_SCALE = 10**12  # RA weights in integer micro-units: 10^12 DIV deg(v)
+LP_TOP = 50
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    max_deg: int = LP_MAX_DEG,
+    top: int = LP_TOP,
+    edges_od: DataFrame | None = None,
+) -> DataFrame:
+    """Link prediction over the co-purchase graph: for every
+    NON-adjacent part pair sharing ≥1 neighbor, the three classic
+    neighborhood scores — common-neighbor count, Resource-Allocation
+    index (Zhou/Lü/Zhang 2009: Σ_v 1/deg(v) over shared neighbors v),
+    and Jaccard of the neighbor sets — ranked to the top predicted
+    "parts that should co-sell but don't yet". RA is deliberately
+    chosen over Adamic-Adar: 1/deg is computed as 10¹² DIV deg in
+    integer micro-units, so the per-pair sum is order-independent and
+    bit-exact across engines, where AA's 1/ln(deg) would ride each
+    engine's libm. Same hub cap as the triangle census (a degree->
+    max_deg vertex contributes O(deg²) candidate pairs and ~zero RA
+    weight — pruning it is both the scale guard and statistically
+    standard).
+
+    Scale: the candidate build is one self-join of the capped edge
+    list keyed on the MIDDLE vertex (fan-out ≤ max_deg² per vertex),
+    degrees broadcast, existing edges removed by an anti-join — no
+    all-pairs anywhere."""
+    if edges_od is None:
+        edges_od = copurchase_edges(lineitem)
+    from ..session import track_persist
+
+    keep = edges_od.filter(F.col("od") <= max_deg).select("src", "dst")
+    capped = track_persist(
+        keep.join(
+            keep.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        )
+    )
+    # capped-graph degrees (vertex-count-sized -> broadcast)
+    degs = capped.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    e2 = capped.join(F.broadcast(degs), "src").select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.col("d").alias("dv")
+    )
+    pairs = (
+        capped.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+        .join(e2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum(F.expr(f"{LP_RA_SCALE} DIV dv")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    # drop pairs already linked (edge list is symmetric: u<w orientation
+    # of the existing edges suffices)
+    existing = capped.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    fresh = pairs.join(existing, ["u", "w"], "left_anti")
+    scored = (
+        fresh.join(
+            F.broadcast(degs.select(F.col("src").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(degs.select(F.col("src").alias("w"), F.col("d").alias("dw"))),
+            "w",
+        )
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.round(
+                F.col("ra_micro").cast("double") / F.lit(float(LP_RA_SCALE)), 6
+            ).alias("ra_score"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ra_score").desc(), F.col("cn").desc(), "u", "w"
+    ).limit(top)
+
+
+LINK_PREDICTION_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg0 AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+keep AS (
+  SELECT e.src, e.dst FROM edges e JOIN deg0 d ON e.src = d.src
+  WHERE d.od <= {LP_MAX_DEG}
+),
+capped AS (
+  SELECT k.src, k.dst FROM keep k
+  WHERE k.dst IN (SELECT DISTINCT src FROM keep)
+),
+degs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY src),
+pairs AS (
+  SELECT e1.src AS u, e2.dst AS w,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM({LP_RA_SCALE} // dm.d) AS BIGINT) AS ra_micro
+  FROM capped e1
+  JOIN capped e2 ON e1.dst = e2.src
+  JOIN degs dm ON dm.src = e1.dst
+  WHERE e1.src < e2.dst
+  GROUP BY 1, 2
+),
+fresh AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM capped c
+                    WHERE c.src = p.u AND c.dst = p.w)
+)
+SELECT f.u, f.w, f.cn,
+       ROUND(CAST(f.ra_micro AS DOUBLE) / {float(LP_RA_SCALE)}, 6) AS ra_score,
+       ROUND(CAST(f.cn AS DOUBLE) / CAST(du.d + dw.d - f.cn AS DOUBLE), 6) AS jaccard
+FROM fresh f
+JOIN degs du ON du.src = f.u
+JOIN degs dw ON dw.src = f.w
+ORDER BY ra_score DESC, cn DESC, u, w
+LIMIT {LP_TOP}
+""".strip()
+
+
 KCORE_K = 8
 KCORE_ROUNDS = 16  # oracle unrolls exactly this many peels — keep in sync
 

@@ -1703,6 +1703,16 @@ register(
     analytics.KCORE_SQL,
 )
 register(
+    "orders_link_prediction",  # CN / RA / Jaccard scores for absent edges
+    _q(
+        lambda spark, sf: analytics.link_prediction(
+            load_table(spark, sf, "lineitem"),
+            edges_od=_dedup_shared(spark, sf, "copurchase_edges"),
+        )
+    ),
+    analytics.LINK_PREDICTION_SQL,
+)
+register(
     "orders_graph_triangles",  # degree-capped triangle census + clustering coeff
     _q(
         lambda spark, sf: analytics.graph_triangles(
