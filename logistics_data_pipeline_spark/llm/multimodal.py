@@ -869,3 +869,130 @@ JOIN sigs sb ON sb.media_id = c.b_id
 WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {PHASH_MAX_HAMMING}
 ORDER BY c.a_id, c.b_id
 """.strip()
+
+
+# --- PCM audio statistics (binary -> int16 DSP) ------------------------------
+
+PCM_MAX_BYTES = 512  # analysis window: first 256 samples per payload
+
+
+def pcm_stats(docs: DataFrame) -> DataFrame:
+    """Audio-style DSP over opaque binary payloads WITHOUT any codec:
+    the payload's first ``PCM_MAX_BYTES`` bytes are interpreted as
+    16-bit little-endian PCM samples and reduced to the classic audio
+    features — DC offset, RMS energy, peak amplitude, and zero-crossing
+    rate. Unlike the image-decode stub, nothing here is faked: int16
+    parsing IS real signal math, vectorized with numpy over Arrow
+    batches (``np.frombuffer`` — zero-copy per payload), and the DuckDB
+    twin re-derives every sample from the hex projection, so the whole
+    path is exactly oracle-checked. Swapping the byte window for
+    ffmpeg-decoded PCM changes no plumbing.
+
+    All accumulators are integers (sum, sum-of-squares, |peak|,
+    crossing count); only the final mean/RMS/ZCR divisions run in
+    doubles with identical expression shapes both sides.
+
+    Scale: embarrassingly parallel mapInPandas — one Arrow batch per
+    task, no shuffle; the fixed analysis window bounds per-row cost
+    regardless of blob size."""
+    media = docs_as_media(docs).select(
+        "media_id",
+        F.expr(f"substring(content, 1, {PCM_MAX_BYTES})").alias("content"),
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(b)
+                n = len(buf) // 2
+                s = np.frombuffer(buf[: 2 * n], dtype="<i2").astype(np.int64)
+                zc = (
+                    int(np.count_nonzero((s[:-1] >= 0) != (s[1:] >= 0)))
+                    if n >= 2
+                    else 0
+                )
+                recs.append(
+                    (
+                        int(mid),
+                        n,
+                        int(s.sum()) if n else 0,
+                        int(np.dot(s, s)) if n else 0,
+                        int(np.abs(s).max()) if n else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["media_id", "n_samples", "s1", "ss", "peak", "zc"]
+            )
+
+    raw = media.mapInPandas(
+        _stats,
+        schema="media_id long, n_samples long, s1 long, ss long, peak long, zc long",
+    )
+    n = F.col("n_samples").cast("double")
+    return (
+        raw.filter(F.col("n_samples") >= 2)
+        .select(
+            "media_id",
+            "n_samples",
+            F.round(F.col("s1").cast("double") / n, 6).alias("dc_offset"),
+            F.round(F.sqrt(F.col("ss").cast("double") / n), 6).alias("rms"),
+            "peak",
+            F.col("zc").alias("zero_crossings"),
+            F.round(F.col("zc").cast("double") / (n - F.lit(1.0)), 6).alias("zcr"),
+        )
+        .orderBy("media_id")
+    )
+
+
+PCM_STATS_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         -- DuckDB can't substring a BLOB: hex the payload, slice chars
+         substr(hex(encode(text)), 1, {2 * PCM_MAX_BYTES}) AS hx
+  FROM documents
+),
+sz AS (
+  SELECT media_id, hx, CAST(length(hx) // 4 AS BIGINT) AS n FROM m
+),
+samples AS (
+  SELECT media_id, n, g.i,
+         (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i+1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i+2 AS INT), 1)) - 1)
+         + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i+3 AS INT), 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i+4 AS INT), 1)) - 1))
+           AS u
+  FROM sz
+  CROSS JOIN (SELECT unnest(generate_series(0, {PCM_MAX_BYTES // 2 - 1})) AS i) g
+  WHERE n >= 2 AND g.i < n
+),
+signed AS (
+  SELECT media_id, n, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM samples
+),
+lagd AS (
+  SELECT *, LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM signed
+),
+agg AS (
+  SELECT media_id,
+         CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM(s) AS BIGINT) AS s1,
+         CAST(SUM(s * s) AS BIGINT) AS ss,
+         CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+         CAST(COUNT(CASE WHEN prev IS NOT NULL
+                          AND (prev >= 0) != (s >= 0) THEN 1 END) AS BIGINT) AS zc
+  FROM lagd GROUP BY 1
+)
+SELECT media_id, n_samples,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n_samples AS DOUBLE), 6) AS dc_offset,
+       ROUND(SQRT(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6) AS rms,
+       peak,
+       zc AS zero_crossings,
+       ROUND(CAST(zc AS DOUBLE) / (CAST(n_samples AS DOUBLE) - 1.0), 6) AS zcr
+FROM agg
+ORDER BY media_id
+""".strip()

@@ -983,6 +983,11 @@ register(
     _q(lambda spark, sf: llm_mm.media_ahash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_AHASH_NEARDUP_SQL,
 )
+register(
+    "multimodal_pcm_stats",  # int16-PCM DSP (RMS/ZCR/peak) over binary payloads
+    _q(lambda spark, sf: llm_mm.pcm_stats(_docs(spark, sf))),
+    llm_mm.PCM_STATS_SQL,
+)
 
 register(
     "emb_neardup_lsh",  # SRP-LSH with md5 Box-Muller hyperplanes → fully oracled

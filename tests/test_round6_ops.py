@@ -1540,3 +1540,32 @@ class TestCuped:
         # no true treatment effect was planted: adjusted lift is small
         # and its noise is tighter than (or comparable to) the raw lift
         assert abs(r.lift_adj) <= abs(r.lift_raw) + 1e-9
+
+
+class TestPcmStats:
+    def test_known_signal(self, spark):
+        import math
+
+        from logistics_data_pipeline_spark.llm.multimodal import pcm_stats
+
+        # UTF-8 bytes are the PCM stream: 'aaaa' -> two identical
+        # positive samples 0x6161; 'aaé' -> 61 61 C3 A9 -> one
+        # positive sample then 0xA9C3 = -22077 (sign change)
+        docs = spark.createDataFrame(
+            [(1, "aaaa", "en", "s", 4), (2, "aaé", "en", "s", 4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = {r.media_id: r for r in pcm_stats(docs).collect()}
+        flat = rows[1]
+        assert flat.n_samples == 2
+        assert flat.dc_offset == 24929.0 and flat.peak == 24929
+        assert flat.zero_crossings == 0 and flat.zcr == 0.0
+        assert flat.rms == 24929.0
+        mixed = rows[2]
+        assert mixed.n_samples == 2
+        assert mixed.zero_crossings == 1 and mixed.zcr == 1.0
+        assert mixed.peak == 24929
+        assert mixed.dc_offset == round((24929 - 22077) / 2, 6)
+        assert mixed.rms == round(
+            math.sqrt((24929 * 24929 + 22077 * 22077) / 2), 6
+        )
