@@ -3865,3 +3865,107 @@ SELECT n, n_a, n_b,
        ROUND((ya_adj - yb_adj) / NULLIF(yb_adj, 0.0), 6) AS lift_adj
 FROM t
 """.strip()
+
+
+# --- quantile sketch: bottom-k-by-hash sample vs exact -----------------------
+
+QSK_QS = [0.25, 0.5, 0.9, 0.99]
+QSK_SAMPLE = 1000  # bottom-k sample size (k smallest md5(event_id))
+
+
+def quantile_sketch(events: DataFrame) -> DataFrame:
+    """Mergeable quantile SKETCH with its error panel: a deterministic
+    bottom-k sample (the k rows with the smallest md5(event_id) — the
+    same KMV bottom-k structure ``events_kmv_distinct`` uses for
+    cardinality, here reused as a uniform sample because a hash of a
+    unique key is a uniform rank) estimates the per-type quantile grid,
+    and each estimate is reported beside the exact percentile with its
+    signed error. Bottom-k is the point at scale: Spark plans the
+    sample as TakeOrderedAndProject (per-partition top-k + single
+    merge, state O(k) per partition, trivially mergeable across
+    executors/days), where the exact leg needs every group's values on
+    one reducer. At 100 TB the exact leg is dropped and this panel IS
+    the accuracy certificate for the sketch that remains.
+
+    Fully deterministic (md5 total order, no ties on a unique key), so
+    the oracle hash-matches — unlike GK/t-digest whose merge order is
+    runtime-dependent."""
+    qs_arr = F.array(*[F.lit(q) for q in QSK_QS])
+    h = F.md5(F.col("event_id").cast("string"))
+    sample = (
+        events.select("event_type", "value", h.alias("h"))
+        .orderBy("h")
+        .limit(QSK_SAMPLE)
+    )
+    est = (
+        sample.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sample"),
+            F.percentile(F.col("value"), qs_arr).alias("vals"),
+        )
+        .select(
+            "event_type", "n_sample", F.posexplode("vals").alias("q_idx", "est")
+        )
+    )
+    exact = (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.percentile(F.col("value"), qs_arr).alias("vals"),
+        )
+        .select("event_type", "n", F.posexplode("vals").alias("q_idx", "exact"))
+    )
+    return (
+        exact.join(est, ["event_type", "q_idx"], "left")
+        .select(
+            "event_type",
+            F.col("q_idx").cast("bigint").alias("q_idx"),
+            F.element_at(qs_arr, F.col("q_idx").cast("int") + 1).alias("q"),
+            "n",
+            "n_sample",
+            F.round("exact", 6).alias("exact_q"),
+            F.round("est", 6).alias("sketch_q"),
+            F.round(F.col("est") - F.col("exact"), 6).alias("err"),
+        )
+        .orderBy("event_type", "q_idx")
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH sk AS (
+  SELECT event_type, value
+  FROM events ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT {QSK_SAMPLE}
+),
+est0 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+         quantile_cont(value, {QSK_QS!r}) AS vals
+  FROM sk GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_sample,
+         generate_subscripts(vals, 1) - 1 AS q_idx,
+         unnest(vals) AS est
+  FROM est0
+),
+ex0 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(value, {QSK_QS!r}) AS vals
+  FROM events GROUP BY 1
+),
+ex AS (
+  SELECT event_type, n,
+         generate_subscripts(vals, 1) - 1 AS q_idx,
+         unnest(vals) AS exact
+  FROM ex0
+)
+SELECT x.event_type,
+       CAST(x.q_idx AS BIGINT) AS q_idx,
+       ({QSK_QS!r})[CAST(x.q_idx + 1 AS INT)] AS q,
+       x.n, e.n_sample,
+       ROUND(x.exact, 6) AS exact_q,
+       ROUND(e.est, 6) AS sketch_q,
+       ROUND(e.est - x.exact, 6) AS err
+FROM ex x LEFT JOIN est e
+  ON e.event_type = x.event_type AND e.q_idx = x.q_idx
+ORDER BY x.event_type, x.q_idx
+""".strip()

@@ -2111,6 +2111,11 @@ register(
     tx.PART_SAFETY_STOCK_SQL,
 )
 register(
+    "events_quantile_sketch",  # bottom-k-by-hash quantile estimates + error panel
+    _q(lambda spark, sf: analytics.quantile_sketch(load_table(spark, sf, "events"))),
+    analytics.QUANTILE_SKETCH_SQL,
+)
+register(
     "events_cuped",  # CUPED variance-reduction experiment readout
     _q(lambda spark, sf: analytics.cuped_adjustment(load_table(spark, sf, "events"))),
     analytics.CUPED_SQL,
