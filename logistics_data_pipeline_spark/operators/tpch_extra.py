@@ -2613,3 +2613,119 @@ FROM t
 ORDER BY reorder_point DESC, l_partkey
 LIMIT {SAFETY_TOP}
 """.strip()
+
+
+# --- Croston intermittent-demand forecast ------------------------------------
+
+CROSTON_K = 16  # exponential-smoothing memory: last K demand events
+CROSTON_MIN_DAYS = 4
+# alpha = 1/2 makes every smoothing weight 2^-j an EXACT decimal
+# (scale 16 covers 2^-16), so both engines accumulate identical
+# decimals — the same trick that keeps the other iterative oracles
+# bit-exact. The weight table is generated once here and interpolated
+# into BOTH the broadcast join frame and the SQL twin.
+_CROSTON_W = [(j, f"{2**-j:.16f}") for j in range(1, CROSTON_K + 1)]
+
+
+def croston_forecast(lineitem: DataFrame) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the spare-parts
+    forecasting standard: SES over the nonzero demand SIZES and,
+    separately, over the INTER-demand GAPS; forecast per day =
+    smoothed size / smoothed gap). Classic SES is a sequential
+    recursion; with alpha = 1/2 it telescopes into a 2^-j-weighted sum
+    over the last K demand events, which is a bounded window + one
+    broadcast weight join — fully parallel, no per-part sequential
+    state, and exact DECIMAL arithmetic end-to-end (the finite-window
+    variant normalizes by the realized weight mass, so truncation is
+    principled, not silent).
+
+    Scale: one (part, day) pre-aggregate, one part-keyed window for
+    recency ranks and gaps, a 16-row broadcast weight join, one final
+    rollup — shuffle count independent of history length."""
+    from pyspark.sql import Window
+
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    per_day = (
+        lineitem.select("l_partkey", F.to_date("l_shipdate").alias("d"), q.alias("q"))
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("q").cast("decimal(12,2)").alias("dq"))
+    )
+    w_part = Window.partitionBy("l_partkey").orderBy(F.col("d").desc())
+    w_gap = Window.partitionBy("l_partkey").orderBy("d")
+    ranked = per_day.select(
+        "l_partkey",
+        "dq",
+        F.row_number().over(w_part).alias("rn"),
+        F.datediff(F.col("d"), F.lag("d").over(w_gap))
+        .cast("decimal(6,0)")
+        .alias("gap_d"),
+    ).filter(F.col("rn") <= CROSTON_K)
+    spark = lineitem.sparkSession
+    weights = F.broadcast(
+        spark.createDataFrame(
+            [(j, w) for j, w in _CROSTON_W], "rn int, w_str string"
+        ).select("rn", F.col("w_str").cast("decimal(18,16)").alias("w"))
+    )
+    joined = ranked.join(weights, "rn")
+    agg = joined.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum((F.col("dq") * F.col("w"))).alias("zw"),
+        F.sum("w").alias("sw_z"),
+        F.sum(F.when(F.col("gap_d").isNotNull(), F.col("gap_d") * F.col("w"))).alias(
+            "pw"
+        ),
+        F.sum(F.when(F.col("gap_d").isNotNull(), F.col("w"))).alias("sw_p"),
+    )
+    z = F.col("zw").cast("double") / F.col("sw_z").cast("double")
+    p = F.col("pw").cast("double") / F.col("sw_p").cast("double")
+    return (
+        agg.filter(F.col("n_days") >= CROSTON_MIN_DAYS)
+        .select(
+            "l_partkey",
+            "n_days",
+            F.round(z, 6).alias("z_demand"),
+            F.round(p, 6).alias("p_interval_days"),
+            F.round(z / p, 6).alias("croston_per_day"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+CROSTON_SQL = f"""
+WITH per_day AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS dq
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, dq,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY d DESC) AS rn,
+         -- width 19 forces DuckDB's int128 multiply path (a width-18
+         -- operand times the scale-16 weight overflows the int64 path)
+         CAST(date_diff('day', LAG(d) OVER (PARTITION BY l_partkey ORDER BY d), d)
+              AS DECIMAL(19,0)) AS gap_d
+  FROM per_day
+),
+weights(rn, w) AS (
+  VALUES {", ".join(f"({j}, CAST('{w}' AS DECIMAL(18,16)))" for j, w in _CROSTON_W)}
+),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(dq * w) AS zw,
+         SUM(w) AS sw_z,
+         SUM(CASE WHEN gap_d IS NOT NULL THEN gap_d * w END) AS pw,
+         SUM(CASE WHEN gap_d IS NOT NULL THEN w END) AS sw_p
+  FROM ranked JOIN weights USING (rn)
+  WHERE rn <= {CROSTON_K}
+  GROUP BY 1
+)
+SELECT l_partkey, n_days,
+       ROUND(CAST(zw AS DOUBLE) / CAST(sw_z AS DOUBLE), 6) AS z_demand,
+       ROUND(CAST(pw AS DOUBLE) / CAST(sw_p AS DOUBLE), 6) AS p_interval_days,
+       ROUND((CAST(zw AS DOUBLE) / CAST(sw_z AS DOUBLE))
+             / (CAST(pw AS DOUBLE) / CAST(sw_p AS DOUBLE)), 6) AS croston_per_day
+FROM agg
+WHERE n_days >= {CROSTON_MIN_DAYS}
+ORDER BY l_partkey
+""".strip()

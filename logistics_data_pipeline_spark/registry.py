@@ -2102,6 +2102,11 @@ register(
     analytics.AB_TEST_SRM_SQL,
 )
 register(
+    "part_croston_forecast",  # intermittent-demand SES with exact dyadic weights
+    _q(lambda spark, sf: tx.croston_forecast(load_table(spark, sf, "lineitem"))),
+    tx.CROSTON_SQL,
+)
+register(
     "part_safety_stock",  # inventory-control SS/ROP under stochastic demand+lead
     _q(
         lambda spark, sf: tx.part_safety_stock(
