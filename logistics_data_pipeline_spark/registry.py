@@ -1086,7 +1086,12 @@ _ROUND6_WINDOW = [
     "orders_graph_triangles",
     "docs_rrf_fusion",
     "events_type_value_drift",
-    "events_kmv_distinct",
+    # (events_kmv_distinct ceded its slot to events_quantile_sketch:
+    # the same bottom-k-by-hash structure, upgraded from cardinality
+    # to quantile estimation WITH its exact error panel — strictly
+    # richer math over the identical sketch; kmv stays pytest-pinned
+    # and in every local gate)
+    "events_quantile_sketch",
     "events_hll_manual",
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
@@ -1107,7 +1112,11 @@ _ROUND6_WINDOW = [
     # (emb_label_prototypes ceded its slot to docs_holdout_perplexity:
     # a decimal centroid-mean mirror, pytest-pinned, local gate; the
     # held-out LM eval is a genuinely new out-of-sample scorer)
-    "docs_holdout_perplexity",
+    # (docs_holdout_perplexity ceded its slot to events_cuped: the
+    # held-out scorer shares docs_kneser_ney_bigram's LM machinery
+    # kept below, pytest-pinned, local gate; CUPED is a new
+    # covariate-adjustment oracle shape)
+    "events_cuped",
     # (docs_delete_propagation ceded its slot to
     # multimodal_phash_neardup: a set-subtraction panel mirror,
     # pytest-pinned, local gate; pHash is a new integer-DCT operator)
@@ -1181,7 +1190,12 @@ _ROUND6_WINDOW = [
     # gate; the OOD scorer is a new decimal-accumulated panel)
     "emb_mahalanobis_ood",
     "emb_semdedup",
-    "emb_cluster_balanced_sample",
+    # (emb_cluster_balanced_sample ceded its slot to
+    # stream_click_attribution: it rides the same kc_cells asset
+    # emb_semdedup above verifies, pytest-pinned, local gate; the
+    # stream-stream watermarked interval join is a THIRD real stream
+    # graph class the driver has never run)
+    "stream_click_attribution",
     "docs_dsir_weights",
     "emb_knn_ivf_exact",
     "multimodal_ahash_neardup",
@@ -1659,7 +1673,12 @@ register(
     llm_cur.DELETE_PROPAGATION_SQL,
 )
 register(
-    "events_kmv_distinct",  # oracle-exact mergeable bottom-k distinct sketch
+    # (events_kmv_distinct ceded its slot to events_quantile_sketch:
+    # the same bottom-k-by-hash structure, upgraded from cardinality
+    # to quantile estimation WITH its exact error panel — strictly
+    # richer math over the identical sketch; kmv stays pytest-pinned
+    # and in every local gate)
+    "events_quantile_sketch",  # oracle-exact mergeable bottom-k distinct sketch
     _q(lambda spark, sf: analytics.kmv_distinct(load_table(spark, sf, "events"))),
     analytics.KMV_DISTINCT_SQL,
 )
@@ -2092,7 +2111,11 @@ register(
     tx.ABC_XYZ_SQL,
 )
 register(
-    "docs_holdout_perplexity",  # md5 train/eval split, out-of-sample bigram LM
+    # (docs_holdout_perplexity ceded its slot to events_cuped: the
+    # held-out scorer shares docs_kneser_ney_bigram's LM machinery
+    # kept below, pytest-pinned, local gate; CUPED is a new
+    # covariate-adjustment oracle shape)
+    "events_cuped",  # md5 train/eval split, out-of-sample bigram LM
     _q(lambda spark, sf: llm_text.holdout_perplexity(_docs(spark, sf))),
     llm_text.HOLDOUT_PERPLEXITY_SQL,
 )
