@@ -3969,3 +3969,168 @@ FROM ex x LEFT JOIN est e
   ON e.event_type = x.event_type AND e.q_idx = x.q_idx
 ORDER BY x.event_type, x.q_idx
 """.strip()
+
+
+# --- deterministic Poisson bootstrap CI --------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on a 32-bit uniform, precomputed
+# once in Python and interpolated into BOTH engines as integer
+# literals, so no engine libm is involved at query time. Counts > 5
+# (probability ~0.06%) collapse into weight 5.
+import math as _math  # noqa: E402
+
+_BOOT_CUM = []
+_acc = 0.0
+for _k in range(5):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_CUM.append(int(_acc * 4294967296.0))
+del _acc, _k
+
+
+def bootstrap_ci(events: DataFrame) -> DataFrame:
+    """Per-type bootstrap confidence interval for the mean value via
+    the DETERMINISTIC Poisson bootstrap — the resampling scheme that
+    actually distributes (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of drawing n rows with
+    replacement (which needs global coordination), each row enters
+    replicate b with weight ~ Poisson(1), here derived from
+    md5(event_id:b) through an exact integer inverse-CDF, so every
+    engine and every re-run produces the identical resample. One
+    map-side explode (×B), one (type, b) aggregation with exact DECIMAL
+    sums, then the 32 replicate means yield the percentile CI and the
+    bootstrap SE. Replicate means are rounded to 6 dp and re-cast to
+    DECIMAL before the cross-replicate moments, keeping every
+    accumulation order-independent.
+
+    Scale: B multiplies map output, not shuffle width — partial
+    aggregation collapses to |types|×B rows before the exchange; no
+    state grows with n."""
+    b_arr = F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+    v = F.col("value").cast("decimal(18,2)")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("b"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        F.when(u < _BOOT_CUM[0], 0)
+        .when(u < _BOOT_CUM[1], 1)
+        .when(u < _BOOT_CUM[2], 2)
+        .when(u < _BOOT_CUM[3], 3)
+        .when(u < _BOOT_CUM[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        events.select("event_type", "event_id", v.alias("v"))
+        .withColumn("b", F.explode(b_arr))
+        .select("event_type", "b", w.alias("w"), "v")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("nw"),
+            F.sum(F.col("v") * F.col("w")).alias("sw"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("sw").cast("double") / F.col("nw").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("m"),
+        )
+    )
+    boot = reps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.sum("m").alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)")).alias("smm"),
+        F.percentile(F.col("m").cast("double"), F.array(F.lit(0.025), F.lit(0.975)))
+        .alias("ci"),
+    )
+    raw = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(v).alias("s"),
+    )
+    nb = F.col("n_replicates").cast("double")
+    se = F.sqrt(
+        F.greatest(
+            (
+                F.col("smm").cast("double")
+                - F.col("sm").cast("double") * F.col("sm").cast("double") / nb
+            )
+            / (nb - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    return (
+        raw.join(boot, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_replicates",
+            F.round(F.col("s").cast("double") / F.col("n_events").cast("double"), 6)
+            .alias("mean_value"),
+            F.round(se, 6).alias("boot_se"),
+            F.round(F.element_at("ci", 1), 6).alias("ci_lo"),
+            F.round(F.element_at("ci", 2), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH reps0 AS (
+  SELECT event_type, g.b,
+         CASE WHEN u < {_BOOT_CUM[0]} THEN 0
+              WHEN u < {_BOOT_CUM[1]} THEN 1
+              WHEN u < {_BOOT_CUM[2]} THEN 2
+              WHEN u < {_BOOT_CUM[3]} THEN 3
+              WHEN u < {_BOOT_CUM[4]} THEN 4
+              ELSE 5 END AS w,
+         v
+  FROM (
+    SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+  ) e
+  CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) g
+  CROSS JOIN LATERAL (
+    SELECT CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 8)
+                AS BIGINT) AS u
+  ) h
+),
+agg AS (
+  SELECT event_type, b,
+         CAST(SUM(w) AS BIGINT) AS nw,
+         SUM(v * w) AS sw
+  FROM reps0 GROUP BY 1, 2
+),
+rm AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+  FROM agg
+),
+boot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         SUM(m) AS sm,
+         SUM(CAST(m * m AS DECIMAL(38,12))) AS smm,
+         quantile_cont(CAST(m AS DOUBLE), [0.025, 0.975]) AS ci
+  FROM rm GROUP BY 1
+),
+raw AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1
+)
+SELECT r.event_type, r.n_events, b.n_replicates,
+       ROUND(CAST(r.s AS DOUBLE) / CAST(r.n_events AS DOUBLE), 6) AS mean_value,
+       ROUND(SQRT(GREATEST((CAST(b.smm AS DOUBLE)
+                            - CAST(b.sm AS DOUBLE) * CAST(b.sm AS DOUBLE)
+                              / CAST(b.n_replicates AS DOUBLE))
+                           / (CAST(b.n_replicates AS DOUBLE) - 1.0), 0.0)), 6)
+         AS boot_se,
+       ROUND(b.ci[1], 6) AS ci_lo,
+       ROUND(b.ci[2], 6) AS ci_hi
+FROM raw r JOIN boot b ON r.event_type = b.event_type
+ORDER BY r.event_type
+""".strip()

@@ -2139,6 +2139,11 @@ register(
     tx.PART_SAFETY_STOCK_SQL,
 )
 register(
+    "events_bootstrap_ci",  # deterministic Poisson-bootstrap mean CI per type
+    _q(lambda spark, sf: analytics.bootstrap_ci(load_table(spark, sf, "events"))),
+    analytics.BOOTSTRAP_CI_SQL,
+)
+register(
     "events_quantile_sketch",  # bottom-k-by-hash quantile estimates + error panel
     _q(lambda spark, sf: analytics.quantile_sketch(load_table(spark, sf, "events"))),
     analytics.QUANTILE_SKETCH_SQL,

@@ -1569,3 +1569,29 @@ class TestPcmStats:
         assert mixed.rms == round(
             math.sqrt((24929 * 24929 + 22077 * 22077) / 2), 6
         )
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_mean_and_scales_with_n(self, spark):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base, i % 97, "a", float(50 + (i * 37) % 11))  # tight spread
+            for i in range(2000)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        from logistics_data_pipeline_spark.operators.analytics import (
+            BOOT_B,
+            bootstrap_ci,
+        )
+
+        r = bootstrap_ci(ev).collect()[0]
+        assert r.n_replicates == BOOT_B
+        assert r.ci_lo <= r.mean_value <= r.ci_hi
+        assert 0 < r.boot_se < 1.0  # se of the mean ~ sd/sqrt(2000) << 1
+        # CI width should be a few SEs, not degenerate, not huge
+        assert 0 < (r.ci_hi - r.ci_lo) < 8 * r.boot_se
