@@ -2462,3 +2462,153 @@ SELECT g.lang_a, g.lang_b,
 FROM grid g LEFT JOIN agg ag ON g.lang_a = ag.lang_a AND g.lang_b = ag.lang_b
 ORDER BY g.lang_a, g.lang_b
 """.strip()
+
+
+# --- content-defined chunking (CDC) dedup ------------------------------------
+
+CDC_DIV = 8  # boundary when the token hash % CDC_DIV == 0 -> mean ~8-token chunks
+
+
+def cdc_chunk_dedup(docs: DataFrame) -> DataFrame:
+    """Storage-style dedup via CONTENT-DEFINED chunking: chunk
+    boundaries fall after any token whose hash ≡ 0 (mod ``CDC_DIV``),
+    so boundaries are a function of the content itself — insert a
+    token at the head of a document and only the chunk containing the
+    edit changes, where the fixed-stride chunker (``docs_chunk_dup_rate``)
+    re-aligns and invalidates EVERY downstream chunk. That
+    shift-invariance is why storage/backup systems (LBFS, Venti,
+    restic) and dataset-versioning dedup all use CDC; this is the
+    token-level analogue of their gear/Rabin byte hash, on the same
+    md5-prefix integer every other dedup key derives. One corpus row:
+    chunk counts, distinct-chunk counts, and the byte savings a
+    content-addressed chunk store would realize.
+
+    Scale: tokenize + flag is map-only, the chunk id is a per-DOC
+    running sum (never a global window), reassembly is one order-pinned
+    aggregation per (doc, chunk), and the distinct-chunk rollup is a
+    hash aggregation — all linear in corpus tokens."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    flagged = toks.withColumn("bnd", (h % CDC_DIV == 0).cast("int"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        flagged.withColumn("cid", F.sum("bnd").over(win) - F.col("bnd"))
+        .groupBy("doc_id", "cid")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x.tok,
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x.tok,
+                    ),
+                    " ",
+                )
+            ).cast("bigint").alias("nb"),
+            F.count("*").cast("bigint").alias("n_toks"),
+        )
+    )
+    tot = chunks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("ch").cast("bigint").alias("n_distinct_chunks"),
+        F.sum("nb").cast("bigint").alias("bytes_total"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    stored = (
+        chunks.select("ch", "nb")
+        .distinct()
+        .agg(F.sum("nb").cast("bigint").alias("bytes_stored"))
+    )
+    j = tot.crossJoin(F.broadcast(stored))
+    return j.select(
+        "n_docs",
+        "n_chunks",
+        "n_distinct_chunks",
+        F.round(
+            F.lit(100.0)
+            * (
+                F.lit(1.0)
+                - F.col("n_distinct_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ),
+            6,
+        ).alias("dup_chunk_pct"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_chunks").cast("double"), 6
+        ).alias("avg_chunk_tokens"),
+        "bytes_total",
+        "bytes_stored",
+        F.round(
+            F.lit(100.0)
+            * (
+                F.lit(1.0)
+                - F.col("bytes_stored").cast("double")
+                / F.col("bytes_total").cast("double")
+            ),
+            6,
+        ).alias("savings_pct"),
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS tok
+  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents))
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {CDC_DIV} = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM toks
+),
+cids AS (
+  SELECT doc_id, pos, tok,
+         SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) - bnd AS cid
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, cid,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+         CAST(length(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM cids GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+         CAST(SUM(nb) AS BIGINT) AS bytes_total,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM chunks
+),
+stored AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS bytes_stored
+  FROM (SELECT DISTINCT ch, nb FROM chunks)
+)
+SELECT n_docs, n_chunks, n_distinct_chunks,
+       ROUND(100.0 * (1.0 - CAST(n_distinct_chunks AS DOUBLE)
+                            / CAST(n_chunks AS DOUBLE)), 6) AS dup_chunk_pct,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+         AS avg_chunk_tokens,
+       bytes_total, bytes_stored,
+       ROUND(100.0 * (1.0 - CAST(bytes_stored AS DOUBLE)
+                            / CAST(bytes_total AS DOUBLE)), 6) AS savings_pct
+FROM tot CROSS JOIN stored
+""".strip()

@@ -984,6 +984,11 @@ register(
     llm_mm.MEDIA_AHASH_NEARDUP_SQL,
 )
 register(
+    "docs_cdc_chunk_dedup",  # content-defined chunking: shift-invariant dedup
+    _q(lambda spark, sf: llm_dedup.cdc_chunk_dedup(_docs(spark, sf))),
+    llm_dedup.CDC_CHUNK_DEDUP_SQL,
+)
+register(
     "multimodal_pcm_stats",  # int16-PCM DSP (RMS/ZCR/peak) over binary payloads
     _q(lambda spark, sf: llm_mm.pcm_stats(_docs(spark, sf))),
     llm_mm.PCM_STATS_SQL,

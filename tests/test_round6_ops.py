@@ -1595,3 +1595,28 @@ class TestBootstrapCi:
         assert 0 < r.boot_se < 1.0  # se of the mean ~ sd/sqrt(2000) << 1
         # CI width should be a few SEs, not degenerate, not huge
         assert 0 < (r.ci_hi - r.ci_lo) < 8 * r.boot_se
+
+
+class TestCdcChunkDedup:
+    def test_shift_invariance_vs_unrelated(self, spark):
+        from logistics_data_pipeline_spark.llm.dedup import cdc_chunk_dedup
+
+        body = " ".join(f"word{i % 50} item{i % 31} thing{i % 17}" for i in range(120))
+        shifted = "inserted " + body  # one-token head edit
+        unrelated = " ".join(f"zz{i} qq{i * 3 + 1}" for i in range(360))
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        r_shift = cdc_chunk_dedup(
+            mk([(1, body, "en", "s", 1), (2, shifted, "en", "s", 1)])
+        ).collect()[0]
+        # CDC re-synchronizes after the edited chunk: the two docs share
+        # almost all chunks -> big dedup despite the shift
+        assert r_shift.dup_chunk_pct > 35.0
+        assert r_shift.savings_pct > 35.0
+        r_unrel = cdc_chunk_dedup(
+            mk([(1, body, "en", "s", 1), (2, unrelated, "en", "s", 1)])
+        ).collect()[0]
+        assert r_unrel.dup_chunk_pct < 5.0
+        # boundaries are content-defined: mean chunk length ~ CDC_DIV
+        assert 3.0 < r_shift.avg_chunk_tokens < 20.0

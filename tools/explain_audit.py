@@ -72,6 +72,8 @@ ALLOWED = {
     "events_zorder_extents": {"nested-loop join", "unpartitioned window"},
     # 1-row midpoint-epoch scalar broadcast into the pre/post split
     "events_cuped": {"nested-loop join"},
+    # two 1-row corpus rollups (totals x stored-bytes) cross-joined
+    "docs_cdc_chunk_dedup": {"nested-loop join"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
