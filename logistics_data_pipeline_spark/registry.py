@@ -2053,6 +2053,15 @@ register(
     streaming_windowed.DEDUP_STREAM_SQL,
 )
 register(
+    "stream_enrich_join",  # stream-static broadcast enrichment via real graph
+    _q(
+        lambda spark, sf: streaming_windowed.enrich_counts_stream_batch(
+            spark, load_table(spark, sf, "events")
+        )
+    ),
+    streaming_windowed.ENRICH_STREAM_SQL,
+)
+register(
     "stream_click_attribution",  # stream-stream watermarked interval join
     _q(
         lambda spark, sf: streaming_windowed.click_attribution_stream_batch(

@@ -438,6 +438,91 @@ def click_attribution_stream_batch(spark: SparkSession, events: DataFrame) -> Da
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
+def enrich_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Driver-checkable wrapper for STREAM-STATIC enrichment (§2.9):
+    a deterministic SLA dimension is derived from the data itself
+    (per-type category + 30/35/40… SLA by alphabetical rank, with the
+    alphabetically-LAST type deliberately left out so the left-join
+    'unknown' fallback is exercised, not just declared), the events
+    round-trip through the real streaming graph (JSON dump → file
+    stream → broadcast dim join per micro-batch → availableNow drain),
+    and the enriched stream rolls up per (type, category, sla). The
+    join is stateless/map-side — no watermark, no state store — which
+    is exactly what distinguishes this leg from the stream-stream and
+    dedup wrappers.
+
+    Oracle: the identical derivation + left join in plain SQL."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    work = tempfile.mkdtemp(prefix="enrich_")
+    src = f"{work}/src"
+    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).option("timestampFormat", JSON_TS_FMT).json(src)
+    types = events.select("event_type").distinct()
+    ranked = types.select(
+        "event_type",
+        (
+            F.lit(30)
+            + F.lit(5)
+            * (F.row_number().over(Window.orderBy("event_type")) - F.lit(1))
+        ).cast("bigint").alias("sla_minutes"),
+    )
+    last = types.agg(F.max("event_type").alias("mx"))
+    dim = (
+        ranked.crossJoin(F.broadcast(last))
+        .filter(F.col("event_type") < F.col("mx"))
+        .select(
+            "event_type",
+            F.concat(F.lit("cat_"), F.substring("event_type", 1, 2)).alias(
+                "category"
+            ),
+            "sla_minutes",
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    with _replay_shuffle_parts(spark):
+        run_to_memory(
+            enrich_stream(events_file_stream(spark, src, max_files=4), dim),
+            name,
+            "append",
+            f"{work}/ckpt",
+        )
+    return (
+        spark.table(name)
+        .groupBy("event_type", "category", "sla_minutes")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+ENRICH_STREAM_SQL = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+ranked AS (
+  SELECT event_type,
+         CAST(30 + 5 * (ROW_NUMBER() OVER (ORDER BY event_type) - 1) AS BIGINT)
+           AS sla_minutes
+  FROM types
+),
+dim AS (
+  SELECT event_type, 'cat_' || substr(event_type, 1, 2) AS category,
+         sla_minutes
+  FROM ranked
+  WHERE event_type < (SELECT MAX(event_type) FROM types)
+)
+SELECT e.event_type,
+       COALESCE(d.category, 'unknown') AS category,
+       d.sla_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2, 3
+ORDER BY 1
+""".strip()
+
+
 CLICK_ATTRIBUTION_STREAM_SQL = f"""
 SELECT p.event_id AS purchase_id,
        p.user_id AS user_id,

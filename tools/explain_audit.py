@@ -74,6 +74,9 @@ ALLOWED = {
     "events_cuped": {"nested-loop join"},
     # two 1-row corpus rollups (totals x stored-bytes) cross-joined
     "docs_cdc_chunk_dedup": {"nested-loop join"},
+    # |types|-row (≤5) dim ranking + 1-row max-type scalar for the
+    # deliberate fallback hole; the event stream itself is map-side
+    "stream_enrich_join": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
