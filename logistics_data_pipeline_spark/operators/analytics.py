@@ -2688,6 +2688,16 @@ FROM tri, wed
 LP_MAX_DEG = TRI_MAX_DEG  # same hub-cap discipline as the triangle census
 LP_RA_SCALE = 10**12  # RA weights in integer micro-units: 10^12 DIV deg(v)
 LP_TOP = 50
+# Middle-vertex sampling governor (the emb_cosine_histogram pattern):
+# the co-purchase graph is DENSE (median degree ~119 at every sf, so
+# wedge count Σdeg² ≈ 3·10⁸ at sf0.1 — measured 66 s), and every pair's
+# CN/RA is a sum over ~100 interchangeable middles. Keeping middles
+# whose md5 nibble < LP_SAMPLE_HEX (rate k/16) estimates both scores
+# with ~sqrt(16/cn·deg) relative error while cutting the join 16×.
+# Mirrored in the oracle; pass "g" for the exact full-middle scores
+# (tests do).
+LP_SAMPLE_HEX = "1"  # keep middles with md5 first nibble < '1' (1/16)
+LP_SAMPLE_SCALE = 16
 
 
 def link_prediction(
@@ -2695,6 +2705,8 @@ def link_prediction(
     max_deg: int = LP_MAX_DEG,
     top: int = LP_TOP,
     edges_od: DataFrame | None = None,
+    sample_hex: str = LP_SAMPLE_HEX,
+    sample_scale: int = LP_SAMPLE_SCALE,
 ) -> DataFrame:
     """Link prediction over the co-purchase graph: for every
     NON-adjacent part pair sharing ≥1 neighbor, the three classic
@@ -2711,9 +2723,11 @@ def link_prediction(
     standard).
 
     Scale: the candidate build is one self-join of the capped edge
-    list keyed on the MIDDLE vertex (fan-out ≤ max_deg² per vertex),
-    degrees broadcast, existing edges removed by an anti-join — no
-    all-pairs anywhere."""
+    list keyed on the MIDDLE vertex, with the md5 sampling governor
+    (``LP_SAMPLE_HEX``) bounding the wedge fan-out on dense graphs —
+    CN/RA become ×``sample_scale`` estimators (columns named cn_est /
+    ra_score accordingly); degrees broadcast, existing edges removed by
+    an anti-join — no all-pairs anywhere."""
     if edges_od is None:
         edges_od = copurchase_edges(lineitem)
     from ..session import track_persist
@@ -2726,8 +2740,13 @@ def link_prediction(
     )
     # capped-graph degrees (vertex-count-sized -> broadcast)
     degs = capped.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
-    e2 = capped.join(F.broadcast(degs), "src").select(
-        F.col("src").alias("v"), F.col("dst").alias("w"), F.col("d").alias("dv")
+    mid_kept = F.substring(F.md5(F.col("src").cast("string")), 1, 1) < sample_hex
+    e2 = (
+        capped.filter(mid_kept)
+        .join(F.broadcast(degs), "src")
+        .select(
+            F.col("src").alias("v"), F.col("dst").alias("w"), F.col("d").alias("dv")
+        )
     )
     pairs = (
         capped.select(F.col("dst").alias("v"), F.col("src").alias("u"))
@@ -2735,8 +2754,10 @@ def link_prediction(
         .filter(F.col("u") < F.col("w"))
         .groupBy("u", "w")
         .agg(
-            F.count("*").cast("bigint").alias("cn"),
-            F.sum(F.expr(f"{LP_RA_SCALE} DIV dv")).cast("bigint").alias("ra_micro"),
+            (F.count("*") * sample_scale).cast("bigint").alias("cn"),
+            (F.sum(F.expr(f"{LP_RA_SCALE} DIV dv")) * sample_scale)
+            .cast("bigint")
+            .alias("ra_micro"),
         )
     )
     # drop pairs already linked (edge list is symmetric: u<w orientation
@@ -2757,7 +2778,7 @@ def link_prediction(
         .select(
             "u",
             "w",
-            "cn",
+            F.col("cn").alias("cn_est"),
             F.round(
                 F.col("ra_micro").cast("double") / F.lit(float(LP_RA_SCALE)), 6
             ).alias("ra_score"),
@@ -2769,7 +2790,7 @@ def link_prediction(
         )
     )
     return scored.orderBy(
-        F.col("ra_score").desc(), F.col("cn").desc(), "u", "w"
+        F.col("ra_score").desc(), F.col("cn_est").desc(), "u", "w"
     ).limit(top)
 
 
@@ -2794,12 +2815,13 @@ capped AS (
 degs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY src),
 pairs AS (
   SELECT e1.src AS u, e2.dst AS w,
-         CAST(COUNT(*) AS BIGINT) AS cn,
-         CAST(SUM({LP_RA_SCALE} // dm.d) AS BIGINT) AS ra_micro
+         CAST(COUNT(*) * {LP_SAMPLE_SCALE} AS BIGINT) AS cn,
+         CAST(SUM({LP_RA_SCALE} // dm.d) * {LP_SAMPLE_SCALE} AS BIGINT) AS ra_micro
   FROM capped e1
   JOIN capped e2 ON e1.dst = e2.src
   JOIN degs dm ON dm.src = e1.dst
   WHERE e1.src < e2.dst
+    AND substr(md5(CAST(e1.dst AS VARCHAR)), 1, 1) < '{LP_SAMPLE_HEX}'
   GROUP BY 1, 2
 ),
 fresh AS (
@@ -2807,13 +2829,13 @@ fresh AS (
   WHERE NOT EXISTS (SELECT 1 FROM capped c
                     WHERE c.src = p.u AND c.dst = p.w)
 )
-SELECT f.u, f.w, f.cn,
+SELECT f.u, f.w, f.cn AS cn_est,
        ROUND(CAST(f.ra_micro AS DOUBLE) / {float(LP_RA_SCALE)}, 6) AS ra_score,
        ROUND(CAST(f.cn AS DOUBLE) / CAST(du.d + dw.d - f.cn AS DOUBLE), 6) AS jaccard
 FROM fresh f
 JOIN degs du ON du.src = f.u
 JOIN degs dw ON dw.src = f.w
-ORDER BY ra_score DESC, cn DESC, u, w
+ORDER BY ra_score DESC, cn_est DESC, u, w
 LIMIT {LP_TOP}
 """.strip()
 
@@ -4133,4 +4155,139 @@ SELECT r.event_type, r.n_events, b.n_replicates,
        ROUND(b.ci[2], 6) AS ci_hi
 FROM raw r JOIN boot b ON r.event_type = b.event_type
 ORDER BY r.event_type
+""".strip()
+
+
+# --- Holt linear-trend forecast (exact unrolled recursion) --------------------
+
+HOLT_K = 16  # window: the last K daily totals
+HOLT_H = 7  # forecast horizon in days
+
+
+def _holt_weight_table():
+    """Unroll Holt's coupled level/trend recursion (alpha = beta = 1/2,
+    init l_1 = d_1, b_1 = d_2 - d_1) over a fixed K-day window into
+    EXACT dyadic-rational weights: l_K = Σ wl_j·d_j, b_K = Σ wb_j·d_j.
+    Returned as integer numerators over a common power-of-two
+    denominator, so both engines accumulate the series as exact
+    integer×decimal products — no float recursion anywhere."""
+    from fractions import Fraction
+
+    k = HOLT_K
+    l = [Fraction(0)] * k
+    b = [Fraction(0)] * k
+    l[0] = Fraction(1)
+    b[0], b[1] = Fraction(-1), Fraction(1)
+    for t in range(2, k + 1):
+        nl = [(l[i] + b[i]) / 2 for i in range(k)]
+        nl[t - 1] += Fraction(1, 2)
+        nb = [(nl[i] - l[i]) / 2 + b[i] / 2 for i in range(k)]
+        l, b = nl, nb
+    den = 1
+    for f in l + b:
+        den = max(den, f.denominator)
+    assert all(den % f.denominator == 0 for f in l + b)
+    wl = [int(f * den) for f in l]
+    wb = [int(f * den) for f in b]
+    return den, list(zip(range(1, k + 1), wl, wb))
+
+
+_HOLT_DEN, _HOLT_W = _holt_weight_table()
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt's linear-trend (double exponential smoothing) forecast of
+    daily total value, h = 1..7 days ahead — the trend-aware upgrade of
+    the SES family (``events_ewma_control`` smooths, this also carries
+    slope). The sequential recursion l_t = αd_t + (1-α)(l_{t-1}+b_{t-1}),
+    b_t = β(l_t-l_{t-1}) + (1-β)b_{t-1} is unrolled at α=β=1/2 over the
+    last ``HOLT_K`` days into exact integer weights (``_holt_weight_table``),
+    so the 'iterative' model is ONE weighted aggregation: daily cents ×
+    integer numerators, summed as DECIMAL, divided once in doubles.
+    Same discipline as ``part_croston_forecast`` — smoothing constants
+    chosen dyadic make the whole state space exactly representable.
+
+    Scale: one day-keyed aggregation, a K-row bounded tail
+    (TakeOrdered), a 16-row broadcast weight join, one scalar rollup —
+    history length never enters a shuffle."""
+    from pyspark.sql import Window
+
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(cents)
+        .orderBy(F.col("d").desc())
+        .limit(HOLT_K)
+    )
+    rn = F.row_number().over(Window.orderBy("d"))
+    ranked = daily.select("cents", rn.alias("rn"))
+    spark = events.sparkSession
+    weights = F.broadcast(
+        spark.createDataFrame(_HOLT_W, "rn int, wl string, wb string").select(
+            "rn",
+            F.col("wl").cast("decimal(19,0)").alias("wl"),
+            F.col("wb").cast("decimal(19,0)").alias("wb"),
+        )
+    )
+    agg = (
+        ranked.join(weights, "rn")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.col("wl") * F.col("cents")).alias("sl"),
+            F.sum(F.col("wb") * F.col("cents")).alias("sb"),
+        )
+        .filter(F.col("n_days") == HOLT_K)
+    )
+    level = F.col("sl").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+    trend = F.col("sb").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+    return (
+        agg.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HOLT_H))).alias("h"),
+            F.round(level, 6).alias("level"),
+            F.round(trend, 6).alias("trend"),
+            (level + trend * F.col("h")).alias("_f"),
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            "level",
+            "trend",
+            F.round(F.col("_f"), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+_HOLT_W_SQL = ", ".join(f"({rn}, {wl}, {wb})" for rn, wl, wb in _HOLT_W)
+
+HOLT_FORECAST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+              AS DECIMAL(19,0)) AS cents
+  FROM events GROUP BY 1
+  ORDER BY d DESC LIMIT {HOLT_K}
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+),
+weights(rn, wl, wb) AS (VALUES {_HOLT_W_SQL}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(wl AS DECIMAL(19,0)) * cents) AS sl,
+         SUM(CAST(wb AS DECIMAL(19,0)) * cents) AS sb
+  FROM ranked JOIN weights USING (rn)
+),
+lt AS (
+  SELECT CAST(sl AS DOUBLE) / {float(_HOLT_DEN)} / 100.0 AS level,
+         CAST(sb AS DOUBLE) / {float(_HOLT_DEN)} / 100.0 AS trend
+  FROM agg WHERE n_days = {HOLT_K}
+)
+SELECT CAST(g.h AS BIGINT) AS h,
+       ROUND(level, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(level + trend * g.h, 6) AS forecast
+FROM lt CROSS JOIN (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g
+ORDER BY h
 """.strip()

@@ -2153,6 +2153,11 @@ register(
     tx.PART_SAFETY_STOCK_SQL,
 )
 register(
+    "events_holt_forecast",  # Holt linear-trend forecast, exact unrolled weights
+    _q(lambda spark, sf: analytics.holt_forecast(load_table(spark, sf, "events"))),
+    analytics.HOLT_FORECAST_SQL,
+)
+register(
     "events_bootstrap_ci",  # deterministic Poisson-bootstrap mean CI per type
     _q(lambda spark, sf: analytics.bootstrap_ci(load_table(spark, sf, "events"))),
     analytics.BOOTSTRAP_CI_SQL,

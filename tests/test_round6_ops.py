@@ -1620,3 +1620,84 @@ class TestCdcChunkDedup:
         assert r_unrel.dup_chunk_pct < 5.0
         # boundaries are content-defined: mean chunk length ~ CDC_DIV
         assert 3.0 < r_shift.avg_chunk_tokens < 20.0
+
+
+class TestHoltForecast:
+    def test_linear_series_recovered_exactly(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            HOLT_H,
+            HOLT_K,
+            holt_forecast,
+        )
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        # 20 days of perfectly linear daily totals: day t sums to 100+10t
+        for t in range(20):
+            for part in (60.0, 40.0 + 10.0 * t):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=t), 1, "purchase", part)
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = holt_forecast(ev).collect()
+        assert len(out) == HOLT_H
+        # on an exactly linear series Holt is exact: trend = 10,
+        # level = last window day's total, forecasts continue the line
+        last_total = 100.0 + 10.0 * 19
+        for r in out:
+            assert abs(r.trend - 10.0) < 1e-6
+            assert abs(r.level - last_total) < 1e-6
+            assert abs(r.forecast - (last_total + 10.0 * r.h)) < 1e-6
+        # fewer than K days -> no forecast rows (explicit gate, not junk)
+        short = spark.createDataFrame(
+            rows[: 2 * (HOLT_K - 2)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        assert holt_forecast(short).count() == 0
+
+
+class TestLinkPrediction:
+    def test_planted_missing_link_tops_exact_mode(self, spark):
+        from logistics_data_pipeline_spark.operators.analytics import link_prediction
+
+        rows = []
+        # orders 1..3 each contain part 100 with middles 1,2,3; orders
+        # 4..6 contain part 200 with the same middles -> 100 and 200
+        # share 3 neighbors but never co-occur. Filler orders give the
+        # middles extra degree so RA weights differ from 1.
+        oid = 0
+        for mid in (1, 2, 3):
+            for endpoint in (100, 200):
+                rows.append((oid, endpoint))
+                rows.append((oid, mid))
+                oid += 1
+        for f in range(10):  # filler: middles paired with unique parts
+            rows.append((oid, 300 + f))
+            rows.append((oid, 1 + f % 3))
+            oid += 1
+        li = spark.createDataFrame(
+            [(o, p, 1.0) for o, p in rows],
+            "l_orderkey long, l_partkey long, l_quantity double",
+        )
+        out = link_prediction(li, sample_hex="g", sample_scale=1).collect()
+        planted = [r for r in out if {r.u, r.w} == {100, 200}]
+        assert planted, out[:5]
+        r = planted[0]
+        # 3 shared middles: middle 1 has degree 6 (2 endpoints + 4
+        # fillers), middles 2 and 3 degree 5 -> RA = 1/6 + 1/5 + 1/5;
+        # Jaccard = 3/(3+3-3)
+        assert r.cn_est == 3
+        assert r.ra_score == round(1 / 6 + 1 / 5 + 1 / 5, 6)
+        assert r.jaccard == 1.0
+        # sampled mode is a subset estimate: never exceeds 16x exact,
+        # and remains a valid frame (may drop the pair entirely)
+        sampled = link_prediction(li).collect()
+        for r in sampled:
+            assert r.cn_est % 16 == 0

@@ -77,6 +77,9 @@ ALLOWED = {
     # |types|-row (≤5) dim ranking + 1-row max-type scalar for the
     # deliberate fallback hole; the event stream itself is map-side
     "stream_enrich_join": {"nested-loop join", "unpartitioned window"},
+    # ROW_NUMBER over the K=16-row daily tail; 1-row level/trend scalar
+    # crossed with the 7-row horizon grid
+    "events_holt_forecast": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
