@@ -3996,17 +3996,20 @@ ORDER BY x.event_type, x.q_idx
 # --- deterministic Poisson bootstrap CI --------------------------------------
 
 BOOT_B = 32  # bootstrap replicates
-# Poisson(1) inverse-CDF thresholds on a 32-bit uniform, precomputed
+# Poisson(1) inverse-CDF thresholds on an 8-BIT uniform, precomputed
 # once in Python and interpolated into BOTH engines as integer
-# literals, so no engine libm is involved at query time. Counts > 5
-# (probability ~0.06%) collapse into weight 5.
+# literals, so no engine libm is involved at query time. One byte per
+# replicate means TWO md5s per row cover all 32 replicates (16 bytes
+# each) — measured 3x cheaper than one md5 per (row, replicate); the
+# 1/256 quantization shifts each Poisson mass by < 0.2%, far inside
+# bootstrap noise. Counts > 5 (probability ~0.4%) collapse into 5.
 import math as _math  # noqa: E402
 
 _BOOT_CUM = []
 _acc = 0.0
 for _k in range(5):
     _acc += _math.exp(-1.0) / _math.factorial(_k)
-    _BOOT_CUM.append(int(_acc * 4294967296.0))
+    _BOOT_CUM.append(int(_acc * 256.0))
 del _acc, _k
 
 
@@ -4030,11 +4033,16 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
     state grows with n."""
     b_arr = F.sequence(F.lit(0), F.lit(BOOT_B - 1))
     v = F.col("value").cast("decimal(18,2)")
+    # one md5 per 16 replicates: salt g = b DIV 16 picks the digest,
+    # byte b % 16 of it is the replicate's 8-bit uniform
+    h = lambda g: F.md5(  # noqa: E731
+        F.concat_ws(":", F.col("event_id").cast("string"), F.lit(str(g)))
+    )
     u = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("b"))),
-            1,
-            8,
+            F.when(F.col("b") < 16, F.col("h0")).otherwise(F.col("h1")),
+            (F.col("b") % 16) * 2 + 1,
+            2,
         ),
         16,
         10,
@@ -4048,7 +4056,9 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
         .otherwise(5)
     )
     reps = (
-        events.select("event_type", "event_id", v.alias("v"))
+        events.select(
+            "event_type", v.alias("v"), h(0).alias("h0"), h(1).alias("h1")
+        )
         .withColumn("b", F.explode(b_arr))
         .select("event_type", "b", w.alias("w"), "v")
         .groupBy("event_type", "b")
@@ -4112,11 +4122,15 @@ WITH reps0 AS (
               ELSE 5 END AS w,
          v
   FROM (
-    SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+           md5(CAST(event_id AS VARCHAR) || ':0') AS h0,
+           md5(CAST(event_id AS VARCHAR) || ':1') AS h1
+    FROM events
   ) e
   CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) g
   CROSS JOIN LATERAL (
-    SELECT CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 8)
+    SELECT CAST('0x' || substr(CASE WHEN g.b < 16 THEN e.h0 ELSE e.h1 END,
+                               CAST((g.b % 16) * 2 + 1 AS INT), 2)
                 AS BIGINT) AS u
   ) h
 ),
