@@ -2729,3 +2729,123 @@ FROM agg
 WHERE n_days >= {CROSTON_MIN_DAYS}
 ORDER BY l_partkey
 """.strip()
+
+
+# --- Little's law WIP sweep ---------------------------------------------------
+
+
+def wip_sweep(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Queueing panel over the order lifecycle: each order is OPEN from
+    its order day to its last ship day; the classic ±1 interval sweep
+    (+1 on open, −1 the day after close) integrates the work-in-process
+    curve, giving avg WIP (L), peak WIP, arrival rate (λ = orders/span)
+    and mean time-in-system (W). Little's law L = λ·W is an algebraic
+    identity of this construction — the panel computes L from the SWEEP
+    and λ·W from per-order DURATIONS independently and reports the gap,
+    so a single misplaced delta breaks the hash AND the identity.
+
+    Scale: deltas pre-aggregate to |distinct days| rows (two map-side
+    counts), so the only window runs over a calendar-sized frame — the
+    raw fact table never meets a global sort; durations are one
+    order-keyed aggregation.
+
+    All accumulation is integer (day counts); doubles only in the final
+    three divisions, identical shapes both engines."""
+    from pyspark.sql import Window
+
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    spans = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    ).join(close, F.col("o_orderkey") == F.col("l_orderkey"))
+    deltas = (
+        spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w_t = Window.orderBy("d")
+    curve = deltas.select(
+        "d",
+        F.sum("net").over(w_t).alias("wip"),
+        F.datediff(F.lead("d", 1).over(w_t), F.col("d")).alias("hold_days"),
+    )
+    sweep = curve.agg(
+        F.sum(F.col("wip") * F.coalesce(F.col("hold_days"), F.lit(0)))
+        .cast("bigint")
+        .alias("wip_day_sum"),
+        F.max("wip").cast("bigint").alias("max_wip"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+    )
+    dur = spans.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.datediff("close_d", "open_d") + F.lit(1))
+        .cast("bigint")
+        .alias("dur_day_sum"),
+    )
+    j = dur.crossJoin(F.broadcast(sweep))
+    lam = F.col("n_orders").cast("double") / F.col("span_days").cast("double")
+    w_mean = F.col("dur_day_sum").cast("double") / F.col("n_orders").cast("double")
+    l_avg = F.col("wip_day_sum").cast("double") / F.col("span_days").cast("double")
+    return j.select(
+        "n_orders",
+        "span_days",
+        "max_wip",
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(w_mean, 6).alias("w_days"),
+        F.round(l_avg, 6).alias("l_avg_wip"),
+        F.round(l_avg - lam * w_mean, 9).alias("littles_gap"),
+    )
+
+
+WIP_SWEEP_SQL = """
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_d, close_d
+  FROM orders JOIN close ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net
+  FROM (
+    SELECT open_d AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT close_d + 1 AS d, -1 AS delta FROM spans
+  ) GROUP BY 1
+),
+curve AS (
+  SELECT d,
+         SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS wip,
+         date_diff('day', d, LEAD(d, 1) OVER (ORDER BY d)) AS hold_days
+  FROM deltas
+),
+sweep AS (
+  SELECT CAST(SUM(wip * COALESCE(hold_days, 0)) AS BIGINT) AS wip_day_sum,
+         CAST(MAX(wip) AS BIGINT) AS max_wip,
+         CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days
+  FROM curve
+),
+dur AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(date_diff('day', open_d, close_d) + 1) AS BIGINT) AS dur_day_sum
+  FROM spans
+)
+SELECT n_orders, span_days, max_wip,
+       ROUND(CAST(n_orders AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+         AS lambda_per_day,
+       ROUND(CAST(dur_day_sum AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS w_days,
+       ROUND(CAST(wip_day_sum AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+         AS l_avg_wip,
+       ROUND(CAST(wip_day_sum AS DOUBLE) / CAST(span_days AS DOUBLE)
+             - (CAST(n_orders AS DOUBLE) / CAST(span_days AS DOUBLE))
+               * (CAST(dur_day_sum AS DOUBLE) / CAST(n_orders AS DOUBLE)), 9)
+         AS littles_gap
+FROM dur CROSS JOIN sweep
+""".strip()

@@ -2139,6 +2139,15 @@ register(
     analytics.AB_TEST_SRM_SQL,
 )
 register(
+    "orders_wip_sweep",  # Little's law queueing panel via interval sweep
+    _q(
+        lambda spark, sf: tx.wip_sweep(
+            load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+        )
+    ),
+    tx.WIP_SWEEP_SQL,
+)
+register(
     "part_croston_forecast",  # intermittent-demand SES with exact dyadic weights
     _q(lambda spark, sf: tx.croston_forecast(load_table(spark, sf, "lineitem"))),
     tx.CROSTON_SQL,

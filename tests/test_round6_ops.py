@@ -1701,3 +1701,29 @@ class TestLinkPrediction:
         sampled = link_prediction(li).collect()
         for r in sampled:
             assert r.cn_est % 16 == 0
+
+
+class TestWipSweep:
+    def test_planted_overlap_and_littles_identity(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.tpch_extra import wip_sweep
+
+        d = lambda n: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=n)  # noqa: E731
+        orders = spark.createDataFrame(
+            [(1, d(0)), (2, d(1)), (3, d(2))], "o_orderkey long, o_orderdate timestamp"
+        )
+        # order 1 ships day 3, order 2 day 2, order 3 day 4:
+        # WIP curve: day0:1 day1:2 day2:3 day3:2 day4:1 day5:0
+        li = spark.createDataFrame(
+            [(1, d(3)), (2, d(2)), (3, d(4)), (3, d(1))],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        r = wip_sweep(orders, li).collect()[0]
+        assert r.n_orders == 3
+        assert r.max_wip == 3
+        assert r.span_days == 5  # day0 .. day5 (close+1)
+        # durations: 4 + 2 + 3 = 9 days in system
+        assert r.w_days == 3.0
+        assert r.l_avg_wip == round(9 / 5, 6)
+        assert abs(r.littles_gap) < 1e-9

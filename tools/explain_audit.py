@@ -80,6 +80,9 @@ ALLOWED = {
     # ROW_NUMBER over the K=16-row daily tail; 1-row level/trend scalar
     # crossed with the 7-row horizon grid
     "events_holt_forecast": {"nested-loop join", "unpartitioned window"},
+    # the sweep window runs over the |distinct days| delta frame (the
+    # raw facts pre-aggregate first); 1-row durations x sweep scalars
+    "orders_wip_sweep": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
