@@ -4305,3 +4305,147 @@ SELECT CAST(g.h AS BIGINT) AS h,
 FROM lt CROSS JOIN (SELECT unnest(generate_series(1, {HOLT_H})) AS h) g
 ORDER BY h
 """.strip()
+
+
+# --- customer value-segment migration matrix ----------------------------------
+
+SEG_QS = [0.25, 0.5, 0.75]  # quartile boundaries per half
+
+
+def segment_migration(orders: DataFrame) -> DataFrame:
+    """Customer value-segment MIGRATION matrix: split the order window
+    at its midpoint, quartile each customer's spend within each half
+    (boundaries re-derived per half, so the segments are relative
+    standings, not absolute bands), and count every (segment-then,
+    segment-now) transition — segment 0 meaning absent (the churn
+    column / new-customer row). The grid is zero-completed so the
+    matrix shape is fixed at 5×5−1 regardless of data — the same
+    structural-zero discipline as the chi² and confusion panels.
+    This is the panel next to ``orders_customer_rfm``: RFM scores a
+    snapshot, migration shows the flow between snapshots.
+
+    Scale: one scan, one customer-keyed conditional aggregate (the
+    only data-sized shuffle); quartile boundaries are 1-row scalars
+    (exact percentile here, approx_percentile at 100 TB); the matrix
+    is a ≤24-row rollup against a literal grid."""
+    mid = orders.agg(
+        F.expr(
+            "(unix_timestamp(min(o_orderdate)) + unix_timestamp(max(o_orderdate)))"
+            " DIV 2"
+        ).alias("mid_s")
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    in_h1 = F.unix_timestamp("o_orderdate") <= F.col("mid_s")
+    per_cust = (
+        orders.crossJoin(F.broadcast(mid))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(in_h1, price)).alias("s1"),
+            F.sum(F.when(~in_h1, price)).alias("s2"),
+        )
+    )
+    qarr = F.array(*[F.lit(q) for q in SEG_QS])
+    bounds = per_cust.agg(
+        F.percentile(F.col("s1").cast("double"), qarr).alias("q1"),
+        F.percentile(F.col("s2").cast("double"), qarr).alias("q2"),
+    )
+
+    def seg(col, q):
+        v = F.col(col).cast("double")
+        return (
+            F.when(F.col(col).isNull(), 0)
+            .when(v <= F.element_at(q, 1), 1)
+            .when(v <= F.element_at(q, 2), 2)
+            .when(v <= F.element_at(q, 3), 3)
+            .otherwise(4)
+        )
+
+    tagged = per_cust.crossJoin(F.broadcast(bounds)).select(
+        seg("s1", F.col("q1")).alias("seg_then"),
+        seg("s2", F.col("q2")).alias("seg_now"),
+    )
+    from ..session import track_persist
+
+    tagged = track_persist(tagged)  # two consumers: counts + total
+    counts = tagged.groupBy("seg_then", "seg_now").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    total = tagged.agg(F.count("*").cast("bigint").alias("t"))
+    spark = orders.sparkSession
+    grid = (
+        spark.range(5)
+        .select(F.col("id").cast("int").alias("seg_then"))
+        .crossJoin(spark.range(5).select(F.col("id").cast("int").alias("seg_now")))
+        .filter(~((F.col("seg_then") == 0) & (F.col("seg_now") == 0)))
+    )
+    return (
+        grid.join(counts, ["seg_then", "seg_now"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("seg_then").cast("bigint").alias("seg_then"),
+            F.col("seg_now").cast("bigint").alias("seg_now"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.coalesce("n_customers", F.lit(0)).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("seg_then", "seg_now")
+    )
+
+
+SEGMENT_MIGRATION_SQL = f"""
+WITH mid AS (
+  SELECT (CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT)
+          + CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT)) // 2 AS mid_s
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) <= mid_s
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1,
+         SUM(CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) > mid_s
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s2
+  FROM orders, mid
+  GROUP BY o_custkey, mid_s
+),
+bounds AS (
+  SELECT quantile_cont(CAST(s1 AS DOUBLE), {SEG_QS!r}) AS q1,
+         quantile_cont(CAST(s2 AS DOUBLE), {SEG_QS!r}) AS q2
+  FROM per_cust
+),
+tagged AS (
+  SELECT CASE WHEN s1 IS NULL THEN 0
+              WHEN CAST(s1 AS DOUBLE) <= q1[1] THEN 1
+              WHEN CAST(s1 AS DOUBLE) <= q1[2] THEN 2
+              WHEN CAST(s1 AS DOUBLE) <= q1[3] THEN 3
+              ELSE 4 END AS seg_then,
+         CASE WHEN s2 IS NULL THEN 0
+              WHEN CAST(s2 AS DOUBLE) <= q2[1] THEN 1
+              WHEN CAST(s2 AS DOUBLE) <= q2[2] THEN 2
+              WHEN CAST(s2 AS DOUBLE) <= q2[3] THEN 3
+              ELSE 4 END AS seg_now
+  FROM per_cust CROSS JOIN bounds
+),
+counts AS (
+  SELECT seg_then, seg_now, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM tagged GROUP BY 1, 2
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tagged),
+grid AS (
+  SELECT a.i AS seg_then, b.i AS seg_now
+  FROM (SELECT unnest(generate_series(0, 4)) AS i) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) b
+  WHERE NOT (a.i = 0 AND b.i = 0)
+)
+SELECT CAST(g.seg_then AS BIGINT) AS seg_then,
+       CAST(g.seg_now AS BIGINT) AS seg_now,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       ROUND(CAST(COALESCE(c.n_customers, 0) AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS share
+FROM grid g
+LEFT JOIN counts c ON c.seg_then = g.seg_then AND c.seg_now = g.seg_now
+CROSS JOIN total t
+ORDER BY seg_then, seg_now
+""".strip()

@@ -2162,6 +2162,13 @@ register(
     tx.PART_SAFETY_STOCK_SQL,
 )
 register(
+    "orders_segment_migration",  # customer value-quartile transition matrix
+    _q(
+        lambda spark, sf: analytics.segment_migration(load_table(spark, sf, "orders"))
+    ),
+    analytics.SEGMENT_MIGRATION_SQL,
+)
+register(
     "events_holt_forecast",  # Holt linear-trend forecast, exact unrolled weights
     _q(lambda spark, sf: analytics.holt_forecast(load_table(spark, sf, "events"))),
     analytics.HOLT_FORECAST_SQL,

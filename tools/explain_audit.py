@@ -83,6 +83,9 @@ ALLOWED = {
     # the sweep window runs over the |distinct days| delta frame (the
     # raw facts pre-aggregate first); 1-row durations x sweep scalars
     "orders_wip_sweep": {"nested-loop join", "unpartitioned window"},
+    # 1-row scalars (midpoint epoch, quartile bounds, total) broadcast
+    # around the customer panel; the 24-row grid join is literal-sized
+    "orders_segment_migration": {"nested-loop join"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
