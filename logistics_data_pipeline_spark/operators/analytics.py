@@ -4449,3 +4449,133 @@ LEFT JOIN counts c ON c.seg_then = g.seg_then AND c.seg_now = g.seg_now
 CROSS JOIN total t
 ORDER BY seg_then, seg_now
 """.strip()
+
+
+# --- rolling-origin forecast backtest -----------------------------------------
+
+BACKTEST_ORIGINS = 5  # evaluate 1-step-ahead forecasts from the last 5 origins
+
+
+def holt_backtest(events: DataFrame) -> DataFrame:
+    """Rolling-origin backtest of ``events_holt_forecast``: for each of
+    the last ``BACKTEST_ORIGINS`` forecast origins, fit the exact
+    unrolled Holt recursion on the 16 days ENDING at the origin and
+    score its 1-step-ahead forecast against the realized next-day
+    total — the out-of-sample evidence a forecasting panel needs
+    before anyone trusts the forward run (the forecasting twin of
+    ``docs_holdout_perplexity``'s train/eval discipline). One pass:
+    the ranked daily series is exploded across origins, the SAME
+    integer weight table joins on the within-window index, so five
+    model fits cost one aggregation.
+
+    Exactness: identical weight numerators as the forward key; actuals
+    are exact decimal cents; only the final forecast/error divisions
+    run in doubles."""
+    from pyspark.sql import Window
+
+    k, n_or = HOLT_K, BACKTEST_ORIGINS
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(cents)
+        .orderBy(F.col("d").desc())
+        .limit(k + n_or)
+    )
+    # rn = 1 for the OLDEST of the tail; origin o uses days rn in
+    # [o+1 .. o+k] (window index idx = rn - o), forecasting day rn=o+k+1
+    rn = F.row_number().over(Window.orderBy("d"))
+    ranked = daily.select("d", "cents", rn.alias("rn"))
+    spark = events.sparkSession
+    weights = F.broadcast(
+        spark.createDataFrame(_HOLT_W, "idx int, wl string, wb string").select(
+            "idx",
+            F.col("wl").cast("decimal(19,0)").alias("wl"),
+            F.col("wb").cast("decimal(19,0)").alias("wb"),
+        )
+    )
+    grid = ranked.withColumn(
+        "o", F.explode(F.sequence(F.lit(0), F.lit(n_or - 1)))
+    ).withColumn("idx", F.col("rn") - F.col("o"))
+    fits = (
+        grid.filter((F.col("idx") >= 1) & (F.col("idx") <= k))
+        .join(weights, "idx")
+        .groupBy("o")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.col("wl") * F.col("cents")).alias("sl"),
+            F.sum(F.col("wb") * F.col("cents")).alias("sb"),
+        )
+        .filter(F.col("n_days") == k)
+    )
+    actuals = ranked.select(
+        (F.col("rn") - (k + 1)).alias("o"),
+        F.col("d").alias("target_day"),
+        F.col("cents").alias("actual_cents"),
+    ).filter((F.col("o") >= 0) & (F.col("o") < n_or))
+    level = F.col("sl").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+    trend = F.col("sb").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+    fc = level + trend
+    actual = F.col("actual_cents").cast("double") / F.lit(100.0)
+    return (
+        fits.join(actuals, "o")
+        .select(
+            F.col("o").cast("bigint").alias("origin"),
+            "target_day",
+            F.round(fc, 6).alias("forecast"),
+            F.round(actual, 6).alias("actual"),
+            F.round(
+                F.lit(100.0) * F.abs(fc - actual) / F.abs(actual), 6
+            ).alias("abs_pct_err"),
+        )
+        .orderBy("origin")
+    )
+
+
+_HOLT_W_BT_SQL = ", ".join(f"({rn}, {wl}, {wb})" for rn, wl, wb in _HOLT_W)
+
+HOLT_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+              AS DECIMAL(19,0)) AS cents
+  FROM events GROUP BY 1
+  ORDER BY d DESC LIMIT {HOLT_K + BACKTEST_ORIGINS}
+),
+ranked AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+),
+weights(idx, wl, wb) AS (VALUES {_HOLT_W_BT_SQL}),
+grid AS (
+  SELECT r.d, r.cents, r.rn, g.o, r.rn - g.o AS idx
+  FROM ranked r
+  CROSS JOIN (SELECT unnest(generate_series(0, {BACKTEST_ORIGINS - 1})) AS o) g
+),
+fits AS (
+  SELECT o,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(wl AS DECIMAL(19,0)) * cents) AS sl,
+         SUM(CAST(wb AS DECIMAL(19,0)) * cents) AS sb
+  FROM grid JOIN weights USING (idx)
+  WHERE idx BETWEEN 1 AND {HOLT_K}
+  GROUP BY 1
+),
+actuals AS (
+  SELECT rn - {HOLT_K + 1} AS o, d AS target_day, cents AS actual_cents
+  FROM ranked
+  WHERE rn - {HOLT_K + 1} >= 0 AND rn - {HOLT_K + 1} < {BACKTEST_ORIGINS}
+)
+SELECT CAST(f.o AS BIGINT) AS origin,
+       a.target_day,
+       ROUND(CAST(sl AS DOUBLE) / {float(_HOLT_DEN)} / 100.0
+             + CAST(sb AS DOUBLE) / {float(_HOLT_DEN)} / 100.0, 6) AS forecast,
+       ROUND(CAST(actual_cents AS DOUBLE) / 100.0, 6) AS actual,
+       ROUND(100.0 * ABS(CAST(sl AS DOUBLE) / {float(_HOLT_DEN)} / 100.0
+                         + CAST(sb AS DOUBLE) / {float(_HOLT_DEN)} / 100.0
+                         - CAST(actual_cents AS DOUBLE) / 100.0)
+             / ABS(CAST(actual_cents AS DOUBLE) / 100.0), 6) AS abs_pct_err
+FROM fits f JOIN actuals a ON f.o = a.o
+WHERE f.n_days = {HOLT_K}
+ORDER BY origin
+""".strip()

@@ -2174,6 +2174,11 @@ register(
     analytics.HOLT_FORECAST_SQL,
 )
 register(
+    "events_holt_backtest",  # rolling-origin 1-step forecast evaluation
+    _q(lambda spark, sf: analytics.holt_backtest(load_table(spark, sf, "events"))),
+    analytics.HOLT_BACKTEST_SQL,
+)
+register(
     "events_bootstrap_ci",  # deterministic Poisson-bootstrap mean CI per type
     _q(lambda spark, sf: analytics.bootstrap_ci(load_table(spark, sf, "events"))),
     analytics.BOOTSTRAP_CI_SQL,

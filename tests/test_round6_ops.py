@@ -1727,3 +1727,32 @@ class TestWipSweep:
         assert r.w_days == 3.0
         assert r.l_avg_wip == round(9 / 5, 6)
         assert abs(r.littles_gap) < 1e-9
+
+
+class TestHoltBacktest:
+    def test_linear_series_backtests_to_zero_error(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            BACKTEST_ORIGINS,
+            holt_backtest,
+        )
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        for t in range(25):  # linear daily totals 100+10t, single event/day
+            rows.append((t, base + datetime.timedelta(days=t), 1, "x",
+                         100.0 + 10.0 * t))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = holt_backtest(ev).collect()
+        assert len(out) == BACKTEST_ORIGINS
+        for r in out:
+            # Holt is exact on a line: every 1-step forecast hits the actual
+            assert abs(r.forecast - r.actual) < 1e-6
+            assert r.abs_pct_err < 1e-6
+        # origins target consecutive days ending at the latest
+        days = [r.target_day for r in out]
+        assert days == sorted(days)

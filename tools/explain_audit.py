@@ -86,6 +86,9 @@ ALLOWED = {
     # 1-row scalars (midpoint epoch, quartile bounds, total) broadcast
     # around the customer panel; the 24-row grid join is literal-sized
     "orders_segment_migration": {"nested-loop join"},
+    # ROW_NUMBER over the 21-row daily tail; 5-fit x 5-actual joins are
+    # literal-sized
+    "events_holt_backtest": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
