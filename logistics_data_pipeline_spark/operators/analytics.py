@@ -4579,3 +4579,115 @@ FROM fits f JOIN actuals a ON f.o = a.o
 WHERE f.n_days = {HOLT_K}
 ORDER BY origin
 """.strip()
+
+
+# --- Epanechnikov kernel density estimate -------------------------------------
+
+KDE_GRID = 64  # evaluation points
+KDE_BW_DIV = 16  # bandwidth = range / 16
+
+
+def kde_density(events: DataFrame) -> DataFrame:
+    """Kernel density estimate of the value distribution on a fixed
+    64-point grid — the smooth upgrade of ``events_value_histogram``
+    (bins answer "how many here", the KDE answers "what does the
+    distribution look like" without bin-edge artifacts). The kernel is
+    EPANECHNIKOV, 0.75·(1−u²) on |u|<1 — deliberately polynomial: a
+    Gaussian kernel would route every term through each engine's libm
+    exp, while this evaluates in exact double +*− with per-term
+    6-dp-rounded DECIMAL accumulation, so the sum is order-independent
+    and the oracle hash-matches. Bandwidth = range/{KDE_BW_DIV}
+    (fixed-fraction rule; Silverman just changes the constant).
+
+    Scale: one 1-row min/max/count scalar, one ×{KDE_GRID} map-side
+    explode with the |u|<1 filter applied before the aggregation, one
+    {KDE_GRID}-group rollup — partial aggregation collapses everything
+    before the exchange."""
+    stats = events.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    g = F.col("g").cast("double")
+    x_g = F.col("lo") + (F.col("hi") - F.col("lo")) * g / F.lit(
+        float(KDE_GRID - 1)
+    )
+    h = (F.col("hi") - F.col("lo")) / F.lit(float(KDE_BW_DIV))
+    u = (F.col("value").cast("double") - x_g) / h
+    kern = F.lit(0.75) * (F.lit(1.0) - u * u)
+    terms = (
+        events.crossJoin(F.broadcast(stats))
+        .withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(KDE_GRID - 1))))
+        .filter((u > F.lit(-1.0)) & (u < F.lit(1.0)))
+        .select(
+            "g",
+            "n",
+            "lo",
+            "hi",
+            F.round(kern, 6).cast("decimal(28,6)").alias("k"),
+        )
+    )
+    dens = terms.groupBy("g", "n", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n_in_window"),
+        F.sum("k").alias("ksum"),
+    )
+    grid = (
+        events.sparkSession.range(KDE_GRID)
+        .select(F.col("id").cast("int").alias("g"))
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        grid.join(dens.drop("n", "lo", "hi"), "g", "left")
+        .select(
+            F.col("g").cast("bigint").alias("g"),
+            F.round(x_g, 6).alias("x"),
+            F.coalesce("n_in_window", F.lit(0)).cast("bigint").alias("n_in_window"),
+            F.round(
+                F.coalesce(F.col("ksum").cast("double"), F.lit(0.0))
+                / (F.col("n").cast("double") * h),
+                9,
+            ).alias("density"),
+        )
+        .orderBy("g")
+    )
+
+
+KDE_DENSITY_SQL = f"""
+WITH stats AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+         MAX(CAST(value AS DOUBLE)) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+),
+terms AS (
+  SELECT gg.g,
+         CAST(ROUND(0.75 * (1.0 - ((CAST(value AS DOUBLE)
+                                    - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
+                                   / ((hi - lo) / {float(KDE_BW_DIV)}))
+                                  * ((CAST(value AS DOUBLE)
+                                      - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
+                                     / ((hi - lo) / {float(KDE_BW_DIV)}))), 6)
+              AS DECIMAL(28,6)) AS k
+  FROM events
+  CROSS JOIN stats
+  CROSS JOIN (SELECT unnest(generate_series(0, {KDE_GRID - 1})) AS g) gg
+  WHERE ((CAST(value AS DOUBLE) - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
+         / ((hi - lo) / {float(KDE_BW_DIV)})) > -1.0
+    AND ((CAST(value AS DOUBLE) - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
+         / ((hi - lo) / {float(KDE_BW_DIV)})) < 1.0
+),
+dens AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_in_window, SUM(k) AS ksum
+  FROM terms GROUP BY 1
+)
+SELECT CAST(gg.g AS BIGINT) AS g,
+       ROUND(s.lo + (s.hi - s.lo) * gg.g / {float(KDE_GRID - 1)}, 6) AS x,
+       COALESCE(d.n_in_window, 0) AS n_in_window,
+       ROUND(COALESCE(CAST(d.ksum AS DOUBLE), 0.0)
+             / (CAST(s.n AS DOUBLE) * ((s.hi - s.lo) / {float(KDE_BW_DIV)})), 9)
+         AS density
+FROM (SELECT unnest(generate_series(0, {KDE_GRID - 1})) AS g) gg
+CROSS JOIN stats s
+LEFT JOIN dens d ON d.g = gg.g
+ORDER BY g
+""".strip()

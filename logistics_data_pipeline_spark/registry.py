@@ -2184,6 +2184,11 @@ register(
     analytics.BOOTSTRAP_CI_SQL,
 )
 register(
+    "events_kde_density",  # Epanechnikov KDE on a 64-point grid
+    _q(lambda spark, sf: analytics.kde_density(load_table(spark, sf, "events"))),
+    analytics.KDE_DENSITY_SQL,
+)
+register(
     "events_quantile_sketch",  # bottom-k-by-hash quantile estimates + error panel
     _q(lambda spark, sf: analytics.quantile_sketch(load_table(spark, sf, "events"))),
     analytics.QUANTILE_SKETCH_SQL,

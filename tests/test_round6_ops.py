@@ -1756,3 +1756,40 @@ class TestHoltBacktest:
         # origins target consecutive days ending at the latest
         days = [r.target_day for r in out]
         assert days == sorted(days)
+
+
+class TestKdeDensity:
+    def test_density_integrates_to_one_and_peaks_at_mode(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            KDE_GRID,
+            kde_density,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        # bimodal INTERIOR clusters (anchors at 0/100 pin the grid so
+        # no cluster sits on a boundary, where kernel mass truncates)
+        vals = (
+            [0.0, 100.0]
+            + [20.0 + (i % 7) * 0.5 for i in range(700)]
+            + [80.0 + (i % 5) * 0.5 for i in range(300)]
+        )
+        ev = spark.createDataFrame(
+            [(i, base, 1, "x", v) for i, v in enumerate(vals)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        rows = kde_density(ev).collect()
+        assert len(rows) == KDE_GRID
+        xs = [r.x for r in rows]
+        ds = [r.density for r in rows]
+        # trapezoid integral of the density ~ 1 (kernel mass inside range)
+        integral = sum(
+            (ds[i] + ds[i + 1]) / 2 * (xs[i + 1] - xs[i]) for i in range(len(xs) - 1)
+        )
+        assert 0.85 < integral < 1.1
+        # the mode sits near 20, and density near 50 is ~0
+        peak_x = xs[ds.index(max(ds))]
+        assert 12 < peak_x < 30
+        mid = min(rows, key=lambda r: abs(r.x - 50.0))
+        assert mid.density < max(ds) / 20

@@ -89,6 +89,9 @@ ALLOWED = {
     # ROW_NUMBER over the 21-row daily tail; 5-fit x 5-actual joins are
     # literal-sized
     "events_holt_backtest": {"nested-loop join", "unpartitioned window"},
+    # 1-row min/max/count scalar broadcast into the kernel expansion
+    # and the 64-row grid completion
+    "events_kde_density": {"nested-loop join"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
