@@ -4691,3 +4691,106 @@ CROSS JOIN stats s
 LEFT JOIN dens d ON d.g = gg.g
 ORDER BY g
 """.strip()
+
+
+# --- winsorized / trimmed robust moments --------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Per-type winsorized and trimmed moments: the robust companions
+    to ``events_value_anomalies_mad`` — MAD flags outliers, these show
+    what the summary statistics look like once the 5% tails are
+    clamped (winsorized) or dropped (trimmed), i.e. how much of the
+    mean is tail artifact. Clamped values are rounded to 6 dp and
+    accumulated as DECIMAL so the moment sums stay order-independent;
+    the clamp bounds are exact interpolated percentiles (broadcast
+    back onto the scan as a |types|-row join).
+
+    Scale: one percentile aggregation (|types| rows, broadcast), one
+    conditional re-aggregation — two scans, no data-sized join."""
+    bounds = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p_hi"),
+    )
+    v = F.col("value").cast("double")
+    clamped = F.round(F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")), 6)
+    cdec = clamped.cast("decimal(18,6)")
+    inside = (v >= F.col("p_lo")) & (v <= F.col("p_hi"))
+    agg = (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s_raw"),
+            F.sum(cdec).alias("s_w"),
+            F.sum((cdec * cdec).cast("decimal(38,12)")).alias("ss_w"),
+            F.sum(F.when(inside, F.col("value").cast("decimal(18,2)"))).alias(
+                "s_t"
+            ),
+            F.count(F.when(inside, 1)).cast("bigint").alias("n_t"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sw = F.col("s_w").cast("double")
+    var_w = (F.col("ss_w").cast("double") - sw * sw / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("p_lo"), 6).alias("p_lo"),
+        F.round(F.col("p_hi"), 6).alias("p_hi"),
+        F.round(F.col("s_raw").cast("double") / n, 6).alias("mean_raw"),
+        F.round(sw / n, 6).alias("mean_winsor"),
+        F.round(F.sqrt(F.greatest(var_w, F.lit(0.0))), 6).alias("sd_winsor"),
+        F.round(
+            F.col("s_t").cast("double") / F.col("n_t").cast("double"), 6
+        ).alias("mean_trimmed"),
+        F.col("n_t").alias("n_trimmed"),
+    ).orderBy("event_type")
+
+
+WINSORIZED_STATS_SQL = f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS p_lo,
+         quantile_cont(value, {WINSOR_HI}) AS p_hi
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(b.p_lo) AS p_lo,
+         MAX(b.p_hi) AS p_hi,
+         SUM(CAST(e.value AS DECIMAL(18,2))) AS s_raw,
+         SUM(CAST(ROUND(LEAST(GREATEST(CAST(e.value AS DOUBLE), b.p_lo), b.p_hi), 6)
+                  AS DECIMAL(18,6))) AS s_w,
+         SUM(CAST(CAST(ROUND(LEAST(GREATEST(CAST(e.value AS DOUBLE), b.p_lo), b.p_hi), 6)
+                       AS DECIMAL(18,6))
+                  * CAST(ROUND(LEAST(GREATEST(CAST(e.value AS DOUBLE), b.p_lo), b.p_hi), 6)
+                         AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS ss_w,
+         SUM(CASE WHEN CAST(e.value AS DOUBLE) >= b.p_lo
+                   AND CAST(e.value AS DOUBLE) <= b.p_hi
+                  THEN CAST(e.value AS DECIMAL(18,2)) END) AS s_t,
+         CAST(COUNT(CASE WHEN CAST(e.value AS DOUBLE) >= b.p_lo
+                          AND CAST(e.value AS DOUBLE) <= b.p_hi
+                         THEN 1 END) AS BIGINT) AS n_t
+  FROM events e JOIN bounds b ON e.event_type = b.event_type
+  GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(p_lo, 6) AS p_lo,
+       ROUND(p_hi, 6) AS p_hi,
+       ROUND(CAST(s_raw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_raw,
+       ROUND(CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_winsor,
+       ROUND(SQRT(GREATEST((CAST(ss_w AS DOUBLE)
+                            - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0), 0.0)), 6) AS sd_winsor,
+       ROUND(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS mean_trimmed,
+       n_t AS n_trimmed
+FROM agg
+ORDER BY event_type
+""".strip()

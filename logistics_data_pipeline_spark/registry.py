@@ -2184,6 +2184,13 @@ register(
     analytics.BOOTSTRAP_CI_SQL,
 )
 register(
+    "events_winsorized_stats",  # winsorized/trimmed robust moments per type
+    _q(
+        lambda spark, sf: analytics.winsorized_stats(load_table(spark, sf, "events"))
+    ),
+    analytics.WINSORIZED_STATS_SQL,
+)
+register(
     "events_kde_density",  # Epanechnikov KDE on a 64-point grid
     _q(lambda spark, sf: analytics.kde_density(load_table(spark, sf, "events"))),
     analytics.KDE_DENSITY_SQL,
