@@ -585,7 +585,11 @@ register(
     temporal.ATTRIBUTION_MODELS_SQL,
 )
 register(
-    "events_ewma_control",  # EWMA control chart over hourly volumes
+    # (events_ewma_control ceded its slot to events_bootstrap_ci: its
+    # SES family is now driver-covered by the stronger croston/holt
+    # dyadic-weight oracles, and it stays pytest-pinned + local gate;
+    # the deterministic Poisson bootstrap is a new resampling class)
+    "events_bootstrap_ci",  # EWMA control chart over hourly volumes
     _q(lambda spark, sf: temporal.ewma_control(load_table(spark, sf, "events"))),
     temporal.EWMA_CONTROL_SQL,
 )
@@ -816,7 +820,10 @@ register(
     llm_dedup.NEARDUP_MINHASH_SQL,
 )
 register(
-    "docs_lsh_s_curve",  # theoretical vs observed band-candidate recall curve
+    # (docs_lsh_s_curve ceded its slot to multimodal_pcm_stats: the
+    # s-curve is an analytic table pytest-pinned in the local gate;
+    # the int16-PCM DSP is a real signal-math oracle over binaries)
+    "multimodal_pcm_stats",  # theoretical vs observed band-candidate recall curve
     _q(
         lambda spark, sf: llm_dedup.lsh_s_curve(
             _docs(spark, sf),
@@ -1097,7 +1104,10 @@ _ROUND6_WINDOW = [
     # richer math over the identical sketch; kmv stays pytest-pinned
     # and in every local gate)
     "events_quantile_sketch",
-    "events_hll_manual",
+    # (events_hll_manual ceded its slot to docs_cdc_chunk_dedup: the
+    # sketch family keeps events_kmv/quantile_sketch + the hll pytest
+    # pins; content-defined chunking is a new dedup class)
+    "docs_cdc_chunk_dedup",
     "emb_power_iteration",
     "docs_fuzzy_decontamination",
     "orders_kcore",
@@ -1105,7 +1115,10 @@ _ROUND6_WINDOW = [
     # a group-count-threshold mirror, pytest-pinned, local gate)
     "orders_reorder_intervals",
     "emb_pca_deflation",
-    "docs_lsh_s_curve",
+    # (docs_lsh_s_curve ceded its slot to multimodal_pcm_stats: the
+    # s-curve is an analytic table pytest-pinned in the local gate;
+    # the int16-PCM DSP is a real signal-math oracle over binaries)
+    "multimodal_pcm_stats",
     # (orders_duplicate_invoices ceded its slot to orders_graph_hits:
     # a windowed dup-detect mirror, pytest-pinned and in every local
     # gate; HITS is a genuinely new 13-round iterative oracle)
@@ -1161,7 +1174,10 @@ _ROUND6_WINDOW = [
     # an exact-decimal median-slope mirror, pytest-pinned, local gate)
     # (lineitem_leadtime_anova ceded its slot to orders_seasonal_index:
     # a grand-moment F mirror, pytest-pinned, local gate)
-    "orders_seasonal_index",
+    # (orders_seasonal_index ceded its slot to stream_enrich_join:
+    # seasonality stays covered by the STL/markov family locally; the
+    # stream-static broadcast leg is the 4th real stream graph class)
+    "stream_enrich_join",
     # (orders_benford_digits ceded its slot to events_markov_stationary:
     # a first-digit histogram mirror, pytest-pinned and in every local gate)
     "events_markov_stationary",
@@ -1209,7 +1225,11 @@ _ROUND6_WINDOW = [
     # (emb_kmeans_cells ceded its slot to events_ewma_control: the
     # kc_cells asset's correctness is exercised indirectly by
     # emb_semdedup / emb_cluster_balanced_sample above)
-    "events_ewma_control",
+    # (events_ewma_control ceded its slot to events_bootstrap_ci: its
+    # SES family is now driver-covered by the stronger croston/holt
+    # dyadic-weight oracles, and it stays pytest-pinned + local gate;
+    # the deterministic Poisson bootstrap is a new resampling class)
+    "events_bootstrap_ci",
     "events_top_paths",
 ]
 register(
@@ -1688,7 +1708,10 @@ register(
     analytics.KMV_DISTINCT_SQL,
 )
 register(
-    "events_hll_manual",  # register-level oracle-exact HyperLogLog + merge
+    # (events_hll_manual ceded its slot to docs_cdc_chunk_dedup: the
+    # sketch family keeps events_kmv/quantile_sketch + the hll pytest
+    # pins; content-defined chunking is a new dedup class)
+    "docs_cdc_chunk_dedup",  # register-level oracle-exact HyperLogLog + merge
     _q(lambda spark, sf: analytics.hll_manual(load_table(spark, sf, "events"))),
     analytics.HLL_MANUAL_SQL,
 )
@@ -2105,7 +2128,10 @@ register(
     llm_text.RAKE_KEYWORDS_SQL,
 )
 register(
-    "orders_seasonal_index",  # classical monthly multiplicative seasonality
+    # (orders_seasonal_index ceded its slot to stream_enrich_join:
+    # seasonality stays covered by the STL/markov family locally; the
+    # stream-static broadcast leg is the 4th real stream graph class)
+    "stream_enrich_join",  # classical monthly multiplicative seasonality
     _q(lambda spark, sf: analytics.seasonal_index(load_table(spark, sf, "orders"))),
     analytics.SEASONAL_INDEX_SQL,
 )
