@@ -4612,7 +4612,11 @@ def kde_density(events: DataFrame) -> DataFrame:
     x_g = F.col("lo") + (F.col("hi") - F.col("lo")) * g / F.lit(
         float(KDE_GRID - 1)
     )
-    h = (F.col("hi") - F.col("lo")) / F.lit(float(KDE_BW_DIV))
+    # NULLIF guards the degenerate all-equal-values range (h = 0):
+    # NULL density in both engines instead of NaN-vs-error divergence
+    h = F.nullif(
+        (F.col("hi") - F.col("lo")) / F.lit(float(KDE_BW_DIV)), F.lit(0.0)
+    )
     u = (F.col("value").cast("double") - x_g) / h
     kern = F.lit(0.75) * (F.lit(1.0) - u * u)
     terms = (
@@ -4646,7 +4650,7 @@ def kde_density(events: DataFrame) -> DataFrame:
                 F.coalesce(F.col("ksum").cast("double"), F.lit(0.0))
                 / (F.col("n").cast("double") * h),
                 9,
-            ).alias("density"),
+            ).alias("density"),  # h's NULLIF propagates: degenerate -> NULL
         )
         .orderBy("g")
     )
@@ -4663,18 +4667,18 @@ terms AS (
   SELECT gg.g,
          CAST(ROUND(0.75 * (1.0 - ((CAST(value AS DOUBLE)
                                     - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
-                                   / ((hi - lo) / {float(KDE_BW_DIV)}))
+                                   / NULLIF((hi - lo) / {float(KDE_BW_DIV)}, 0.0))
                                   * ((CAST(value AS DOUBLE)
                                       - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
-                                     / ((hi - lo) / {float(KDE_BW_DIV)}))), 6)
+                                     / NULLIF((hi - lo) / {float(KDE_BW_DIV)}, 0.0))), 6)
               AS DECIMAL(28,6)) AS k
   FROM events
   CROSS JOIN stats
   CROSS JOIN (SELECT unnest(generate_series(0, {KDE_GRID - 1})) AS g) gg
   WHERE ((CAST(value AS DOUBLE) - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
-         / ((hi - lo) / {float(KDE_BW_DIV)})) > -1.0
+         / NULLIF((hi - lo) / {float(KDE_BW_DIV)}, 0.0)) > -1.0
     AND ((CAST(value AS DOUBLE) - (lo + (hi - lo) * gg.g / {float(KDE_GRID - 1)}))
-         / ((hi - lo) / {float(KDE_BW_DIV)})) < 1.0
+         / NULLIF((hi - lo) / {float(KDE_BW_DIV)}, 0.0)) < 1.0
 ),
 dens AS (
   SELECT g, CAST(COUNT(*) AS BIGINT) AS n_in_window, SUM(k) AS ksum
@@ -4684,7 +4688,8 @@ SELECT CAST(gg.g AS BIGINT) AS g,
        ROUND(s.lo + (s.hi - s.lo) * gg.g / {float(KDE_GRID - 1)}, 6) AS x,
        COALESCE(d.n_in_window, 0) AS n_in_window,
        ROUND(COALESCE(CAST(d.ksum AS DOUBLE), 0.0)
-             / (CAST(s.n AS DOUBLE) * ((s.hi - s.lo) / {float(KDE_BW_DIV)})), 9)
+             / (CAST(s.n AS DOUBLE)
+                * NULLIF((s.hi - s.lo) / {float(KDE_BW_DIV)}, 0.0)), 9)
          AS density
 FROM (SELECT unnest(generate_series(0, {KDE_GRID - 1})) AS g) gg
 CROSS JOIN stats s

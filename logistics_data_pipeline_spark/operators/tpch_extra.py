@@ -2789,9 +2789,10 @@ def wip_sweep(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .alias("dur_day_sum"),
     )
     j = dur.crossJoin(F.broadcast(sweep))
-    lam = F.col("n_orders").cast("double") / F.col("span_days").cast("double")
+    span = F.nullif(F.col("span_days").cast("double"), F.lit(0.0))
+    lam = F.col("n_orders").cast("double") / span
     w_mean = F.col("dur_day_sum").cast("double") / F.col("n_orders").cast("double")
-    l_avg = F.col("wip_day_sum").cast("double") / F.col("span_days").cast("double")
+    l_avg = F.col("wip_day_sum").cast("double") / span
     return j.select(
         "n_orders",
         "span_days",
@@ -2838,13 +2839,13 @@ dur AS (
   FROM spans
 )
 SELECT n_orders, span_days, max_wip,
-       ROUND(CAST(n_orders AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+       ROUND(CAST(n_orders AS DOUBLE) / NULLIF(CAST(span_days AS DOUBLE), 0.0), 6)
          AS lambda_per_day,
        ROUND(CAST(dur_day_sum AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS w_days,
-       ROUND(CAST(wip_day_sum AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+       ROUND(CAST(wip_day_sum AS DOUBLE) / NULLIF(CAST(span_days AS DOUBLE), 0.0), 6)
          AS l_avg_wip,
-       ROUND(CAST(wip_day_sum AS DOUBLE) / CAST(span_days AS DOUBLE)
-             - (CAST(n_orders AS DOUBLE) / CAST(span_days AS DOUBLE))
+       ROUND(CAST(wip_day_sum AS DOUBLE) / NULLIF(CAST(span_days AS DOUBLE), 0.0)
+             - (CAST(n_orders AS DOUBLE) / NULLIF(CAST(span_days AS DOUBLE), 0.0))
                * (CAST(dur_day_sum AS DOUBLE) / CAST(n_orders AS DOUBLE)), 9)
          AS littles_gap
 FROM dur CROSS JOIN sweep
