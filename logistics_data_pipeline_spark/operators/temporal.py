@@ -1756,3 +1756,155 @@ FROM det d
 LEFT JOIN seas s ON s.event_type = d.event_type AND s.hour_of_day = d.hour_of_day
 ORDER BY d.event_type, hour_idx
 """.strip()
+
+
+# --- Shapley-value channel attribution ----------------------------------------
+
+SHAPLEY_CHANNELS = ["click", "view", "signup", "error"]  # bit i = channel i
+
+
+def _shapley_lattice():
+    """All (channel, coalition-with, coalition-without, weight) rows of
+    the 4-channel Shapley sum, enumerated once in Python: weight
+    numerator (|S|−1)!(n−|S|)! over denominator n! = 24."""
+    from math import factorial
+
+    n = len(SHAPLEY_CHANNELS)
+    rows = []
+    for c in range(n):
+        for s in range(1 << n):
+            if not (s >> c) & 1:
+                continue
+            size = bin(s).count("1")
+            w = factorial(size - 1) * factorial(n - size)
+            rows.append((c, s, s & ~(1 << c), w))
+    return rows, factorial(n)
+
+
+_SHAP_ROWS, _SHAP_DEN = _shapley_lattice()
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """EXACT Shapley-value attribution over the coalition lattice — the
+    game-theoretic credit split beside the positional heuristics of
+    ``events_attribution_models`` (linear/first/last/decay are rules;
+    Shapley is the unique split satisfying efficiency/symmetry/null-
+    player). Each user's touched-channel set is a 4-bit mask, the
+    characteristic function v(S) = conversion rate of users whose full
+    touch set is exactly S (the Zhao-et-al simplified game, v ≡ 0 on
+    unobserved coalitions), and each channel's value is the closed-form
+    sum over its 8 lattice terms — enumerated as a LITERAL 32-row table
+    interpolated into both engines, so "iterate over subsets" costs one
+    tiny broadcast join. Per-term doubles are 9-dp rounded and summed
+    as DECIMAL (order-independent); the /24 happens once at the end.
+
+    Scale: one user-keyed mask aggregation (the only data-sized
+    shuffle), a 16-row v(S) table, a 32-row lattice join — at any
+    corpus size the lattice work is constant."""
+    bits = [
+        F.max(F.when(F.col("event_type") == ch, 1).otherwise(0)) * (1 << i)
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    ]
+    users = events.groupBy("user_id").agg(
+        sum(bits[1:], bits[0]).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    v = users.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    spark = events.sparkSession
+    lat = F.broadcast(
+        spark.createDataFrame(
+            _SHAP_ROWS, "c int, s_with int, s_without int, w int"
+        )
+    )
+    vw = v.select(
+        F.col("mask").alias("s_with"),
+        (F.col("n_conv").cast("double") / F.col("n_users").cast("double")).alias(
+            "v_with"
+        ),
+    )
+    vo = v.select(
+        F.col("mask").alias("s_without"),
+        (F.col("n_conv").cast("double") / F.col("n_users").cast("double")).alias(
+            "v_without"
+        ),
+    )
+    terms = (
+        lat.join(vw, "s_with", "left")
+        .join(vo, "s_without", "left")
+        .select(
+            "c",
+            F.round(
+                F.col("w")
+                * (
+                    F.coalesce("v_with", F.lit(0.0))
+                    - F.coalesce("v_without", F.lit(0.0))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+    )
+    chan = spark.createDataFrame(
+        list(enumerate(SHAPLEY_CHANNELS)), "c int, channel string"
+    )
+    return (
+        terms.groupBy("c")
+        .agg(F.sum("t").alias("tsum"))
+        .join(F.broadcast(chan), "c")
+        .select(
+            "channel",
+            F.round(
+                F.col("tsum").cast("double") / F.lit(float(_SHAP_DEN)), 9
+            ).alias("shapley_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_SHAP_LAT_SQL = ", ".join(f"({c}, {sw}, {so}, {w})" for c, sw, so, w in _SHAP_ROWS)
+_SHAP_CHAN_SQL = ", ".join(
+    f"({i}, '{ch}')" for i, ch in enumerate(SHAPLEY_CHANNELS)
+)
+_SHAP_BITS_SQL = " + ".join(
+    f"MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {1 << i}"
+    for i, ch in enumerate(SHAPLEY_CHANNELS)
+)
+
+SHAPLEY_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         {_SHAP_BITS_SQL} AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT mask,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM users GROUP BY 1
+),
+lat(c, s_with, s_without, w) AS (VALUES {_SHAP_LAT_SQL}),
+chan(c, channel) AS (VALUES {_SHAP_CHAN_SQL}),
+terms AS (
+  SELECT lat.c,
+         CAST(ROUND(lat.w * (COALESCE(CAST(a.n_conv AS DOUBLE)
+                                      / CAST(a.n_users AS DOUBLE), 0.0)
+                             - COALESCE(CAST(b.n_conv AS DOUBLE)
+                                        / CAST(b.n_users AS DOUBLE), 0.0)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM lat
+  LEFT JOIN v a ON a.mask = lat.s_with
+  LEFT JOIN v b ON b.mask = lat.s_without
+)
+SELECT chan.channel,
+       ROUND(CAST(SUM(t) AS DOUBLE) / {float(_SHAP_DEN)}, 9) AS shapley_value
+FROM terms JOIN chan ON chan.c = terms.c
+GROUP BY 1
+ORDER BY 1
+""".strip()

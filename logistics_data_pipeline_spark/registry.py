@@ -2210,6 +2210,15 @@ register(
     analytics.BOOTSTRAP_CI_SQL,
 )
 register(
+    "events_shapley_attribution",  # exact coalition-lattice Shapley credit
+    _q(
+        lambda spark, sf: temporal.shapley_attribution(
+            load_table(spark, sf, "events")
+        )
+    ),
+    temporal.SHAPLEY_SQL,
+)
+register(
     "events_winsorized_stats",  # winsorized/trimmed robust moments per type
     _q(
         lambda spark, sf: analytics.winsorized_stats(load_table(spark, sf, "events"))

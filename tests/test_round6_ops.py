@@ -1793,3 +1793,47 @@ class TestKdeDensity:
         assert 12 < peak_x < 30
         mid = min(rows, key=lambda r: abs(r.x - 50.0))
         assert mid.density < max(ds) / 20
+
+
+class TestShapleyAttribution:
+    def test_axioms_on_planted_game(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.temporal import (
+            shapley_attribution,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+
+        def user(uid, types):
+            nonlocal eid
+            for t in types:
+                rows.append((eid, base, uid, t, 1.0))
+                eid += 1
+
+        # 100 users touch only click; half convert. 100 touch only view;
+        # none convert. 100 touch click+view; half convert -> view is a
+        # NULL PLAYER (adds nothing to any coalition): shapley(view)=0
+        for u in range(100):
+            user(u, ["click"] + (["purchase"] if u % 2 == 0 else []))
+        for u in range(100, 200):
+            user(u, ["view"])
+        for u in range(200, 300):
+            user(u, ["click", "view"] + (["purchase"] if u % 2 == 0 else []))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        got = {r.channel: r.shapley_value for r in shapley_attribution(ev).collect()}
+        assert set(got) == {"click", "view", "signup", "error"}
+        # view is a NULL PLAYER (adds nothing to any coalition) -> 0;
+        # click carries the only positive marginal contributions;
+        # signup/error pick up -1/12 each: the simplified game sets
+        # unobserved coalitions to 0, so "adding" them to {click}
+        # destroys its 0.5 rate -- the documented v==0 convention
+        assert abs(got["view"]) < 1e-9
+        assert got["click"] == round(1 / 6, 9)
+        assert got["signup"] == got["error"] == round(-1 / 12, 9)
+        # efficiency: sum of credits == v(full set) - v(empty) == 0
+        assert abs(sum(got.values())) < 1e-8
