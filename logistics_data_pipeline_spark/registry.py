@@ -996,6 +996,11 @@ register(
     llm_dedup.CDC_CHUNK_DEDUP_SQL,
 )
 register(
+    "docs_vocab_coverage",  # coverage / OOV-rate curve vs vocab size
+    _q(lambda spark, sf: llm_text.vocab_coverage(_docs(spark, sf))),
+    llm_text.VOCAB_COVERAGE_SQL,
+)
+register(
     "multimodal_pcm_stats",  # int16-PCM DSP (RMS/ZCR/peak) over binary payloads
     _q(lambda spark, sf: llm_mm.pcm_stats(_docs(spark, sf))),
     llm_mm.PCM_STATS_SQL,

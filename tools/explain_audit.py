@@ -92,6 +92,9 @@ ALLOWED = {
     # 1-row min/max/count scalar broadcast into the kernel expansion
     # and the 64-row grid completion
     "events_kde_density": {"nested-loop join"},
+    # 4-row cutoff grid theta-joined to the TakeOrdered 4096-row vocab
+    # head; rank window over that bounded head; 1-row total cross
+    "docs_vocab_coverage": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
