@@ -1402,3 +1402,122 @@ SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
 FROM flagged
 ORDER BY doc_id
 """.strip()
+
+
+# --- classifier-vs-rules calibration ------------------------------------------
+
+CAL_BINS = 10
+
+
+def classifier_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram of the learned quality score against the
+    rule-based labels: bin ``quality_classifier``'s cls_score into
+    {CAL_BINS} fixed-width bins over its observed range and report each
+    bin's Gopher pass rate — the standard ML-eval before a learned
+    filter replaces (or gates behind) heuristic rules. A calibrated
+    score shows pass rate rising monotonically with the bin; a flat
+    diagram says the classifier adds nothing over the rules. The grid
+    is zero-completed so the output shape is fixed.
+
+    Scale: the two per-doc panels are each one scan + vocabulary-sized
+    aggregations; the join is doc-keyed; bin edges come from a 1-row
+    min/max scalar; the diagram is a {CAL_BINS}-row rollup."""
+    from .text import quality_classifier
+
+    cls = quality_classifier(docs).select("doc_id", "cls_score")
+    gop = gopher_rules(docs).select(
+        "doc_id",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_alpha_frac")
+            & F.col("pass_stopwords")
+        ).alias("gopher_pass"),
+    )
+    joined = cls.join(gop, "doc_id")
+    stats = joined.agg(
+        F.min("cls_score").alias("lo"), F.max("cls_score").alias("hi")
+    )
+    b = F.least(
+        F.lit(CAL_BINS - 1),
+        F.floor(
+            (F.col("cls_score") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+            * CAL_BINS
+        ),
+    ).cast("int")
+    binned = (
+        joined.crossJoin(F.broadcast(stats))
+        .select(
+            b.alias("bin"),
+            F.round(F.col("cls_score"), 6).cast("decimal(18,6)").alias("s"),
+            F.col("gopher_pass").cast("int").alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("s").alias("s_sum"),
+            F.sum("p").cast("bigint").alias("n_pass"),
+        )
+    )
+    grid = docs.sparkSession.range(CAL_BINS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return (
+        grid.join(binned, "bin", "left")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("s_sum").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_score"),
+            F.coalesce("n_pass", F.lit(0)).cast("bigint").alias("n_pass"),
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("gopher_pass_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _classifier_calibration_sql() -> str:
+    from .text import QUALITY_CLASSIFIER_SQL
+
+    cls = QUALITY_CLASSIFIER_SQL.rstrip().rstrip(";")
+    gop = GOPHER_RULES_SQL.rstrip().rstrip(";")
+    return f"""
+WITH cls AS ({cls}),
+gop AS ({gop}),
+joined AS (
+  SELECT c.doc_id, c.cls_score,
+         (g.pass_word_count AND g.pass_mean_word_len
+          AND g.pass_alpha_frac AND g.pass_stopwords) AS gopher_pass
+  FROM cls c JOIN gop g ON c.doc_id = g.doc_id
+),
+stats AS (SELECT MIN(cls_score) AS lo, MAX(cls_score) AS hi FROM joined),
+binned AS (
+  SELECT CAST(LEAST({CAL_BINS - 1},
+                    FLOOR((cls_score - lo) / NULLIF(hi - lo, 0.0) * {CAL_BINS}))
+              AS INT) AS bin,
+         CAST(ROUND(cls_score, 6) AS DECIMAL(18,6)) AS s,
+         CASE WHEN gopher_pass THEN 1 ELSE 0 END AS p
+  FROM joined CROSS JOIN stats
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(s) AS s_sum, CAST(SUM(p) AS BIGINT) AS n_pass
+  FROM binned GROUP BY 1
+)
+SELECT CAST(g.bin AS BIGINT) AS bin,
+       COALESCE(a.n_docs, 0) AS n_docs,
+       ROUND(CAST(a.s_sum AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6) AS mean_score,
+       COALESCE(a.n_pass, 0) AS n_pass,
+       ROUND(CAST(a.n_pass AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6)
+         AS gopher_pass_rate
+FROM (SELECT unnest(generate_series(0, {CAL_BINS - 1})) AS bin) g
+LEFT JOIN agg a ON a.bin = g.bin
+ORDER BY bin
+""".strip()
+
+
+CLASSIFIER_CALIBRATION_SQL = _classifier_calibration_sql()

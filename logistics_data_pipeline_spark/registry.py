@@ -996,6 +996,11 @@ register(
     llm_dedup.CDC_CHUNK_DEDUP_SQL,
 )
 register(
+    "docs_classifier_calibration",  # reliability diagram: cls_score vs Gopher
+    _q(lambda spark, sf: llm_cur.classifier_calibration(_docs(spark, sf))),
+    llm_cur.CLASSIFIER_CALIBRATION_SQL,
+)
+register(
     "docs_vocab_coverage",  # coverage / OOV-rate curve vs vocab size
     _q(lambda spark, sf: llm_text.vocab_coverage(_docs(spark, sf))),
     llm_text.VOCAB_COVERAGE_SQL,

@@ -95,6 +95,8 @@ ALLOWED = {
     # 4-row cutoff grid theta-joined to the TakeOrdered 4096-row vocab
     # head; rank window over that bounded head; 1-row total cross
     "docs_vocab_coverage": {"nested-loop join", "unpartitioned window"},
+    # 1-row score min/max scalar broadcast into the binning + 10-row grid
+    "docs_classifier_calibration": {"nested-loop join"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
