@@ -5081,3 +5081,100 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors_used,
        ROUND(CAST(MAX(lnmu) AS DOUBLE), 6) AS max_ln_mu
 FROM mus
 """.strip()
+
+
+# --- kNN label purity (retrieval eval without ground truth) --------------------
+
+PURITY_N_QUERIES = 50
+PURITY_K = 5
+
+
+def label_purity(emb: DataFrame) -> DataFrame:
+    """Label-consistency retrieval metric: for each query vector, what
+    fraction of its exact top-k cosine neighbors carry the query's own
+    label — the ground-truth-free quality number for an embedding space
+    (high purity = the space clusters semantically; ~1/|labels| = the
+    embeddings are noise for this task). One summary row per label plus
+    its query count and mean purity; complements the
+    ``emb_ann_recall_panel`` (which scores INDEX fidelity against brute
+    force, not the SPACE itself) and ``emb_linear_probe`` (which needs
+    a trained head).
+
+    Scale: reuses ``knn_bruteforce``'s broadcast-queries/corpus-scan
+    shape with {PURITY_N_QUERIES} queries; purity aggregates are
+    integer counts, exact in any order."""
+    nn = knn_bruteforce(emb, n_queries=PURITY_N_QUERIES, k=PURITY_K)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("lbl"))
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "lbl", "q_lbl"
+    )
+    cl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "lbl", "n_lbl"
+    )
+    per_q = (
+        nn.join(F.broadcast(ql), "query_id")
+        .join(cl, "neighbor_id")
+        .groupBy("query_id", "q_lbl")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum((F.col("n_lbl") == F.col("q_lbl")).cast("int"))
+            .cast("bigint")
+            .alias("n_same"),
+        )
+    )
+    return (
+        per_q.groupBy("q_lbl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("k").cast("bigint").alias("n_neighbors"),
+            F.sum("n_same").cast("bigint").alias("n_same_label"),
+            F.round(
+                F.sum("n_same").cast("double") / F.sum("k").cast("double"), 6
+            ).alias("purity"),
+        )
+        .select(
+            F.col("q_lbl").cast("bigint").alias("label"),
+            "n_queries",
+            "n_neighbors",
+            "n_same_label",
+            "purity",
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_PURITY_SQL = f"""
+WITH nn AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id >= {PURITY_N_QUERIES}
+                     AND q.vec_id < {PURITY_N_QUERIES}
+  )
+  WHERE rank <= {PURITY_K}
+),
+per_q AS (
+  SELECT nn.query_id, CAST(ql.label AS INT) AS q_lbl,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN CAST(cl.label AS INT) = CAST(ql.label AS INT)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+  FROM nn
+  JOIN embeddings ql ON ql.vec_id = nn.query_id
+  JOIN embeddings cl ON cl.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT CAST(q_lbl AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(k) AS BIGINT) AS n_neighbors,
+       CAST(SUM(n_same) AS BIGINT) AS n_same_label,
+       ROUND(CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) AS purity
+FROM per_q
+GROUP BY 1
+ORDER BY 1
+""".strip()

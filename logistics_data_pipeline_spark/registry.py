@@ -1247,6 +1247,11 @@ register(
     _q(lambda spark, sf: llm_sim.knn_ivfpq(_emb(spark, sf))),
 )
 register(
+    "emb_label_purity",  # kNN label-consistency retrieval metric
+    _q(lambda spark, sf: llm_sim.label_purity(_emb(spark, sf))),
+    llm_sim.LABEL_PURITY_SQL,
+)
+register(
     "emb_prefix_truncate",  # long (vec_id, pos, value) — arrays crash driver canon
     _q(lambda spark, sf: llm_sim.prefix_truncate_long(_emb(spark, sf))),
     llm_sim.PREFIX_TRUNCATE_LONG_SQL,

@@ -109,6 +109,8 @@ ALLOWED = {
     "events_lateness_panel": {"nested-loop join", "unpartitioned window"},
     # tiny broadcast query side vs corpus scan — BNLJ is the point
     "emb_knn_bruteforce": {"nested-loop join"},
+    # inherits knn_bruteforce's broadcast-queries scan
+    "emb_label_purity": {"nested-loop join"},
     "emb_mips_topk": {"nested-loop join"},
     "emb_incremental_topk": {"nested-loop join"},
     "emb_triplet_mining": {"nested-loop join"},
