@@ -4799,3 +4799,116 @@ SELECT event_type, n,
 FROM agg
 ORDER BY event_type
 """.strip()
+
+
+# --- daily-series autocorrelation function ------------------------------------
+
+ACF_MAX_LAG = 14
+
+
+def daily_acf(events: DataFrame) -> DataFrame:
+    """Autocorrelation function of the daily total-value series at lags
+    1..{ACF_MAX_LAG} — the canonical periodicity DIAGNOSTIC that sits
+    before ``orders_seasonal_index`` / ``events_stl_decompose`` decide
+    a season length: a weekly cycle shows as the ACF peaking at lag 7.
+    Daily totals accumulate as exact integer cents; the mean enters as
+    one broadcast scalar; each lag's centered cross-products are 6-dp
+    rounded then DECIMAL-summed (the calendar-sized frame makes even
+    this belt-and-braces — it is the same order-independence discipline
+    as every other panel). Peak lag reported per row.
+
+    Scale: the corpus collapses to |days| rows in one aggregation;
+    every lag join and window after that is calendar-sized."""
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(cents)
+    mean = daily.agg(
+        (F.sum("cents").cast("double") / F.count("*").cast("double")).alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    centered = daily.crossJoin(F.broadcast(mean)).select(
+        "d",
+        "n_days",
+        (F.col("cents").cast("double") - F.col("mu")).alias("x"),
+    )
+    denom = centered.agg(
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)")
+        ).alias("ss"),
+        F.max("n_days").alias("n_days"),
+    )
+    lags = events.sparkSession.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        centered.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            centered.select(F.col("d").alias("d2"), F.col("x").alias("y")).alias(
+                "b"
+            ),
+            F.expr("date_add(d, lag) = d2"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)")).alias(
+                "sxy"
+            ),
+        )
+    )
+    acf = F.col("sxy").cast("double") / F.col("ss").cast("double")
+    from pyspark.sql import Window
+
+    out = pairs.crossJoin(F.broadcast(denom)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.round(acf, 6).alias("acf"),
+    )
+    best = Window.orderBy(F.desc("acf"), F.asc("lag"))
+    return out.select(
+        "lag",
+        "n_pairs",
+        "acf",
+        (F.row_number().over(best) == 1).alias("is_peak"),
+    ).orderBy("lag")
+
+
+DAILY_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+              AS DECIMAL(19,0)) AS cents
+  FROM events GROUP BY 1
+),
+mean AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily
+),
+centered AS (
+  SELECT d, CAST(cents AS DOUBLE) - mu AS x FROM daily CROSS JOIN mean
+),
+denom AS (
+  SELECT SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS ss FROM centered
+),
+pairs AS (
+  SELECT g.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(ROUND(a.x * b.x, 6) AS DECIMAL(38,6))) AS sxy
+  FROM centered a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) g
+  JOIN centered b ON b.d = a.d + CAST(g.lag AS INT)
+  GROUP BY 1
+),
+scored AS (
+  SELECT CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+         ROUND(CAST(p.sxy AS DOUBLE) / CAST(d.ss AS DOUBLE), 6) AS acf
+  FROM pairs p CROSS JOIN denom d
+)
+SELECT lag, n_pairs, acf,
+       (ROW_NUMBER() OVER (ORDER BY acf DESC, lag ASC) = 1) AS is_peak
+FROM scored
+ORDER BY lag
+""".strip()

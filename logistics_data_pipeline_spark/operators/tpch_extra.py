@@ -2850,3 +2850,103 @@ SELECT n_orders, span_days, max_wip,
          AS littles_gap
 FROM dur CROSS JOIN sweep
 """.strip()
+
+
+# --- newsvendor critical-fractile stocking ------------------------------------
+
+NV_UNDERAGE = 2.0  # lost margin per unit short
+NV_OVERAGE = 1.0  # holding/markdown cost per unit over
+NV_FRACTILE = NV_UNDERAGE / (NV_UNDERAGE + NV_OVERAGE)  # 2/3 service level
+NV_MIN_DAYS = 5
+NV_TOP = 100
+
+
+def newsvendor_stock(lineitem: DataFrame) -> DataFrame:
+    """Newsvendor critical-fractile stocking per part: the optimal
+    single-period stock is the demand distribution's quantile at
+    cu/(cu+co) — the NONPARAMETRIC twin of ``part_safety_stock``
+    (that key assumes normal demand and buys a z-margin; this one
+    reads the empirical daily-demand distribution directly, which is
+    what you do when demand is lumpy enough that Croston flagged it).
+    Reports the fractile stock beside the mean and the empirical
+    P(demand > stock) realized on the observed days.
+
+    Scale: one (part, day) pre-aggregate, one part-keyed exact
+    percentile (approx_percentile at 100 TB), one conditional count —
+    the fact table is read once."""
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    per_day = (
+        lineitem.select("l_partkey", F.to_date("l_shipdate").alias("d"), q.alias("q"))
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("q").cast("decimal(12,2)").alias("dq"))
+    )
+    agg = per_day.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dq").alias("s"),
+        F.expr(f"percentile(CAST(dq AS DOUBLE), {NV_FRACTILE!r})").alias("stock"),
+    )
+    # realized stockout frequency at the chosen stock level
+    so = (
+        per_day.join(
+            agg.select("l_partkey", "stock"), "l_partkey"
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("dq").cast("double") > F.col("stock")).cast("int"))
+            .cast("bigint")
+            .alias("n_stockout_days")
+        )
+    )
+    return (
+        agg.join(so, "l_partkey")
+        .filter(F.col("n_days") >= NV_MIN_DAYS)
+        .select(
+            "l_partkey",
+            "n_days",
+            F.round(
+                F.col("s").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("mean_demand"),
+            F.round(F.col("stock"), 6).alias("fractile_stock"),
+            "n_stockout_days",
+            F.round(
+                F.col("n_stockout_days").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("stockout_rate"),
+        )
+        .orderBy(F.col("fractile_stock").desc(), "l_partkey")
+        .limit(NV_TOP)
+    )
+
+
+NEWSVENDOR_SQL = f"""
+WITH per_day AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS dq
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(dq) AS s,
+         quantile_cont(CAST(dq AS DOUBLE), {NV_FRACTILE!r}) AS stock
+  FROM per_day GROUP BY 1
+),
+so AS (
+  SELECT p.l_partkey,
+         CAST(SUM(CASE WHEN CAST(p.dq AS DOUBLE) > a.stock THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stockout_days
+  FROM per_day p JOIN agg a ON p.l_partkey = a.l_partkey
+  GROUP BY 1
+)
+SELECT a.l_partkey, a.n_days,
+       ROUND(CAST(a.s AS DOUBLE) / CAST(a.n_days AS DOUBLE), 6) AS mean_demand,
+       ROUND(a.stock, 6) AS fractile_stock,
+       so.n_stockout_days,
+       ROUND(CAST(so.n_stockout_days AS DOUBLE) / CAST(a.n_days AS DOUBLE), 6)
+         AS stockout_rate
+FROM agg a JOIN so ON a.l_partkey = so.l_partkey
+WHERE a.n_days >= {NV_MIN_DAYS}
+ORDER BY fractile_stock DESC, a.l_partkey
+LIMIT {NV_TOP}
+""".strip()

@@ -2194,6 +2194,11 @@ register(
     tx.CROSTON_SQL,
 )
 register(
+    "part_newsvendor_stock",  # critical-fractile stocking (nonparametric)
+    _q(lambda spark, sf: tx.newsvendor_stock(load_table(spark, sf, "lineitem"))),
+    tx.NEWSVENDOR_SQL,
+)
+register(
     "part_safety_stock",  # inventory-control SS/ROP under stochastic demand+lead
     _q(
         lambda spark, sf: tx.part_safety_stock(
@@ -2208,6 +2213,11 @@ register(
         lambda spark, sf: analytics.segment_migration(load_table(spark, sf, "orders"))
     ),
     analytics.SEGMENT_MIGRATION_SQL,
+)
+register(
+    "events_daily_acf",  # autocorrelation diagnostic at lags 1..14
+    _q(lambda spark, sf: analytics.daily_acf(load_table(spark, sf, "events"))),
+    analytics.DAILY_ACF_SQL,
 )
 register(
     "events_holt_forecast",  # Holt linear-trend forecast, exact unrolled weights

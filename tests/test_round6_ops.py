@@ -1837,3 +1837,28 @@ class TestShapleyAttribution:
         assert got["signup"] == got["error"] == round(-1 / 12, 9)
         # efficiency: sum of credits == v(full set) - v(empty) == 0
         assert abs(sum(got.values())) < 1e-8
+
+
+class TestDailyAcf:
+    def test_weekly_cycle_peaks_at_lag_7(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import daily_acf
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        # 56 days with a strong 7-day cycle: weekends (t%7 in 5,6) spike
+        for t in range(56):
+            amp = 300.0 if t % 7 in (5, 6) else 100.0
+            rows.append((t, base + datetime.timedelta(days=t), 1, "x", amp))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = {r.lag: r for r in daily_acf(ev).collect()}
+        assert len(out) == 14
+        peak = [lag for lag, r in out.items() if r.is_peak]
+        assert peak == [7]
+        assert out[7].acf > 0.8
+        assert out[3].acf < 0.2  # off-cycle lag decorrelates
+        assert out[14].acf > 0.6  # harmonic of the weekly cycle

@@ -97,6 +97,9 @@ ALLOWED = {
     "docs_vocab_coverage": {"nested-loop join", "unpartitioned window"},
     # 1-row score min/max scalar broadcast into the binning + 10-row grid
     "docs_classifier_calibration": {"nested-loop join"},
+    # mean/denominator 1-row scalars + the 14-row lag grid over the
+    # calendar-sized daily frame; peak flag is a 14-row window
+    "events_daily_acf": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
