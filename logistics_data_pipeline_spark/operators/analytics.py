@@ -4912,3 +4912,152 @@ SELECT lag, n_pairs, acf,
 FROM scored
 ORDER BY lag
 """.strip()
+
+
+# --- split-conformal forecast interval ----------------------------------------
+
+CONF_CALIB = 10  # calibration origins
+CONF_Q = 0.9  # nominal coverage
+
+
+def conformal_forecast(events: DataFrame) -> DataFrame:
+    """Split-conformal prediction interval for tomorrow's total: the
+    Holt point forecast (exact unrolled weights) wrapped in a
+    DISTRIBUTION-FREE interval calibrated from {CONF_CALIB}
+    rolling-origin 1-step absolute residuals — conformal's guarantee
+    needs only exchangeability of the residuals, no normality, which is
+    exactly what ``part_safety_stock``'s z-margin assumes away. The
+    interval is point ± q_{CONF_Q}(|residuals|) (interpolated quantile;
+    the finite-sample ceil((n+1)q)/n order statistic just shifts the
+    constant — documented, and with n=10 the difference is one rank).
+
+    One aggregation computes ALL fits: origins 0..{CONF_CALIB} share
+    the exploded ranked tail and the same integer weight table; origin
+    {CONF_CALIB} is the forward fit (no actual) that the calibrated
+    band wraps.
+
+    Scale: identical to ``events_holt_backtest`` — calendar-sized tail,
+    constant-sized everything after."""
+    from pyspark.sql import Window
+
+    k, n_cal = HOLT_K, CONF_CALIB
+    cents = F.sum(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(cents)
+        .orderBy(F.col("d").desc())
+        .limit(k + n_cal)
+    )
+    rn = F.row_number().over(Window.orderBy("d"))
+    ranked = daily.select("d", "cents", rn.alias("rn"))
+    spark = events.sparkSession
+    weights = F.broadcast(
+        spark.createDataFrame(_HOLT_W, "idx int, wl string, wb string").select(
+            "idx",
+            F.col("wl").cast("decimal(19,0)").alias("wl"),
+            F.col("wb").cast("decimal(19,0)").alias("wb"),
+        )
+    )
+    grid = ranked.withColumn(
+        "o", F.explode(F.sequence(F.lit(0), F.lit(n_cal)))
+    ).withColumn("idx", F.col("rn") - F.col("o"))
+    fits = (
+        grid.filter((F.col("idx") >= 1) & (F.col("idx") <= k))
+        .join(weights, "idx")
+        .groupBy("o")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.col("wl") * F.col("cents")).alias("sl"),
+            F.sum(F.col("wb") * F.col("cents")).alias("sb"),
+        )
+        .filter(F.col("n_days") == k)
+    )
+    fc = (
+        F.col("sl").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+        + F.col("sb").cast("double") / F.lit(float(_HOLT_DEN)) / F.lit(100.0)
+    )
+    actuals = ranked.select(
+        (F.col("rn") - (k + 1)).alias("o"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("actual"),
+    ).filter((F.col("o") >= 0) & (F.col("o") < n_cal))
+    resid = (
+        fits.join(actuals, "o")
+        .select(F.abs(F.round(fc, 6) - F.round(F.col("actual"), 6)).alias("ar"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_calib"),
+            F.expr(f"percentile(ar, {CONF_Q!r})").alias("qhat"),
+            # ar is an exact 1e-6 multiple: decimal sum -> order-free mean
+            (
+                F.sum(F.col("ar").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_abs_resid"),
+        )
+    )
+    fwd = fits.filter(F.col("o") == n_cal).select(F.round(fc, 6).alias("forecast"))
+    return fwd.crossJoin(F.broadcast(resid)).select(
+        "n_calib",
+        "forecast",
+        F.round(F.col("qhat"), 6).alias("q_resid"),
+        F.round(F.col("forecast") - F.col("qhat"), 6).alias("lo"),
+        F.round(F.col("forecast") + F.col("qhat"), 6).alias("hi"),
+        F.round(F.col("mean_abs_resid"), 6).alias("mean_abs_resid"),
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+              AS DECIMAL(19,0)) AS cents
+  FROM events GROUP BY 1
+  ORDER BY d DESC LIMIT {HOLT_K + CONF_CALIB}
+),
+ranked AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+),
+weights(idx, wl, wb) AS (VALUES {_HOLT_W_BT_SQL}),
+grid AS (
+  SELECT r.cents, r.rn, g.o, r.rn - g.o AS idx
+  FROM ranked r
+  CROSS JOIN (SELECT unnest(generate_series(0, {CONF_CALIB})) AS o) g
+),
+fits AS (
+  SELECT o,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(wl AS DECIMAL(19,0)) * cents) AS DOUBLE)
+           / {float(_HOLT_DEN)} / 100.0
+         + CAST(SUM(CAST(wb AS DECIMAL(19,0)) * cents) AS DOUBLE)
+           / {float(_HOLT_DEN)} / 100.0 AS fc
+  FROM grid JOIN weights USING (idx)
+  WHERE idx BETWEEN 1 AND {HOLT_K}
+  GROUP BY 1
+),
+actuals AS (
+  SELECT rn - {HOLT_K + 1} AS o, CAST(cents AS DOUBLE) / 100.0 AS actual
+  FROM ranked
+  WHERE rn - {HOLT_K + 1} >= 0 AND rn - {HOLT_K + 1} < {CONF_CALIB}
+),
+resid AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+         quantile_cont(ar, {CONF_Q!r}) AS qhat,
+         CAST(SUM(CAST(ar AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_abs_resid
+  FROM (
+    SELECT ABS(ROUND(f.fc, 6) - ROUND(a.actual, 6)) AS ar
+    FROM fits f JOIN actuals a ON f.o = a.o
+    WHERE f.n_days = {HOLT_K}
+  )
+),
+fwd AS (
+  SELECT ROUND(fc, 6) AS forecast FROM fits
+  WHERE o = {CONF_CALIB} AND n_days = {HOLT_K}
+)
+SELECT r.n_calib, f.forecast,
+       ROUND(r.qhat, 6) AS q_resid,
+       ROUND(f.forecast - r.qhat, 6) AS lo,
+       ROUND(f.forecast + r.qhat, 6) AS hi,
+       ROUND(r.mean_abs_resid, 6) AS mean_abs_resid
+FROM fwd f CROSS JOIN resid r
+""".strip()

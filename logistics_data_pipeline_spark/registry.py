@@ -2215,6 +2215,13 @@ register(
     analytics.SEGMENT_MIGRATION_SQL,
 )
 register(
+    "events_conformal_forecast",  # split-conformal interval on the Holt point
+    _q(
+        lambda spark, sf: analytics.conformal_forecast(load_table(spark, sf, "events"))
+    ),
+    analytics.CONFORMAL_SQL,
+)
+register(
     "events_daily_acf",  # autocorrelation diagnostic at lags 1..14
     _q(lambda spark, sf: analytics.daily_acf(load_table(spark, sf, "events"))),
     analytics.DAILY_ACF_SQL,

@@ -1862,3 +1862,33 @@ class TestDailyAcf:
         assert out[7].acf > 0.8
         assert out[3].acf < 0.2  # off-cycle lag decorrelates
         assert out[14].acf > 0.6  # harmonic of the weekly cycle
+
+
+class TestConformalForecast:
+    def test_interval_brackets_linear_series(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            CONF_CALIB,
+            conformal_forecast,
+        )
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        # linear trend + small deterministic wobble -> residuals are the
+        # wobble scale, interval must be tight around the line
+        for t in range(30):
+            wobble = 3.0 if t % 2 == 0 else -3.0
+            rows.append((t, base + datetime.timedelta(days=t), 1, "x",
+                         100.0 + 10.0 * t + wobble))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        r = conformal_forecast(ev).collect()[0]
+        assert r.n_calib == CONF_CALIB
+        true_next = 100.0 + 10.0 * 30
+        assert r.lo <= true_next <= r.hi
+        # wobble amplitude bounds the band: q_resid in (0, ~3x wobble]
+        assert 0 < r.q_resid < 10.0
+        assert abs((r.hi - r.lo) - 2 * r.q_resid) < 1e-6

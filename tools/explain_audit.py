@@ -100,6 +100,9 @@ ALLOWED = {
     # mean/denominator 1-row scalars + the 14-row lag grid over the
     # calendar-sized daily frame; peak flag is a 14-row window
     "events_daily_acf": {"nested-loop join", "unpartitioned window"},
+    # ROW_NUMBER over the 26-row daily tail; 1-row forward-fit x
+    # 1-row residual-quantile cross
+    "events_conformal_forecast": {"nested-loop join", "unpartitioned window"},
     # 1-row grand-moment scalars joined into the ≤5-row group frame
     "lineitem_leadtime_anova": {"nested-loop join"},
     # 1-row midpoint-cutoff scalar appended to every line
