@@ -2518,3 +2518,79 @@ SELECT CAST(cut AS BIGINT) AS vocab_size,
 FROM cov CROSS JOIN total
 ORDER BY vocab_size
 """.strip()
+
+
+# --- Good-Turing count-of-counts ----------------------------------------------
+
+GT_ROWS = 10  # report the 10 SMALLEST observed counts (the GT-relevant tail)
+
+
+def good_turing(docs: DataFrame) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus vocabulary: the
+    count-of-counts table N_r (how many types occur exactly r times),
+    each low count's adjusted frequency r* = (r+1)·N_{r+1}/N_r, and the
+    missing-mass estimate P(unseen) = N_1/N — the classical answer to
+    "how much probability belongs to words we have not seen", and the
+    quantity Kneser-Ney's discount approximates
+    (``docs_kneser_ney_bigram``). Everything is a ratio of exact
+    integer counts, so the oracle agrees bit-for-bit.
+
+    Scale: one vocabulary aggregation, one count-of-counts aggregation
+    over the vocab table, a self-join on r+1 over ≤{GT_MAX_R} rows."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("r"))
+    coc = vocab.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    total = toks.agg(F.count("*").cast("bigint").alias("n_tokens"))
+    low = coc.orderBy(F.asc("r")).limit(GT_ROWS)
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        low.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "n_r",
+            F.coalesce("n_r1", F.lit(0)).cast("bigint").alias("n_r_plus_1"),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce("n_r1", F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("r").cast("double")
+                * F.col("n_r").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mass_share"),
+            "n_tokens",
+        )
+        .orderBy("r")
+    )
+
+
+GOOD_TURING_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY 1
+),
+coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM vocab GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks)
+SELECT c.r, c.n_r,
+       COALESCE(nx.n_r, 0) AS n_r_plus_1,
+       ROUND(CAST(c.r + 1 AS DOUBLE) * CAST(COALESCE(nx.n_r, 0) AS DOUBLE)
+             / CAST(c.n_r AS DOUBLE), 6) AS r_star,
+       ROUND(CAST(c.r AS DOUBLE) * CAST(c.n_r AS DOUBLE)
+             / CAST(t.n_tokens AS DOUBLE), 6) AS mass_share,
+       t.n_tokens
+FROM (SELECT * FROM coc ORDER BY r ASC LIMIT {GT_ROWS}) c
+LEFT JOIN coc nx ON nx.r = c.r + 1
+CROSS JOIN total t
+ORDER BY c.r
+""".strip()

@@ -1001,6 +1001,11 @@ register(
     llm_cur.CLASSIFIER_CALIBRATION_SQL,
 )
 register(
+    "docs_good_turing",  # count-of-counts smoothing + unseen-mass estimate
+    _q(lambda spark, sf: llm_text.good_turing(_docs(spark, sf))),
+    llm_text.GOOD_TURING_SQL,
+)
+register(
     "docs_vocab_coverage",  # coverage / OOV-rate curve vs vocab size
     _q(lambda spark, sf: llm_text.vocab_coverage(_docs(spark, sf))),
     llm_text.VOCAB_COVERAGE_SQL,

@@ -97,6 +97,8 @@ ALLOWED = {
     "docs_vocab_coverage": {"nested-loop join", "unpartitioned window"},
     # 1-row score min/max scalar broadcast into the binning + 10-row grid
     "docs_classifier_calibration": {"nested-loop join"},
+    # 1-row token total crossed into the <=10-row count-of-counts table
+    "docs_good_turing": {"nested-loop join"},
     # mean/denominator 1-row scalars + the 14-row lag grid over the
     # calendar-sized daily frame; peak flag is a 14-row window
     "events_daily_acf": {"nested-loop join", "unpartitioned window"},
