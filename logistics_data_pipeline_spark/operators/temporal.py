@@ -1908,3 +1908,129 @@ FROM terms JOIN chan ON chan.c = terms.c
 GROUP BY 1
 ORDER BY 1
 """.strip()
+
+
+# --- retention decay fit --------------------------------------------------------
+
+RETFIT_MIN_OFFSET = 1
+RETFIT_MAX_OFFSET = 21
+
+
+def retention_decay_fit(events: DataFrame) -> DataFrame:
+    """Power-law fit of the pooled retention curve: average day-k
+    retention RATE across cohorts (day-0 cohort size as denominator),
+    then OLS of ln(rate) on ln(k) over k = 1..{RETFIT_MAX_OFFSET} — the
+    one-number summary ("retention decays like k^-b") of the matrix
+    ``events_retention_cohorts`` emits, same ln-OLS discipline as
+    ``docs_zipf_fit``. Also reports the fitted day-7 rate and the
+    half-life k where the fitted curve crosses half the day-1 rate.
+
+    Scale: rides the retention matrix (days² rows); the regression
+    runs over ≤{RETFIT_MAX_OFFSET} pooled points."""
+    ret = retention_cohorts(events)
+    sizes = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_date", F.col("n_active_users").alias("cohort_size")
+    )
+    pooled = (
+        ret.filter(
+            (F.col("day_offset") >= RETFIT_MIN_OFFSET)
+            & (F.col("day_offset") <= RETFIT_MAX_OFFSET)
+        )
+        .join(sizes, "cohort_date")
+        .groupBy("day_offset")
+        .agg(
+            F.sum("n_active_users").cast("bigint").alias("active"),
+            F.sum("cohort_size").cast("bigint").alias("size"),
+        )
+        .select(
+            "day_offset",
+            (F.col("active").cast("double") / F.col("size").cast("double")).alias(
+                "rate"
+            ),
+        )
+        .filter(F.col("rate") > 0)
+    )
+    pts = pooled.select(
+        F.log(F.col("day_offset").cast("double")).alias("x"),
+        F.log("rate").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(28,9)")).alias("sx"),
+        F.sum(F.round("y", 9).cast("decimal(28,9)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")).alias(
+            "sxx"
+        ),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")).alias(
+            "sxy"
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (sxy - sx * sy / n) / F.nullif(sxx - sx * sx / n, F.lit(0.0))
+    intercept = (sy - slope * sx) / n
+    day7 = F.exp(intercept + slope * F.log(F.lit(7.0)))
+    # fitted rate(k) = e^a k^b halves vs rate(1) at k = 2^(-1/b)
+    half_life = F.pow(F.lit(2.0), F.lit(-1.0) / F.nullif(slope, F.lit(0.0)))
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("decay_exponent"),
+        F.round(intercept, 6).alias("log_intercept"),
+        F.round(day7, 6).alias("fitted_day7_rate"),
+        F.round(half_life, 6).alias("half_life_days"),
+    )
+
+
+RETENTION_DECAY_FIT_SQL = f"""
+WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events),
+ret AS (
+  SELECT fu.cohort_date,
+         CAST(date_diff('day', fu.cohort_date, act.active_date) AS INT)
+           AS day_offset,
+         COUNT(*) AS n_active_users
+  FROM act JOIN fu ON act.user_id = fu.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_date, n_active_users AS cohort_size FROM ret WHERE day_offset = 0
+),
+pooled AS (
+  SELECT r.day_offset,
+         CAST(SUM(r.n_active_users) AS DOUBLE)
+           / CAST(SUM(s.cohort_size) AS DOUBLE) AS rate
+  FROM ret r JOIN sizes s ON r.cohort_date = s.cohort_date
+  WHERE r.day_offset BETWEEN {RETFIT_MIN_OFFSET} AND {RETFIT_MAX_OFFSET}
+  GROUP BY 1
+),
+pts AS (
+  SELECT ln(CAST(day_offset AS DOUBLE)) AS x, ln(rate) AS y
+  FROM pooled WHERE rate > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS sy,
+         SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+         SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS sxy
+  FROM pts
+),
+d AS (
+  SELECT n,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+           / NULLIF(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                          / CAST(n AS DOUBLE), 0.0) AS slope,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       ROUND(slope, 6) AS decay_exponent,
+       ROUND((syd - slope * sxd) / CAST(n AS DOUBLE), 6) AS log_intercept,
+       ROUND(EXP((syd - slope * sxd) / CAST(n AS DOUBLE) + slope * ln(7.0)), 6)
+         AS fitted_day7_rate,
+       ROUND(POW(2.0, -1.0 / NULLIF(slope, 0.0)), 6) AS half_life_days
+FROM d
+""".strip()

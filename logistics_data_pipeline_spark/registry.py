@@ -2220,6 +2220,13 @@ register(
     analytics.SEGMENT_MIGRATION_SQL,
 )
 register(
+    "events_retention_decay_fit",  # pooled power-law retention fit (ln-OLS)
+    _q(
+        lambda spark, sf: temporal.retention_decay_fit(load_table(spark, sf, "events"))
+    ),
+    temporal.RETENTION_DECAY_FIT_SQL,
+)
+register(
     "events_conformal_forecast",  # split-conformal interval on the Holt point
     _q(
         lambda spark, sf: analytics.conformal_forecast(load_table(spark, sf, "events"))
