@@ -5061,3 +5061,120 @@ SELECT r.n_calib, f.forecast,
        ROUND(r.mean_abs_resid, 6) AS mean_abs_resid
 FROM fwd f CROSS JOIN resid r
 """.strip()
+
+
+# --- Mann-Whitney U (nonparametric A/B test) ------------------------------------
+
+MWU_Z_CRIT = 1.96
+
+
+def mann_whitney_u(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the md5 experiment arms —
+    the NONPARAMETRIC companion to ``events_ab_test_srm``'s Welch z:
+    rank-based, so heavy tails and outliers (which the winsorized
+    panel shows this metric has) cannot fake or hide a shift. Ranks
+    come from the distributed two-phase ``exact_row_number`` (no
+    corpus-sized single-partition window); tie groups get the exact
+    average rank, which is always a multiple of 0.5, so the per-arm
+    rank sums accumulate as DECIMAL(28,1) — order-independent and
+    bit-equal to the oracle's window formulation. The normal
+    approximation uses the standard tie-corrected variance.
+
+    Scale: one range-exchange rank (the exact_ntile machinery), one
+    value-group aggregation, one scalar panel."""
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX
+    tagged = events.select(
+        F.col("value").cast("double").alias("v"),
+        "event_id",
+        arm_a.cast("int").alias("is_a"),
+    )
+    ranked, total = exact_row_number(tagged, ["v", "event_id"], "_rank")
+    grouped = ranked.groupBy("v").agg(
+        F.sum("_rank").cast("bigint").alias("sr"),
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("is_a").cast("bigint").alias("na_v"),
+    )
+    # avg rank of a tie group = sr/t; consecutive integers make it an
+    # exact multiple of 0.5 -> (2*sr/t) is an exact integer
+    term = (
+        (F.col("na_v") * 2 * F.col("sr") / F.col("t")).cast("decimal(28,1)")
+    )
+    m = grouped.agg(
+        F.sum("na_v").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("na_v")).cast("bigint").alias("n2"),
+        (F.sum(term) / 2).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    u1 = F.col("r1").cast("double") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    var = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (u1 - mu) / F.sqrt(var)
+    return m.select(
+        "n1",
+        "n2",
+        F.round(F.col("r1").cast("double"), 1).alias("rank_sum_a"),
+        F.round(u1, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > MWU_Z_CRIT).alias("significant"),
+    )
+
+
+MANN_WHITNEY_SQL = f"""
+WITH tagged AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+              THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+ranked AS (
+  SELECT v, is_a,
+         ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn
+  FROM tagged
+),
+grouped AS (
+  SELECT v,
+         CAST(SUM(rn) AS BIGINT) AS sr,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(is_a) AS BIGINT) AS na_v
+  FROM ranked GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n1,
+         CAST(SUM(t - na_v) AS BIGINT) AS n2,
+         SUM(CAST(na_v * 2 * sr / t AS DECIMAL(28,1))) / 2 AS r1,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM grouped
+)
+SELECT n1, n2,
+       ROUND(CAST(r1 AS DOUBLE), 1) AS rank_sum_a,
+       ROUND(CAST(r1 AS DOUBLE)
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6) AS u_stat,
+       ROUND((CAST(r1 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie3 AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
+             6) AS z,
+       (ABS((CAST(r1 AS DOUBLE)
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+            / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                   * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                      - CAST(tie3 AS DOUBLE)
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))))
+        > {MWU_Z_CRIT}) AS significant
+FROM m
+""".strip()

@@ -2280,6 +2280,11 @@ register(
     analytics.QUANTILE_SKETCH_SQL,
 )
 register(
+    "events_mann_whitney",  # nonparametric rank-sum A/B test (tie-corrected)
+    _q(lambda spark, sf: analytics.mann_whitney_u(load_table(spark, sf, "events"))),
+    analytics.MANN_WHITNEY_SQL,
+)
+register(
     "events_cuped",  # CUPED variance-reduction experiment readout
     _q(lambda spark, sf: analytics.cuped_adjustment(load_table(spark, sf, "events"))),
     analytics.CUPED_SQL,

@@ -1892,3 +1892,42 @@ class TestConformalForecast:
         # wobble amplitude bounds the band: q_resid in (0, ~3x wobble]
         assert 0 < r.q_resid < 10.0
         assert abs((r.hi - r.lo) - 2 * r.q_resid) < 1e-6
+
+
+class TestMannWhitney:
+    def test_planted_shift_detected_and_null_passes(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            AB_SPLIT_HEX,
+            mann_whitney_u,
+        )
+        import hashlib
+
+        def is_a(uid):
+            return hashlib.md5(str(uid).encode()).hexdigest()[0] < AB_SPLIT_HEX
+
+        base = datetime.datetime(2024, 1, 1)
+        # planted shift: arm A values ~ 100 + noise, arm B ~ 110 + noise
+        rows = []
+        for uid in range(400):
+            shift = 0.0 if is_a(uid) else 10.0
+            rows.append((uid, base, uid, "x", 100.0 + shift + (uid * 13 % 7)))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        r = mann_whitney_u(ev).collect()[0]
+        assert r.n1 + r.n2 == 400
+        assert r.z < -5  # arm A sits stochastically below arm B
+        assert bool(r.significant)
+        # no-shift null: same noise both arms -> |z| small
+        rows0 = [
+            (uid, base, uid, "x", 100.0 + (uid * 13 % 7)) for uid in range(400)
+        ]
+        ev0 = spark.createDataFrame(
+            rows0,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        r0 = mann_whitney_u(ev0).collect()[0]
+        assert abs(r0.z) < 2.5
