@@ -5178,3 +5178,98 @@ SELECT n1, n2,
         > {MWU_Z_CRIT}) AS significant
 FROM m
 """.strip()
+
+
+# --- Kolmogorov-Smirnov two-sample test -----------------------------------------
+
+KS_CRIT = 1.358  # alpha = 0.05 critical value of the scaled statistic
+
+
+def ks_test(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the md5 experiment
+    arms: D = max |ECDF_A − ECDF_B|, the DISTRIBUTION-shape companion
+    to the mean-shift tests (Welch z, Mann-Whitney U) — a variance or
+    tail change moves D while leaving the means alone. ECDFs step only
+    at distinct metric values, so the corpus collapses to one
+    (value → per-arm count) aggregation and the running fronts are a
+    window over the DISTINCT-VALUE table — bounded by the metric's
+    2-dp value domain (≤ ~100·range rows), not by corpus size, the
+    same bounded-input argument as the ABC catalog window. Counts are
+    integers; D and the scaled statistic are the only doubles.
+
+    Output: one row with D, the scaled statistic
+    D·sqrt(n1·n2/(n1+n2)), and the α=0.05 verdict."""
+    from pyspark.sql import Window
+
+    arm_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < AB_SPLIT_HEX
+    grouped = (
+        events.select(
+            F.col("value").cast("double").alias("v"), arm_a.cast("int").alias("a")
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("bigint").alias("na"),
+            F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("nb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = grouped.agg(
+        F.sum("na").cast("bigint").alias("n1"), F.sum("nb").cast("bigint").alias("n2")
+    )
+    fronts = grouped.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (
+            F.sum("na").over(w).cast("double") / F.col("n1").cast("double")
+            - F.sum("nb").over(w).cast("double") / F.col("n2").cast("double")
+        ).alias("gap"),
+        "n1",
+        "n2",
+    )
+    m = fronts.groupBy("n1", "n2").agg(
+        F.round(F.max(F.abs(F.col("gap"))), 9).alias("d_stat")
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    scaled = F.col("d_stat") * F.sqrt(n1 * n2 / (n1 + n2))
+    return m.select(
+        "n1",
+        "n2",
+        "d_stat",
+        F.round(scaled, 6).alias("ks_scaled"),
+        (scaled > KS_CRIT).alias("significant"),
+    )
+
+
+KS_TEST_SQL = f"""
+WITH grouped AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                            < '{AB_SPLIT_HEX}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                            < '{AB_SPLIT_HEX}' THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2 FROM grouped
+),
+fronts AS (
+  SELECT g.v,
+         CAST(SUM(g.na) OVER (ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(t.n1 AS DOUBLE)
+         - CAST(SUM(g.nb) OVER (ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(t.n2 AS DOUBLE) AS gap,
+         t.n1, t.n2
+  FROM grouped g CROSS JOIN tot t
+),
+m AS (
+  SELECT n1, n2, ROUND(MAX(ABS(gap)), 9) AS d_stat
+  FROM fronts GROUP BY 1, 2
+)
+SELECT n1, n2, d_stat,
+       ROUND(d_stat * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+         AS ks_scaled,
+       (d_stat * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) > {KS_CRIT})
+         AS significant
+FROM m
+""".strip()

@@ -2280,6 +2280,11 @@ register(
     analytics.QUANTILE_SKETCH_SQL,
 )
 register(
+    "events_ks_test",  # two-sample Kolmogorov-Smirnov over the value domain
+    _q(lambda spark, sf: analytics.ks_test(load_table(spark, sf, "events"))),
+    analytics.KS_TEST_SQL,
+)
+register(
     "events_mann_whitney",  # nonparametric rank-sum A/B test (tie-corrected)
     _q(lambda spark, sf: analytics.mann_whitney_u(load_table(spark, sf, "events"))),
     analytics.MANN_WHITNEY_SQL,

@@ -1931,3 +1931,44 @@ class TestMannWhitney:
         )
         r0 = mann_whitney_u(ev0).collect()[0]
         assert abs(r0.z) < 2.5
+
+
+class TestKsTest:
+    def test_variance_shift_detected_where_means_agree(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            AB_SPLIT_HEX,
+            ks_test,
+        )
+        import hashlib
+
+        def is_a(uid):
+            return hashlib.md5(str(uid).encode()).hexdigest()[0] < AB_SPLIT_HEX
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        # both arms mean 100, but B has 5x the spread: KS must fire
+        for uid in range(600):
+            off = (uid * 17 % 21) - 10  # symmetric around 0
+            spread = 1.0 if is_a(uid) else 5.0
+            rows.append((uid, base, uid, "x", 100.0 + spread * off))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        r = ks_test(ev).collect()[0]
+        assert r.n1 + r.n2 == 600
+        assert r.d_stat > 0.3
+        assert bool(r.significant)
+        # identical distributions -> D small, not significant
+        rows0 = [
+            (uid, base, uid, "x", 100.0 + (uid * 17 % 21) - 10)
+            for uid in range(600)
+        ]
+        ev0 = spark.createDataFrame(
+            rows0,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        r0 = ks_test(ev0).collect()[0]
+        assert not bool(r0.significant)

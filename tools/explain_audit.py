@@ -99,6 +99,10 @@ ALLOWED = {
     "docs_classifier_calibration": {"nested-loop join"},
     # 1-row token total crossed into the <=10-row count-of-counts table
     "docs_good_turing": {"nested-loop join"},
+    # ECDF fronts run over the DISTINCT-VALUE table (bounded by the
+    # 2-dp metric domain, not corpus size — the ABC catalog argument);
+    # 1-row arm totals broadcast
+    "events_ks_test": {"nested-loop join", "unpartitioned window"},
     # mean/denominator 1-row scalars + the 14-row lag grid over the
     # calendar-sized daily frame; peak flag is a 14-row window
     "events_daily_acf": {"nested-loop join", "unpartitioned window"},
