@@ -2594,3 +2594,82 @@ LEFT JOIN coc nx ON nx.r = c.r + 1
 CROSS JOIN total t
 ORDER BY c.r
 """.strip()
+
+
+# --- term burstiness (overdispersion) -------------------------------------------
+
+BURST_MIN_DOCS = 10
+BURST_TOP = 50
+
+
+def term_burstiness(docs: DataFrame) -> DataFrame:
+    """Lexical burstiness: per term, the variance-to-mean ratio of its
+    per-document counts (Katz's observation — content words arrive in
+    BURSTS, function words ~Poisson with VMR ≈ 1). High-VMR terms are
+    topical and make good keywords/index terms; VMR ≈ 1 across the
+    vocabulary is also a tell for templated/synthetic text. Counts are
+    integers, moments accumulate exactly (zero-docs enter the moments
+    through the corpus-size denominator, no gap-fill join — the
+    abc_xyz discipline), doubles only in the final ratio.
+
+    Scale: one (term, doc) aggregation, one term rollup, a 1-row
+    corpus count, TakeOrdered top-k."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    j = stats.crossJoin(F.broadcast(n_docs)).filter(F.col("df") >= BURST_MIN_DOCS)
+    nd = F.col("nd").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    # population variance over ALL docs (zeros included via nd)
+    var = F.col("s2").cast("double") / nd - mean * mean
+    vmr = var / F.nullif(mean, F.lit(0.0))
+    return (
+        j.select(
+            "tok",
+            "df",
+            F.col("s1").alias("n_occurrences"),
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.asc("tok"))
+        .limit(BURST_TOP)
+    )
+
+
+TERM_BURSTINESS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+stats AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY 1
+)
+SELECT tok, df, s1 AS n_occurrences,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(nd.nd AS DOUBLE), 6) AS mean_per_doc,
+       ROUND((CAST(s2 AS DOUBLE) / CAST(nd.nd AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(nd.nd AS DOUBLE)))
+             / NULLIF(CAST(s1 AS DOUBLE) / CAST(nd.nd AS DOUBLE), 0.0), 6) AS vmr
+FROM stats CROSS JOIN nd
+WHERE df >= {BURST_MIN_DOCS}
+ORDER BY vmr DESC, tok ASC
+LIMIT {BURST_TOP}
+""".strip()

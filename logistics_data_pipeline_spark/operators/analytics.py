@@ -5273,3 +5273,140 @@ SELECT n1, n2, d_stat,
          AS significant
 FROM m
 """.strip()
+
+
+# --- James-Stein shrinkage of per-type means -------------------------------------
+
+
+def james_stein_means(events: DataFrame) -> DataFrame:
+    """Empirical-Bayes (James-Stein) shrinkage of the per-type mean
+    values toward the grand mean: each group's estimate moves by a
+    factor B_g = (sigma²/n_g) / (sigma²/n_g + tau²) — small noisy
+    groups borrow strength, big groups keep their own mean. tau² is
+    the method-of-moments between-group variance (clipped at 0),
+    sigma² the pooled within-group variance; all moments are exact
+    DECIMAL sums, so both engines shrink identically. The panel every
+    per-segment dashboard should apply before ranking segments on
+    small samples.
+
+    Scale: one conditional-moment aggregation (|types| rows), one
+    1-row grand panel broadcast back — corpus read once."""
+    v = F.col("value").cast("decimal(18,2)")
+    v2 = (v * v).cast("decimal(38,4)")
+    g = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v2).alias("ss"),
+    )
+    ng = F.col("n").cast("double")
+    mean_g = F.col("s").cast("double") / ng
+    ssw_g = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / ng
+    grand = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum(F.round(ssw_g, 6).cast("decimal(38,6)")).alias("ssw"),
+        F.sum(
+            F.round(mean_g * mean_g * ng, 6).cast("decimal(38,6)")
+        ).alias("wmm"),
+    )
+    nt = F.col("n_tot").cast("double")
+    mu = F.col("s_tot").cast("double") / nt
+    sigma2 = F.col("ssw").cast("double") / (nt - F.col("k").cast("double"))
+    # between-group variance (method of moments, clipped at 0):
+    # (sum n_g (m_g - mu)^2 / (k-1) - sigma2 * ~1) simplified to the
+    # weighted-moment form wmm - n_tot*mu^2
+    tau2 = F.greatest(
+        (F.col("wmm").cast("double") - nt * mu * mu)
+        / (F.col("k").cast("double") - F.lit(1.0))
+        / (nt / F.col("k").cast("double"))
+        - sigma2 / (nt / F.col("k").cast("double")),
+        F.lit(0.0),
+    )
+    j = g.crossJoin(F.broadcast(grand))
+    b = (sigma2 / ng) / F.nullif(sigma2 / ng + tau2, F.lit(0.0))
+    shrunk = mu + (F.lit(1.0) - b) * (mean_g - mu)
+    return j.select(
+        "event_type",
+        "n",
+        F.round(mean_g, 6).alias("mean_raw"),
+        F.round(mu, 6).alias("grand_mean"),
+        F.round(b, 6).alias("shrink_factor"),
+        F.round(shrunk, 6).alias("mean_shrunk"),
+    ).orderBy("event_type")
+
+
+JAMES_STEIN_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS ss
+  FROM events GROUP BY 1
+),
+grand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         SUM(s) AS s_tot,
+         SUM(CAST(ROUND(CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))) AS ssw,
+         SUM(CAST(ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))) AS wmm
+  FROM g
+)
+SELECT g.event_type, g.n,
+       ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_raw,
+       ROUND(CAST(gr.s_tot AS DOUBLE) / CAST(gr.n_tot AS DOUBLE), 6) AS grand_mean,
+       ROUND((CAST(gr.ssw AS DOUBLE)
+              / (CAST(gr.n_tot AS DOUBLE) - CAST(gr.k AS DOUBLE))
+              / CAST(g.n AS DOUBLE))
+             / NULLIF(CAST(gr.ssw AS DOUBLE)
+                      / (CAST(gr.n_tot AS DOUBLE) - CAST(gr.k AS DOUBLE))
+                      / CAST(g.n AS DOUBLE)
+                      + GREATEST((CAST(gr.wmm AS DOUBLE)
+                                  - CAST(gr.n_tot AS DOUBLE)
+                                    * (CAST(gr.s_tot AS DOUBLE)
+                                       / CAST(gr.n_tot AS DOUBLE))
+                                    * (CAST(gr.s_tot AS DOUBLE)
+                                       / CAST(gr.n_tot AS DOUBLE)))
+                                 / (CAST(gr.k AS DOUBLE) - 1.0)
+                                 / (CAST(gr.n_tot AS DOUBLE) / CAST(gr.k AS DOUBLE))
+                                 - (CAST(gr.ssw AS DOUBLE)
+                                    / (CAST(gr.n_tot AS DOUBLE)
+                                       - CAST(gr.k AS DOUBLE)))
+                                   / (CAST(gr.n_tot AS DOUBLE)
+                                      / CAST(gr.k AS DOUBLE)),
+                                 0.0), 0.0), 6) AS shrink_factor,
+       ROUND(CAST(gr.s_tot AS DOUBLE) / CAST(gr.n_tot AS DOUBLE)
+             + (1.0 - (CAST(gr.ssw AS DOUBLE)
+                       / (CAST(gr.n_tot AS DOUBLE) - CAST(gr.k AS DOUBLE))
+                       / CAST(g.n AS DOUBLE))
+                      / NULLIF(CAST(gr.ssw AS DOUBLE)
+                               / (CAST(gr.n_tot AS DOUBLE) - CAST(gr.k AS DOUBLE))
+                               / CAST(g.n AS DOUBLE)
+                               + GREATEST((CAST(gr.wmm AS DOUBLE)
+                                           - CAST(gr.n_tot AS DOUBLE)
+                                             * (CAST(gr.s_tot AS DOUBLE)
+                                                / CAST(gr.n_tot AS DOUBLE))
+                                             * (CAST(gr.s_tot AS DOUBLE)
+                                                / CAST(gr.n_tot AS DOUBLE)))
+                                          / (CAST(gr.k AS DOUBLE) - 1.0)
+                                          / (CAST(gr.n_tot AS DOUBLE)
+                                             / CAST(gr.k AS DOUBLE))
+                                          - (CAST(gr.ssw AS DOUBLE)
+                                             / (CAST(gr.n_tot AS DOUBLE)
+                                                - CAST(gr.k AS DOUBLE)))
+                                            / (CAST(gr.n_tot AS DOUBLE)
+                                               / CAST(gr.k AS DOUBLE)),
+                                          0.0), 0.0))
+               * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                  - CAST(gr.s_tot AS DOUBLE) / CAST(gr.n_tot AS DOUBLE)), 6)
+         AS mean_shrunk
+FROM g CROSS JOIN grand gr
+ORDER BY g.event_type
+""".strip()

@@ -1001,6 +1001,11 @@ register(
     llm_cur.CLASSIFIER_CALIBRATION_SQL,
 )
 register(
+    "docs_term_burstiness",  # Katz burstiness: VMR of per-doc term counts
+    _q(lambda spark, sf: llm_text.term_burstiness(_docs(spark, sf))),
+    llm_text.TERM_BURSTINESS_SQL,
+)
+register(
     "docs_good_turing",  # count-of-counts smoothing + unseen-mass estimate
     _q(lambda spark, sf: llm_text.good_turing(_docs(spark, sf))),
     llm_text.GOOD_TURING_SQL,
@@ -2278,6 +2283,13 @@ register(
     "events_quantile_sketch",  # bottom-k-by-hash quantile estimates + error panel
     _q(lambda spark, sf: analytics.quantile_sketch(load_table(spark, sf, "events"))),
     analytics.QUANTILE_SKETCH_SQL,
+)
+register(
+    "events_james_stein",  # empirical-Bayes shrinkage of per-type means
+    _q(
+        lambda spark, sf: analytics.james_stein_means(load_table(spark, sf, "events"))
+    ),
+    analytics.JAMES_STEIN_SQL,
 )
 register(
     "events_ks_test",  # two-sample Kolmogorov-Smirnov over the value domain

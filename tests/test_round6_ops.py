@@ -1972,3 +1972,32 @@ class TestKsTest:
         )
         r0 = ks_test(ev0).collect()[0]
         assert not bool(r0.significant)
+
+
+class TestJamesStein:
+    def test_small_groups_shrink_more(self, spark):
+        import datetime
+
+        from logistics_data_pipeline_spark.operators.analytics import (
+            james_stein_means,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # big group at mean 100, tiny group at mean 140 (same spread):
+        # the tiny group must shrink toward the grand mean much harder
+        for i in range(500):
+            rows.append((eid, base, i, "big", 100.0 + (i % 11) - 5)); eid += 1
+        for i in range(8):
+            rows.append((eid, base, i, "tiny", 140.0 + (i % 11) - 5)); eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        got = {r.event_type: r for r in james_stein_means(ev).collect()}
+        big, tiny = got["big"], got["tiny"]
+        assert tiny.shrink_factor > big.shrink_factor
+        assert big.shrink_factor < 0.05  # n=500: essentially no shrink
+        # shrunk mean moves toward the grand mean, never past it
+        assert big.grand_mean < tiny.mean_shrunk < tiny.mean_raw

@@ -99,6 +99,10 @@ ALLOWED = {
     "docs_classifier_calibration": {"nested-loop join"},
     # 1-row token total crossed into the <=10-row count-of-counts table
     "docs_good_turing": {"nested-loop join"},
+    # 1-row corpus doc count crossed into the vocab moment table
+    "docs_term_burstiness": {"nested-loop join"},
+    # 1-row grand moment panel crossed into the |types| rows
+    "events_james_stein": {"nested-loop join"},
     # ECDF fronts run over the DISTINCT-VALUE table (bounded by the
     # 2-dp metric domain, not corpus size — the ABC catalog argument);
     # 1-row arm totals broadcast
