@@ -2950,3 +2950,93 @@ WHERE a.n_days >= {NV_MIN_DAYS}
 ORDER BY fractile_stock DESC, a.l_partkey
 LIMIT {NV_TOP}
 """.strip()
+
+
+# --- price elasticity from discount variation -----------------------------------
+
+
+def price_elasticity(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-brand price elasticity of demand, identified from DISCOUNT
+    variation: OLS of ln(quantity) on ln(1 − discount) over order
+    lines — the discount moves the effective price while the list
+    price stays put, which is the cleanest natural experiment a
+    transactional dataset carries (elasticity reads directly as the
+    slope; ~0 on synthetic data is itself the correct finding and the
+    panel's null report). Log terms are rounded to 9 dp and summed as
+    DECIMAL (the zipf/retention ln-OLS discipline), so both engines
+    regress on identical moments.
+
+    Scale: one broadcast dim join (brand), one conditional-moment
+    aggregation — the fact table is read once; the regression algebra
+    runs on |brands| rows."""
+    pl = lineitem.filter(F.col("l_discount") < 1.0).join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    x = F.log(F.lit(1.0) - F.col("l_discount").cast("double"))
+    y = F.log(F.col("l_quantity").cast("double"))
+    pts = pl.select(
+        "p_brand",
+        F.round(x, 9).cast("decimal(28,9)").alias("x"),
+        F.round(y, 9).cast("decimal(28,9)").alias("y"),
+        F.round(x * x, 9).cast("decimal(38,9)").alias("xx"),
+        F.round(x * y, 9).cast("decimal(38,9)").alias("xy"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (sxy - sx * sy / n) / F.nullif(sxx - sx * sx / n, F.lit(0.0))
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
+    ).orderBy("p_brand")
+
+
+PRICE_ELASTICITY_SQL = """
+WITH pts AS (
+  SELECT p.p_brand,
+         CAST(ROUND(ln(1.0 - CAST(l.l_discount AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS x,
+         CAST(ROUND(ln(CAST(l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS y,
+         CAST(ROUND(ln(1.0 - CAST(l.l_discount AS DOUBLE))
+                    * ln(1.0 - CAST(l.l_discount AS DOUBLE)), 9)
+              AS DECIMAL(38,9)) AS xx,
+         CAST(ROUND(ln(1.0 - CAST(l.l_discount AS DOUBLE))
+                    * ln(CAST(l.l_quantity AS DOUBLE)), 9)
+              AS DECIMAL(38,9)) AS xy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_discount < 1.0
+),
+m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(xx) AS sxx, SUM(xy) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT p_brand, n,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+             / NULLIF(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                            / CAST(n AS DOUBLE), 0.0), 6)
+         AS elasticity,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                        / CAST(n AS DOUBLE))
+                 / NULLIF(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                                                * CAST(sx AS DOUBLE)
+                                                / CAST(n AS DOUBLE), 0.0))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS log_intercept
+FROM m
+ORDER BY p_brand
+""".strip()

@@ -2204,6 +2204,15 @@ register(
     tx.CROSTON_SQL,
 )
 register(
+    "part_price_elasticity",  # ln-OLS demand elasticity from discount variation
+    _q(
+        lambda spark, sf: tx.price_elasticity(
+            load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
+        )
+    ),
+    tx.PRICE_ELASTICITY_SQL,
+)
+register(
     "part_newsvendor_stock",  # critical-fractile stocking (nonparametric)
     _q(lambda spark, sf: tx.newsvendor_stock(load_table(spark, sf, "lineitem"))),
     tx.NEWSVENDOR_SQL,
