@@ -5410,3 +5410,88 @@ SELECT g.event_type, g.n,
 FROM g CROSS JOIN grand gr
 ORDER BY g.event_type
 """.strip()
+
+
+# --- Hill tail-index estimator ----------------------------------------------------
+
+HILL_K = 100  # top-k order statistics
+
+
+def tail_index(events: DataFrame) -> DataFrame:
+    """Hill estimator of the value distribution's right tail index:
+    ξ = mean over the top-(k−1) order statistics of ln(x_i / x_k) —
+    extreme-value theory's standard answer to "how heavy is the tail",
+    the number that says whether p99-based capacity planning is even
+    meaningful (ξ ≥ 1 ⇒ infinite mean tail; ξ ≈ 0 ⇒ light tail and the
+    winsorized panel is already honest). Also reports the implied
+    Pareto alpha = 1/ξ. The top-k extraction is a TakeOrdered (no
+    global sort); per-term logs are 9-dp rounded and DECIMAL-summed.
+
+    Scale: per-partition top-k + single merge; everything after runs
+    on k rows."""
+    from pyspark.sql import Window
+
+    top = (
+        events.select(
+            F.col("value").cast("double").alias("x"),
+            "event_id",
+        )
+        .filter(F.col("x") > 0)
+        .orderBy(F.col("x").desc(), F.col("event_id").asc())
+        .limit(HILL_K)
+    )
+    xk = top.agg(F.min("x").alias("xk"), F.count("*").cast("bigint").alias("k"))
+    terms = (
+        top.crossJoin(F.broadcast(xk))
+        .filter(F.col("x") > F.col("xk"))
+        .select(
+            F.round(F.log(F.col("x")) - F.log(F.col("xk")), 9)
+            .cast("decimal(28,9)")
+            .alias("t"),
+            "k",
+            "xk",
+        )
+    )
+    m = terms.groupBy("k", "xk").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("t").alias("st"),
+    )
+    xi = F.col("st").cast("double") / F.col("n_terms").cast("double")
+    return m.select(
+        "k",
+        F.round(F.col("xk"), 6).alias("threshold"),
+        "n_terms",
+        F.round(xi, 6).alias("hill_xi"),
+        F.round(F.lit(1.0) / F.nullif(xi, F.lit(0.0)), 6).alias("pareto_alpha"),
+    )
+
+
+TAIL_INDEX_SQL = f"""
+WITH top AS (
+  SELECT CAST(value AS DOUBLE) AS x, event_id
+  FROM events
+  WHERE CAST(value AS DOUBLE) > 0
+  ORDER BY x DESC, event_id ASC
+  LIMIT {HILL_K}
+),
+xk AS (SELECT MIN(x) AS xk, CAST(COUNT(*) AS BIGINT) AS k FROM top),
+terms AS (
+  SELECT CAST(ROUND(ln(t.x) - ln(xk.xk), 9) AS DECIMAL(28,9)) AS t,
+         xk.k, xk.xk
+  FROM top t CROSS JOIN xk
+  WHERE t.x > xk.xk
+),
+m AS (
+  SELECT k, xk,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(t) AS st
+  FROM terms GROUP BY 1, 2
+)
+SELECT k,
+       ROUND(xk, 6) AS threshold,
+       n_terms,
+       ROUND(CAST(st AS DOUBLE) / CAST(n_terms AS DOUBLE), 6) AS hill_xi,
+       ROUND(1.0 / NULLIF(CAST(st AS DOUBLE) / CAST(n_terms AS DOUBLE), 0.0), 6)
+         AS pareto_alpha
+FROM m
+""".strip()

@@ -2294,6 +2294,11 @@ register(
     analytics.QUANTILE_SKETCH_SQL,
 )
 register(
+    "events_tail_index",  # Hill tail-index / Pareto alpha from top-k stats
+    _q(lambda spark, sf: analytics.tail_index(load_table(spark, sf, "events"))),
+    analytics.TAIL_INDEX_SQL,
+)
+register(
     "events_james_stein",  # empirical-Bayes shrinkage of per-type means
     _q(
         lambda spark, sf: analytics.james_stein_means(load_table(spark, sf, "events"))

@@ -103,6 +103,8 @@ ALLOWED = {
     "docs_term_burstiness": {"nested-loop join"},
     # 1-row grand moment panel crossed into the |types| rows
     "events_james_stein": {"nested-loop join"},
+    # 1-row threshold scalar crossed into the TakeOrdered top-k rows
+    "events_tail_index": {"nested-loop join"},
     # ECDF fronts run over the DISTINCT-VALUE table (bounded by the
     # 2-dp metric domain, not corpus size — the ABC catalog argument);
     # 1-row arm totals broadcast
