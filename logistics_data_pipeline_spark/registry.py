@@ -1114,10 +1114,18 @@ _ROUND6_WINDOW = [
     # leg exercises a REAL stream graph the driver has never run)
     "stream_hopping_counts",
     "emb_label_outliers",
-    "docs_bm25_scores",
+    # (docs_bm25_scores ceded its slot to events_mann_whitney:
+    # docs_rrf_fusion below inherits and exercises the full BM25
+    # machinery; the rank-sum test drives the distributed exact-rank
+    # path through the driver for the first time)
+    "events_mann_whitney",
     "orders_graph_triangles",
     "docs_rrf_fusion",
-    "events_type_value_drift",
+    # (events_type_value_drift ceded its slot to
+    # events_conformal_forecast: the Welch-z family is driver-covered
+    # by events_ab_test_srm in this window; the conformal interval is
+    # a new calibrated-band oracle shape over the Holt machinery)
+    "events_conformal_forecast",
     # (events_kmv_distinct ceded its slot to events_quantile_sketch:
     # the same bottom-k-by-hash structure, upgraded from cardinality
     # to quantile estimation WITH its exact error panel — strictly
@@ -1756,7 +1764,11 @@ register(
     llm_text.RRF_FUSION_SQL,
 )
 register(
-    "events_type_value_drift",  # two-window Welch-z retrain gate
+    # (events_type_value_drift ceded its slot to
+    # events_conformal_forecast: the Welch-z family is driver-covered
+    # by events_ab_test_srm in this window; the conformal interval is
+    # a new calibrated-band oracle shape over the Holt machinery)
+    "events_conformal_forecast",  # two-window Welch-z retrain gate
     _q(
         lambda spark, sf: analytics.type_value_drift(
             load_table(spark, sf, "events")
@@ -1765,7 +1777,11 @@ register(
     analytics.TYPE_VALUE_DRIFT_SQL,
 )
 register(
-    "docs_bm25_scores",  # Okapi BM25 ranked retrieval, deterministic mid-df query
+    # (docs_bm25_scores ceded its slot to events_mann_whitney:
+    # docs_rrf_fusion below inherits and exercises the full BM25
+    # machinery; the rank-sum test drives the distributed exact-rank
+    # path through the driver for the first time)
+    "events_mann_whitney",  # Okapi BM25 ranked retrieval, deterministic mid-df query
     _q(lambda spark, sf: llm_text.bm25_scores(_docs(spark, sf))),
     llm_text.BM25_SCORES_SQL,
 )
