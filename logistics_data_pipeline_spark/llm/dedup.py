@@ -2612,3 +2612,120 @@ SELECT n_docs, n_chunks, n_distinct_chunks,
                             / CAST(bytes_total AS DOUBLE)), 6) AS savings_pct
 FROM tot CROSS JOIN stored
 """.strip()
+
+
+# --- lexical vs semantic dedup agreement ----------------------------------------
+
+LEXSEM_JACCARD = 0.7  # same threshold as docs_neardup_ngram
+
+
+def lexical_semantic_agreement(
+    jac: DataFrame, emb_pairs: DataFrame
+) -> DataFrame:
+    """CROSS-MODALITY dedup agreement: the word-3-gram Jaccard pairs
+    (lexical near-dups, ≥ {LEXSEM_JACCARD}) set against the
+    embedding-cosine pairs (semantic near-dups) over the SAME id
+    domain — the panel that tells a curation pipeline what each
+    modality catches that the other misses (paraphrases land
+    semantic-only; template boilerplate with divergent topics lands
+    lexical-only). ``docs_dedup_method_agreement`` compares three
+    LEXICAL methods; this is the lexical-vs-EMBEDDING cut across
+    tables. Three zero-completed rows (both / lexical_only /
+    semantic_only) with per-cell counts, union share, and the mean
+    score each modality assigns to the cell.
+
+    Scale: both inputs are the shared session pair assets (the
+    dedup-index tables a 100 TB pipeline materializes anyway); the
+    panel itself is one full-outer join of two bounded pair lists."""
+    lex = jac.filter(F.col("jaccard") >= LEXSEM_JACCARD).select(
+        "a_id", "b_id", "jaccard"
+    )
+    sem = emb_pairs.select("a_id", "b_id", "cosine")
+    j = lex.join(sem, ["a_id", "b_id"], "full_outer").select(
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("cosine").isNotNull(), "both"
+        )
+        .when(F.col("jaccard").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+        .alias("category"),
+        F.round(F.coalesce("jaccard", F.lit(0.0)), 6)
+        .cast("decimal(18,6)")
+        .alias("jd"),
+        F.round(F.coalesce("cosine", F.lit(0.0)), 6)
+        .cast("decimal(18,6)")
+        .alias("cd"),
+    )
+    counts = j.groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("jd").alias("sj"),
+        F.sum("cd").alias("sc"),
+    )
+    total = j.agg(F.count("*").cast("bigint").alias("n_union"))
+    spark = jac.sparkSession
+    grid = spark.createDataFrame(
+        [("both",), ("lexical_only",), ("semantic_only",)], "category string"
+    )
+    return (
+        grid.join(counts, "category", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "category",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.coalesce("n_pairs", F.lit(0)).cast("double")
+                / F.col("n_union").cast("double"),
+                6,
+            ).alias("union_share"),
+            F.round(
+                F.col("sj").cast("double") / F.col("n_pairs").cast("double"), 6
+            ).alias("mean_jaccard"),
+            F.round(
+                F.col("sc").cast("double") / F.col("n_pairs").cast("double"), 6
+            ).alias("mean_cosine"),
+        )
+        .orderBy("category")
+    )
+
+
+def _lexsem_sql() -> str:
+    from .similarity import EMBEDDING_NEARDUP_SQL
+
+    lex = NEARDUP_NGRAM_SQL.replace("ORDER BY a_id, b_id", "").rstrip()
+    sem = EMBEDDING_NEARDUP_SQL.replace("ORDER BY a_id, b_id", "").rstrip()
+    return f"""
+WITH lex AS (
+  SELECT a_id, b_id, jaccard FROM ({lex})
+),
+sem AS (
+  SELECT a_id, b_id, cosine FROM ({sem})
+),
+j AS (
+  SELECT CASE WHEN l.jaccard IS NOT NULL AND s.cosine IS NOT NULL THEN 'both'
+              WHEN l.jaccard IS NOT NULL THEN 'lexical_only'
+              ELSE 'semantic_only' END AS category,
+         CAST(ROUND(COALESCE(l.jaccard, 0.0), 6) AS DECIMAL(18,6)) AS jd,
+         CAST(ROUND(COALESCE(s.cosine, 0.0), 6) AS DECIMAL(18,6)) AS cd
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.a_id = s.a_id AND l.b_id = s.b_id
+),
+counts AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(jd) AS sj, SUM(cd) AS sc
+  FROM j GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union FROM j),
+grid(category) AS (VALUES ('both'), ('lexical_only'), ('semantic_only'))
+SELECT g.category,
+       COALESCE(c.n_pairs, 0) AS n_pairs,
+       ROUND(CAST(COALESCE(c.n_pairs, 0) AS DOUBLE)
+             / CAST(t.n_union AS DOUBLE), 6) AS union_share,
+       ROUND(CAST(c.sj AS DOUBLE) / CAST(c.n_pairs AS DOUBLE), 6) AS mean_jaccard,
+       ROUND(CAST(c.sc AS DOUBLE) / CAST(c.n_pairs AS DOUBLE), 6) AS mean_cosine
+FROM grid g
+LEFT JOIN counts c ON c.category = g.category
+CROSS JOIN total t
+ORDER BY g.category
+""".strip()
+
+
+LEXSEM_AGREEMENT_SQL = _lexsem_sql()

@@ -991,6 +991,16 @@ register(
     llm_mm.MEDIA_AHASH_NEARDUP_SQL,
 )
 register(
+    "docs_lexsem_agreement",  # lexical vs embedding near-dup cross-modality cut
+    _q(
+        lambda spark, sf: llm_dedup.lexical_semantic_agreement(
+            _dedup_shared(spark, sf, "jac_scores"),
+            _dedup_shared(spark, sf, "emb_pairs"),
+        )
+    ),
+    llm_dedup.LEXSEM_AGREEMENT_SQL,
+)
+register(
     "docs_cdc_chunk_dedup",  # content-defined chunking: shift-invariant dedup
     _q(lambda spark, sf: llm_dedup.cdc_chunk_dedup(_docs(spark, sf))),
     llm_dedup.CDC_CHUNK_DEDUP_SQL,

@@ -105,6 +105,8 @@ ALLOWED = {
     "events_james_stein": {"nested-loop join"},
     # 1-row threshold scalar crossed into the TakeOrdered top-k rows
     "events_tail_index": {"nested-loop join"},
+    # 1-row union total crossed into the 3-category grid
+    "docs_lexsem_agreement": {"nested-loop join"},
     # ECDF fronts run over the DISTINCT-VALUE table (bounded by the
     # 2-dp metric domain, not corpus size — the ABC catalog argument);
     # 1-row arm totals broadcast
