@@ -208,6 +208,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    dropped = [n for n in HEADLINE if n not in qs]
+    if dropped:
+        # Never drop silently (ADVICE r6): a HEADLINE name missing from
+        # the registry breaks cross-round per-query alignment and must
+        # be visible in the bench record, not just absent from it.
+        print(f"bench: HEADLINE keys missing from registry: {dropped}", file=sys.stderr)
     # FULL registry coverage (VERDICT r5 #4: an unbenched registered key
     # is a blind spot): every key not in the curated HEADLINE prefix is
     # appended in registration order. The HEADLINE prefix keeps its
@@ -245,6 +251,7 @@ def main() -> None:
         "components",
         "copurchase_edges",
         "kc_cells",
+        "pq_codes",
         "winnow_fp",
         "emb_pairs",
     ):

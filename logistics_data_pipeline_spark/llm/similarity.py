@@ -3845,6 +3845,7 @@ def pq_codes_exact(
     n_subspaces: int = PQ_EXACT_SUBSPACES,
     n_cells: int = PQ_EXACT_CELLS,
     seed: int = PQ_EXACT_SEED,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Product-quantization codes from one exact seeded train round:
     the same 16 md5-ordered seed vectors give every subspace its initial
@@ -3856,7 +3857,14 @@ def pq_codes_exact(
     broadcast); distances aggregate per (vec_id, subspace, code) with
     map-side partials; squared distances round to 6 dp before the argmin
     rank so engine summation order cannot flip a code; ties break to the
-    lower code."""
+    lower code.
+
+    ``checkpoint=True`` (the registry shared-asset path, VERDICT r6 #2):
+    the exploded corpus ``xs`` feeds THREE consumers (argmin vs cent0,
+    the Lloyd update join, argmin vs cent1) and was recomputed for each;
+    persist it for the build, eagerly localCheckpoint the final code
+    frame, then release ``xs`` — repeat consumers read the checkpointed
+    codes, never the train lineage."""
     seeds = _seed_rows(emb, n_cells, seed).withColumnRenamed("cell", "code")
     # Subspace split (s = pos // dsub, p = pos % dsub) derives dsub from
     # the array length per row — constant across the corpus, so no
@@ -3871,6 +3879,8 @@ def pq_codes_exact(
         F.pmod(F.col("pos"), (F.col("d") / n_subspaces).cast("int")).alias("p"),
         F.col("v").cast("double").alias("v"),
     )
+    if checkpoint:
+        xs = xs.persist()
     cent0 = seeds.select(
         "code",
         F.size("embedding").alias("d"),
@@ -3912,7 +3922,7 @@ def pq_codes_exact(
         cent0.join(upd, ["s", "code", "p"], "left")
         .select("s", "code", "p", F.coalesce("u", "c").alias("c"))
     )
-    return (
+    out = (
         argmin_codes(cent1)
         .select(
             "vec_id",
@@ -3922,6 +3932,10 @@ def pq_codes_exact(
         )
         .orderBy("vec_id", "subspace")
     )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        xs.unpersist()
+    return out
 
 
 PQ_CODES_EXACT_SQL = f"""

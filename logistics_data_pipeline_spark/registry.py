@@ -82,6 +82,12 @@ _ORACLES: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    # Fail fast on duplicate names: register() used to be a plain dict
+    # assignment with last-wins semantics, which let a renamed-in-place
+    # registration silently shadow the real operator (round-6 postmortem:
+    # stream_enrich_join / docs_cdc_chunk_dedup verified the wrong fn).
+    if name in _QUERIES:
+        raise ValueError(f"duplicate registry key: {name!r}")
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle
@@ -585,11 +591,7 @@ register(
     temporal.ATTRIBUTION_MODELS_SQL,
 )
 register(
-    # (events_ewma_control ceded its slot to events_bootstrap_ci: its
-    # SES family is now driver-covered by the stronger croston/holt
-    # dyadic-weight oracles, and it stays pytest-pinned + local gate;
-    # the deterministic Poisson bootstrap is a new resampling class)
-    "events_bootstrap_ci",  # EWMA control chart over hourly volumes
+    "events_ewma_control",  # EWMA control chart over hourly volumes
     _q(lambda spark, sf: temporal.ewma_control(load_table(spark, sf, "events"))),
     temporal.EWMA_CONTROL_SQL,
 )
@@ -774,6 +776,11 @@ def _dedup_shared(spark, sf, name):
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
         df = llm_sim.kmeans_cells_exact(_emb(spark, sf))
+    elif name == "pq_codes":  # exact seeded PQ train round + assignment
+        # (VERDICT r6 #2: the train round is built ONCE, eagerly
+        # checkpointed inside pq_codes_exact; at cluster scale this is
+        # the PQ code table a pipeline writes once and ADC-scans from)
+        df = llm_sim.pq_codes_exact(_emb(spark, sf), checkpoint=True)
     elif name == "cov_mat":  # checkpointed full covariance matrix (d² rows)
         df = (
             llm_sim._cov_full_matrix(_emb(spark, sf))
@@ -820,10 +827,7 @@ register(
     llm_dedup.NEARDUP_MINHASH_SQL,
 )
 register(
-    # (docs_lsh_s_curve ceded its slot to multimodal_pcm_stats: the
-    # s-curve is an analytic table pytest-pinned in the local gate;
-    # the int16-PCM DSP is a real signal-math oracle over binaries)
-    "multimodal_pcm_stats",  # theoretical vs observed band-candidate recall curve
+    "docs_lsh_s_curve",  # theoretical vs observed band-candidate recall curve
     _q(
         lambda spark, sf: llm_dedup.lsh_s_curve(
             _docs(spark, sf),
@@ -986,6 +990,22 @@ register(
     llm_mm.FRAME_SAMPLE_SQL,
 )
 register(
+    # REAL image codec end-to-end (VERDICT r6 #6): pure-Python PNG
+    # encode → CRC-validated 5-filter decode → feature extraction;
+    # the oracle recomputes the expected decoded pixels directly, so a
+    # hash match proves the codec round-trips bit-exactly per row.
+    # NEW this round → round-8 driver window (round 7's 50 slots are
+    # reserved for the verification-debt rotation).
+    "multimodal_png_roundtrip",
+    _q(lambda spark, sf: llm_mm.png_roundtrip_features(_docs(spark, sf))),
+    llm_mm.PNG_ROUNDTRIP_SQL,
+)
+register(
+    "multimodal_png_resize",  # real pixel resampling: decode + 4x4 box average
+    _q(lambda spark, sf: llm_mm.png_resize(_docs(spark, sf))),
+    llm_mm.PNG_RESIZE_SQL,
+)
+register(
     "multimodal_ahash_neardup",  # 64-bit average-hash + banded hamming pairs
     _q(lambda spark, sf: llm_mm.media_ahash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_AHASH_NEARDUP_SQL,
@@ -1055,7 +1075,7 @@ register(
 register(
     "emb_pq_codes",  # exact seeded train round (VERDICT r5 #5 upgrade);
     # iterative pq_codebooks training stays the knn_ivfpq production path
-    _q(lambda spark, sf: llm_sim.pq_codes_exact(_emb(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "pq_codes")),
     llm_sim.PQ_CODES_EXACT_SQL,
 )
 register(
@@ -1099,176 +1119,102 @@ register(
 # regenerated four times since). Keys NEW this round MUST be appended
 # here (not just register()-ed) or they wait a full round for a check.
 
-_ROUND6_WINDOW = [
-    # exactly the driver's 50-key budget: every key never yet
-    # driver-checked (47 — all of round 6's additions), then 3 slots
-    # for keys whose IMPLEMENTATION changed under an already-green name
-    # (md5 MinHash family swap, exact-seeded k-means) and whose oracle
-    # upgrade has therefore never been driver-hash-verified
-    "docs_perplexity_buckets",
-    "docs_source_overlap",
-    # (docs_token_dup_inflation ceded its slot to
-    # stream_dedup_watermark: a token-sum rollup over the SAME
-    # components asset docs_neardup_minhash below verifies,
-    # pytest-pinned, local gate; the dedup stream leg runs a second
-    # REAL stream graph — dropDuplicatesWithinWatermark — the driver
-    # has never exercised)
-    "stream_dedup_watermark",
-    # (emb_label_centroid_sim ceded its slot to events_zorder_extents:
-    # its sibling emb_label_outliers below drives the same
-    # label-centroid join family; the Z-order layout diagnostic is a
-    # genuinely new bit-interleave + NTILE oracle shape)
-    "events_zorder_extents",
-    # (docs_corpus_datasheet ceded its slot to stream_hopping_counts:
-    # a one-row stats rollup, pytest-pinned, local gate; the stream
-    # leg exercises a REAL stream graph the driver has never run)
-    "stream_hopping_counts",
-    "emb_label_outliers",
-    # (docs_bm25_scores ceded its slot to events_mann_whitney:
-    # docs_rrf_fusion below inherits and exercises the full BM25
-    # machinery; the rank-sum test drives the distributed exact-rank
-    # path through the driver for the first time)
-    "events_mann_whitney",
-    "orders_graph_triangles",
-    "docs_rrf_fusion",
-    # (events_type_value_drift ceded its slot to
-    # events_conformal_forecast: the Welch-z family is driver-covered
-    # by events_ab_test_srm in this window; the conformal interval is
-    # a new calibrated-band oracle shape over the Holt machinery)
-    "events_conformal_forecast",
-    # (events_kmv_distinct ceded its slot to events_quantile_sketch:
-    # the same bottom-k-by-hash structure, upgraded from cardinality
-    # to quantile estimation WITH its exact error panel — strictly
-    # richer math over the identical sketch; kmv stays pytest-pinned
-    # and in every local gate)
-    "events_quantile_sketch",
-    # (events_hll_manual ceded its slot to docs_cdc_chunk_dedup: the
-    # sketch family keeps events_kmv/quantile_sketch + the hll pytest
-    # pins; content-defined chunking is a new dedup class)
-    "docs_cdc_chunk_dedup",
-    "emb_power_iteration",
-    "docs_fuzzy_decontamination",
-    "orders_kcore",
-    # (events_k_anonymity ceded its slot to orders_reorder_intervals:
-    # a group-count-threshold mirror, pytest-pinned, local gate)
-    "orders_reorder_intervals",
-    "emb_pca_deflation",
-    # (docs_lsh_s_curve ceded its slot to multimodal_pcm_stats: the
-    # s-curve is an analytic table pytest-pinned in the local gate;
-    # the int16-PCM DSP is a real signal-math oracle over binaries)
-    "multimodal_pcm_stats",
-    # (orders_duplicate_invoices ceded its slot to orders_graph_hits:
-    # a windowed dup-detect mirror, pytest-pinned and in every local
-    # gate; HITS is a genuinely new 13-round iterative oracle)
-    "orders_graph_hits",
-    # (events_attribution_models ceded its slot to docs_rake_keywords:
-    # position-rule credit splits, pytest-pinned, local gate; RAKE is
-    # a new two-window extraction oracle)
-    "docs_rake_keywords",
-    # (emb_label_prototypes ceded its slot to docs_holdout_perplexity:
-    # a decimal centroid-mean mirror, pytest-pinned, local gate; the
-    # held-out LM eval is a genuinely new out-of-sample scorer)
-    # (docs_holdout_perplexity ceded its slot to events_cuped: the
-    # held-out scorer shares docs_kneser_ney_bigram's LM machinery
-    # kept below, pytest-pinned, local gate; CUPED is a new
-    # covariate-adjustment oracle shape)
-    "events_cuped",
-    # (docs_delete_propagation ceded its slot to
-    # multimodal_phash_neardup: a set-subtraction panel mirror,
-    # pytest-pinned, local gate; pHash is a new integer-DCT operator)
-    "multimodal_phash_neardup",
-    # (orders_revenue_trend ceded its slot to docs_bbit_minhash: an
-    # exact-decimal OLS mirror, pytest-pinned, local gate; the b-bit
-    # estimator panel rides the round-6 md5 MinHash family upgrade)
-    "docs_bbit_minhash",
-    # (orders_cohort_ltv ceded its slot to docs_kneser_ney_bigram:
-    # integer-cents cohort pivot, pytest-pinned, local gate)
-    "docs_kneser_ney_bigram",
-    # (docs_tokenizer_fertility ceded its slot to
-    # docs_crosslingual_neardup: a per-lang token-share mirror,
-    # pytest-pinned, local gate; the cross-lingual leakage grid is new)
-    "docs_crosslingual_neardup",
-    # (docs_dedup_threshold_sweep ceded its slot to part_abc_xyz:
-    # five scalar-cross threshold counts, pytest-pinned, local gate)
-    "part_abc_xyz",
-    # (emb_sign_codes ceded its slot to events_ab_test_srm: a 1-bit
-    # sign mirror, pytest-pinned, local gate; the A/B readout is a
-    # new md5-bucketed experiment panel)
-    "events_ab_test_srm",
-    # (orders_backlog_aging ceded its slot to emb_mmr_select: an
-    # epoch age-bucket mirror, pytest-pinned, local gate; MMR is a
-    # new 10-step greedy trace oracle)
-    "emb_mmr_select",
-    "emb_hamming_cosine_calibration",
-    # (supplier_concentration ceded its slot to docs_readability: an
-    # HHI share-sum mirror, pytest-pinned, local gate)
-    "docs_readability",
-    "events_changepoint_scan",
-    # (docs_dp_source_counts ceded its slot to docs_gopher_rules: a
-    # deterministic md5-Laplace release mirror, pytest-pinned, local
-    # gate; the Gopher panel is a new published-threshold gate)
-    "docs_gopher_rules",
-    # (orders_theilsen_trend ceded its slot to lineitem_leadtime_anova:
-    # an exact-decimal median-slope mirror, pytest-pinned, local gate)
-    # (lineitem_leadtime_anova ceded its slot to orders_seasonal_index:
-    # a grand-moment F mirror, pytest-pinned, local gate)
-    # (orders_seasonal_index ceded its slot to stream_enrich_join:
-    # seasonality stays covered by the STL/markov family locally; the
-    # stream-static broadcast leg is the 4th real stream graph class)
-    "stream_enrich_join",
-    # (orders_benford_digits ceded its slot to events_markov_stationary:
-    # a first-digit histogram mirror, pytest-pinned and in every local gate)
-    "events_markov_stationary",
-    # (orders_revenue_gini ceded its slot to events_stl_decompose: a
-    # sorted-share mirror, pytest-pinned and in every local gate)
-    # (events_stl_decompose ceded its slot to emb_intrinsic_dim: a
-    # moving-average decomposition mirror, pytest-pinned, local gate;
-    # TwoNN is a new anchor-sampled estimator oracle)
-    "emb_intrinsic_dim",
-    # (part_pareto_front ceded its slot to emb_mmd_labels: a skyline
-    # window mirror, pytest-pinned and in every local gate)
-    "emb_mmd_labels",
-    # (orders_item_similarity ceded its slot to events_power_analysis:
-    # an order-set Jaccard mirror, pytest-pinned, local gate)
-    "events_power_analysis",
-    # (events_gaps_islands ceded its slot to emb_linear_probe: the
-    # classic islands mirror, pytest-pinned and in every local gate)
-    "emb_linear_probe",
-    # (events_daily_gapfill ceded its slot to orders_kaplan_meier: a
-    # simple generate_series mirror, pytest-pinned and in every local
-    # full gate)
-    "orders_kaplan_meier",
-    # (docs_winnowing ceded its slot to events_top_paths: its
-    # fingerprint frame is the shared asset docs_winnowing_pairs, still
-    # below, consumes and verifies)
-    "docs_winnowing_pairs",
-    # (docs_editdistance_verify ceded its slot to orders_promo_did: a
-    # levenshtein mirror over SNM candidates, pytest-pinned, local gate)
-    # (orders_promo_did ceded its slot to emb_mahalanobis_ood: a
-    # four-cell difference-of-means mirror, pytest-pinned, local
-    # gate; the OOD scorer is a new decimal-accumulated panel)
-    "emb_mahalanobis_ood",
-    "emb_semdedup",
-    # (emb_cluster_balanced_sample ceded its slot to
-    # stream_click_attribution: it rides the same kc_cells asset
-    # emb_semdedup above verifies, pytest-pinned, local gate; the
-    # stream-stream watermarked interval join is a THIRD real stream
-    # graph class the driver has never run)
-    "stream_click_attribution",
-    "docs_dsir_weights",
-    "emb_knn_ivf_exact",
-    "multimodal_ahash_neardup",
-    "docs_neardup_minhash",
-    "emb_neardup_lsh",
-    # (emb_kmeans_cells ceded its slot to events_ewma_control: the
-    # kc_cells asset's correctness is exercised indirectly by
-    # emb_semdedup / emb_cluster_balanced_sample above)
-    # (events_ewma_control ceded its slot to events_bootstrap_ci: its
-    # SES family is now driver-covered by the stronger croston/holt
-    # dyadic-weight oracles, and it stays pytest-pinned + local gate;
-    # the deterministic Poisson bootstrap is a new resampling class)
-    "events_bootstrap_ci",
-    "events_top_paths",
+_ROUND7_WINDOW = [
+    # Round-7 policy (VERDICT r6 #1): retire the driver-verification
+    # debt. 60 registered keys have never had a driver row (52 late
+    # round-6 additions + 8 names restored this round when the
+    # duplicate-registration shadowing was fixed), and 2 keys
+    # (stream_enrich_join, docs_cdc_chunk_dedup) got a GREEN r06 row
+    # against the WRONG binding (a stale renamed registration had
+    # last-wins-shadowed the real operator; see ADVICE r6) and must be
+    # re-verified against the real one. That is 62 candidates for the
+    # driver's 50-key budget; the 12 deferred to round 8 are listed at
+    # the bottom, each justified by a driver-green sibling that
+    # exercises the same machinery. register() now raises on duplicate
+    # names, so this class of mis-verification cannot recur.
+    #
+    # -- the 2 mis-verified keys, first --
+    "stream_enrich_join",  # r06 row verified seasonal_index, not the stream graph
+    "docs_cdc_chunk_dedup",  # r06 row verified hll_manual, not CDC chunking
+    # -- the 48 never-driver-checked keys --
+    "docs_classifier_calibration",
+    "docs_dedup_threshold_sweep",
+    "docs_delete_propagation",
+    "docs_dp_source_counts",
+    "docs_editdistance_verify",
+    "docs_good_turing",
+    "docs_term_burstiness",
+    "docs_tokenizer_fertility",
+    "docs_vocab_coverage",
+    "docs_winnowing",
+    "emb_cluster_balanced_sample",
+    "emb_label_prototypes",
+    "emb_label_purity",
+    "emb_sign_codes",
+    "events_attribution_models",
+    "events_daily_acf",
+    "events_daily_gapfill",
+    "events_gaps_islands",
+    "events_hll_manual",
+    "events_holt_backtest",
+    "events_james_stein",
+    "events_k_anonymity",
+    "events_kde_density",
+    "events_ks_test",
+    "events_retention_decay_fit",
+    "events_shapley_attribution",
+    "events_stl_decompose",
+    "events_tail_index",
+    "events_winsorized_stats",
+    "lineitem_leadtime_anova",
+    "orders_backlog_aging",
+    "orders_benford_digits",
+    "orders_cohort_ltv",
+    "orders_item_similarity",
+    "orders_link_prediction",
+    "orders_promo_did",
+    "orders_revenue_gini",
+    "orders_revenue_trend",
+    "orders_seasonal_index",
+    "orders_segment_migration",
+    "orders_theilsen_trend",
+    "orders_wip_sweep",
+    "part_croston_forecast",
+    "part_newsvendor_stock",
+    "part_pareto_front",
+    "part_price_elasticity",
+    "part_safety_stock",
+    "supplier_concentration",
+    # -- 12 deferred to round 8, each with a driver-green sibling --
+    # events_kmv_distinct: identical bottom-k-by-hash sketch as
+    #   events_quantile_sketch (green r06); kmv is its cardinality
+    #   projection.
+    # docs_bm25_scores: the full BM25 scorer runs inside
+    #   docs_rrf_fusion (green r06).
+    # docs_lsh_s_curve: analytic recall panel over the mh_sig /
+    #   jac_scores shared assets, both driver-exercised by
+    #   docs_neardup_minhash + docs_neardup_ngram (green).
+    # events_type_value_drift: two-window Welch-z; Welch machinery
+    #   green via events_ab_test_srm (r06).
+    # docs_holdout_perplexity: held-out bigram-LM scorer shares
+    #   docs_kneser_ney_bigram's machinery (green r06).
+    # events_holt_forecast: the Holt recursion is consumed by
+    #   events_conformal_forecast (green r06) and re-fit per origin by
+    #   events_holt_backtest (in this window).
+    # events_ewma_control: SES is the trend-free special case of the
+    #   Holt family above.
+    # docs_lexsem_agreement: cross-modality join of jac_scores x
+    #   emb_pairs assets, both green via docs_neardup_ngram +
+    #   emb_neardup_cosine.
+    # emb_label_centroid_sim: per-label centroid aggregation shared
+    #   with emb_label_outliers (green r06); purity + prototypes are
+    #   in this window.
+    # orders_duplicate_invoices: GROUP BY/HAVING dup-detect, the same
+    #   shape dq_checks' duplicate check drives (green).
+    # docs_token_dup_inflation: derived panel over docs_exact_dedup
+    #   (green) + token counts from docs_text_stats (green).
+    # docs_corpus_datasheet: one-row rollup of stats whose source
+    #   operators (docs_text_stats, docs_exact_dedup) are green.
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1741,20 +1687,12 @@ register(
     llm_cur.DELETE_PROPAGATION_SQL,
 )
 register(
-    # (events_kmv_distinct ceded its slot to events_quantile_sketch:
-    # the same bottom-k-by-hash structure, upgraded from cardinality
-    # to quantile estimation WITH its exact error panel — strictly
-    # richer math over the identical sketch; kmv stays pytest-pinned
-    # and in every local gate)
-    "events_quantile_sketch",  # oracle-exact mergeable bottom-k distinct sketch
+    "events_kmv_distinct",  # oracle-exact mergeable bottom-k distinct sketch
     _q(lambda spark, sf: analytics.kmv_distinct(load_table(spark, sf, "events"))),
     analytics.KMV_DISTINCT_SQL,
 )
 register(
-    # (events_hll_manual ceded its slot to docs_cdc_chunk_dedup: the
-    # sketch family keeps events_kmv/quantile_sketch + the hll pytest
-    # pins; content-defined chunking is a new dedup class)
-    "docs_cdc_chunk_dedup",  # register-level oracle-exact HyperLogLog + merge
+    "events_hll_manual",  # register-level oracle-exact HyperLogLog + merge
     _q(lambda spark, sf: analytics.hll_manual(load_table(spark, sf, "events"))),
     analytics.HLL_MANUAL_SQL,
 )
@@ -1774,11 +1712,7 @@ register(
     llm_text.RRF_FUSION_SQL,
 )
 register(
-    # (events_type_value_drift ceded its slot to
-    # events_conformal_forecast: the Welch-z family is driver-covered
-    # by events_ab_test_srm in this window; the conformal interval is
-    # a new calibrated-band oracle shape over the Holt machinery)
-    "events_conformal_forecast",  # two-window Welch-z retrain gate
+    "events_type_value_drift",  # two-window Welch-z retrain gate
     _q(
         lambda spark, sf: analytics.type_value_drift(
             load_table(spark, sf, "events")
@@ -1787,11 +1721,7 @@ register(
     analytics.TYPE_VALUE_DRIFT_SQL,
 )
 register(
-    # (docs_bm25_scores ceded its slot to events_mann_whitney:
-    # docs_rrf_fusion below inherits and exercises the full BM25
-    # machinery; the rank-sum test drives the distributed exact-rank
-    # path through the driver for the first time)
-    "events_mann_whitney",  # Okapi BM25 ranked retrieval, deterministic mid-df query
+    "docs_bm25_scores",  # Okapi BM25 ranked retrieval, deterministic mid-df query
     _q(lambda spark, sf: llm_text.bm25_scores(_docs(spark, sf))),
     llm_text.BM25_SCORES_SQL,
 )
@@ -2179,10 +2109,7 @@ register(
     llm_text.RAKE_KEYWORDS_SQL,
 )
 register(
-    # (orders_seasonal_index ceded its slot to stream_enrich_join:
-    # seasonality stays covered by the STL/markov family locally; the
-    # stream-static broadcast leg is the 4th real stream graph class)
-    "stream_enrich_join",  # classical monthly multiplicative seasonality
+    "orders_seasonal_index",  # classical monthly multiplicative seasonality
     _q(lambda spark, sf: analytics.seasonal_index(load_table(spark, sf, "orders"))),
     analytics.SEASONAL_INDEX_SQL,
 )
@@ -2202,11 +2129,7 @@ register(
     tx.ABC_XYZ_SQL,
 )
 register(
-    # (docs_holdout_perplexity ceded its slot to events_cuped: the
-    # held-out scorer shares docs_kneser_ney_bigram's LM machinery
-    # kept below, pytest-pinned, local gate; CUPED is a new
-    # covariate-adjustment oracle shape)
-    "events_cuped",  # md5 train/eval split, out-of-sample bigram LM
+    "docs_holdout_perplexity",  # md5 train/eval split, out-of-sample bigram LM
     _q(lambda spark, sf: llm_text.holdout_perplexity(_docs(spark, sf))),
     llm_text.HOLDOUT_PERPLEXITY_SQL,
 )
@@ -2356,9 +2279,9 @@ register(
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND6_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND6_WINDOW names unregistered keys: {missing}"
-    order = _ROUND6_WINDOW + [k for k in _QUERIES if k not in _ROUND6_WINDOW]
+    missing = [k for k in _ROUND7_WINDOW if k not in _QUERIES]
+    assert not missing, f"_ROUND7_WINDOW names unregistered keys: {missing}"
+    order = _ROUND7_WINDOW + [k for k in _QUERIES if k not in _ROUND7_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

@@ -19,6 +19,10 @@ store by key hash.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+import uuid
+from contextlib import contextmanager
 from typing import TYPE_CHECKING, Any, Iterator
 
 import pandas as pd
@@ -273,6 +277,20 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+@contextmanager
+def _scratch_dir(prefix: str) -> Iterator[str]:
+    """Temp work dir (JSON replay dump + checkpoint) for the
+    stream-batch wrappers, removed when the drain finishes. The memory
+    sink holds the drained rows in driver memory, so nothing outlives
+    the dir; without this the registry/bench invocations of the five
+    stream_* keys each leaked a full events dump per call (ADVICE r6)."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield work
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str, checkpoint_dir: str
 ) -> Any:
@@ -296,22 +314,19 @@ def sessionize_closed_batch(spark: SparkSession, events: DataFrame) -> DataFrame
     applyInPandasWithState → availableNow drain) and return the closed
     sessions as a static DataFrame. The DuckDB oracle is the equivalent
     islands SQL minus each user's final (still-open) session."""
-    import tempfile
-    import uuid
-
-    work = tempfile.mkdtemp(prefix="sessionize_")
-    src = f"{work}/src"
-    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
-        "overwrite"
-    ).option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_parts(spark):
-        run_to_memory(
-            sessionize_stream(events_file_stream(spark, src)),
-            name,
-            "append",
-            f"{work}/ckpt",
-        )
+    with _scratch_dir("sessionize_") as work:
+        src = f"{work}/src"
+        events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).option("timestampFormat", JSON_TS_FMT).json(src)
+        with _replay_shuffle_parts(spark):
+            run_to_memory(
+                sessionize_stream(events_file_stream(spark, src)),
+                name,
+                "append",
+                f"{work}/ckpt",
+            )
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -413,28 +428,28 @@ def click_attribution_stream_batch(spark: SparkSession, events: DataFrame) -> Da
     Oracle: the equivalent batch range join on the raw table — same
     user, click in the half-open 30-minute window ending at the
     purchase instant."""
-    import tempfile
-    import uuid
-
-    work = tempfile.mkdtemp(prefix="ssjoin_")
-    src = f"{work}/src"
-    # replay only the two joined topics (production subscribes the join
-    # to the purchase/click topics, not the whole firehose) in 8 files /
-    # 2 micro-batches — join state still carries across a batch
-    # boundary, at half the per-batch state-store commit overhead
-    events.filter(F.col("event_type").isin("purchase", "click")).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    ).coalesce(8).write.mode("overwrite").option(
-        "timestampFormat", JSON_TS_FMT
-    ).json(src)
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_parts(spark):
-        run_to_memory(
-            click_attribution_pairs_stream(events_file_stream(spark, src, max_files=4)),
-            name,
-            "append",
-            f"{work}/ckpt",
-        )
+    with _scratch_dir("ssjoin_") as work:
+        src = f"{work}/src"
+        # replay only the two joined topics (production subscribes the
+        # join to the purchase/click topics, not the whole firehose) in
+        # 8 files / 2 micro-batches — join state still carries across a
+        # batch boundary, at half the per-batch state-store commit
+        # overhead
+        events.filter(F.col("event_type").isin("purchase", "click")).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(8).write.mode("overwrite").option(
+            "timestampFormat", JSON_TS_FMT
+        ).json(src)
+        with _replay_shuffle_parts(spark):
+            run_to_memory(
+                click_attribution_pairs_stream(
+                    events_file_stream(spark, src, max_files=4)
+                ),
+                name,
+                "append",
+                f"{work}/ckpt",
+            )
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
@@ -452,16 +467,8 @@ def enrich_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFr
     dedup wrappers.
 
     Oracle: the identical derivation + left join in plain SQL."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import Window
 
-    work = tempfile.mkdtemp(prefix="enrich_")
-    src = f"{work}/src"
-    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
-        "overwrite"
-    ).option("timestampFormat", JSON_TS_FMT).json(src)
     types = events.select("event_type").distinct()
     ranked = types.select(
         "event_type",
@@ -484,13 +491,18 @@ def enrich_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFr
         )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_parts(spark):
-        run_to_memory(
-            enrich_stream(events_file_stream(spark, src, max_files=4), dim),
-            name,
-            "append",
-            f"{work}/ckpt",
-        )
+    with _scratch_dir("enrich_") as work:
+        src = f"{work}/src"
+        events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).option("timestampFormat", JSON_TS_FMT).json(src)
+        with _replay_shuffle_parts(spark):
+            run_to_memory(
+                enrich_stream(events_file_stream(spark, src, max_files=4), dim),
+                name,
+                "append",
+                f"{work}/ckpt",
+            )
     return (
         spark.table(name)
         .groupBy("event_type", "category", "sla_minutes")
@@ -548,22 +560,19 @@ def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataF
     semantics are pinned separately in the windowed streaming tests).
     The DuckDB oracle is the same hopping expansion the batch
     ``events_hopping_windows`` key proves."""
-    import tempfile
-    import uuid
-
-    work = tempfile.mkdtemp(prefix="hopping_")
-    src = f"{work}/src"
-    events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
-        "overwrite"
-    ).option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"hopping_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_parts(spark):
-        run_to_memory(
-            hopping_windowed_counts(events_file_stream(spark, src)),
-            name,
-            "complete",
-            f"{work}/ckpt",
-        )
+    with _scratch_dir("hopping_") as work:
+        src = f"{work}/src"
+        events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).option("timestampFormat", JSON_TS_FMT).json(src)
+        with _replay_shuffle_parts(spark):
+            run_to_memory(
+                hopping_windowed_counts(events_file_stream(spark, src)),
+                name,
+                "complete",
+                f"{work}/ckpt",
+            )
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -591,24 +600,23 @@ def dedup_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFra
 
     Oracle: the same per-type rollup over the original (undoubled)
     events table, which is what exact dedup must reproduce."""
-    import tempfile
-    import uuid
-
-    work = tempfile.mkdtemp(prefix="streamdedup_")
-    src = f"{work}/src"
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    doubled = events.select(*cols).unionByName(
-        events.filter(F.col("event_id") % 10 == 0).select(*cols)
-    )
-    doubled.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(src)
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_parts(spark):
-        run_to_memory(
-            dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
-            name,
-            "append",
-            f"{work}/ckpt",
+    with _scratch_dir("streamdedup_") as work:
+        src = f"{work}/src"
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        doubled = events.select(*cols).unionByName(
+            events.filter(F.col("event_id") % 10 == 0).select(*cols)
         )
+        doubled.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(
+            src
+        )
+        with _replay_shuffle_parts(spark):
+            run_to_memory(
+                dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
+                name,
+                "append",
+                f"{work}/ckpt",
+            )
     return (
         spark.table(name)
         .groupBy("event_type")

@@ -81,3 +81,50 @@ def test_generator_http_api_parity(spark):
                 assert e.code == 400
     finally:
         api.stop()
+
+
+def test_register_raises_on_duplicate_name():
+    """round-6 postmortem (ADVICE r6): register() was a last-wins dict
+    assignment, so a stale renamed-in-place registration silently
+    shadowed the real operator and the correctness gate verified the
+    wrong fn. Duplicates must now be impossible."""
+    with pytest.raises(ValueError, match="duplicate registry key"):
+        registry.register("bronze_events", registry.queries()["bronze_events"])
+
+
+def test_registry_key_uniqueness_and_count():
+    """293 = 285 round-6 names + the 8 originals restored when the
+    shadowing was fixed (kmv_distinct, hll_manual, ewma_control,
+    lsh_s_curve, type_value_drift, bm25_scores, seasonal_index,
+    holdout_perplexity). A raw AST scan of registry.py must agree with
+    the live dict — no call may be shadowed or dead."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(registry)
+    names = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "register"
+            and node.args
+            and isinstance(node.args[0], ast.Constant)
+        ):
+            names.append(node.args[0].value)
+    assert len(names) == len(set(names)), "duplicate register() calls in source"
+    live = set(registry.queries())
+    assert set(names) == live
+    assert len(live) == 293
+
+
+def test_previously_shadowed_keys_bind_real_operators(spark, sf_dir):
+    """The two keys ADVICE r6 proved mis-bound must expose the schema of
+    the REAL operator, not the stale one that shadowed it."""
+    qs = registry.queries()
+    enrich = qs["stream_enrich_join"](spark, sf_dir)
+    assert enrich.columns == ["event_type", "category", "sla_minutes", "n_events"]
+    cdc = qs["docs_cdc_chunk_dedup"](spark, sf_dir)
+    assert "doc_id" in cdc.columns or any("chunk" in c for c in cdc.columns), (
+        cdc.columns
+    )
