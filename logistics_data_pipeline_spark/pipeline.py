@@ -139,3 +139,37 @@ def write_gold(warehouse: dict[str, DataFrame], path: str) -> None:
         "dq_invalid_delivery_summary",
     ]:
         warehouse[name].write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def write_gold_bucketed(
+    warehouse: dict[str, DataFrame], buckets: int = 8, prefix: str = "gold_b"
+) -> None:
+    """Bucketed-gold mode (VERDICT r6 #7): materialize the fact and its
+    two HIGH-CARDINALITY dimensions as bucketed+sorted managed tables —
+    fact and dim_order co-bucketed on ``order_sk`` so the recurring
+    fact⋈dim_order backbone join is shuffle-FREE sort-merge (star.py's
+    module notes flag exactly this join as the at-scale shuffle);
+    dim_time bucketed on ``time_sk`` for the same reason. The enum-sized
+    dims (status/carrier/location) stay broadcast joins — bucketing them
+    would buy nothing.
+
+    At 1000-executor scale this converts every nightly fact⋈dim_order
+    pass from a full-network shuffle of the fact into local bucket
+    merges; the write pays the shuffle ONCE. Plan-asserted in
+    tests/test_layout.py::test_bucketed_gold_fact_dim_order_join."""
+    from .sources.bucketed import write_bucketed
+
+    write_bucketed(warehouse["fact_event"], f"{prefix}_fact_event", "order_sk", buckets)
+    write_bucketed(warehouse["dim_order"], f"{prefix}_dim_order", "order_sk", buckets)
+    write_bucketed(warehouse["dim_time"], f"{prefix}_dim_time", "time_sk", buckets)
+
+
+def bucketed_fact_dim_order(spark: SparkSession, prefix: str = "gold_b") -> DataFrame:
+    """The backbone join over the bucketed gold layout — with bucketing
+    metadata present Catalyst plans sort-merge with NO Exchange on
+    either side."""
+    fact = spark.table(f"{prefix}_fact_event")
+    dim = spark.table(f"{prefix}_dim_order").withColumnRenamed(
+        "latest_event_timestamp", "order_latest_event_timestamp"
+    )
+    return fact.join(dim.drop("order_id"), "order_sk")

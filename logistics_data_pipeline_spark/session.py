@@ -131,6 +131,18 @@ def get_spark(app_name: str = "logistics-data-pipeline-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
+    # Test-only s3a stub (VERDICT r6 #5): a compiled RawLocalFileSystem
+    # subclass that serves s3a:// URIs from the local disk, so the
+    # object-store code paths (sources/bronze.py) are exercised against
+    # a non-local scheme without a live endpoint. Classpath must be set
+    # at JVM launch; the fs.s3a.impl binding itself is opt-in per test
+    # via the hadoopConfiguration (see tests/test_s3a_path.py). On a
+    # real cluster this jar is absent and cluster conf wins.
+    _testfs = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "resources", "testfs", "testfs.jar"
+    )
+    if os.path.exists(_testfs):
+        builder = builder.config("spark.driver.extraClassPath", _testfs)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -115,7 +115,9 @@ def test_registry_key_uniqueness_and_count():
     assert len(names) == len(set(names)), "duplicate register() calls in source"
     live = set(registry.queries())
     assert set(names) == live
-    assert len(live) == 293
+    # floor, not exact: new operators append; shrinking below the
+    # round-7 restore point would mean a registration was lost again
+    assert len(live) >= 293
 
 
 def test_previously_shadowed_keys_bind_real_operators(spark, sf_dir):
