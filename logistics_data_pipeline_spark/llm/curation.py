@@ -1521,3 +1521,212 @@ ORDER BY bin
 
 
 CLASSIFIER_CALIBRATION_SQL = _classifier_calibration_sql()
+
+
+# Gopher repetition rules (Rae et al. 2021, Appendix A / Table A1) —
+# the half of the panel ``gopher_rules`` documents as omitted for line
+# structure; the n-gram half below APPLIES to single-line docs. Filter
+# semantics: a doc FAILS a rule when its fraction exceeds the
+# threshold.
+GOPHER_TOP_NGRAM_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESH = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher repetition-rule panel: per document, the fraction of
+    characters covered by (a) the most frequent n-gram for n=2..4 and
+    (b) all duplicated n-grams for n=5..10, each with its published
+    pass threshold — the repetition half of the MassiveText quality
+    gate (complementing ``gopher_rules``' word-level half).
+
+    Exact definitions (deterministic, oracle-mirrored):
+    * tokens = whitespace-split of trim(lower(text)); total_chars =
+      length of the single-space re-join (so fractions are measured
+      against the same normalized text the grams come from);
+    * top_frac_n = count(top) * chars(top) / total_chars, where the
+      top gram is the most frequent n-gram, ties broken to the
+      lexicographically smallest (the tie rule pins which gram's
+      length enters the numerator);
+    * dup_frac_n = sum over grams occurring >= 2 times of
+      count * chars / total_chars (overlap-blind, like the published
+      heuristic; can exceed 1 on degenerate inputs — the flag only
+      compares against the threshold);
+    * a doc with fewer than n tokens contributes no n-grams and gets
+      fraction 0 (vacuous pass).
+
+    Scale: ONE corpus scan fans out to the 9 n-values inside the same
+    explode (no re-scan per n), one (doc, n, gram) hash aggregation,
+    one (doc, n) rollup, then a conditional-agg pivot back to a row
+    per doc — two shuffles total, all counting JVM-side."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # single-file parquet trap (round-6 measured): the 9-way gram
+    # fan-out after a 1-file scan would run in ONE task without an
+    # explicit keyed repartition (plain repartition gets AQE-coalesced)
+    base = docs.repartition(32, "doc_id").select(
+        F.col("doc_id"), toks.alias("t")
+    ).select("doc_id", "t", F.length(F.array_join("t", " ")).alias("total_chars"))
+    ns = sorted(GOPHER_TOP_NGRAM_THRESH) + sorted(GOPHER_DUP_NGRAM_THRESH)
+    gram_arrays = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.size("t") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n} + 1), "
+                        f"i -> concat_ws(' ', slice(t, i, {n})))"
+                    ),
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("grams"),
+            )
+            for n in ns
+        ]
+    )
+    exploded = (
+        base.select("doc_id", "total_chars", F.explode(gram_arrays).alias("s"))
+        .select(
+            "doc_id",
+            "total_chars",
+            F.col("s.n").alias("n"),
+            F.explode("s.grams").alias("gram"),
+        )
+    )
+    counts = exploded.groupBy("doc_id", "total_chars", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
+        # min(struct(-cnt, gram)) = highest count, then smallest gram
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "total_chars",
+        "n",
+        ((-F.col("top.neg")) * F.length("top.gram")).alias("top_chars"),
+        "dup_chars",
+    )
+
+    def frac(col):
+        return F.round(col.cast("double") / F.col("total_chars"), 6)
+
+    aggs = []
+    for n in sorted(GOPHER_TOP_NGRAM_THRESH):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("top_chars")))),
+                F.lit(0.0),
+            ).alias(f"top_{n}gram_frac")
+        )
+    for n in sorted(GOPHER_DUP_NGRAM_THRESH):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("dup_chars")))),
+                F.lit(0.0),
+            ).alias(f"dup_{n}gram_frac")
+        )
+    wide = per_n.groupBy("doc_id", "total_chars").agg(*aggs)
+    # docs too short for ANY bigram never reach per_n; restore them
+    wide = (
+        base.select("doc_id", "total_chars")
+        .join(wide.drop("total_chars"), "doc_id", "left")
+        .fillna(0.0)
+    )
+    flags = []
+    overall = F.lit(True)
+    for n, th in sorted(GOPHER_TOP_NGRAM_THRESH.items()):
+        p = (F.col(f"top_{n}gram_frac") <= th).alias(f"pass_top_{n}gram")
+        flags.append(p)
+        overall = overall & (F.col(f"top_{n}gram_frac") <= th)
+    for n, th in sorted(GOPHER_DUP_NGRAM_THRESH.items()):
+        p = (F.col(f"dup_{n}gram_frac") <= th).alias(f"pass_dup_{n}gram")
+        flags.append(p)
+        overall = overall & (F.col(f"dup_{n}gram_frac") <= th)
+    return wide.select(
+        "doc_id",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        *[F.col(f"top_{n}gram_frac") for n in sorted(GOPHER_TOP_NGRAM_THRESH)],
+        *[F.col(f"dup_{n}gram_frac") for n in sorted(GOPHER_DUP_NGRAM_THRESH)],
+        *flags,
+        overall.alias("pass_repetition"),
+    ).orderBy("doc_id")
+
+
+def _gopher_repetition_sql() -> str:
+    tops = sorted(GOPHER_TOP_NGRAM_THRESH)
+    dups = sorted(GOPHER_DUP_NGRAM_THRESH)
+    ns = ", ".join(f"({n})" for n in tops + dups)
+    top_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN p.n = {n} THEN ROUND(p.top_chars / CAST(t.total_chars AS DOUBLE), 6) END), 0.0) AS top_{n}gram_frac"
+        for n in tops
+    )
+    dup_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN p.n = {n} THEN ROUND(p.dup_chars / CAST(t.total_chars AS DOUBLE), 6) END), 0.0) AS dup_{n}gram_frac"
+        for n in dups
+    )
+    top_flags = ",\n       ".join(
+        f"top_{n}gram_frac <= {th} AS pass_top_{n}gram"
+        for n, th in sorted(GOPHER_TOP_NGRAM_THRESH.items())
+    )
+    dup_flags = ",\n       ".join(
+        f"dup_{n}gram_frac <= {th} AS pass_dup_{n}gram"
+        for n, th in sorted(GOPHER_DUP_NGRAM_THRESH.items())
+    )
+    allpass = " AND ".join(
+        [f"top_{n}gram_frac <= {th}" for n, th in sorted(GOPHER_TOP_NGRAM_THRESH.items())]
+        + [f"dup_{n}gram_frac <= {th}" for n, th in sorted(GOPHER_DUP_NGRAM_THRESH.items())]
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, t, length(array_to_string(t, ' ')) AS total_chars FROM base
+),
+idx AS (
+  SELECT b.doc_id, b.total_chars, nn.n, b.t,
+         unnest(range(0, greatest(len(b.t) - nn.n + 1, 0))) AS i
+  FROM tot b CROSS JOIN (VALUES {ns}) nn(n)
+),
+grams AS (
+  SELECT doc_id, total_chars, n,
+         array_to_string(list_slice(t, i + 1, i + n), ' ') AS gram
+  FROM idx
+),
+counts AS (
+  SELECT doc_id, total_chars, n, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counts
+),
+per_n AS (
+  SELECT doc_id, total_chars, n,
+         MAX(CASE WHEN rn = 1 THEN cnt * length(gram) END) AS top_chars,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM ranked GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT t.doc_id, t.total_chars,
+       {top_cols},
+       {dup_cols}
+  FROM tot t LEFT JOIN per_n p ON p.doc_id = t.doc_id
+  GROUP BY t.doc_id, t.total_chars
+)
+SELECT doc_id, CAST(total_chars AS BIGINT) AS total_chars,
+       {", ".join(f"top_{n}gram_frac" for n in tops)},
+       {", ".join(f"dup_{n}gram_frac" for n in dups)},
+       {top_flags},
+       {dup_flags},
+       ({allpass}) AS pass_repetition
+FROM wide
+ORDER BY doc_id
+""".strip()
+
+
+GOPHER_REPETITION_SQL = _gopher_repetition_sql()

@@ -5192,3 +5192,122 @@ FROM per_q
 GROUP BY 1
 ORDER BY 1
 """.strip()
+
+
+# --- semantic (embedding-level) decontamination ------------------------
+#
+# The lexical decontamination keys (llm/dedup.py fuzzy_decontamination)
+# catch surface-form leakage; paraphrased or templated contamination
+# survives shingle hashing but not embedding cosine. Split the corpus
+# into train/eval by an md5 hash (deterministic, oracle-mirrored) and
+# report, per eval vector, its near-duplicate TRAIN matches from the
+# exact cosine pair list — the "is my eval set in the training data at
+# the semantic level" audit a 100 TB pipeline runs before every eval.
+
+SEMDECON_SALT = ":semsplit"
+SEMDECON_EVAL_HEX = "4"  # md5 first nibble < '4' => eval (~25%)
+
+
+def semantic_decontamination(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per eval vector: how many train-side cosine near-dups it has,
+    and the strongest one (ties to the lower train id). ``pairs`` is
+    the exact threshold pair list (a_id < b_id, cosine >= threshold) —
+    inject the shared ``emb_pairs`` asset so the O(n²) block-pair work
+    is paid once per session, not per consumer.
+
+    Scale: the pair list is sparse (near-dups only); the split flags
+    broadcast-join onto it; one row_number window per eval id. The
+    expensive part is the pair build, which is the already-governed
+    shared asset."""
+    split = emb.select(
+        "vec_id",
+        (
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(SEMDECON_SALT))),
+                1,
+                1,
+            )
+            < SEMDECON_EVAL_HEX
+        ).alias("is_eval"),
+    )
+    p = (
+        pairs.join(
+            F.broadcast(
+                split.select(
+                    F.col("vec_id").alias("a_id"), F.col("is_eval").alias("a_eval")
+                )
+            ),
+            "a_id",
+        )
+        .join(
+            F.broadcast(
+                split.select(
+                    F.col("vec_id").alias("b_id"), F.col("is_eval").alias("b_eval")
+                )
+            ),
+            "b_id",
+        )
+        .filter(F.col("a_eval") != F.col("b_eval"))
+        .select(
+            F.when(F.col("a_eval"), F.col("a_id")).otherwise(F.col("b_id")).alias(
+                "eval_id"
+            ),
+            F.when(F.col("a_eval"), F.col("b_id")).otherwise(F.col("a_id")).alias(
+                "train_id"
+            ),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_neardups"),
+            F.max(F.when(F.col("rn") == 1, F.col("train_id"))).alias("top_train_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("top_cosine"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+SEMANTIC_DECONTAMINATION_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= {NEARDUP_THRESHOLD}
+),
+split AS (
+  SELECT vec_id,
+         substr(md5(CAST(vec_id AS VARCHAR) || '{SEMDECON_SALT}'), 1, 1)
+           < '{SEMDECON_EVAL_HEX}' AS is_eval
+  FROM embeddings
+),
+cross_pairs AS (
+  SELECT CASE WHEN sa.is_eval THEN p.a_id ELSE p.b_id END AS eval_id,
+         CASE WHEN sa.is_eval THEN p.b_id ELSE p.a_id END AS train_id,
+         p.cosine
+  FROM pairs p
+  JOIN split sa ON sa.vec_id = p.a_id
+  JOIN split sb ON sb.vec_id = p.b_id
+  WHERE sa.is_eval != sb.is_eval
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY eval_id ORDER BY cosine DESC, train_id ASC) AS rn
+  FROM cross_pairs
+)
+SELECT eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_train_neardups,
+       MAX(CASE WHEN rn = 1 THEN train_id END) AS top_train_id,
+       MAX(CASE WHEN rn = 1 THEN cosine END) AS top_cosine
+FROM ranked
+GROUP BY eval_id
+ORDER BY eval_id
+""".strip()

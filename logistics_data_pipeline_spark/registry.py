@@ -2075,6 +2075,17 @@ register(
     streaming_windowed.CLICK_ATTRIBUTION_STREAM_SQL,
 )
 register(
+    # semantic-level train/eval leakage audit over the shared exact
+    # cosine pair asset — NEW round 7 → round-8 window
+    "emb_semantic_decontamination",
+    _q(
+        lambda spark, sf: llm_sim.semantic_decontamination(
+            _emb(spark, sf), pairs=_dedup_shared(spark, sf, "emb_pairs")
+        )
+    ),
+    llm_sim.SEMANTIC_DECONTAMINATION_SQL,
+)
+register(
     "docs_crosslingual_neardup",  # language-pair near-dup leakage grid
     _q(
         lambda spark, sf: llm_dedup.crosslingual_neardup(
@@ -2092,6 +2103,13 @@ register(
     "docs_gopher_rules",  # published Gopher quality-rule panel (fixed thresholds)
     _q(lambda spark, sf: llm_cur.gopher_rules(_docs(spark, sf))),
     llm_cur.GOPHER_RULES_SQL,
+)
+register(
+    # the repetition half of the Gopher gate (top/dup n-gram character
+    # fractions, published thresholds) — NEW round 7 → round-8 window
+    "docs_gopher_repetition",
+    _q(lambda spark, sf: llm_cur.gopher_repetition(_docs(spark, sf))),
+    llm_cur.GOPHER_REPETITION_SQL,
 )
 register(
     "multimodal_phash_neardup",  # integer 2-D DCT pHash + banded hamming verify
