@@ -683,7 +683,7 @@ def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
     n_bits: int = 64,
-    band_bits: int = 4,
+    band_bits: int | None = None,
     seed: int = SRP_SEED,
 ) -> DataFrame:
     """Approximate near-dup via signed-random-projection (hyperplane)
@@ -712,10 +712,26 @@ def embedding_neardup_lsh(
     (band, bucket), distinct, and an exact verify join — every stage
     key-partitioned, nothing driver-side. Sign bits compare
     ROUND(proj, 6) ≥ 0 in both engines so summation-order last-ulp
-    wobble cannot flip a bit."""
+    wobble cannot flip a bit.
+
+    Band-width governor (SCALING_r7 postmortem): at FIXED band_bits the
+    bucket space is constant, so expected bucket occupancy grows
+    linearly with n and candidate pairs QUADRATICALLY — measured 43×
+    per decade at the sf1 probe (167 s). band_bits therefore adapts to
+    the corpus: 4 bits (16 buckets/band) up to 4096 vectors, 8 bits to
+    ~262k, 16 beyond — each step divides expected occupancy by the
+    corpus growth, restoring ~linear candidate volume. The recall cost
+    lands on the LOW-cosine tail (p^r shrinks fastest near the random
+    background): at cosine 0.9 (θ≈26°, p≈0.86) r=8/b=8 still recalls
+    ≈0.94 of true near-dups. Past ~4M vectors the documented scale
+    path is growing n_bits (more bands at the same r), not r alone —
+    the one-count() sizing action below is the only driver-side step."""
     import numpy as np
     import pandas as pd
 
+    if band_bits is None:
+        n_rows = emb.count()
+        band_bits = 4 if n_rows <= 4096 else (8 if n_rows <= 262_144 else 16)
     n_bands = n_bits // band_bits
     planes = srp_planes(emb, n_bits, seed)
     x = emb.select(
@@ -805,6 +821,11 @@ def embedding_neardup_lsh(
 
 _SRP_U48 = float(2**48)
 
+# NOTE: this twin hardcodes the 4-bit band (j//4) — valid while the
+# corpus is ≤4096 vectors (every driver SF; sf0.1 has 2000). Above
+# that, embedding_neardup_lsh's band-width governor switches to 8/16
+# bits and this SQL no longer mirrors it; regenerate with the actual
+# band width if the driver testdata ever crosses the bound.
 NEARDUP_LSH_SQL = f"""
 WITH x AS (
   SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
