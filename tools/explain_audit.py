@@ -27,6 +27,10 @@ SMELLS = {
 
 # Reviewed plans where a marker is the DESIGNED strategy, not a smell:
 ALLOWED = {
+    # dims(d rows) x js(n_bits rows) hyperplane-matrix build — a
+    # literal-sized (64x64) cross join producing the broadcast plane
+    # frame; corpus-sized frames never touch it
+    "emb_neardup_lsh": {"nested-loop join"},
     # single-row scalar aggregates cross-joined into the report row
     "dq_checks": {"nested-loop join"},
     # 1-row scalar aggregate broadcast on a dummy equality key: Catalyst
