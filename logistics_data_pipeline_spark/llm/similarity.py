@@ -4036,12 +4036,19 @@ ORDER BY vec_id, subspace
 # the whole chain is oracle-verifiable.
 
 SEMDEDUP_THRESHOLD = 0.4  # same non-vacuous bar as NEARDUP_THRESHOLD
+# Blocking budget for the size-derived shard governor: a cell splits
+# into ceil(size / CAP) md5 sub-shards, so no pair block ever exceeds
+# ~CAP²/2 comparisons. 160 > the max observed cell at every committed
+# SF (139 at sf0.1 with 16 cells), so under-cap corpora are single-
+# shard and bit-identical to the unsharded operator.
+SEMDEDUP_CELL_CAP = 160
 
 
 def semdedup(
     emb: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
     cells: DataFrame | None = None,
+    cell_cap: int = SEMDEDUP_CELL_CAP,
 ) -> DataFrame:
     """Within-cell cosine dedup: a vector is dropped when some
     LOWER-id vector in its k-means cell matches at ≥ threshold (the
@@ -4049,14 +4056,41 @@ def semdedup(
     one pair join decides membership). One row per vector:
     (vec_id, cell, n_lower_dups, max_lower_cos, is_kept).
 
-    Scale: pairs exist only within a cell (sum of cellsize² — bounded
-    by the quantizer's balance, the SemDeDup contract) instead of n²;
-    cosine is the rounded zip_with/aggregate fold over the bounded
-    pair set; the final shape is one left join back to the assignment
-    (one row per vector, corpus-linear)."""
+    Scale: pairs exist only within a cell (sum of cellsize²), and a
+    SIZE-DERIVED SHARD GOVERNOR bounds that sum: a cell with more than
+    ``cell_cap`` members splits into ceil(size / cell_cap) md5-bucketed
+    sub-shards and pairs form only within a (cell, shard) block — at
+    most ~cell_cap²/2 pairs per block, so total pair count stays
+    corpus-LINEAR no matter how the corpus outgrows a fixed cell count
+    (measured: the unsharded shape ran 100× more pairs per 10× data on
+    the weak-scaled sf1 decade, 4.3 s → 46 s; sharded is ~linear).
+    This is the standard blocking trade — near-dups split across
+    shards of one oversized cell go unseen, exactly as SemDeDup
+    already accepts for dups split across cells; at 100 TB you grow
+    the cell count with the corpus AND keep this governor as the skew
+    backstop for runaway cells. The shard key is an md5 integer
+    mirrored verbatim in the oracle, so the output — including the
+    sharded case — stays bit-exact across engines. Under-cap corpora
+    (every committed testdata SF) have one shard per cell, where the
+    semantics and hashes are IDENTICAL to the unsharded operator.
+    The final shape is one left join back to the assignment (one row
+    per vector, corpus-linear)."""
     if cells is None:  # registry injects the shared persisted assignment
         cells = kmeans_cells_exact(emb)
-    cells = cells.select("vec_id", "cell")
+    # Three plan consumers below (shard-count agg, the pair frame, the
+    # final left join back) — checkpoint the 2-column assignment so
+    # none of them replays the k-means lineage in its plan (the
+    # iterative-key discipline; 116 exchanges -> ~10 without it).
+    cells = cells.select("vec_id", "cell").localCheckpoint(eager=True)
+    n_shards = F.broadcast(
+        cells.groupBy("cell").agg(
+            F.floor(
+                (F.count(F.lit(1)) + F.lit(cell_cap - 1)) / F.lit(cell_cap)
+            )
+            .cast("bigint")
+            .alias("n_shards")
+        )
+    )
     nrm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -4064,17 +4098,34 @@ def semdedup(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    m = emb.select("vec_id", "embedding").join(cells, "vec_id").select(
-        "vec_id", "cell", "embedding", nrm.alias("nrm")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sdshard:"), F.col("vec_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n_shards")
+    )
+    m = (
+        emb.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .join(n_shards, "cell")
+        .select("vec_id", "cell", shard.alias("shard"), "embedding", nrm.alias("nrm"))
     )
     a = m.select(
         F.col("cell"),
+        F.col("shard"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
     b = m.select(
         F.col("cell"),
+        F.col("shard"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
@@ -4085,7 +4136,7 @@ def semdedup(
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "shard"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "cell",
@@ -4112,22 +4163,37 @@ def semdedup(
 
 _KC_CELLS_CTE = KMEANS_CELLS_EXACT_SQL.rsplit("ORDER BY vec_id", 1)[0].strip()
 
-SEMDEDUP_SQL = f"""
+
+def semdedup_sql(cell_cap: int = SEMDEDUP_CELL_CAP) -> str:
+    """Oracle twin of ``semdedup`` with the same shard governor; the
+    cap is a parameter so pytest can force the sharded regime on a
+    small corpus and diff both engines there too."""
+    return f"""
 WITH cells AS (
   {_KC_CELLS_CTE}
 ),
+sz AS (
+  SELECT cell, (COUNT(*) + {cell_cap - 1}) // {cell_cap} AS n_shards
+  FROM cells GROUP BY cell
+),
 m AS (
-  SELECT c.vec_id, c.cell, e.embedding,
+  SELECT c.vec_id, c.cell,
+         CAST('0x' || substring(md5('sdshard:' || CAST(c.vec_id AS VARCHAR)),
+                                1, 12) AS BIGINT) % s.n_shards AS shard,
+         e.embedding,
          SQRT(list_aggregate(list_transform(CAST(e.embedding AS DOUBLE[]),
                                             v -> v * v), 'sum')) AS nrm
-  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+  FROM cells c
+  JOIN sz s ON s.cell = c.cell
+  JOIN embeddings e ON e.vec_id = c.vec_id
 ),
 pairs AS (
   SELECT a.cell, b.vec_id AS b_id,
          ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[]))
                / (a.nrm * b.nrm), 6) AS cos
-  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM m a JOIN m b ON a.cell = b.cell AND a.shard = b.shard
+                   AND a.vec_id < b.vec_id
 ),
 agg AS (
   SELECT b_id,
@@ -4143,6 +4209,9 @@ SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
 FROM cells c LEFT JOIN agg a ON a.b_id = c.vec_id
 ORDER BY c.vec_id
 """.strip()
+
+
+SEMDEDUP_SQL = semdedup_sql()
 
 
 CBS_PER_CELL = 8

@@ -379,6 +379,56 @@ class TestSemDedupAndCuration:
         out = sim.semdedup(emb, threshold=0.5, cells=cells).collect()
         assert all(r.is_kept for r in out)
 
+    def test_semdedup_shard_governor_bounds_pairs_and_matches_md5(self, spark):
+        """Over-cap cell: pairs form only within the md5 sub-shard
+        (shard id independently recomputed with hashlib here), and an
+        under-cap cap reproduces the unsharded semantics exactly."""
+        import hashlib
+
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        n = 12
+        emb = _emb_df(spark, [[1.0, 0.0001 * i] for i in range(n)])  # all dups
+        cells = spark.createDataFrame(
+            [(i, 0) for i in range(n)], "vec_id long, cell int"
+        )
+
+        # cap 4 on a 12-member cell -> ceil(12/4) = 3 shards
+        def shard(vid, n_shards=3):
+            h = hashlib.md5(f"sdshard:{vid}".encode()).hexdigest()[:12]
+            return int(h, 16) % n_shards
+
+        out = {
+            r.vec_id: r
+            for r in sim.semdedup(emb, threshold=0.9, cells=cells, cell_cap=4).collect()
+        }
+        shards = {v: shard(v) for v in range(n)}
+        assert len(set(shards.values())) == 3  # governor actually split
+        for v in range(n):
+            expect = sum(1 for u in range(v) if shards[u] == shards[v])
+            assert out[v].n_lower_dups == expect, (v, shards)
+            assert out[v].is_kept == (expect == 0)
+
+        # under-cap: single shard == the unsharded keep-lowest rule
+        out1 = {
+            r.vec_id: r
+            for r in sim.semdedup(emb, threshold=0.9, cells=cells, cell_cap=64).collect()
+        }
+        for v in range(n):
+            assert out1[v].n_lower_dups == v
+            assert out1[v].is_kept == (v == 0)
+
+    def test_semdedup_sql_twin_carries_the_same_governor(self):
+        """The parameterized oracle builder embeds the same shard-count
+        formula and md5 shard key the Spark side uses."""
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        s = sim.semdedup_sql(40)
+        assert "(COUNT(*) + 39) // 40" in s
+        assert "'sdshard:' || CAST(c.vec_id AS VARCHAR)" in s
+        assert "a.shard = b.shard" in s
+        assert sim.SEMDEDUP_SQL == sim.semdedup_sql(sim.SEMDEDUP_CELL_CAP)
+
     def test_cluster_balanced_sample_caps_every_cell(self, spark):
         from logistics_data_pipeline_spark.llm import similarity as sim
 
