@@ -425,7 +425,9 @@ AHASH_MAX_HAMMING = 8
 
 
 def media_ahash_neardup(
-    docs: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+    docs: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Average-hash perceptual near-dup over the binary payloads: the
     first 256 bytes (the ``resize_media`` canonical size) split into 64
@@ -447,7 +449,22 @@ def media_ahash_neardup(
     spread across tasks by an explicit repartition; candidate pairs
     come from the banded equi-join; the Hamming verify is ONE row per
     candidate pair — the 64 signature bits packed into two 32-bit
-    BIGINT halves, distance = bit_count(xor(lo)) + bit_count(xor(hi))."""
+    BIGINT halves, distance = bit_count(xor(lo)) + bit_count(xor(hi)).
+
+    Band-width governor (SCALING_r7 postmortem, same shape as
+    ``embedding_neardup_lsh``): at FIXED 8-bit bands the bucket space
+    is a constant 8×256, so expected bucket occupancy grows linearly
+    with the corpus and candidate pairs QUADRATICALLY — measured 26×
+    per 10× data at the sf1 probe (46 s). band_bits therefore adapts:
+    8 bits (256 buckets/band) up to 8192 media, 16 bits (65536/band)
+    beyond — each step divides expected occupancy by the corpus
+    growth, restoring ~linear candidate volume. The recall trade: 4
+    bands of 16 bits give the pigeonhole guarantee only for hamming
+    ≤ 3 (vs ≤ 7 at 8 bands), so far-apart near-dups in [4, max_hamming]
+    surface only when chance aligns a full 16-bit band; exact dups and
+    tight edits are unaffected. Every committed SF is under the bound
+    (sf0.1 has 5000 docs) where behavior — and the hardcoded 8-bit
+    oracle twin — is unchanged."""
     need = AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK
     # truncate the hex projection to the 2·need chars the block reads
     # ever touch BEFORE the 64-way explode: carrying the full payload
@@ -469,6 +486,10 @@ def media_ahash_neardup(
         .filter(F.col("n_bytes") >= need)
         .repartition(32, "media_id")
     )
+    if band_bits is None:
+        n_media = media.count()  # one sizing action, the SRP precedent
+        band_bits = AHASH_BAND_BITS if n_media <= 8192 else 16
+    half = 32 // band_bits  # bands per packed 32-bit signature half
     rows = media.select(
         "media_id",
         "hx",
@@ -495,11 +516,11 @@ def media_ahash_neardup(
     )
     bands = track_persist(
         bits.groupBy(
-            "media_id", F.floor(F.col("b") / AHASH_BAND_BITS).cast("int").alias("band")
+            "media_id", F.floor(F.col("b") / band_bits).cast("int").alias("band")
         ).agg(
             F.sum(
                 F.col("bit")
-                * F.pow(F.lit(2.0), (F.col("b") % AHASH_BAND_BITS)).cast("long")
+                * F.pow(F.lit(2.0), (F.col("b") % band_bits)).cast("long")
             ).alias("bv")
         )
     )
@@ -521,19 +542,19 @@ def media_ahash_neardup(
     sigs = bands.groupBy("media_id").agg(
         F.sum(
             F.when(
-                F.col("band") < AHASH_BLOCKS // (2 * AHASH_BAND_BITS),
+                F.col("band") < half,
                 F.col("bv")
                 * F.pow(
-                    F.lit(2.0), (F.col("band") % 4).cast("double") * AHASH_BAND_BITS
+                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
                 ).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("lo"),
         F.sum(
             F.when(
-                F.col("band") >= AHASH_BLOCKS // (2 * AHASH_BAND_BITS),
+                F.col("band") >= half,
                 F.col("bv")
                 * F.pow(
-                    F.lit(2.0), (F.col("band") % 4).cast("double") * AHASH_BAND_BITS
+                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
                 ).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("hi"),
@@ -572,6 +593,11 @@ def media_ahash_neardup(
     )
 
 
+# NOTE: this twin hardcodes the 8-bit band (b // 8, band < 4) — valid
+# while the media corpus is ≤ 8192 payloads (every driver SF; sf0.1 has
+# 5000). Above that, media_ahash_neardup's band-width governor switches
+# to 16-bit bands and this SQL no longer mirrors it; regenerate with
+# the actual band width if the driver testdata ever crosses the bound.
 MEDIA_AHASH_NEARDUP_SQL = f"""
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -652,7 +678,9 @@ PHASH_MAX_HAMMING = 10
 
 
 def media_phash_neardup(
-    docs: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+    docs: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """pHash perceptual near-dup: the canonical 256-byte payload read
     as a 16×16 pixel grid → 2-D DCT-II (SEPARABLE: a 16→8 row pass
@@ -668,7 +696,11 @@ def media_phash_neardup(
 
     Scale: two map-side DCT passes (8× explode each, O(1)-width rows
     after the hex truncate), per-media aggregations, banded equi-join
-    candidates, 1-row-per-pair popcount verify — no all-pairs step."""
+    candidates, 1-row-per-pair popcount verify — no all-pairs step.
+    Band widths carry the same corpus-adaptive governor as
+    ``media_ahash_neardup`` (8-bit bands to 8192 media, 16-bit beyond;
+    guarantee radius drops to hamming ≤ 3, committed SFs unaffected) —
+    the sf1 probe measured the fixed 8-bit shape at 3.84× per decade."""
     from ..session import track_persist
 
     need = PHASH_N * PHASH_N
@@ -682,6 +714,9 @@ def media_phash_neardup(
         .filter(F.col("n_bytes") >= need)
         .repartition(32, "media_id")
     )
+    if band_bits is None:
+        n_media = media.count()  # one sizing action, the SRP precedent
+        band_bits = PHASH_BAND_BITS if n_media <= 8192 else 16
     cos_arr = F.array(*[F.lit(c).cast("long") for c in PHASH_COS])
     px = media.select(
         "media_id",
@@ -752,11 +787,11 @@ def media_phash_neardup(
     bands = track_persist(
         bits.groupBy(
             "media_id",
-            F.floor(F.col("b") / PHASH_BAND_BITS).cast("int").alias("band"),
+            F.floor(F.col("b") / band_bits).cast("int").alias("band"),
         ).agg(
             F.sum(
                 F.col("bit")
-                * F.pow(F.lit(2.0), (F.col("b") % PHASH_BAND_BITS)).cast("long")
+                * F.pow(F.lit(2.0), (F.col("b") % band_bits)).cast("long")
             ).alias("bv")
         )
     )
@@ -768,14 +803,14 @@ def media_phash_neardup(
         .select("a_id", "b_id")
         .distinct()
     )
-    half = PHASH_K * PHASH_K // (2 * PHASH_BAND_BITS)  # 4 bands per packed half
+    half = 32 // band_bits  # bands per packed 32-bit signature half
     sigs = bands.groupBy("media_id").agg(
         F.sum(
             F.when(
                 F.col("band") < half,
                 F.col("bv")
                 * F.pow(
-                    F.lit(2.0), (F.col("band") % 4).cast("double") * PHASH_BAND_BITS
+                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
                 ).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("lo"),
@@ -784,7 +819,7 @@ def media_phash_neardup(
                 F.col("band") >= half,
                 F.col("bv")
                 * F.pow(
-                    F.lit(2.0), (F.col("band") % 4).cast("double") * PHASH_BAND_BITS
+                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
                 ).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("hi"),
@@ -811,6 +846,9 @@ def media_phash_neardup(
 
 _PHASH_COS_SQL = "[" + ", ".join(str(c) for c in PHASH_COS) + "]"
 
+# NOTE: like the aHash twin, this hardcodes the 8-bit band — valid
+# while the media corpus is ≤ 8192 payloads (every driver SF); beyond,
+# media_phash_neardup's governor switches to 16-bit bands.
 MEDIA_PHASH_NEARDUP_SQL = f"""
 WITH cosl AS (SELECT {_PHASH_COS_SQL}::BIGINT[] AS l),
 media AS (

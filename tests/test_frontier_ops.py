@@ -598,3 +598,31 @@ class TestAhashNeardup:
 
         docs = self._docs(spark, ["tiny", "also tiny"])
         assert mm.media_ahash_neardup(docs).count() == 0
+
+    def test_wide_band_governor_preserves_hamming_on_common_pairs(self, spark):
+        """16-bit bands (the >8192-media governor regime) must compute
+        the SAME packed 64-bit signature — so every pair surfaced by
+        both band widths reports an identical Hamming distance, and a
+        0-distance exact dup can never be lost (all bands equal)."""
+        from logistics_data_pipeline_spark.llm import multimodal as mm
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        local = base[:100] + "X" * 4 + base[104:]
+        docs = self._docs(spark, [base, local, base])  # 0~1 edit, 0==2 dup
+        h8 = {(r.a_id, r.b_id): r.hamming
+              for r in mm.media_ahash_neardup(docs, band_bits=8).collect()}
+        h16 = {(r.a_id, r.b_id): r.hamming
+               for r in mm.media_ahash_neardup(docs, band_bits=16).collect()}
+        assert h16[(0, 2)] == 0  # exact dup survives any band width
+        for pair in set(h8) & set(h16):
+            assert h8[pair] == h16[pair], pair
+        assert set(h16) <= set(h8)  # wider bands only ever lose recall
+
+        p8 = {(r.a_id, r.b_id): r.hamming
+              for r in mm.media_phash_neardup(docs, band_bits=8).collect()}
+        p16 = {(r.a_id, r.b_id): r.hamming
+               for r in mm.media_phash_neardup(docs, band_bits=16).collect()}
+        assert p16[(0, 2)] == 0
+        for pair in set(p8) & set(p16):
+            assert p8[pair] == p16[pair], pair
+        assert set(p16) <= set(p8)
