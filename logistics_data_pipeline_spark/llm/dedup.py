@@ -1024,6 +1024,160 @@ def repeated_passages(
     )
 
 
+def dup_span_coverage(docs: DataFrame, n: int = PASSAGE_N) -> DataFrame:
+    """Per-document DUPLICATED-SPAN COVERAGE: the fraction of each
+    document's tokens lying inside a maximal span whose every length-n
+    token window also occurs in some OTHER document — the per-doc form
+    of exact-substring dedup's headline statistic ("how much of the
+    corpus is duplicated text"), reported before/after a dedup pass.
+    ``repeated_passages`` surfaces the top offending spans globally;
+    this key charges them back to the documents that carry them.
+
+    Mechanics (exact, both engines): length-n token windows ("seeds")
+    keyed by their text; a seed is duplicated when its text occurs in
+    ≥ 2 distinct docs; per doc, duplicated seed START positions merge
+    into maximal islands (two seeds overlap or touch iff their starts
+    differ by ≤ n), and the union length of an island covering starts
+    [s_min, s_max] is s_max − s_min + n tokens. Output one row per
+    document: token count, duplicated-seed count, maximal-span count,
+    covered-token count, and coverage = covered / n_tokens.
+
+    Scale: one corpus-wide hash aggregation on the seed text (map-side
+    partials collapse the once-seen mass exactly as in
+    ``repeated_passages``), a 1:1 join back from seeds to the
+    ≥2-doc passage list (no fan-out — the dup side is one row per
+    passage), and per-doc lag/sum windows partitioned by doc_id. No
+    caps needed: every intermediate is linear in the seed count."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    ntok = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    seeds = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("passage"),
+        leads[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    dup_pass = (
+        seeds.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage")
+    )
+    dupseeds = seeds.join(dup_pass, "passage").select("doc_id", "pos")
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dupseeds.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(ws).isNull()
+            | ((F.col("pos") - F.lag("pos").over(ws)) > n),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_island")
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + n).cast("bigint").alias("covered"),
+        F.count("*").cast("bigint").alias("n_seeds"),
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("n_seeds").cast("bigint").alias("n_dup_seeds"),
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum("covered").cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        ntok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_seeds", F.lit(0).cast("bigint")).alias("n_dup_seeds"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0).cast("bigint")).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0).cast("bigint"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_COVERAGE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS pos
+  FROM documents
+),
+ntok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id
+),
+seeds AS (
+  SELECT doc_id, pos, passage FROM (
+    SELECT doc_id, pos,
+           concat_ws(' ', tok, {', '.join(f'lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos)' for j in range(1, PASSAGE_N))}) AS passage,
+           lead(tok, {PASSAGE_N - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS _last
+    FROM toks)
+  WHERE _last IS NOT NULL
+),
+dup_pass AS (
+  SELECT passage FROM seeds GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dupseeds AS (
+  SELECT s.doc_id, s.pos FROM seeds s JOIN dup_pass d ON d.passage = s.passage
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {PASSAGE_N}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dupseeds
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT doc_id, island,
+         CAST(MAX(pos) - MIN(pos) + {PASSAGE_N} AS BIGINT) AS covered,
+         CAST(COUNT(*) AS BIGINT) AS n_seeds
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_seeds) AS BIGINT) AS n_dup_seeds,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(covered) AS BIGINT) AS covered_tokens
+  FROM per_island GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(p.n_dup_seeds, 0) AS n_dup_seeds,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       ROUND(COALESCE(p.covered_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 6)
+         AS dup_coverage
+FROM ntok t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+ORDER BY t.doc_id
+""".strip()
+
+
 REPEATED_PASSAGES_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents

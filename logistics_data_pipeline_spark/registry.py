@@ -1350,6 +1350,11 @@ register(
     llm_dedup.REPEATED_PASSAGES_SQL,
 )
 register(
+    "docs_dup_span_coverage",  # per-doc maximal duplicated-span fraction
+    _q(lambda spark, sf: llm_dedup.dup_span_coverage(_docs(spark, sf))),
+    llm_dedup.DUP_SPAN_COVERAGE_SQL,
+)
+register(
     "emb_covariance",  # exact-microunit dim covariance (PCA/whitening input)
     _q(lambda spark, sf: llm_sim.dim_covariance(_emb(spark, sf))),
     llm_sim.DIM_COVARIANCE_SQL,

@@ -566,6 +566,52 @@ class TestKnnIvfExact:
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+class TestDupSpanCoverage:
+    def test_shared_run_yields_one_maximal_island(self, spark):
+        """Two docs share a 20-token run (13 overlapping 8-gram seeds
+        each); the island merge must union them into ONE maximal span
+        of exactly 20 covered tokens, wherever the run sits."""
+        from logistics_data_pipeline_spark.llm import dedup
+
+        shared = [f"a{i}" for i in range(20)]
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(shared + [f"u{i}" for i in range(10)])),
+                (1, " ".join([f"v{i}" for i in range(5)] + shared + [f"w{i}" for i in range(5)])),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.dup_span_coverage(docs).collect()}
+        for d in (0, 1):
+            assert out[d].n_tokens == 30
+            assert out[d].n_dup_seeds == 13  # starts 0..12 of the run
+            assert out[d].n_dup_spans == 1  # merged into one island
+            assert out[d].covered_tokens == 20
+            assert out[d].dup_coverage == pytest.approx(20 / 30, abs=1e-6)
+        assert out[2].n_dup_spans == 0 and out[2].dup_coverage == 0.0
+
+    def test_disjoint_runs_stay_separate_islands(self, spark):
+        """Two shared runs separated by > n unique tokens must report
+        as TWO maximal spans whose covered counts don't bridge the gap."""
+        from logistics_data_pipeline_spark.llm import dedup
+
+        r1 = [f"a{i}" for i in range(8)]   # exactly one seed
+        r2 = [f"b{i}" for i in range(8)]
+        gap = [f"g{i}" for i in range(10)]  # > n, breaks the island
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(r1 + gap + r2)),
+                (1, " ".join(r1 + [f"x{i}" for i in range(10)] + r2)),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.dup_span_coverage(docs).collect()}
+        assert out[0].n_dup_spans == 2
+        assert out[0].covered_tokens == 16  # 8 + 8, gap not bridged
+        assert out[1].n_dup_spans == 2 and out[1].covered_tokens == 16
+
+
 class TestAhashNeardup:
     def _docs(self, spark, texts):
         return spark.createDataFrame(
