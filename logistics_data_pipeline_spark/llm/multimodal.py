@@ -593,12 +593,14 @@ def media_ahash_neardup(
     )
 
 
-# NOTE: this twin hardcodes the 8-bit band (b // 8, band < 4) — valid
-# while the media corpus is ≤ 8192 payloads (every driver SF; sf0.1 has
-# 5000). Above that, media_ahash_neardup's band-width governor switches
-# to 16-bit bands and this SQL no longer mirrors it; regenerate with
-# the actual band width if the driver testdata ever crosses the bound.
-MEDIA_AHASH_NEARDUP_SQL = f"""
+def media_ahash_neardup_sql(band_bits: int = AHASH_BAND_BITS) -> str:
+    """Oracle twin of ``media_ahash_neardup`` at an explicit band
+    width. The registered constant uses the 8-bit default — valid
+    while the media corpus is ≤ 8192 payloads (every driver SF; sf0.1
+    has 5000), where the governor also picks 8. pytest diffs the
+    16-bit regime cross-engine through this builder."""
+    half = 32 // band_bits
+    return f"""
 WITH media AS (
   SELECT doc_id AS media_id,
          substring(hex(encode(text)), 1, {2 * AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK}) AS hx
@@ -624,9 +626,9 @@ bits AS (
   FROM blocks k JOIN means m ON m.media_id = k.media_id
 ),
 bands AS (
-  SELECT media_id, b // {AHASH_BAND_BITS} AS band,
-         SUM(bit * CAST(POWER(2, b % {AHASH_BAND_BITS}) AS BIGINT)) AS bv
-  FROM bits GROUP BY media_id, b // {AHASH_BAND_BITS}
+  SELECT media_id, b // {band_bits} AS band,
+         SUM(bit * CAST(POWER(2, b % {band_bits}) AS BIGINT)) AS bv
+  FROM bits GROUP BY media_id, b // {band_bits}
 ),
 cand AS (
   SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
@@ -635,11 +637,11 @@ cand AS (
 ),
 sigs AS (
   SELECT media_id,
-         SUM(CASE WHEN band < 4
-                  THEN bv * CAST(POWER(2, (band % 4) * {AHASH_BAND_BITS}) AS BIGINT)
+         SUM(CASE WHEN band < {half}
+                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
                   ELSE 0 END) AS lo,
-         SUM(CASE WHEN band >= 4
-                  THEN bv * CAST(POWER(2, (band % 4) * {AHASH_BAND_BITS}) AS BIGINT)
+         SUM(CASE WHEN band >= {half}
+                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
                   ELSE 0 END) AS hi
   FROM bands GROUP BY media_id
 ),
@@ -655,6 +657,9 @@ SELECT a_id, b_id, hamming FROM ham
 WHERE hamming <= {AHASH_MAX_HAMMING}
 ORDER BY a_id, b_id
 """.strip()
+
+
+MEDIA_AHASH_NEARDUP_SQL = media_ahash_neardup_sql()
 
 
 # --- pHash: 2-D DCT perceptual hash over the canonical 16x16 grid ----------
@@ -848,8 +853,11 @@ _PHASH_COS_SQL = "[" + ", ".join(str(c) for c in PHASH_COS) + "]"
 
 # NOTE: like the aHash twin, this hardcodes the 8-bit band — valid
 # while the media corpus is ≤ 8192 payloads (every driver SF); beyond,
-# media_phash_neardup's governor switches to 16-bit bands.
-MEDIA_PHASH_NEARDUP_SQL = f"""
+# media_phash_neardup's governor switches to 16-bit bands; pytest
+# diffs that regime cross-engine through the builder below.
+def media_phash_neardup_sql(band_bits: int = PHASH_BAND_BITS) -> str:
+    half = 32 // band_bits
+    return f"""
 WITH cosl AS (SELECT {_PHASH_COS_SQL}::BIGINT[] AS l),
 media AS (
   SELECT doc_id AS media_id,
@@ -884,9 +892,9 @@ bits AS (
   FROM coeffs k JOIN s_ac m ON m.media_id = k.media_id
 ),
 bands AS (
-  SELECT media_id, b // {PHASH_BAND_BITS} AS band,
-         SUM(bit * CAST(POWER(2, b % {PHASH_BAND_BITS}) AS BIGINT)) AS bv
-  FROM bits GROUP BY media_id, b // {PHASH_BAND_BITS}
+  SELECT media_id, b // {band_bits} AS band,
+         SUM(bit * CAST(POWER(2, b % {band_bits}) AS BIGINT)) AS bv
+  FROM bits GROUP BY media_id, b // {band_bits}
 ),
 cand AS (
   SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
@@ -895,11 +903,11 @@ cand AS (
 ),
 sigs AS (
   SELECT media_id,
-         SUM(CASE WHEN band < 4
-                  THEN bv * CAST(POWER(2, (band % 4) * {PHASH_BAND_BITS}) AS BIGINT)
+         SUM(CASE WHEN band < {half}
+                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
                   ELSE 0 END) AS lo,
-         SUM(CASE WHEN band >= 4
-                  THEN bv * CAST(POWER(2, (band % 4) * {PHASH_BAND_BITS}) AS BIGINT)
+         SUM(CASE WHEN band >= {half}
+                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
                   ELSE 0 END) AS hi
   FROM bands GROUP BY media_id
 )
@@ -912,6 +920,9 @@ JOIN sigs sb ON sb.media_id = c.b_id
 WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {PHASH_MAX_HAMMING}
 ORDER BY c.a_id, c.b_id
 """.strip()
+
+
+MEDIA_PHASH_NEARDUP_SQL = media_phash_neardup_sql()
 
 
 # --- PCM audio statistics (binary -> int16 DSP) ------------------------------

@@ -645,6 +645,29 @@ class TestAhashNeardup:
         docs = self._docs(spark, ["tiny", "also tiny"])
         assert mm.media_ahash_neardup(docs).count() == 0
 
+    def test_sixteen_bit_regime_matches_duckdb_exactly(self, spark, sf_dir):
+        """Cross-ENGINE check of the governor's 16-bit regime (the
+        registered oracle constant only covers 8-bit): Spark with
+        band_bits=16 must produce the identical pair set and distances
+        as the parameterized DuckDB twin on real corpus data."""
+        import duckdb
+
+        from logistics_data_pipeline_spark.llm import multimodal as mm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        for fn, sql_builder in (
+            (mm.media_ahash_neardup, mm.media_ahash_neardup_sql),
+            (mm.media_phash_neardup, mm.media_phash_neardup_sql),
+        ):
+            sp = {(r.a_id, r.b_id): r.hamming
+                  for r in fn(docs, band_bits=16).collect()}
+            dk = {(a, b): h for a, b, h in con.sql(sql_builder(16)).fetchall()}
+            assert sp == dk and len(sp) > 0, fn.__name__
+
     def test_wide_band_governor_preserves_hamming_on_common_pairs(self, spark):
         """16-bit bands (the >8192-media governor regime) must compute
         the SAME packed 64-bit signature — so every pair surfaced by
