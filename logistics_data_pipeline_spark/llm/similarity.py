@@ -821,12 +821,15 @@ def embedding_neardup_lsh(
 
 _SRP_U48 = float(2**48)
 
-# NOTE: this twin hardcodes the 4-bit band (j//4) — valid while the
-# corpus is ≤4096 vectors (every driver SF; sf0.1 has 2000). Above
-# that, embedding_neardup_lsh's band-width governor switches to 8/16
-# bits and this SQL no longer mirrors it; regenerate with the actual
-# band width if the driver testdata ever crosses the bound.
-NEARDUP_LSH_SQL = f"""
+def neardup_lsh_sql(band_bits: int = 4) -> str:
+    """Oracle twin of ``embedding_neardup_lsh`` at an explicit band
+    width. The registered constant uses the 4-bit default — valid
+    while the corpus is ≤4096 vectors (every driver SF; sf0.1 has
+    2000), where the governor also picks 4. pytest diffs the 8-bit
+    regime cross-engine through this builder; regenerate the constant
+    with the actual width if the driver testdata ever crosses the
+    bound."""
+    return f"""
 WITH x AS (
   SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
@@ -852,10 +855,10 @@ proj AS (
   GROUP BY x.vec_id, p.j
 ),
 sigs AS (
-  SELECT vec_id, j // 4 AS band,
+  SELECT vec_id, j // {band_bits} AS band,
          SUM(CASE WHEN ROUND(pr, 6) >= 0
-                  THEN CAST(POWER(2, j % 4) AS BIGINT) ELSE 0 END) AS bucket
-  FROM proj GROUP BY vec_id, j // 4
+                  THEN CAST(POWER(2, j % {band_bits}) AS BIGINT) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, j // {band_bits}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -872,6 +875,9 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_THRESHOLD}
 ORDER BY a_id, b_id
 """.strip()
+
+
+NEARDUP_LSH_SQL = neardup_lsh_sql()
 
 
 EMBEDDING_NEARDUP_SQL = f"""

@@ -236,6 +236,33 @@ def test_embedding_neardup_lsh_is_verified_subset_with_recall(spark, sf_dir):
     assert len(lsh) / len(exact) >= 0.8  # r=4,b=16 at θ≈66°: ~0.94 expected
 
 
+def test_lsh_wide_band_regime_matches_duckdb_exactly(spark, sf_dir):
+    """Cross-ENGINE check of the band-width governor's 8-bit regime
+    (the registered oracle constant only covers the ≤4096-vector 4-bit
+    default): Spark at band_bits=8 must produce the identical pair set
+    and cosines (±1ulp-at-6dp, the documented HALF_UP boundary wobble)
+    as the parameterized DuckDB twin on the real corpus."""
+    import duckdb
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        embedding_neardup_lsh,
+        neardup_lsh_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sp = {(r.a_id, r.b_id): r.cosine
+          for r in embedding_neardup_lsh(emb, band_bits=8).collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    dk = {(a, b): c for a, b, c in con.sql(neardup_lsh_sql(8)).fetchall()}
+    assert set(sp) == set(dk) and len(sp) > 0
+    for pair, cos in sp.items():
+        assert abs(cos - dk[pair]) <= 1e-6, pair
+
+
 def test_embedding_neardup_fast_matches_exact(spark, sf_dir):
     """The BLAS block-product path must emit the same pairs as the
     exact expression path (lowered threshold so the set is non-empty)."""
