@@ -78,3 +78,38 @@ def test_time_columns_load_as_ltz_timestamp(spark, sf_dir, table, col):
 def test_embeddings_are_float_arrays(spark, sf_dir):
     dtype = dict(load_table(spark, sf_dir, "embeddings").dtypes)["embedding"]
     assert dtype in ("array<float>", "array<double>"), dtype
+
+
+def test_corpora_stay_under_the_governor_oracle_bounds():
+    """The three size-adaptive governors (SRP-LSH / aHash / pHash band
+    width, SemDeDup cell sharding) pick their narrow regime at every
+    committed SF, which is exactly where the REGISTERED oracle
+    constants mirror them. If the driver ever regenerates testdata
+    past these bounds, the Spark side would switch regimes and the
+    hardcoded twins would hash-mismatch — fail HERE first, with the
+    fix: re-bind the registered SQL from the parameterized builders
+    (neardup_lsh_sql / media_ahash_neardup_sql / media_phash_neardup_sql
+    / semdedup_sql) at the width/cap the new sizes select."""
+    import duckdb
+
+    n_emb = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.1/embeddings.parquet'"
+    ).fetchone()[0]
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.1/documents.parquet'"
+    ).fetchone()[0]
+    assert n_emb <= 4096, f"SRP-LSH 4-bit oracle bound crossed: {n_emb} vectors"
+    assert n_docs <= 8192, f"aHash/pHash 8-bit oracle bound crossed: {n_docs} docs"
+    from logistics_data_pipeline_spark.llm.similarity import (
+        KC_EXACT_CELLS,
+        SEMDEDUP_CELL_CAP,
+    )
+
+    # max k-means cell size can't exceed the corpus; a whole-corpus
+    # bound keeps this check oracle-free (cells are seeded-dependent)
+    assert n_emb <= KC_EXACT_CELLS * SEMDEDUP_CELL_CAP, (
+        f"SemDeDup single-shard bound may be crossed: {n_emb} vectors, "
+        f"{KC_EXACT_CELLS} cells x cap {SEMDEDUP_CELL_CAP} (the oracle "
+        "mirrors sharding exactly, so correctness holds either way — "
+        "this guard just flags that the sharded regime went live)"
+    )
