@@ -1048,6 +1048,11 @@ def dup_span_coverage(docs: DataFrame, n: int = PASSAGE_N) -> DataFrame:
     ≥2-doc passage list (no fan-out — the dup side is one row per
     passage), and per-doc lag/sum windows partitioned by doc_id. No
     caps needed: every intermediate is linear in the seed count."""
+    if n < 2:
+        raise ValueError(
+            f"dup_span_coverage requires n >= 2 (got {n}): the seed is a "
+            "multi-token window and the island-merge math assumes it"
+        )
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(

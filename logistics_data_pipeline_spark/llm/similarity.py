@@ -679,6 +679,104 @@ def srp_planes(emb: DataFrame, n_bits: int, seed: int) -> DataFrame:
     return dims.crossJoin(js).select("pos", "j", g.alias("g"))
 
 
+def _srp_band_bits(emb: DataFrame) -> int:
+    """Band-width governor sizing (one count() — the only driver-side
+    step in the SRP family): 4 bits (16 buckets/band) up to 4096
+    vectors, 8 to ~262k, 16 beyond. Each step divides expected bucket
+    occupancy by the corpus growth, keeping candidate volume ~linear
+    (SCALING_r7 postmortem: fixed 4-bit bands went 43× per decade)."""
+    n_rows = emb.count()
+    return 4 if n_rows <= 4096 else (8 if n_rows <= 262_144 else 16)
+
+
+def srp_buckets(
+    emb: DataFrame, n_bits: int = 64, band_bits: int = 4, seed: int = SRP_SEED
+) -> DataFrame:
+    """(vec_id, band, bucket) SRP-LSH banded signature rows — the
+    candidate-blocking structure shared by ``embedding_neardup_lsh``
+    and ``semantic_decontamination_governed``. The plane matrix is
+    dims × n_bits rows broadcast to a map-side fanout join,
+    projections partial-aggregate on (vec_id, j), buckets on
+    (vec_id, band); sign bits compare ROUND(proj, 6) ≥ 0 in both
+    engines so summation-order last-ulp wobble cannot flip a bit."""
+    planes = srp_planes(emb, n_bits, seed)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    proj = (
+        x.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("g")).alias("pr"))
+    )
+    bit_weight = F.when(
+        F.round(F.col("pr"), 6) >= 0,
+        F.pow(F.lit(2.0), (F.col("j") % band_bits)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        proj.select(
+            "vec_id",
+            F.floor(F.col("j") / band_bits).cast("int").alias("band"),
+            bit_weight.alias("w"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("w").alias("bucket"))
+    )
+
+
+def _verified_pair_cosines(
+    emb: DataFrame,
+    candidates: DataFrame,
+    left: str,
+    right: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of an id-pair candidate frame via the
+    vectorized Arrow path (einsum over each batch — measured ~2.5×
+    faster end-to-end than the interpreted HOF fold when bands admit
+    most pairs). The authoritative round-then-threshold happens in
+    Spark with F.round (HALF_UP), matching the oracle; the in-batch
+    pre-filter keeps 1e-6 slack so a boundary cosine can never be
+    dropped by numpy's banker's rounding (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+
+    va = emb.select(F.col("vec_id").alias(left), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias(right), F.col("embedding").alias("vb"))
+    joined = candidates.join(va, left).join(vb, right)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField(left, T.LongType()),
+            T.StructField(right, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m1 = np.array(list(pdf["va"]), dtype=np.float64)
+            m2 = np.array(list(pdf["vb"]), dtype=np.float64)
+            sims = np.einsum("ij,ij->i", m1, m2) / (
+                np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
+            )
+            keep = sims >= threshold - 1e-6
+            yield pd.DataFrame(
+                {
+                    left: pdf[left].to_numpy(dtype=np.int64)[keep],
+                    right: pdf[right].to_numpy(dtype=np.int64)[keep],
+                    "cosine": sims[keep],
+                }
+            )
+
+    return (
+        joined.mapInPandas(_verify, schema=pair_schema)
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -726,35 +824,9 @@ def embedding_neardup_lsh(
     ≈0.94 of true near-dups. Past ~4M vectors the documented scale
     path is growing n_bits (more bands at the same r), not r alone —
     the one-count() sizing action below is the only driver-side step."""
-    import numpy as np
-    import pandas as pd
-
     if band_bits is None:
-        n_rows = emb.count()
-        band_bits = 4 if n_rows <= 4096 else (8 if n_rows <= 262_144 else 16)
-    n_bands = n_bits // band_bits
-    planes = srp_planes(emb, n_bits, seed)
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    proj = (
-        x.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("v") * F.col("g")).alias("pr"))
-    )
-    bit_weight = F.when(
-        F.round(F.col("pr"), 6) >= 0,
-        F.pow(F.lit(2.0), (F.col("j") % band_bits)).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    sigs = (
-        proj.select(
-            "vec_id",
-            F.floor(F.col("j") / band_bits).cast("int").alias("band"),
-            bit_weight.alias("w"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("w").alias("bucket"))
-    )
+        band_bits = _srp_band_bits(emb)
+    sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
     a = sigs.select(
         F.col("band"), F.col("bucket"), F.col("vec_id").alias("a_id")
     )
@@ -768,69 +840,19 @@ def embedding_neardup_lsh(
         .select("a_id", "b_id")
         .distinct()
     )
-    # Verify with the vectorized Arrow path, not the interpreted HOF
-    # fold: at this registered threshold (0.4) the bands admit MOST
-    # pairs, so verification dominates the operator — einsum over each
-    # Arrow batch measured ~2.5× faster end-to-end than the per-pair
-    # fold. The authoritative round-then-threshold happens in Spark
-    # below with F.round (HALF_UP), matching the oracle.
-    va = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
-    joined = candidates.join(va, "a_id").join(vb, "b_id")
-
-    pair_schema = T.StructType(
-        [
-            T.StructField("a_id", T.LongType()),
-            T.StructField("b_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-
-    def _verify(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m1 = np.array(list(pdf["va"]), dtype=np.float64)
-            m2 = np.array(list(pdf["vb"]), dtype=np.float64)
-            sims = np.einsum("ij,ij->i", m1, m2) / (
-                np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
-            )
-            # Conservative UNROUNDED pre-filter only; the authoritative
-            # round-then-threshold happens in Spark below with F.round
-            # (HALF_UP), matching the exact embedding_neardup twin.
-            # np.round is banker's rounding — applying it here could
-            # flip a cosine sitting on a 0.5e-6 boundary the other way
-            # from the twin (ADVICE r4). The 1e-6 slack admits every
-            # value HALF_UP could round up to the threshold.
-            keep = sims >= threshold - 1e-6
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64)[keep],
-                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64)[keep],
-                    "cosine": sims[keep],
-                }
-            )
-
-    return (
-        joined.mapInPandas(_verify, schema=pair_schema)
-        .withColumn("cosine", F.round("cosine", 6))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("a_id", "b_id")
-    )
+    return _verified_pair_cosines(
+        emb, candidates, "a_id", "b_id", threshold
+    ).orderBy("a_id", "b_id")
 
 
 _SRP_U48 = float(2**48)
 
-def neardup_lsh_sql(band_bits: int = 4) -> str:
-    """Oracle twin of ``embedding_neardup_lsh`` at an explicit band
-    width. The registered constant uses the 4-bit default — valid
-    while the corpus is ≤4096 vectors (every driver SF; sf0.1 has
-    2000), where the governor also picks 4. pytest diffs the 8-bit
-    regime cross-engine through this builder; regenerate the constant
-    with the actual width if the driver testdata ever crosses the
-    bound."""
-    return f"""
-WITH x AS (
+def _srp_sig_ctes(band_bits: int) -> str:
+    """The x → dims → js → planes → proj → sigs CTE chain mirroring
+    ``srp_buckets`` — shared by the LSH near-dup oracle and the
+    governed decontamination oracle (identical text, so the two twins
+    can never drift apart on the signature math)."""
+    return f"""x AS (
   SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
@@ -859,7 +881,19 @@ sigs AS (
          SUM(CASE WHEN ROUND(pr, 6) >= 0
                   THEN CAST(POWER(2, j % {band_bits}) AS BIGINT) ELSE 0 END) AS bucket
   FROM proj GROUP BY vec_id, j // {band_bits}
-),
+)"""
+
+
+def neardup_lsh_sql(band_bits: int = 4) -> str:
+    """Oracle twin of ``embedding_neardup_lsh`` at an explicit band
+    width. The registered constant uses the 4-bit default — valid
+    while the corpus is ≤4096 vectors (every driver SF; sf0.1 has
+    2000), where the governor also picks 4. pytest diffs the 8-bit
+    regime cross-engine through this builder; regenerate the constant
+    with the actual width if the driver testdata ever crosses the
+    bound."""
+    return f"""
+WITH {_srp_sig_ctes(band_bits)},
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM sigs a JOIN sigs b
@@ -5407,3 +5441,132 @@ FROM ranked
 GROUP BY eval_id
 ORDER BY eval_id
 """.strip()
+
+
+def semantic_decontamination_governed(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_bits: int = 64,
+    band_bits: int | None = None,
+    seed: int = SRP_SEED,
+) -> DataFrame:
+    """The PRODUCTION path for semantic decontamination (VERDICT r7
+    #2): ``semantic_decontamination`` audits the exact all-near-dup
+    pair list, which is quadratic by contract (SCALING_r7 f10 = 77.9×,
+    274.9 s at sf1) — fine as the oracle twin, unrunnable over a
+    100 TB train×eval cross. This variant generates train×eval
+    candidates with the already-governed SRP-LSH banding
+    (``srp_buckets`` — the ``docs_fuzzy_decontamination`` shape, f10
+    1.98) and verifies candidates with the exact cosine, so the pair
+    work is banded/bucketed, never all-pairs.
+
+    Output schema and semantics match the exact key row-for-row on
+    every pair the bands surface: (eval_id, n_train_neardups,
+    top_train_id, top_cosine). Misses are pairs no band agreed on —
+    the standard LSH recall trade, measured against the exact twin in
+    tests (governed ⊆ exact per eval id, n ≤ exact n).
+
+    Scale: the split flag is a map-side md5 expression; candidates
+    come from one equi-join on (band, bucket) with the adaptive
+    band-width governor keeping bucket occupancy ~constant per decade;
+    verification touches candidates only (Arrow einsum); the final
+    rollup is one window + one groupBy on eval_id. At 100 TB the eval
+    side is the held-out sliver, so the candidate join is effectively
+    a semi-broadcast probe of the train-side buckets."""
+    if band_bits is None:
+        band_bits = _srp_band_bits(emb)
+    split = emb.select(
+        "vec_id",
+        (
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(SEMDECON_SALT))),
+                1,
+                1,
+            )
+            < SEMDECON_EVAL_HEX
+        ).alias("is_eval"),
+    )
+    sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed).join(
+        split, "vec_id"
+    )
+    ev = sigs.filter(F.col("is_eval")).select(
+        "band", "bucket", F.col("vec_id").alias("eval_id")
+    )
+    tr = sigs.filter(~F.col("is_eval")).select(
+        "band", "bucket", F.col("vec_id").alias("train_id")
+    )
+    candidates = (
+        ev.repartition(32, "band", "bucket")
+        .join(tr, ["band", "bucket"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    verified = _verified_pair_cosines(
+        emb, candidates, "eval_id", "train_id", threshold
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_neardups"),
+            F.max(F.when(F.col("rn") == 1, F.col("train_id"))).alias("top_train_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("top_cosine"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+def semantic_decontamination_governed_sql(band_bits: int = 4) -> str:
+    """Oracle twin of ``semantic_decontamination_governed`` at an
+    explicit band width, composed from the SAME ``_srp_sig_ctes``
+    block as the LSH near-dup oracle. The registered constant uses
+    the 4-bit default — valid while the corpus is ≤4096 vectors
+    (guarded by tests/test_testdata_contract.py); pytest diffs the
+    8-bit regime cross-engine through this builder."""
+    return f"""
+WITH {_srp_sig_ctes(band_bits)},
+split AS (
+  SELECT vec_id,
+         substr(md5(CAST(vec_id AS VARCHAR) || '{SEMDECON_SALT}'), 1, 1)
+           < '{SEMDECON_EVAL_HEX}' AS is_eval
+  FROM embeddings
+),
+ts AS (
+  SELECT s.vec_id, s.band, s.bucket, sp.is_eval
+  FROM sigs s JOIN split sp ON sp.vec_id = s.vec_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS train_id
+  FROM ts a JOIN ts b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.is_eval AND NOT b.is_eval
+),
+ver AS (
+  SELECT c.eval_id, c.train_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.eval_id
+  JOIN embeddings b ON b.vec_id = c.train_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= {NEARDUP_THRESHOLD}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY eval_id ORDER BY cosine DESC, train_id ASC) AS rn
+  FROM ver
+)
+SELECT eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_train_neardups,
+       MAX(CASE WHEN rn = 1 THEN train_id END) AS top_train_id,
+       MAX(CASE WHEN rn = 1 THEN cosine END) AS top_cosine
+FROM ranked
+GROUP BY eval_id
+ORDER BY eval_id
+""".strip()
+
+
+SEMANTIC_DECONTAMINATION_GOVERNED_SQL = semantic_decontamination_governed_sql()

@@ -2091,6 +2091,20 @@ register(
     llm_sim.SEMANTIC_DECONTAMINATION_SQL,
 )
 register(
+    # PRODUCTION semantic decontamination (VERDICT r7 #2): SRP-LSH
+    # banded train×eval candidates + exact-cosine verify — the
+    # docs_fuzzy_decontamination shape, linear-ish per decade, instead
+    # of the exact key's quadratic all-pairs asset. NEW round 8 →
+    # round-8 window.
+    "emb_semantic_decontamination_governed",
+    _q(
+        lambda spark, sf: llm_sim.semantic_decontamination_governed(
+            _emb(spark, sf)
+        )
+    ),
+    llm_sim.SEMANTIC_DECONTAMINATION_GOVERNED_SQL,
+)
+register(
     "docs_crosslingual_neardup",  # language-pair near-dup leakage grid
     _q(
         lambda spark, sf: llm_dedup.crosslingual_neardup(

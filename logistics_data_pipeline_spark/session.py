@@ -136,13 +136,24 @@ def get_spark(app_name: str = "logistics-data-pipeline-spark") -> SparkSession:
     # object-store code paths (sources/bronze.py) are exercised against
     # a non-local scheme without a live endpoint. Classpath must be set
     # at JVM launch; the fs.s3a.impl binding itself is opt-in per test
-    # via the hadoopConfiguration (see tests/test_s3a_path.py). On a
-    # real cluster this jar is absent and cluster conf wins.
+    # via the hadoopConfiguration (see tests/test_s3a_path.py).
+    # ADVICE r7: the jar ships inside the package, so "absent on a real
+    # cluster" was wrong — inject it only under a local[...] master
+    # (or when SPARK_GRAFT_TESTFS=1 forces it), and APPEND to any
+    # pre-existing extraClassPath instead of replacing it, so a
+    # deployment's spark-defaults entry survives.
+    _master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    _testfs_mode = os.environ.get("SPARK_GRAFT_TESTFS", "auto")
+    _want_testfs = _testfs_mode == "1" or (
+        _testfs_mode == "auto" and _master.startswith("local")
+    )
     _testfs = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "resources", "testfs", "testfs.jar"
     )
-    if os.path.exists(_testfs):
-        builder = builder.config("spark.driver.extraClassPath", _testfs)
+    if _want_testfs and os.path.exists(_testfs):
+        _existing = os.environ.get("SPARK_DRIVER_EXTRA_CLASSPATH", "").strip()
+        _cp = f"{_existing}{os.pathsep}{_testfs}" if _existing else _testfs
+        builder = builder.config("spark.driver.extraClassPath", _cp)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

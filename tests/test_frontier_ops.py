@@ -429,6 +429,38 @@ class TestSemDedupAndCuration:
         assert "a.shard = b.shard" in s
         assert sim.SEMDEDUP_SQL == sim.semdedup_sql(sim.SEMDEDUP_CELL_CAP)
 
+    def test_semdedup_sharded_regime_matches_duckdb_exactly(self, spark, sf_dir):
+        """EXECUTED cross-engine diff of the SHARDED regime (ADVICE r7:
+        the hex-cast shard key was only string-matched before): a small
+        cell_cap forces ceil(size/cap) md5 sub-shards on real corpus
+        data, and Spark must reproduce the DuckDB twin row for row —
+        including n_lower_dups, which counts only within-shard pairs."""
+        import duckdb
+
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        cap = 8  # sf0.001 cells are larger than this -> sharded regime
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sp = [
+            (r.vec_id, r.cell, r.n_lower_dups, r.max_lower_cos, r.is_kept)
+            for r in sim.semdedup(emb, cell_cap=cap).collect()
+        ]
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        dk = [tuple(t) for t in con.sql(sim.semdedup_sql(cap)).fetchall()]
+        # the governor must actually have split a cell AND dropped
+        # cross-shard pairs (otherwise this is the unsharded regime)
+        unsharded = {
+            r.vec_id: r.n_lower_dups
+            for r in sim.semdedup(emb, cell_cap=10**9).collect()
+        }
+        assert any(
+            n < unsharded[v] for v, _, n, _, _ in sp
+        ), "cap never bit: test is not exercising the sharded regime"
+        assert sp == dk and len(sp) > 0
+
     def test_cluster_balanced_sample_caps_every_cell(self, spark):
         from logistics_data_pipeline_spark.llm import similarity as sim
 

@@ -113,3 +113,32 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
         "mirrors sharding exactly, so correctness holds either way — "
         "this guard just flags that the sharded regime went live)"
     )
+
+
+def test_document_text_is_nonempty_printable_ascii():
+    """The PNG roundtrip/resize oracles (llm/multimodal.py
+    PNG_ROUNDTRIP_SQL / PNG_RESIZE_SQL) compare character-based DuckDB
+    VARCHAR ops (length/substr/ord/repeat) against the Spark side's
+    UTF-8 byte cycling — the two agree ONLY while documents.text is
+    non-empty printable ASCII (1 byte == 1 char, and no div-by-zero in
+    ceil(512.0/length(text))). ADVICE r7: pin that contract here so a
+    testdata regen with real multi-byte text (docs carry lang='zh')
+    fails loudly with the fix — rewrite those oracles byte-based
+    (encode()/octet_length) — instead of as a silent hash mismatch."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        bad = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet'
+            WHERE text IS NULL OR length(text) = 0
+               OR octet_length(encode(text)) != length(text)
+               OR regexp_matches(text, '[^\\x20-\\x7e]')
+            """
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"sf{sf}: {bad} documents break the printable-ASCII contract "
+            "the PNG oracles assume — rewrite PNG_ROUNDTRIP_SQL/"
+            "PNG_RESIZE_SQL byte-based (encode()/octet_length) before "
+            "trusting their hash rows"
+        )
