@@ -280,26 +280,38 @@ def test_embedding_neardup_fast_matches_exact(spark, sf_dir):
 
 
 def test_multimodal_resize_and_frames(spark):
+    """Both kernels now consume DECODED pixels (round 8): expected
+    values are recomputed here from the same cycling+codec primitives,
+    independently of the mapInPandas path."""
+    import hashlib
+
+    import numpy as np
+
     from logistics_data_pipeline_spark.llm.multimodal import (
-        docs_as_media,
+        _cycle_to,
+        docs_as_png,
         resize_media,
         sample_frames,
     )
 
-    text = "ab" * 300  # 600 bytes -> 3 frames of 256 (last partial)
+    text = "ab" * 300
     docs = spark.createDataFrame(
         [(1, text, "en", "s1", len(text))],
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
-    media = docs_as_media(docs)
+    media = docs_as_png(docs)
+    pix = _cycle_to(text.encode(), 512)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(16, 32)
+    out = (a.reshape(8, 2, 16, 2).sum(axis=(1, 3), dtype=np.int64) // 4).astype(
+        np.uint8
+    )
     r = resize_media(media).collect()[0]
-    assert r.n_bytes_out == 256 and r.width == 32 and r.height == 8
-    import hashlib
-
-    assert r.resized_checksum == hashlib.md5((text * 1).encode()[:256]).hexdigest()
+    assert (r.width, r.height, r.n_bytes_out) == (16, 8, 128)
+    assert r.resized_checksum == hashlib.md5(out.tobytes()).hexdigest()
     frames = sample_frames(media, every=2).collect()
-    assert [f.frame_index for f in frames] == [0, 2]
-    assert all(f.n_frames == 3 for f in frames)
+    assert [f.frame_index for f in frames] == [0, 2, 4, 6]
+    assert all(f.n_frames == 8 for f in frames)
+    assert frames[1].frame_checksum == hashlib.md5(pix[128:192]).hexdigest()
 
 
 def test_multimodal_extract_batch_shape(spark):
