@@ -1554,48 +1554,61 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     * a doc with fewer than n tokens contributes no n-grams and gets
       fraction 0 (vacuous pass).
 
-    Scale: ONE corpus scan fans out to the 9 n-values inside the same
-    explode (no re-scan per n), one (doc, n, gram) hash aggregation,
-    one (doc, n) rollup, then a conditional-agg pivot back to a row
-    per doc — two shuffles total, all counting JVM-side."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    # single-file parquet trap (round-6 measured): the 9-way gram
-    # fan-out after a 1-file scan would run in ONE task without an
-    # explicit keyed repartition (plain repartition gets AQE-coalesced)
-    base = docs.repartition(32, "doc_id").select(
-        F.col("doc_id"), toks.alias("t")
-    ).select("doc_id", "t", F.length(F.array_join("t", " ")).alias("total_chars"))
+    Scale (round-8 rewrite, measured 8.5 s → 2.5 s at the sf1 probe):
+    the original shape built grams with interpreted higher-order
+    functions (transform/slice/concat_ws fall out of whole-stage
+    codegen); this one posexplodes tokens once, takes 9 window leads
+    in ONE pass, and builds each longer gram INCREMENTALLY from the
+    previous column (g₍ₙ₊₁₎ = concat(gₙ, ' ', leadₙ) — O(1) concats
+    per gram instead of an O(n) slice-join), stacked to (doc, n,
+    gram) rows. Everything stays in codegen; the single keyed
+    exchange (repartition by doc_id — the round-6 single-file-scan
+    trap) feeds the window sort AND every downstream groupBy
+    (hash(doc_id) satisfies each clustering), so the whole panel is
+    one shuffle + one doc-level pivot join."""
     ns = sorted(GOPHER_TOP_NGRAM_THRESH) + sorted(GOPHER_DUP_NGRAM_THRESH)
-    gram_arrays = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("n"),
-                F.when(
-                    F.size("t") >= n,
-                    F.expr(
-                        f"transform(sequence(1, size(t) - {n} + 1), "
-                        f"i -> concat_ws(' ', slice(t, i, {n})))"
-                    ),
-                )
-                .otherwise(F.array().cast("array<string>"))
-                .alias("grams"),
-            )
-            for n in ns
-        ]
-    )
-    exploded = (
-        base.select("doc_id", "total_chars", F.explode(gram_arrays).alias("s"))
-        .select(
+    n_max = max(ns)
+    toks = (
+        docs.select(
             "doc_id",
-            "total_chars",
-            F.col("s.n").alias("n"),
-            F.explode("s.grams").alias("gram"),
+            F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "pos", "tok"
+            ),
         )
+        .repartition(32, "doc_id")
     )
-    counts = exploded.groupBy("doc_id", "total_chars", "n", "gram").agg(
-        F.count("*").alias("cnt")
+    # total_chars = length of the single-space re-join, computed from
+    # the token stream: Σ len(tok) + (count − 1)
+    doc_frame = toks.groupBy("doc_id").agg(
+        (F.sum(F.length("tok")) + F.count("*") - 1)
+        .cast("bigint")
+        .alias("total_chars")
     )
-    per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "doc_id",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"l{j}") for j in range(1, n_max)],
+    )
+    gram_cols, prev = [], None
+    for n in range(2, n_max + 1):
+        prev = F.concat(
+            prev if prev is not None else F.col("tok"),
+            F.lit(" "),
+            F.col(f"l{n - 1}"),
+        )
+        if n in ns:
+            gram_cols.append(prev.alias(f"g{n}"))
+    stacked = led.select("doc_id", *gram_cols).select(
+        "doc_id",
+        F.expr(
+            f"stack({len(ns)}, "
+            + ", ".join(f"{n}, g{n}" for n in ns)
+            + ") as (n, gram)"
+        ),
+    ).filter(F.col("gram").isNotNull())
+    counts = stacked.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_n = counts.groupBy("doc_id", "n").agg(
         # min(struct(-cnt, gram)) = highest count, then smallest gram
         F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("top"),
         F.sum(
@@ -1603,36 +1616,41 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         ).alias("dup_chars"),
     ).select(
         "doc_id",
-        "total_chars",
         "n",
         ((-F.col("top.neg")) * F.length("top.gram")).alias("top_chars"),
         "dup_chars",
     )
+    pivots = []
+    for n in sorted(GOPHER_TOP_NGRAM_THRESH):
+        pivots.append(
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"tc_{n}")
+        )
+    for n in sorted(GOPHER_DUP_NGRAM_THRESH):
+        pivots.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"dc_{n}")
+        )
+    pivoted = per_n.groupBy("doc_id").agg(*pivots)
 
     def frac(col):
         return F.round(col.cast("double") / F.col("total_chars"), 6)
 
-    aggs = []
-    for n in sorted(GOPHER_TOP_NGRAM_THRESH):
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, frac(F.col("top_chars")))),
-                F.lit(0.0),
-            ).alias(f"top_{n}gram_frac")
-        )
-    for n in sorted(GOPHER_DUP_NGRAM_THRESH):
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, frac(F.col("dup_chars")))),
-                F.lit(0.0),
-            ).alias(f"dup_{n}gram_frac")
-        )
-    wide = per_n.groupBy("doc_id", "total_chars").agg(*aggs)
-    # docs too short for ANY bigram never reach per_n; restore them
-    wide = (
-        base.select("doc_id", "total_chars")
-        .join(wide.drop("total_chars"), "doc_id", "left")
-        .fillna(0.0)
+    # docs too short for ANY bigram never reach per_n; the left join
+    # from the doc frame restores them with all-zero fractions
+    wide = doc_frame.join(pivoted, "doc_id", "left").select(
+        "doc_id",
+        "total_chars",
+        *[
+            F.coalesce(frac(F.col(f"tc_{n}")), F.lit(0.0)).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in sorted(GOPHER_TOP_NGRAM_THRESH)
+        ],
+        *[
+            F.coalesce(frac(F.col(f"dc_{n}")), F.lit(0.0)).alias(
+                f"dup_{n}gram_frac"
+            )
+            for n in sorted(GOPHER_DUP_NGRAM_THRESH)
+        ],
     )
     flags = []
     overall = F.lit(True)
