@@ -195,32 +195,27 @@ def upsert_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str, key: str
       skipped outright.
 
     With Delta/Iceberg this collapses to a native ``MERGE INTO``;
-    semantics are identical.
-    """
-    import os
-
+    semantics are identical. Marker I/O goes through ``pathio`` so the
+    same sink runs over local disk or an s3a:// bucket (the marker
+    commit is a POSIX rename locally, a single atomic PUT there)."""
     from ..sources.bronze import merge_upsert
+    from . import pathio
 
-    marker = os.path.join(table_dir, "_CURRENT")
+    marker = pathio.join(table_dir, "_CURRENT")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        current = None
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                current = fh.read().strip()
-        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
-        if current == version_dir and os.path.isdir(version_dir):
+        current = pathio.read_text(spark, marker)
+        current = current.strip() if current else None
+        version_dir = pathio.join(table_dir, f"v{batch_id:020d}")
+        if current == version_dir and pathio.is_dir(spark, version_dir):
             return  # batch already fully applied; replay after marker repoint
-        if current and os.path.isdir(current):
+        if current and pathio.is_dir(spark, current):
             merged = merge_upsert(spark.read.parquet(current), batch, key)
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(version_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version_dir)
-        os.replace(tmp, marker)
+        pathio.write_text_atomic(spark, marker, version_dir)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -232,10 +227,10 @@ def upsert_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str, key: str
 
 def read_upsert_table(spark, table_dir: str) -> DataFrame:
     """Read the current version of an ``upsert_sink`` table."""
-    import os
+    from . import pathio
 
-    with open(os.path.join(table_dir, "_CURRENT")) as fh:
-        return spark.read.parquet(fh.read().strip())
+    current = pathio.read_text(spark, pathio.join(table_dir, "_CURRENT"))
+    return spark.read.parquet(current.strip())
 
 
 def rollup_sink(
@@ -258,9 +253,9 @@ def rollup_sink(
     same versioned-directory + _CURRENT marker discipline (and the
     same two crash-replay windows) as ``upsert_sink``; with
     Delta/Iceberg this collapses to MERGE INTO with += updates."""
-    import os
+    from . import pathio
 
-    marker = os.path.join(table_dir, "_CURRENT")
+    marker = pathio.join(table_dir, "_CURRENT")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -272,14 +267,12 @@ def rollup_sink(
                 F.sum(F.col("weight_kg").cast("double")).alias("sum_weight"),
             )
         )
-        current = None
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                current = fh.read().strip()
-        version_dir = os.path.join(table_dir, f"v{batch_id:020d}")
-        if current == version_dir and os.path.isdir(version_dir):
+        current = pathio.read_text(spark, marker)
+        current = current.strip() if current else None
+        version_dir = pathio.join(table_dir, f"v{batch_id:020d}")
+        if current == version_dir and pathio.is_dir(spark, version_dir):
             return  # replay after marker repoint: already applied
-        if current and os.path.isdir(current):
+        if current and pathio.is_dir(spark, current):
             prev = spark.read.parquet(current)
             merged = (
                 prev.unionByName(partial)
@@ -292,10 +285,7 @@ def rollup_sink(
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(version_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version_dir)
-        os.replace(tmp, marker)
+        pathio.write_text_atomic(spark, marker, version_dir)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -333,9 +323,10 @@ def dedup_corpus_sink(
     anti-join's corpus side becomes an incrementally-maintained hash
     index instead of a manifest-union scan."""
     import hashlib
-    import os
 
-    manifest = os.path.join(corpus_dir, "_MANIFEST")
+    from . import pathio
+
+    manifest = pathio.join(corpus_dir, "_MANIFEST")
     # foreachBatch replay identity is (query, batch_id), not batch_id
     # alone — two different queries appending to the same corpus both
     # start at batch 0, so parts are namespaced by the checkpoint (the
@@ -345,12 +336,10 @@ def dedup_corpus_sink(
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        os.makedirs(corpus_dir, exist_ok=True)
-        parts: list[str] = []
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                parts = [ln.strip() for ln in fh if ln.strip()]
-        part_dir = os.path.join(corpus_dir, f"{qid}-b{batch_id:020d}")
+        pathio.make_dirs(spark, corpus_dir)
+        txt = pathio.read_text(spark, manifest) or ""
+        parts = [ln.strip() for ln in txt.splitlines() if ln.strip()]
+        part_dir = pathio.join(corpus_dir, f"{qid}-b{batch_id:020d}")
         if part_dir in parts:
             return  # replay after commit: batch already in the corpus
         hashed = batch.withColumn("text_hash", F.md5(F.col(text_col)))
@@ -368,10 +357,9 @@ def dedup_corpus_sink(
         else:
             kept = first_in_batch
         kept.write.mode("overwrite").parquet(part_dir)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join([*parts, part_dir]) + "\n")
-        os.replace(tmp, manifest)
+        pathio.write_text_atomic(
+            spark, manifest, "\n".join([*parts, part_dir]) + "\n"
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -383,8 +371,8 @@ def dedup_corpus_sink(
 
 def read_dedup_corpus(spark, corpus_dir: str) -> DataFrame:
     """Read the committed dedup corpus (union of manifest parts)."""
-    import os
+    from . import pathio
 
-    with open(os.path.join(corpus_dir, "_MANIFEST")) as fh:
-        parts = [ln.strip() for ln in fh if ln.strip()]
+    txt = pathio.read_text(spark, pathio.join(corpus_dir, "_MANIFEST")) or ""
+    parts = [ln.strip() for ln in txt.splitlines() if ln.strip()]
     return spark.read.parquet(*parts)

@@ -24,6 +24,9 @@ def s3a(spark, tmp_path):
     bucket-qualified base URI over tmp_path."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.impl", "logisticsfs.S3AStubFileSystem")
+    # Structured Streaming's checkpoint manager resolves through
+    # FileContext, which needs the AbstractFileSystem binding too
+    hconf.set("fs.AbstractFileSystem.s3a.impl", "logisticsfs.S3AStubAbstractFs")
     return f"s3a://bronze{tmp_path}"
 
 
@@ -72,3 +75,113 @@ def test_first_or_incremental_load_over_s3a(spark, sf_dir, s3a):
         assert spark.table("t_s3a_bronze").count() == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS t_s3a_bronze")
+
+
+# --- streaming sinks over s3a (VERDICT r7 #7) -------------------------------
+#
+# The reference's whole bronze leg is object-store-backed
+# (consumer_to_minio.py:36-45): these tests drive replayed streams with
+# BOTH the data sink and the streaming checkpoint on s3a:// URIs, and
+# pin stream==batch equivalence plus checkpointed-restart idempotency.
+
+import json
+
+
+def _wire_rows(dirpath, name, ids, weight=5.0):
+    rows = [
+        {
+            "event_id": i,
+            "order_id": "o1",
+            "timestamp": "2024-01-01T00:00:00",
+            "status_update": "in_transit",
+            "location": "NY",
+            "destination": "LA",
+            "carrier": "c1",
+            "latitude": 10.0,
+            "longitude": 20.0,
+            "weight_kg": weight,
+            "estimated_delivery": "2024-01-07",
+        }
+        for i in ids
+    ]
+    p = dirpath / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_bronze_sink_checkpointed_over_s3a(spark, tmp_path, s3a):
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        bronze_sink,
+        file_stream_source,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _wire_rows(src, "a.json", [f"e{i}" for i in range(6)])
+    _wire_rows(src, "b.json", [f"e{i}" for i in range(4, 10)])  # e4/e5 dup
+    out, ckpt = f"{s3a}/bronze", f"{s3a}/ckpt"
+    q = bronze_sink(file_stream_source(spark, str(src)), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # stream dedup == batch distinct
+    assert got.select("event_id").distinct().count() == 10
+    # restart against the s3a checkpoint: nothing reprocessed
+    q2 = bronze_sink(file_stream_source(spark, str(src)), out, ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_upsert_sink_marker_commit_over_s3a(spark, tmp_path, s3a):
+    """The _CURRENT marker commits via a single PUT on object stores
+    (pathio.write_text_atomic); merge + restart semantics must match
+    the local-disk contract exactly."""
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        file_stream_source,
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _wire_rows(src, "a.json", [f"e{i}" for i in range(6)], weight=1.0)
+    _wire_rows(src, "b.json", [f"e{i}" for i in range(4, 10)], weight=9.0)
+    table, ckpt = f"{s3a}/table", f"{s3a}/ckpt-upsert"
+    q = upsert_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q.awaitTermination(120)
+    got = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+    assert len(got) == 10
+    assert got["e0"] == 1.0 and got["e5"] == 9.0 and got["e9"] == 9.0
+    q2 = upsert_sink(file_stream_source(spark, str(src), max_files=1), table, ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    got2 = {r.event_id: r.weight_kg for r in read_upsert_table(spark, table).collect()}
+    assert got2 == got
+
+
+def test_dedup_corpus_sink_manifest_over_s3a(spark, tmp_path, s3a):
+    """Append-only parts + _MANIFEST over s3a: within-batch and
+    against-corpus dedup must equal the batch-side exact dedup of the
+    same input (stream==batch)."""
+    from logistics_data_pipeline_spark.streaming.ingest import (
+        dedup_corpus_sink,
+        read_dedup_corpus,
+    )
+
+    b1 = tmp_path / "docs1"
+    b2 = tmp_path / "docs2"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    ).write.parquet(str(b1))
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], ["doc_id", "text"]
+    ).write.parquet(str(b2))
+    corpus, ckpt = f"{s3a}/corpus", f"{s3a}/ckpt-corpus"
+    schema = "doc_id bigint, text string"
+    for p in (b1, b2):
+        stream = spark.readStream.schema(schema).parquet(str(p))
+        q = dedup_corpus_sink(stream, corpus, f"{ckpt}/{p.name}")
+        q.awaitTermination(120)
+        assert q.exception() is None
+    got = {r.doc_id: r.text for r in read_dedup_corpus(spark, corpus).collect()}
+    # first arrival per text wins, across batches
+    assert got == {1: "alpha", 2: "beta", 5: "gamma"}
