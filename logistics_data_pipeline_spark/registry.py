@@ -1123,102 +1123,83 @@ register(
 # regenerated four times since). Keys NEW this round MUST be appended
 # here (not just register()-ed) or they wait a full round for a check.
 
-_ROUND7_WINDOW = [
-    # Round-7 policy (VERDICT r6 #1): retire the driver-verification
-    # debt. 60 registered keys have never had a driver row (52 late
-    # round-6 additions + 8 names restored this round when the
-    # duplicate-registration shadowing was fixed), and 2 keys
-    # (stream_enrich_join, docs_cdc_chunk_dedup) got a GREEN r06 row
-    # against the WRONG binding (a stale renamed registration had
-    # last-wins-shadowed the real operator; see ADVICE r6) and must be
-    # re-verified against the real one. That is 62 candidates for the
-    # driver's 50-key budget; the 12 deferred to round 8 are listed at
-    # the bottom, each justified by a driver-green sibling that
-    # exercises the same machinery. register() now raises on duplicate
-    # names, so this class of mis-verification cannot recur.
+_ROUND8_WINDOW = [
+    # Round-8 policy (VERDICT r7 #1): FINISH the driver-verification
+    # ledger. After this window, the union of CORRECTNESS_r01–r08 has
+    # a green hash row for every oracled key on its CURRENT oracle.
+    # Composition:
+    #   (a) keys whose code or oracle CHANGED this round (5);
+    #   (b) the NEW round-8 key (1);
+    #   (c) the 20 keys without any green driver hash row: the 12
+    #       round-7 deferrals, the 5 round-7 adds, and the 3 keys
+    #       whose round-6 oracle upgrade postdates their last driver
+    #       row (emb_kmeans_cells / emb_pq_codes /
+    #       docs_minhash_error_panel — minus gopher/semdecon/dup_span/
+    #       png already counted in (a)/(c) overlap below);
+    #   (d) the stalest re-verification canaries (last green r01, and
+    #       the testdata has been regenerated several times since).
     #
-    # -- the 2 mis-verified keys, first --
-    "stream_enrich_join",  # r06 row verified seasonal_index, not the stream graph
-    "docs_cdc_chunk_dedup",  # r06 row verified hll_manual, not CDC chunking
-    # -- the 48 never-driver-checked keys --
-    "docs_classifier_calibration",
-    "docs_dedup_threshold_sweep",
-    "docs_delete_propagation",
-    "docs_dp_source_counts",
-    "docs_editdistance_verify",
-    "docs_good_turing",
-    "docs_term_burstiness",
-    "docs_tokenizer_fertility",
-    "docs_vocab_coverage",
-    "docs_winnowing",
-    "emb_cluster_balanced_sample",
-    "emb_label_prototypes",
-    "emb_label_purity",
-    "emb_sign_codes",
-    "events_attribution_models",
-    "events_daily_acf",
-    "events_daily_gapfill",
-    "events_gaps_islands",
-    "events_hll_manual",
-    "events_holt_backtest",
-    "events_james_stein",
-    "events_k_anonymity",
-    "events_kde_density",
-    "events_ks_test",
-    "events_retention_decay_fit",
-    "events_shapley_attribution",
-    "events_stl_decompose",
-    "events_tail_index",
-    "events_winsorized_stats",
-    "lineitem_leadtime_anova",
-    "orders_backlog_aging",
-    "orders_benford_digits",
-    "orders_cohort_ltv",
-    "orders_item_similarity",
-    "orders_link_prediction",
-    "orders_promo_did",
-    "orders_revenue_gini",
-    "orders_revenue_trend",
-    "orders_seasonal_index",
-    "orders_segment_migration",
-    "orders_theilsen_trend",
-    "orders_wip_sweep",
-    "part_croston_forecast",
-    "part_newsvendor_stock",
-    "part_pareto_front",
-    "part_price_elasticity",
-    "part_safety_stock",
-    "supplier_concentration",
-    # -- 12 deferred to round 8, each with a driver-green sibling --
-    # events_kmv_distinct: identical bottom-k-by-hash sketch as
-    #   events_quantile_sketch (green r06); kmv is its cardinality
-    #   projection.
-    # docs_bm25_scores: the full BM25 scorer runs inside
-    #   docs_rrf_fusion (green r06).
-    # docs_lsh_s_curve: analytic recall panel over the mh_sig /
-    #   jac_scores shared assets, both driver-exercised by
-    #   docs_neardup_minhash + docs_neardup_ngram (green).
-    # events_type_value_drift: two-window Welch-z; Welch machinery
-    #   green via events_ab_test_srm (r06).
-    # docs_holdout_perplexity: held-out bigram-LM scorer shares
-    #   docs_kneser_ney_bigram's machinery (green r06).
-    # events_holt_forecast: the Holt recursion is consumed by
-    #   events_conformal_forecast (green r06) and re-fit per origin by
-    #   events_holt_backtest (in this window).
-    # events_ewma_control: SES is the trend-free special case of the
-    #   Holt family above.
-    # docs_lexsem_agreement: cross-modality join of jac_scores x
-    #   emb_pairs assets, both green via docs_neardup_ngram +
-    #   emb_neardup_cosine.
-    # emb_label_centroid_sim: per-label centroid aggregation shared
-    #   with emb_label_outliers (green r06); purity + prototypes are
-    #   in this window.
-    # orders_duplicate_invoices: GROUP BY/HAVING dup-detect, the same
-    #   shape dq_checks' duplicate check drives (green).
-    # docs_token_dup_inflation: derived panel over docs_exact_dedup
-    #   (green) + token counts from docs_text_stats (green).
-    # docs_corpus_datasheet: one-row rollup of stats whose source
-    #   operators (docs_text_stats, docs_exact_dedup) are green.
+    # -- (a) code/oracle changed in round 8 --
+    "docs_gopher_repetition",  # codegen gram-pipeline rewrite (also never driver-checked)
+    "emb_pca_deflation",  # driver-local rounded trajectory (hash-stable, re-pin)
+    "emb_neardup_lsh",  # srp_buckets/_verified_pair_cosines refactor (byte-identical SQL)
+    "multimodal_resize",  # REAL decoded-pixel kernel + new oracle
+    "multimodal_frame_sample",  # REAL decoded-pixel kernel + new oracle
+    # -- (b) new this round --
+    "emb_semantic_decontamination_governed",
+    # -- (c) never driver-green (oracled) --
+    "events_kmv_distinct",
+    "docs_bm25_scores",
+    "docs_lsh_s_curve",
+    "events_type_value_drift",
+    "docs_holdout_perplexity",
+    "events_holt_forecast",
+    "events_ewma_control",
+    "docs_lexsem_agreement",
+    "emb_label_centroid_sim",
+    "orders_duplicate_invoices",
+    "docs_token_dup_inflation",
+    "docs_corpus_datasheet",
+    "emb_semantic_decontamination",
+    "docs_dup_span_coverage",
+    "multimodal_png_roundtrip",
+    "multimodal_png_resize",
+    "emb_kmeans_cells",
+    "emb_pq_codes",
+    "docs_minhash_error_panel",
+    # -- (d) stalest green keys (r01 rows; oldest first) --
+    "ingest_dedup_antijoin",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "dim_order_scd2",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "stream_sessionize_closed",
+    "events_asof_join",
+    "events_tumbling_windows",
+    "events_daily_type_pivot",
+    "events_click_attribution",
+    "events_retention_cohorts",
+    # -- 3 r01-stale keys deferred to round 9, each covered elsewhere --
+    # gen_synthetic_events: the driver's OWN entry() smoke re-runs the
+    #   seeded generator every round (entry composes it), so a silent
+    #   regression cannot hide a full round.
+    # events_daily_type_unpivot / events_daily_type_cube: trivial
+    #   reshapes of the same daily-type frame as events_daily_type_pivot
+    #   (in this window); all three share one aggregation subtree.
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -2320,9 +2301,9 @@ register(
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND7_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND7_WINDOW names unregistered keys: {missing}"
-    order = _ROUND7_WINDOW + [k for k in _QUERIES if k not in _ROUND7_WINDOW]
+    missing = [k for k in _ROUND8_WINDOW if k not in _QUERIES]
+    assert not missing, f"_ROUND8_WINDOW names unregistered keys: {missing}"
+    order = _ROUND8_WINDOW + [k for k in _QUERIES if k not in _ROUND8_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

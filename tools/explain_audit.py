@@ -31,6 +31,9 @@ ALLOWED = {
     # literal-sized (64x64) cross join producing the broadcast plane
     # frame; corpus-sized frames never touch it
     "emb_neardup_lsh": {"nested-loop join"},
+    # same dims x js SRP plane build as emb_neardup_lsh (shared
+    # srp_buckets helper) — literal-sized, broadcast-bound
+    "emb_semantic_decontamination_governed": {"nested-loop join"},
     # single-row scalar aggregates cross-joined into the report row
     "dq_checks": {"nested-loop join"},
     # 1-row scalar aggregate broadcast on a dummy equality key: Catalyst
