@@ -4652,10 +4652,14 @@ def linear_probe_gd(emb: DataFrame, n_iter: int = PROBE_ITERS) -> DataFrame:
     data pass, the moments already contain the loss.
 
     Scale: ONE corpus pass builds the d²+d moments (map-side partial
-    aggregation); training itself touches d-row frames. This is
-    exactly how distributed linear models train at 100 TB — sufficient
-    statistics in one pass, driver-sized optimization — expressed
-    declaratively so the oracle can replay it."""
+    aggregation); the GD steps then run DRIVER-LOCAL on the collected
+    moments (round 8 — the same MLlib-idiom switch as
+    ``pca_deflation``: the declarative 12-step chain spent most of its
+    4.9 s in eager-checkpoint job round-trips on 64-row frames;
+    ``_round_half_up`` keeps the trajectory bit-equal to the unrolled
+    SQL twin, hashes unchanged). This is exactly how distributed
+    linear models train at 100 TB — sufficient statistics in one
+    pass, driver-sized optimization."""
     q = F.floor(F.col("v").cast("double") * F.lit(float(COV_SCALE))).cast("bigint")
     elems = (
         emb.select(
@@ -4681,16 +4685,15 @@ def linear_probe_gd(emb: DataFrame, n_iter: int = PROBE_ITERS) -> DataFrame:
             ).alias("xx")
         )
     )
-    mat = (
-        xtx_ut.unionByName(
-            xtx_ut.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "xx"
-            )
+    import numpy as np
+
+    spark = emb.sparkSession
+    mat_rows = xtx_ut.unionByName(
+        xtx_ut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "xx"
         )
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    xty = (
+    ).collect()  # d² — dimension-bounded, never corpus-sized
+    xty_rows = (
         elems.groupBy("dim")
         .agg(
             (
@@ -4698,94 +4701,59 @@ def linear_probe_gd(emb: DataFrame, n_iter: int = PROBE_ITERS) -> DataFrame:
                 / F.lit(float(COV_SCALE))
             ).alias("xy")
         )
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    scal = F.broadcast(
+    st = (
         elems.groupBy()
         .agg(
             (F.countDistinct("vec_id")).cast("double").alias("n"),
             F.sum("y").cast("double").alias("ny_elems"),
             (F.max("dim") + 1).cast("double").alias("d"),
         )
-        .crossJoin(
-            mat.filter(F.col("i") == F.col("j")).agg(F.sum("xx").alias("tr"))
-        )
-        .select(
-            "n",
-            "d",
-            "tr",
-            (F.col("ny_elems") / F.col("d")).alias("n_pos"),
-            F.round(
-                F.lit(1.0)
-                / (F.col("tr") / F.col("n") + F.lit(PROBE_LAMBDA) * F.col("d")),
-                PROBE_ROUND,
-            ).alias("eta"),
-        )
+        .collect()[0]
     )
-    w = mat.select("i").distinct().select(
-        F.col("i").alias("dim"), F.lit(0.0).alias("val")
-    )
-    for it in range(n_iter):
-        gw = (
-            mat.join(F.broadcast(w), mat.j == w.dim)
-            .groupBy("i")
-            .agg(F.sum(F.col("xx") * F.col("val")).alias("g"))
-        )
-        w = (
-            gw.join(xty.select(F.col("dim").alias("i"), "xy"), "i")
-            .join(
-                F.broadcast(w.select(F.col("dim").alias("i"), F.col("val").alias("wv"))),
-                "i",
-            )
-            .crossJoin(scal)
-            .select(
-                F.col("i").alias("dim"),
-                F.round(
-                    F.col("wv")
-                    - F.col("eta")
-                    * (
-                        (F.col("g") - F.col("xy")) / F.col("n")
-                        + F.lit(PROBE_LAMBDA) * F.col("wv")
-                    ),
+    d = int(st["d"])
+    n = float(st["n"])
+    n_pos = st["ny_elems"] / st["d"]
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in mat_rows:
+        C[r["i"], r["j"]] = r["xx"]
+    xy = np.zeros(d, dtype=np.float64)
+    for r in xty_rows:
+        xy[r["dim"]] = r["xy"]
+    tr = float(np.sum(np.diag(C)))
+    eta = _round_half_up(1.0 / (tr / n + PROBE_LAMBDA * d), PROBE_ROUND)
+    w = np.zeros(d, dtype=np.float64)
+    for _ in range(n_iter):
+        g = C @ w
+        w = np.array(
+            [
+                _round_half_up(
+                    w[i] - eta * ((g[i] - xy[i]) / n + PROBE_LAMBDA * w[i]),
                     PROBE_ROUND,
-                ).alias("val"),
-            )
+                )
+                for i in range(d)
+            ]
         )
-        if it % 3 == 2 or it == n_iter - 1:
-            w = w.coalesce(1).localCheckpoint(eager=True)
     # closed-form training MSE from the same moments:
     # (y'y - 2 w'X'y + w'XtX w) / n     (y'y = n_pos, y being 0/1)
-    wxy = (
-        w.join(xty, "dim")
-        .agg(F.sum(F.col("val") * F.col("xy")).alias("wxy"))
-    )
-    wxxw = (
-        mat.join(
-            F.broadcast(w.select(F.col("dim").alias("i"), F.col("val").alias("vi"))),
-            "i",
-        )
-        .join(
-            F.broadcast(w.select(F.col("dim").alias("j"), F.col("val").alias("vj"))),
-            "j",
-        )
-        .agg(F.sum(F.col("vi") * F.col("xx") * F.col("vj")).alias("wxxw"))
-    )
-    return (
-        w.crossJoin(F.broadcast(wxy))
-        .crossJoin(F.broadcast(wxxw))
-        .crossJoin(scal)
-        .select(
-            F.col("dim").cast("int").alias("dim"),
-            F.round("val", 6).alias("weight"),
-            F.round(
-                (F.col("n_pos") - 2.0 * F.col("wxy") + F.col("wxxw")) / F.col("n"),
-                6,
-            ).alias("train_mse"),
-            F.col("n_pos").cast("bigint").alias("n_pos"),
-        )
-        .orderBy("dim")
-    )
+    wxy = float(w @ xy)
+    wxxw = float(w @ C @ w)
+    mse = _round_half_up((n_pos - 2.0 * wxy + wxxw) / n, 6)
+    return spark.createDataFrame(
+        [
+            (dim, _round_half_up(float(w[dim]), 6), mse, int(n_pos))
+            for dim in range(d)
+        ],
+        T.StructType(
+            [
+                T.StructField("dim", T.IntegerType(), False),
+                T.StructField("weight", T.DoubleType()),
+                T.StructField("train_mse", T.DoubleType()),
+                T.StructField("n_pos", T.LongType()),
+            ]
+        ),
+    ).orderBy("dim")
 
 
 def _linear_probe_sql() -> str:
