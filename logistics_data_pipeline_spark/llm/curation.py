@@ -481,6 +481,159 @@ ORDER BY tt.doc_id
 """.strip()
 
 
+def decontamination_panel(
+    docs: DataFrame,
+    emb: DataFrame,
+    sig: DataFrame | None = None,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """METHOD-AGREEMENT panel across all three decontamination passes —
+    the ``dedup_method_agreement`` shape applied to eval-leakage: one
+    row per TRAIN document with its exact 5-gram flag
+    (``decontamination``), its fuzzy MinHash-banded flag
+    (``fuzzy_decontamination``), and a SEMANTIC flag computed over the
+    SAME doc-level split (``split_assign`` — not the embeddings-table
+    salt the standalone semantic keys use, so the three verdicts are
+    about the same train/eval partition): a train doc is semantically
+    contaminated when its embedding (vec_id == doc_id, the
+    ``lexsem_agreement`` crosswalk) has ≥1 SRP-LSH-banded,
+    exact-cosine-verified eval near-dup. Output adds has_embedding
+    (semantic verdict is NULL without a vector), the flagged-method
+    count, and the any-method verdict — the per-doc drop sheet a
+    pre-training pipeline acts on.
+
+    Scale: three already-governed legs (broadcast eval shingles,
+    banded MinHash candidates, banded SRP candidates) joined 1:1 on
+    doc_id; nothing new is pair-forming."""
+    from .dedup import fuzzy_decontamination
+    from .similarity import (
+        NEARDUP_THRESHOLD,
+        _srp_band_bits,
+        _verified_pair_cosines,
+        srp_buckets,
+    )
+
+    splits = split_assign(docs).select("doc_id", "split")
+    exact = decontamination(docs).select(
+        "doc_id", F.col("is_contaminated").alias("exact_contaminated")
+    )
+    fuzzy = fuzzy_decontamination(docs, sig=sig).select(
+        "doc_id", F.col("is_fuzzy_contaminated").alias("fz")
+    )
+    if band_bits is None:
+        band_bits = _srp_band_bits(emb)
+    sigs = srp_buckets(emb, band_bits=band_bits).join(
+        splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id"
+    )
+    tr = sigs.filter(F.col("split") == "train").select(
+        "band", "bucket", F.col("vec_id").alias("train_id")
+    )
+    ev = sigs.filter(F.col("split") != "train").select(
+        "band", "bucket", F.col("vec_id").alias("eval_id")
+    )
+    cand = (
+        tr.repartition(32, "band", "bucket")
+        .join(ev, ["band", "bucket"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sem_hit = (
+        _verified_pair_cosines(emb, cand, "train_id", "eval_id", NEARDUP_THRESHOLD)
+        .select("train_id")
+        .distinct()
+        .select(F.col("train_id").alias("doc_id"), F.lit(True).alias("sm"))
+    )
+    emb_ids = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("he", F.lit(True))
+    )
+    fz = F.coalesce(F.col("fz"), F.lit(False))
+    he = F.coalesce(F.col("he"), F.lit(False))
+    sm = F.coalesce(F.col("sm"), F.lit(False))
+    return (
+        exact.join(fuzzy, "doc_id", "left")
+        .join(emb_ids, "doc_id", "left")
+        .join(sem_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_contaminated",
+            fz.alias("fuzzy_contaminated"),
+            he.alias("has_embedding"),
+            F.when(he, sm).alias("semantic_contaminated"),
+            (
+                F.col("exact_contaminated").cast("int")
+                + fz.cast("int")
+                + sm.cast("int")
+            ).alias("n_methods_flagged"),
+            (F.col("exact_contaminated") | fz | sm).alias("any_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decontamination_panel_sql(band_bits: int = 4) -> str:
+    from .dedup import _fuzzy_decontamination_sql
+    from .similarity import NEARDUP_THRESHOLD, _srp_sig_ctes
+
+    exact = DECONTAMINATION_SQL.replace("ORDER BY tt.doc_id", "").rstrip()
+    fuzzy = _fuzzy_decontamination_sql().replace("ORDER BY doc_id", "").rstrip()
+    return f"""
+WITH exact AS (
+  SELECT doc_id, is_contaminated FROM ({exact})
+),
+fz AS (
+  SELECT doc_id, is_fuzzy_contaminated FROM ({fuzzy})
+),
+{_srp_sig_ctes(band_bits)},
+dsplit AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_hex_threshold(0.2)}'
+           AS is_eval
+  FROM documents
+),
+ts AS (
+  SELECT s.vec_id, s.band, s.bucket, d.is_eval
+  FROM sigs s JOIN dsplit d ON d.doc_id = s.vec_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
+  FROM ts a JOIN ts b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE NOT a.is_eval AND b.is_eval
+),
+sem_hit AS (
+  SELECT DISTINCT c.train_id AS doc_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.train_id
+  JOIN embeddings eb ON eb.vec_id = c.eval_id
+  WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {NEARDUP_THRESHOLD}
+),
+embids AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings)
+SELECT e.doc_id,
+       e.is_contaminated AS exact_contaminated,
+       COALESCE(f.is_fuzzy_contaminated, FALSE) AS fuzzy_contaminated,
+       i.doc_id IS NOT NULL AS has_embedding,
+       CASE WHEN i.doc_id IS NOT NULL THEN s.doc_id IS NOT NULL END
+         AS semantic_contaminated,
+       CAST(CAST(e.is_contaminated AS INT)
+            + CAST(COALESCE(f.is_fuzzy_contaminated, FALSE) AS INT)
+            + CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS n_methods_flagged,
+       e.is_contaminated OR COALESCE(f.is_fuzzy_contaminated, FALSE)
+         OR s.doc_id IS NOT NULL AS any_contaminated
+FROM exact e
+LEFT JOIN fz f ON f.doc_id = e.doc_id
+LEFT JOIN embids i ON i.doc_id = e.doc_id
+LEFT JOIN sem_hit s ON s.doc_id = e.doc_id
+ORDER BY e.doc_id
+""".strip()
+
+
+DECONTAMINATION_PANEL_SQL = _decontamination_panel_sql()
+
+
 PACK_CAPACITY = 256
 PACK_GROUPS = 16
 

@@ -1147,6 +1147,7 @@ _ROUND8_WINDOW = [
     "multimodal_frame_sample",  # REAL decoded-pixel kernel + new oracle
     # -- (b) new this round --
     "emb_semantic_decontamination_governed",
+    "docs_decontamination_panel",
     # -- (c) never driver-green (oracled) --
     "events_kmv_distinct",
     "docs_bm25_scores",
@@ -1192,14 +1193,17 @@ _ROUND8_WINDOW = [
     "events_tumbling_windows",
     "events_daily_type_pivot",
     "events_click_attribution",
-    "events_retention_cohorts",
-    # -- 3 r01-stale keys deferred to round 9, each covered elsewhere --
+    # -- 4 r01-stale keys deferred to round 9, each covered elsewhere --
     # gen_synthetic_events: the driver's OWN entry() smoke re-runs the
     #   seeded generator every round (entry composes it), so a silent
     #   regression cannot hide a full round.
     # events_daily_type_unpivot / events_daily_type_cube: trivial
     #   reshapes of the same daily-type frame as events_daily_type_pivot
     #   (in this window); all three share one aggregation subtree.
+    # events_retention_cohorts (ceded its slot to the late-round
+    #   docs_decontamination_panel): cohort/retention machinery is
+    #   driver-exercised by events_retention_decay_fit (green r07),
+    #   and the r01 green row stands.
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -2088,6 +2092,20 @@ register(
         )
     ),
     llm_sim.SEMANTIC_DECONTAMINATION_GOVERNED_SQL,
+)
+register(
+    # Method-agreement drop sheet across all three decon passes
+    # (exact 5-gram / fuzzy MinHash / semantic SRP), all on the SAME
+    # doc-level split. NEW round 8 → round-8 window.
+    "docs_decontamination_panel",
+    _q(
+        lambda spark, sf: llm_cur.decontamination_panel(
+            _docs(spark, sf),
+            _emb(spark, sf),
+            sig=_dedup_shared(spark, sf, "mh_sig"),
+        )
+    ),
+    llm_cur.DECONTAMINATION_PANEL_SQL,
 )
 register(
     "docs_crosslingual_neardup",  # language-pair near-dup leakage grid

@@ -75,3 +75,41 @@ def test_governed_decon_sql_shares_the_srp_ctes_verbatim():
     assert llm_sim.SEMANTIC_DECONTAMINATION_GOVERNED_SQL == (
         llm_sim.semantic_decontamination_governed_sql(4)
     )
+
+
+def test_decontamination_panel_agrees_with_its_three_legs(spark, sf_dir):
+    """The panel must reproduce each standalone leg's verdict on the
+    SAME doc split: exact flags equal `decontamination`'s, fuzzy flags
+    equal `fuzzy_decontamination`'s (False where that leg emitted no
+    row), and the semantic flag is NULL exactly for train docs without
+    an embedding."""
+    from logistics_data_pipeline_spark.llm import curation as cur
+    from logistics_data_pipeline_spark.llm import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = {r.doc_id: r for r in cur.decontamination_panel(docs, emb).collect()}
+    exact = {r.doc_id: r.is_contaminated for r in cur.decontamination(docs).collect()}
+    fuzzy = {
+        r.doc_id: r.is_fuzzy_contaminated
+        for r in dd.fuzzy_decontamination(docs).collect()
+    }
+    emb_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert set(panel) == set(exact)  # one row per train doc
+    n_sem = 0
+    for d, row in panel.items():
+        assert row.exact_contaminated == exact[d]
+        assert row.fuzzy_contaminated == fuzzy.get(d, False)
+        assert row.has_embedding == (d in emb_ids)
+        if d not in emb_ids:
+            assert row.semantic_contaminated is None
+        elif row.semantic_contaminated:
+            n_sem += 1
+        expected_n = (
+            int(row.exact_contaminated)
+            + int(row.fuzzy_contaminated)
+            + int(bool(row.semantic_contaminated))
+        )
+        assert row.n_methods_flagged == expected_n
+        assert row.any_contaminated == (expected_n > 0)
+    assert n_sem > 0  # the semantic leg is non-vacuous on committed data

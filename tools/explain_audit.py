@@ -34,6 +34,8 @@ ALLOWED = {
     # same dims x js SRP plane build as emb_neardup_lsh (shared
     # srp_buckets helper) — literal-sized, broadcast-bound
     "emb_semantic_decontamination_governed": {"nested-loop join"},
+    # inherits the same SRP plane cross join through its semantic leg
+    "docs_decontamination_panel": {"nested-loop join"},
     # single-row scalar aggregates cross-joined into the report row
     "dq_checks": {"nested-loop join"},
     # 1-row scalar aggregate broadcast on a dummy equality key: Catalyst
