@@ -402,7 +402,7 @@ DECONTAM_NGRAM = 5
 CONTAM_FRAC = 0.1
 
 
-def decontamination(docs: DataFrame) -> DataFrame:
+def decontamination(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """Train-split documents scored for eval-set leakage: the fraction
     of a train doc's word-5-gram shingles that also appear in any
     val/test document (the standard pre-training decontamination scan).
@@ -411,11 +411,15 @@ def decontamination(docs: DataFrame) -> DataFrame:
     overlap check is an equality join on the shingle hash — candidate
     volume is bounded by shared shingles, never |train| x |eval|. At
     corpus scale the eval side is tiny (held-out fraction) and
-    broadcastable."""
+    broadcastable. ``shingles`` injects the shared 5-gram index
+    (registry ``sh5``) so the standalone key and the panel's exact leg
+    build it once per session."""
     from .dedup import shingle_rows
 
     splits = split_assign(docs).select("doc_id", "split")
-    sh = shingle_rows(docs, n=DECONTAM_NGRAM).join(splits, "doc_id")
+    if shingles is None:
+        shingles = shingle_rows(docs, n=DECONTAM_NGRAM)
+    sh = shingles.join(splits, "doc_id")
     eval_shingles = (
         sh.filter(F.col("split") != "train").select("s").distinct()
     )
@@ -486,6 +490,7 @@ def decontamination_panel(
     emb: DataFrame,
     sig: DataFrame | None = None,
     band_bits: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """METHOD-AGREEMENT panel across all three decontamination passes —
     the ``dedup_method_agreement`` shape applied to eval-leakage: one
@@ -514,7 +519,7 @@ def decontamination_panel(
     )
 
     splits = split_assign(docs).select("doc_id", "split")
-    exact = decontamination(docs).select(
+    exact = decontamination(docs, shingles=shingles).select(
         "doc_id", F.col("is_contaminated").alias("exact_contaminated")
     )
     fuzzy = fuzzy_decontamination(docs, sig=sig).select(

@@ -751,6 +751,8 @@ def _dedup_shared(spark, sf, name):
     docs = _docs(spark, sf)
     if name == "sh3":  # the word-3-gram shingle index itself
         df = llm_dedup.shingle_rows(docs, 3)
+    elif name == "sh5":  # the 5-gram index the decontamination legs share
+        df = llm_dedup.shingle_rows(docs, 5)
     elif name == "jac_scores":  # unfiltered exact word-3-gram Jaccard pairs
         df = llm_dedup.ngram_pair_scores(
             docs, shingles=_dedup_shared(spark, sf, "sh3")
@@ -913,7 +915,11 @@ register(
 )
 register(
     "docs_decontamination",
-    _q(lambda spark, sf: llm_cur.decontamination(_docs(spark, sf))),
+    _q(
+        lambda spark, sf: llm_cur.decontamination(
+            _docs(spark, sf), shingles=_dedup_shared(spark, sf, "sh5")
+        )
+    ),
     llm_cur.DECONTAMINATION_SQL,
 )
 register(
@@ -2103,6 +2109,7 @@ register(
             _docs(spark, sf),
             _emb(spark, sf),
             sig=_dedup_shared(spark, sf, "mh_sig"),
+            shingles=_dedup_shared(spark, sf, "sh5"),
         )
     ),
     llm_cur.DECONTAMINATION_PANEL_SQL,
