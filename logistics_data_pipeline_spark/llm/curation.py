@@ -491,6 +491,7 @@ def decontamination_panel(
     sig: DataFrame | None = None,
     band_bits: int | None = None,
     shingles: DataFrame | None = None,
+    srp_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """METHOD-AGREEMENT panel across all three decontamination passes —
     the ``dedup_method_agreement`` shape applied to eval-leakage: one
@@ -525,9 +526,11 @@ def decontamination_panel(
     fuzzy = fuzzy_decontamination(docs, sig=sig).select(
         "doc_id", F.col("is_fuzzy_contaminated").alias("fz")
     )
-    if band_bits is None:
-        band_bits = _srp_band_bits(emb)
-    sigs = srp_buckets(emb, band_bits=band_bits).join(
+    if srp_sigs is None:
+        if band_bits is None:
+            band_bits = _srp_band_bits(emb)
+        srp_sigs = srp_buckets(emb, band_bits=band_bits)
+    sigs = srp_sigs.join(
         splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id"
     )
     tr = sigs.filter(F.col("split") == "train").select(

@@ -783,6 +783,7 @@ def embedding_neardup_lsh(
     n_bits: int = 64,
     band_bits: int | None = None,
     seed: int = SRP_SEED,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup via signed-random-projection (hyperplane)
     LSH: band the sign bits of seeded Gaussian projections, self-join on
@@ -823,10 +824,17 @@ def embedding_neardup_lsh(
     background): at cosine 0.9 (θ≈26°, p≈0.86) r=8/b=8 still recalls
     ≈0.94 of true near-dups. Past ~4M vectors the documented scale
     path is growing n_bits (more bands at the same r), not r alone —
-    the one-count() sizing action below is the only driver-side step."""
-    if band_bits is None:
-        band_bits = _srp_band_bits(emb)
-    sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
+    the one-count() sizing action below is the only driver-side step.
+
+    ``sigs`` injects a pre-built (vec_id, band, bucket) frame — the
+    registry's shared ``srp_sigs`` asset, built once at the governor
+    width and reused by this key, the governed decontamination, and
+    the decontamination panel's semantic leg. When given, it takes
+    precedence over ``band_bits``."""
+    if sigs is None:
+        if band_bits is None:
+            band_bits = _srp_band_bits(emb)
+        sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
     a = sigs.select(
         F.col("band"), F.col("bucket"), F.col("vec_id").alias("a_id")
     )
@@ -5445,6 +5453,7 @@ def semantic_decontamination_governed(
     n_bits: int = 64,
     band_bits: int | None = None,
     seed: int = SRP_SEED,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The PRODUCTION path for semantic decontamination (VERDICT r7
     #2): ``semantic_decontamination`` audits the exact all-near-dup
@@ -5468,9 +5477,9 @@ def semantic_decontamination_governed(
     verification touches candidates only (Arrow einsum); the final
     rollup is one window + one groupBy on eval_id. At 100 TB the eval
     side is the held-out sliver, so the candidate join is effectively
-    a semi-broadcast probe of the train-side buckets."""
-    if band_bits is None:
-        band_bits = _srp_band_bits(emb)
+    a semi-broadcast probe of the train-side buckets. ``sigs``
+    injects the shared ``srp_sigs`` asset (precedence over
+    ``band_bits``)."""
     split = emb.select(
         "vec_id",
         (
@@ -5482,9 +5491,11 @@ def semantic_decontamination_governed(
             < SEMDECON_EVAL_HEX
         ).alias("is_eval"),
     )
-    sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed).join(
-        split, "vec_id"
-    )
+    if sigs is None:
+        if band_bits is None:
+            band_bits = _srp_band_bits(emb)
+        sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
+    sigs = sigs.join(split, "vec_id")
     ev = sigs.filter(F.col("is_eval")).select(
         "band", "bucket", F.col("vec_id").alias("eval_id")
     )

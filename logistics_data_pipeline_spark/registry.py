@@ -774,6 +774,11 @@ def _dedup_shared(spark, sf, name):
         )
     elif name == "emb_pairs":  # exact cosine near-dup pairs (block-pair join)
         df = llm_sim.embedding_neardup(_emb(spark, sf))
+    elif name == "srp_sigs":  # SRP-LSH banded signatures at the governor width
+        emb = _emb(spark, sf)
+        df = llm_sim.srp_buckets(
+            emb, band_bits=llm_sim._srp_band_bits(emb)
+        )
     elif name == "copurchase_edges":  # item-pagerank graph table
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
@@ -1063,7 +1068,11 @@ register(
 
 register(
     "emb_neardup_lsh",  # SRP-LSH with md5 Box-Muller hyperplanes → fully oracled
-    _q(lambda spark, sf: llm_sim.embedding_neardup_lsh(_emb(spark, sf))),
+    _q(
+        lambda spark, sf: llm_sim.embedding_neardup_lsh(
+            _emb(spark, sf), sigs=_dedup_shared(spark, sf, "srp_sigs")
+        )
+    ),
     llm_sim.NEARDUP_LSH_SQL,
 )
 register(
@@ -2094,7 +2103,7 @@ register(
     "emb_semantic_decontamination_governed",
     _q(
         lambda spark, sf: llm_sim.semantic_decontamination_governed(
-            _emb(spark, sf)
+            _emb(spark, sf), sigs=_dedup_shared(spark, sf, "srp_sigs")
         )
     ),
     llm_sim.SEMANTIC_DECONTAMINATION_GOVERNED_SQL,
@@ -2110,6 +2119,7 @@ register(
             _emb(spark, sf),
             sig=_dedup_shared(spark, sf, "mh_sig"),
             shingles=_dedup_shared(spark, sf, "sh5"),
+            srp_sigs=_dedup_shared(spark, sf, "srp_sigs"),
         )
     ),
     llm_cur.DECONTAMINATION_PANEL_SQL,

@@ -88,8 +88,10 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
     past these bounds, the Spark side would switch regimes and the
     hardcoded twins would hash-mismatch — fail HERE first, with the
     fix: re-bind the registered SQL from the parameterized builders
-    (neardup_lsh_sql / media_ahash_neardup_sql / media_phash_neardup_sql
-    / semdedup_sql) at the width/cap the new sizes select."""
+    (neardup_lsh_sql / semantic_decontamination_governed_sql /
+    curation._decontamination_panel_sql / media_ahash_neardup_sql /
+    media_phash_neardup_sql / semdedup_sql) at the width/cap the new
+    sizes select."""
     import duckdb
 
     n_emb = duckdb.sql(
@@ -98,7 +100,11 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
     n_docs = duckdb.sql(
         "SELECT count(*) FROM '/root/testdata/sf0.1/documents.parquet'"
     ).fetchone()[0]
-    assert n_emb <= 4096, f"SRP-LSH 4-bit oracle bound crossed: {n_emb} vectors"
+    assert n_emb <= 4096, (
+        f"SRP-LSH 4-bit oracle bound crossed: {n_emb} vectors (re-bind the "
+        "emb_neardup_lsh, emb_semantic_decontamination_governed, and "
+        "docs_decontamination_panel oracles at the governor's new width)"
+    )
     assert n_docs <= 8192, f"aHash/pHash 8-bit oracle bound crossed: {n_docs} docs"
     from logistics_data_pipeline_spark.llm.similarity import (
         KC_EXACT_CELLS,
