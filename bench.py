@@ -254,6 +254,8 @@ def main() -> None:
         "pq_codes",
         "winnow_fp",
         "emb_pairs",
+        "sh5",
+        "srp_sigs",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"
