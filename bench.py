@@ -244,6 +244,8 @@ def main() -> None:
     # clear_session_caches keeps, shared by ~10 dedup keys — the first
     # consumer would otherwise pay the one-time index build in its median.
     for asset in (
+        "sh3",
+        "cov_mat",
         "jac_scores",
         "con_scores",
         "sim_sig",
