@@ -130,3 +130,35 @@ def test_previously_shadowed_keys_bind_real_operators(spark, sf_dir):
     assert "doc_id" in cdc.columns or any("chunk" in c for c in cdc.columns), (
         cdc.columns
     )
+
+
+def test_every_oracled_key_is_driver_covered_or_windowed():
+    """Ledger-closure guard (VERDICT r7 #1, closed in round 8): every
+    oracled key must either have a green driver hash row in some
+    committed CORRECTNESS_r*.json or sit in the CURRENT driver window.
+    Registering a new oracled key without appending it to the window
+    makes it wait a full round for a driver check — this fails loudly
+    at registration time instead (the round-7 rule, now mechanical)."""
+    import glob
+    import json
+    import os
+
+    from logistics_data_pipeline_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for key, row in json.load(open(path)).items():
+            if (
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            ):
+                green.add(key)
+    window = set(registry._ROUND8_WINDOW)
+    uncovered = sorted(set(registry._ORACLES) - green - window)
+    assert not uncovered, (
+        f"oracled keys with no driver hash row and no window slot: "
+        f"{uncovered} — append them to the current window in registry.py"
+    )
