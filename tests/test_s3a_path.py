@@ -185,3 +185,29 @@ def test_dedup_corpus_sink_manifest_over_s3a(spark, tmp_path, s3a):
     got = {r.doc_id: r.text for r in read_dedup_corpus(spark, corpus).collect()}
     # first arrival per text wins, across batches
     assert got == {1: "alpha", 2: "beta", 5: "gamma"}
+
+
+def test_pathio_roundtrip_local_and_s3a(spark, tmp_path, s3a):
+    """Direct unit coverage of the control-file I/O helper both ways:
+    local paths use POSIX write-temp+rename (no .tmp survivor), URI
+    paths go through the Hadoop FS (create-overwrite PUT)."""
+    from logistics_data_pipeline_spark.streaming import pathio
+
+    local = str(tmp_path / "marker")
+    assert pathio.read_text(spark, local) is None
+    pathio.write_text_atomic(spark, local, "v1")
+    pathio.write_text_atomic(spark, local, "v2")
+    assert pathio.read_text(spark, local) == "v2"
+    import os
+
+    assert not os.path.exists(local + ".tmp")
+
+    remote = pathio.join(f"{s3a}/ctrl", "marker")
+    assert remote == f"{s3a}/ctrl/marker"
+    assert pathio.read_text(spark, remote) is None
+    pathio.write_text_atomic(spark, remote, "r1")
+    pathio.write_text_atomic(spark, remote, "r2")
+    assert pathio.read_text(spark, remote) == "r2"
+    pathio.make_dirs(spark, f"{s3a}/ctrl/sub")
+    assert pathio.is_dir(spark, f"{s3a}/ctrl/sub")
+    assert not pathio.is_dir(spark, remote)
