@@ -2385,7 +2385,9 @@ def _round_half_up(x: float, nd: int) -> float:
 
     if x != x or x in (float("inf"), float("-inf")):
         return x
-    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+    out = float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+    # BigDecimal has no signed zero; Decimal keeps it (round(-1e-9) -> -0.0).
+    return out + 0.0
 
 
 def pca_deflation(
@@ -5526,13 +5528,17 @@ def semantic_decontamination_governed(
     )
 
 
-def semantic_decontamination_governed_sql(band_bits: int = 4) -> str:
+def semantic_decontamination_governed_sql(
+    band_bits: int = 4, threshold: float = NEARDUP_THRESHOLD
+) -> str:
     """Oracle twin of ``semantic_decontamination_governed`` at an
-    explicit band width, composed from the SAME ``_srp_sig_ctes``
-    block as the LSH near-dup oracle. The registered constant uses
-    the 4-bit default — valid while the corpus is ≤4096 vectors
-    (guarded by tests/test_testdata_contract.py); pytest diffs the
-    8-bit regime cross-engine through this builder."""
+    explicit band width AND cosine threshold, composed from the SAME
+    ``_srp_sig_ctes`` block as the LSH near-dup oracle. Both knobs of
+    the Spark path are mirrored so a non-default ``threshold`` keeps a
+    matching twin (ADVICE r8). The registered constant uses the 4-bit
+    default — valid while the corpus is ≤4096 vectors (guarded by
+    tests/test_testdata_contract.py); pytest diffs the 8-bit regime
+    cross-engine through this builder."""
     return f"""
 WITH {_srp_sig_ctes(band_bits)},
 split AS (
@@ -5559,7 +5565,7 @@ ver AS (
   JOIN embeddings b ON b.vec_id = c.train_id
   WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])), 6)
-        >= {NEARDUP_THRESHOLD}
+        >= {threshold}
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (

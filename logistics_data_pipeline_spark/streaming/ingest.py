@@ -229,7 +229,10 @@ def read_upsert_table(spark, table_dir: str) -> DataFrame:
     """Read the current version of an ``upsert_sink`` table."""
     from . import pathio
 
-    current = pathio.read_text(spark, pathio.join(table_dir, "_CURRENT"))
+    marker = pathio.join(table_dir, "_CURRENT")
+    current = pathio.read_text(spark, marker)
+    if current is None:
+        raise FileNotFoundError(marker)
     return spark.read.parquet(current.strip())
 
 
@@ -373,6 +376,9 @@ def read_dedup_corpus(spark, corpus_dir: str) -> DataFrame:
     """Read the committed dedup corpus (union of manifest parts)."""
     from . import pathio
 
-    txt = pathio.read_text(spark, pathio.join(corpus_dir, "_MANIFEST")) or ""
+    manifest = pathio.join(corpus_dir, "_MANIFEST")
+    txt = pathio.read_text(spark, manifest)
+    if txt is None:
+        raise FileNotFoundError(manifest)
     parts = [ln.strip() for ln in txt.splitlines() if ln.strip()]
     return spark.read.parquet(*parts)

@@ -211,3 +211,65 @@ def test_pathio_roundtrip_local_and_s3a(spark, tmp_path, s3a):
     pathio.make_dirs(spark, f"{s3a}/ctrl/sub")
     assert pathio.is_dir(spark, f"{s3a}/ctrl/sub")
     assert not pathio.is_dir(spark, remote)
+
+
+def test_testfs_jar_matches_source(tmp_path):
+    """The committed testfs.jar must be reproducible from the committed
+    Java sources (ADVICE r8: no unauditable binaries). Recompiles with
+    the build_testfs.sh recipe and asserts class-entry BYTE equality —
+    the jar container (timestamps/manifest) is irrelevant, only the
+    class bytes the JVM loads."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    import pyspark
+
+    javac = shutil.which("javac") or os.path.join(
+        os.environ.get("JAVA_HOME", ""), "bin", "javac"
+    )
+    if not javac or not os.path.exists(javac):
+        pytest.skip("javac not available")
+    res = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "logistics_data_pipeline_spark",
+        "resources",
+        "testfs",
+    )
+    hadoop = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api-*.jar")
+        )
+    )
+    if not hadoop:
+        pytest.skip("hadoop-client-api jar not found in pyspark distribution")
+    out = tmp_path / "classes"
+    out.mkdir()
+    subprocess.run(
+        [
+            javac,
+            "-encoding",
+            "UTF-8",
+            "-classpath",
+            hadoop[0],
+            "-d",
+            str(out),
+            os.path.join(res, "S3AStubFileSystem.java"),
+            os.path.join(res, "S3AStubAbstractFs.java"),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    with zipfile.ZipFile(os.path.join(res, "testfs.jar")) as zf:
+        jar_classes = {
+            n: zf.read(n) for n in zf.namelist() if n.endswith(".class")
+        }
+    assert set(jar_classes) == {
+        "logisticsfs/S3AStubAbstractFs.class",
+        "logisticsfs/S3AStubFileSystem.class",
+    }
+    for name, jar_bytes in jar_classes.items():
+        with open(out / name, "rb") as fh:
+            assert fh.read() == jar_bytes, f"{name} diverges from source build"
