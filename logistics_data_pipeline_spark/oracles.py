@@ -226,6 +226,30 @@ WHERE s.status_name != 'Delivered'
 
 KPI_WEIGHT_SQL = q("SELECT weight_kg FROM fact_event WHERE weight_kg IS NOT NULL")
 
+# Scale-safe twin of the weight histogram (dashboards.py): the reference
+# ships every row to plotly and bins client-side; this bins in-engine.
+# Equal-width bins over [min, max], last bin right-closed.
+KPI_WEIGHT_HISTOGRAM_SQL = q("""
+SELECT * FROM (
+  WITH w AS (
+    SELECT CAST(weight_kg AS DOUBLE) AS wv FROM fact_event
+    WHERE weight_kg IS NOT NULL
+  ),
+  rng AS (SELECT MIN(wv) AS lo, MAX(wv) AS hi FROM w),
+  b AS (
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE LEAST(CAST(FLOOR((wv - lo) / ((hi - lo) / 50)) AS INT), 49)
+           END AS bin, lo, hi
+    FROM w, rng
+  )
+  SELECT CAST(bin AS INT) AS bin,
+         ROUND(lo + bin * (hi - lo) / 50, 6) AS bin_start,
+         ROUND(lo + (bin + 1) * (hi - lo) / 50, 6) AS bin_end,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY bin, lo, hi
+) ORDER BY bin
+""")
+
 KPI_STATUS_SQL = q("""
 SELECT s.status_name, COUNT(*) AS event_count
 FROM fact_event f

@@ -60,6 +60,7 @@ from .adapters.testdata import (
     bronze_events,
     load_table,
 )
+from . import dashboards as _dashboards
 from .llm import curation as llm_cur
 from .llm import dedup as llm_dedup
 from .llm import multimodal as llm_mm
@@ -283,6 +284,11 @@ register(
     "kpi_weight_distribution",
     _q(lambda spark, sf: kpi.weight_distribution(_fact(spark, sf))),
     oracles.KPI_WEIGHT_SQL,
+)
+register(
+    "kpi_weight_histogram",  # in-engine 50-bin weight histogram (dashboards.py scale path)
+    _q(lambda spark, sf: _dashboards.weight_histogram_binned(_fact(spark, sf))),
+    oracles.KPI_WEIGHT_HISTOGRAM_SQL,
 )
 register(
     "kpi_status_distribution",
