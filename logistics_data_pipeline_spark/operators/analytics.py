@@ -5510,3 +5510,256 @@ SELECT k,
          AS pareto_alpha
 FROM m
 """.strip()
+
+
+# --- CUSUM control chart (exact prefix-sum identity) ------------------------
+
+CUSUM_ALLOW_CENTS = 2500  # slack K: drifts under $25/event don't accumulate
+CUSUM_H_CENTS = 500_000  # alarm threshold h (cumulative $5k excursion)
+
+
+def cusum_control(events: DataFrame) -> DataFrame:
+    """Tabular CUSUM control chart per event type — the small-persistent-
+    shift detector the Shewhart/EWMA charts miss (``events_ewma_control``
+    reacts to the last few points; CUSUM integrates ALL history since
+    the last reset, so a 0.5σ drift that never trips a 3σ band still
+    accumulates to an alarm). Two one-sided statistics over the
+    ts-ordered value stream: S⁺_t = max(0, S⁺_{t-1} + x_t - (μ₀ + K)),
+    S⁻_t = max(0, S⁻_{t-1} + (μ₀ - K) - x_t).
+
+    EXACT, not iterative: the clamped recursion is the textbook
+    prefix-sum identity S⁺_t = P_t - min_{0≤j≤t} P_j with
+    P_t = Σ_{i≤t}(x_i - μ₀ - K) — so both sides become one running SUM
+    and one running MIN window over integer cents (μ₀ is the per-type
+    FLOOR-mean in cents, a broadcast scalar; every quantity stays in
+    BIGINT, no float drift anywhere). The DuckDB twin is the identical
+    two windows.
+
+    Output per type: n, μ₀ (cents), the peak of each CUSUM side, first
+    alarm timestamps (earliest t where the side exceeds h), and alarm
+    row counts.
+
+    Scale: two window passes partitioned by event_type ordered by
+    (ts, event_id) — the same per-key sequential scan any sessionizer
+    does; state is O(1) per row, the per-type output is one row. Skewed
+    types stream through a single task's sort, the standard
+    window-function cost model."""
+    mu = (
+        events.groupBy("event_type")
+        .agg(
+            F.floor(
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)"))
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mu0_cents"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    x = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    ).join(F.broadcast(mu), "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    d_up = F.col("cents") - F.col("mu0_cents") - F.lit(CUSUM_ALLOW_CENTS)
+    d_dn = F.col("mu0_cents") - F.lit(CUSUM_ALLOW_CENTS) - F.col("cents")
+    p = x.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        "mu0_cents",
+        F.sum(d_up).over(run).alias("pu"),
+        F.sum(d_dn).over(run).alias("pd"),
+    ).select(
+        "event_type",
+        "ts",
+        "n",
+        "mu0_cents",
+        (F.col("pu") - F.least(F.min("pu").over(run), F.lit(0))).alias("s_up"),
+        (F.col("pd") - F.least(F.min("pd").over(run), F.lit(0))).alias("s_dn"),
+    )
+    return (
+        p.groupBy("event_type", "n", "mu0_cents")
+        .agg(
+            F.max("s_up").cast("bigint").alias("peak_up_cents"),
+            F.max("s_dn").cast("bigint").alias("peak_dn_cents"),
+            F.min(F.when(F.col("s_up") > CUSUM_H_CENTS, F.col("ts"))).alias(
+                "first_alarm_up"
+            ),
+            F.min(F.when(F.col("s_dn") > CUSUM_H_CENTS, F.col("ts"))).alias(
+                "first_alarm_dn"
+            ),
+            F.sum((F.col("s_up") > CUSUM_H_CENTS).cast("int"))
+            .cast("bigint")
+            .alias("alarm_rows_up"),
+            F.sum((F.col("s_dn") > CUSUM_H_CENTS).cast("int"))
+            .cast("bigint")
+            .alias("alarm_rows_dn"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_CONTROL_SQL = f"""
+WITH mu AS (
+  SELECT event_type,
+         CAST(FLOOR(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+                    / COUNT(*)) AS BIGINT) AS mu0_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+x AS (
+  SELECT e.event_type, e.ts, e.event_id, m.n, m.mu0_cents,
+         CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events e JOIN mu m ON m.event_type = e.event_type
+),
+p AS (
+  SELECT event_type, ts, event_id, n, mu0_cents,
+         SUM(cents - mu0_cents - {CUSUM_ALLOW_CENTS})
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS pu,
+         SUM(mu0_cents - {CUSUM_ALLOW_CENTS} - cents)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS pd
+  FROM x
+),
+s AS (
+  SELECT event_type, ts, n, mu0_cents,
+         pu - LEAST(MIN(pu) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 0) AS s_up,
+         pd - LEAST(MIN(pd) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 0) AS s_dn
+  FROM p
+)
+SELECT event_type, n, mu0_cents,
+       CAST(MAX(s_up) AS BIGINT) AS peak_up_cents,
+       CAST(MAX(s_dn) AS BIGINT) AS peak_dn_cents,
+       MIN(CASE WHEN s_up > {CUSUM_H_CENTS} THEN ts END) AS first_alarm_up,
+       MIN(CASE WHEN s_dn > {CUSUM_H_CENTS} THEN ts END) AS first_alarm_dn,
+       CAST(SUM(CASE WHEN s_up > {CUSUM_H_CENTS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS alarm_rows_up,
+       CAST(SUM(CASE WHEN s_dn > {CUSUM_H_CENTS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS alarm_rows_dn
+FROM s
+GROUP BY event_type, n, mu0_cents
+ORDER BY event_type
+""".strip()
+
+
+# --- l-diversity audit (companion to k-anonymity) ---------------------------
+
+L_DIVERSITY = 3  # every QI group must carry >= 3 distinct sensitive values
+_LDIV_TYPES = ("click", "error", "purchase", "signup", "view")  # fixed domain
+
+
+def l_diversity(events: DataFrame, l_req: int = L_DIVERSITY) -> DataFrame:
+    """l-diversity audit — the standard strengthening of k-anonymity
+    (``events_k_anonymity``): a group can satisfy k yet still leak if
+    every member shares one SENSITIVE value (homogeneity attack), so
+    each quasi-identifier group must contain at least ``l`` distinct
+    sensitive values, and entropy l-diversity additionally requires the
+    sensitive distribution inside the group to be near-uniform
+    (exp(H) ≥ l). QI = (event day, value decabucket); sensitive =
+    event_type.
+
+    Determinism: per-group per-type counts are exact BIGINTs via
+    conditional sums over the FIXED five-value type domain (pinned in
+    ``_LDIV_TYPES``; pivoting to fixed columns fixes the float
+    summation ORDER of the entropy terms, so both engines evaluate the
+    identical expression tree — a groupBy SUM of c·ln c doubles would
+    be accumulation-order-unstable). Entropy uses the c>0 guard since
+    0·ln0 := 0.
+
+    Scale: one hash aggregation on the QI key (map-side combine), a
+    width-5 fixed pivot — no distinct-count shuffle at all, unlike the
+    naive COUNT(DISTINCT sensitive) formulation; output is QI-bounded
+    (days × buckets), not corpus-sized."""
+    qi = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") / F.lit(K_ANON_VALUE_BUCKET))
+        .cast("bigint")
+        .alias("value_bucket"),
+        "event_type",
+    )
+    counts = [
+        F.sum((F.col("event_type") == t).cast("int")).cast("bigint").alias(f"c_{t}")
+        for t in _LDIV_TYPES
+    ]
+    g = qi.groupBy("event_date", "value_bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"), *counts
+    )
+    cs = [F.col(f"c_{t}") for t in _LDIV_TYPES]
+    distinct_l = sum((c > 0).cast("int") for c in cs).cast("bigint")
+    nd = F.col("n_rows").cast("double")
+    # H = ln(n) - (sum c*ln c)/n, terms added in the fixed _LDIV_TYPES order
+    sum_clnc = None
+    for c in cs:
+        term = F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+        sum_clnc = term if sum_clnc is None else sum_clnc + term
+    # flag off the 6-dp ROUNDED entropy: a perfectly uniform 3-type
+    # group is ANALYTICALLY exp(ln3)=3 but lands an ulp either side of
+    # 3.0 depending on the engine's libm — rounding first makes the
+    # boundary decision engine-independent
+    entropy_l = F.round(F.exp(F.log(nd) - sum_clnc / nd), 6)
+    return (
+        g.select(
+            "event_date",
+            "value_bucket",
+            "n_rows",
+            distinct_l.alias("distinct_sensitive"),
+            entropy_l.alias("entropy_l"),
+            (distinct_l < l_req).alias("violates_distinct_l"),
+            (entropy_l < l_req).alias("violates_entropy_l"),
+        )
+        .orderBy("event_date", "value_bucket")
+    )
+
+
+def _ldiv_sql(l_req: int = L_DIVERSITY) -> str:
+    cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c_{t}"
+        for t in _LDIV_TYPES
+    )
+    distinct_l = " + ".join(
+        f"(CASE WHEN c_{t} > 0 THEN 1 ELSE 0 END)" for t in _LDIV_TYPES
+    )
+    clnc = " + ".join(
+        f"(CASE WHEN c_{t} > 0 THEN CAST(c_{t} AS DOUBLE) * ln(CAST(c_{t} AS DOUBLE))"
+        f" ELSE 0.0 END)"
+        for t in _LDIV_TYPES
+    )
+    ent = (
+        f"ROUND(exp(ln(CAST(n_rows AS DOUBLE))"
+        f" - ({clnc}) / CAST(n_rows AS DOUBLE)), 6)"
+    )
+    return f"""
+WITH qi AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(FLOOR(value / {K_ANON_VALUE_BUCKET}) AS BIGINT) AS value_bucket,
+         event_type
+  FROM events
+),
+g AS (
+  SELECT event_date, value_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {cols}
+  FROM qi GROUP BY event_date, value_bucket
+)
+SELECT event_date, value_bucket, n_rows,
+       CAST({distinct_l} AS BIGINT) AS distinct_sensitive,
+       {ent} AS entropy_l,
+       ({distinct_l}) < {l_req} AS violates_distinct_l,
+       {ent} < {l_req} AS violates_entropy_l
+FROM g
+ORDER BY event_date, value_bucket
+""".strip()
+
+
+L_DIVERSITY_SQL = _ldiv_sql()

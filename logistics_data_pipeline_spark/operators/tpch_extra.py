@@ -3040,3 +3040,114 @@ SELECT p_brand, n,
 FROM m
 ORDER BY p_brand
 """.strip()
+
+
+# --- EOQ / reorder-point policy ----------------------------------------------
+
+EOQ_ORDER_COST = 100.0  # fixed cost per replenishment order (S)
+EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit cost (h)
+EOQ_LEAD_DAYS = 7  # replenishment lead time for the reorder point
+EOQ_MIN_DAYS = 5
+EOQ_TOP = 100
+
+
+def eoq_policy(lineitem: DataFrame) -> DataFrame:
+    """Economic-order-quantity policy per part — the COST-TRADEOFF leg
+    of the inventory family: ``part_safety_stock`` buys a z-margin
+    against demand noise, ``part_newsvendor_stock`` reads the empirical
+    fractile, and this key answers the remaining question (HOW MUCH to
+    order at a time): EOQ = sqrt(2·D·S / (h·c)) balances fixed order
+    cost S against holding cost h·c, with the reorder point
+    (daily demand × lead time) saying WHEN. Also reports implied
+    orders/year = D/EOQ.
+
+    Determinism: demand and revenue are exact DECIMAL sums; the corpus
+    day-span is integer date arithmetic off a 1-row broadcast; unit
+    cost, EOQ, ROP are ONE fixed double expression over those exact
+    inputs (identical trees both engines), 6-dp rounded.
+
+    Scale: one part-keyed aggregation (map-side combine) + a 1-row
+    broadcast span join + TakeOrdered top-100 — fact table read once,
+    no distinct, no window over the corpus."""
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(14,2)")
+    per_part = (
+        lineitem.select(
+            "l_partkey", F.to_date("l_shipdate").alias("d"), q.alias("q"), ep.alias("ep")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("q").cast("decimal(18,2)").alias("tot_qty"),
+            F.sum("ep").cast("decimal(20,2)").alias("tot_rev"),
+            F.countDistinct("d").cast("bigint").alias("n_days"),
+        )
+    )
+    span = F.broadcast(
+        lineitem.agg(
+            (
+                F.datediff(F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate")))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("span_days")
+        )
+    )
+    tq = F.col("tot_qty").cast("double")
+    sd = F.col("span_days").cast("double")
+    annual_d = tq * F.lit(365.0) / sd
+    unit_cost = F.col("tot_rev").cast("double") / tq
+    eoq = F.sqrt(
+        F.lit(2.0) * annual_d * F.lit(EOQ_ORDER_COST) / (F.lit(EOQ_HOLD_RATE) * unit_cost)
+    )
+    rop = tq / sd * F.lit(float(EOQ_LEAD_DAYS))
+    return (
+        per_part.join(span)
+        .filter(F.col("n_days") >= EOQ_MIN_DAYS)
+        .select(
+            "l_partkey",
+            "n_days",
+            F.round(F.col("tot_qty").cast("double"), 2).alias("total_qty"),
+            F.round(annual_d, 6).alias("annual_demand"),
+            F.round(unit_cost, 6).alias("unit_cost"),
+            F.round(eoq, 6).alias("eoq_units"),
+            F.round(rop, 6).alias("reorder_point"),
+            F.round(annual_d / eoq, 6).alias("orders_per_year"),
+        )
+        .orderBy(F.col("annual_demand").desc(), "l_partkey")
+        .limit(EOQ_TOP)
+    )
+
+
+EOQ_POLICY_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tot_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS tot_rev,
+         CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days
+  FROM lineitem GROUP BY l_partkey
+),
+span AS (
+  SELECT CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                        MAX(CAST(l_shipdate AS DATE))) + 1 AS BIGINT) AS span_days
+  FROM lineitem
+)
+SELECT l_partkey, n_days, ROUND(CAST(tot_qty AS DOUBLE), 2) AS total_qty,
+       ROUND(CAST(tot_qty AS DOUBLE) * 365.0 / CAST(span_days AS DOUBLE), 6)
+         AS annual_demand,
+       ROUND(CAST(tot_rev AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6) AS unit_cost,
+       ROUND(SQRT(2.0 * (CAST(tot_qty AS DOUBLE) * 365.0 / CAST(span_days AS DOUBLE))
+                  * {EOQ_ORDER_COST} / ({EOQ_HOLD_RATE}
+                  * (CAST(tot_rev AS DOUBLE) / CAST(tot_qty AS DOUBLE)))), 6)
+         AS eoq_units,
+       ROUND(CAST(tot_qty AS DOUBLE) / CAST(span_days AS DOUBLE)
+             * {float(EOQ_LEAD_DAYS)}, 6) AS reorder_point,
+       ROUND((CAST(tot_qty AS DOUBLE) * 365.0 / CAST(span_days AS DOUBLE))
+             / SQRT(2.0 * (CAST(tot_qty AS DOUBLE) * 365.0 / CAST(span_days AS DOUBLE))
+                    * {EOQ_ORDER_COST} / ({EOQ_HOLD_RATE}
+                    * (CAST(tot_rev AS DOUBLE) / CAST(tot_qty AS DOUBLE)))), 6)
+         AS orders_per_year
+FROM per_part, span
+WHERE n_days >= {EOQ_MIN_DAYS}
+ORDER BY annual_demand DESC, l_partkey
+LIMIT {EOQ_TOP}
+""".strip()

@@ -2230,6 +2230,11 @@ register(
     tx.NEWSVENDOR_SQL,
 )
 register(
+    "part_eoq_policy",  # EOQ + reorder point: the order-sizing leg of the inventory family
+    _q(lambda spark, sf: tx.eoq_policy(load_table(spark, sf, "lineitem"))),
+    tx.EOQ_POLICY_SQL,
+)
+register(
     "part_safety_stock",  # inventory-control SS/ROP under stochastic demand+lead
     _q(
         lambda spark, sf: tx.part_safety_stock(
@@ -2331,6 +2336,16 @@ register(
     "events_cuped",  # CUPED variance-reduction experiment readout
     _q(lambda spark, sf: analytics.cuped_adjustment(load_table(spark, sf, "events"))),
     analytics.CUPED_SQL,
+)
+register(
+    "events_l_diversity",  # distinct + entropy l-diversity over QI groups (fixed-order pivot)
+    _q(lambda spark, sf: analytics.l_diversity(load_table(spark, sf, "events"))),
+    analytics.L_DIVERSITY_SQL,
+)
+register(
+    "events_cusum_control",  # tabular CUSUM via the exact prefix-sum/running-min identity
+    _q(lambda spark, sf: analytics.cusum_control(load_table(spark, sf, "events"))),
+    analytics.CUSUM_CONTROL_SQL,
 )
 register(
     "events_zorder_extents",  # Z-order vs time-sorted layout: per-file 2-D extents
