@@ -5583,3 +5583,175 @@ ORDER BY eval_id
 
 
 SEMANTIC_DECONTAMINATION_GOVERNED_SQL = semantic_decontamination_governed_sql()
+
+
+# --- k-means++ initialization (exact, driver-verifiable) ---------------------
+
+KPP_K = 8
+KPP_SALT = 23
+KPP_UNIF_HEX = 12  # md5 hex chars per sampling uniform
+
+
+def _kpp_uniform(j: int, salt: int = KPP_SALT) -> float:
+    """Deterministic sampling uniform for seeding step j: the first 12
+    hex chars of md5('kpp:<salt>:<j>') over 16^12 — data-independent,
+    so both engines inline the SAME literal."""
+    import hashlib
+
+    h = hashlib.md5(f"kpp:{salt}:{j}".encode()).hexdigest()[:KPP_UNIF_HEX]
+    return int(h, 16) / float(16**KPP_UNIF_HEX)
+
+
+def kmeanspp_init(
+    emb: DataFrame, k: int = KPP_K, salt: int = KPP_SALT
+) -> DataFrame:
+    """k-means++ (Arthur & Vassilvitskii) D²-weighted seeding — the
+    missing INITIALIZATION leg of the clustering family
+    (``emb_kmeans_cells`` trains from hash-ordered seeds; ++ seeding
+    provably bounds the potential to O(log k)·OPT). Seed 1 is the
+    md5-min vector (the same seeded-order device as the trainer);
+    each later seed is sampled ∝ D²(x) = min distance² to the chosen
+    set, using a deterministic md5 uniform per step
+    (``_kpp_uniform``) against the D² cumulative distribution in
+    vec_id order.
+
+    EXACT cross-engine: per-step distances are 6-dp-rounded float
+    aggregations (the suite's standard heal for accumulation order);
+    the cumulative distribution is a running sum over the SAME
+    vec_id order in both engines (sequential left-to-right, so
+    bit-equal), and the total Φ is read as MAX(cum) — the last
+    cumulative value — never a separately-ordered group SUM. The
+    chosen seed is the first crossing of u·Φ, tie-broken by vec_id.
+
+    Output one row per seed: (seed_rank, vec_id, phi_before — the
+    corpus potential the step sampled against, NULL for rank 1).
+
+    Scale: k-1 linear passes (each: one broadcast seed-distance map +
+    one running-sum window + one 1-row selection) — the textbook
+    kmeans++ cost. At 100 TB you'd swap in k-means|| oversampling
+    (one pass sampling O(k·log Φ) candidates, then ++ on the
+    candidate set driver-side); this operator IS that final ++ step,
+    so the scale path reuses it verbatim on the bounded candidate
+    table. Per-step dmin frames are localCheckpointed so the plan
+    stays one step deep (the iterative-family discipline)."""
+    from pyspark.sql import Window
+
+    x = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    first = (
+        x.orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))),
+            "vec_id",
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(1, first.vec_id, None)]
+    seed_vec = list(first.v)
+
+    def _d2(col, vec):
+        lit = F.array(*[F.lit(float(c)) for c in vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(col, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+
+    dmin = x.select("vec_id", "v", _d2(F.col("v"), seed_vec).alias("d")).localCheckpoint(
+        eager=True
+    )
+    w = Window.orderBy("vec_id").rowsBetween(Window.unboundedPreceding, 0)
+    for j in range(2, k + 1):
+        u = _kpp_uniform(j, salt)
+        cum = dmin.select("vec_id", "v", "d", F.sum("d").over(w).alias("cum"))
+        tot = F.broadcast(cum.agg(F.max("cum").alias("phi")))
+        pick = (
+            cum.join(tot)
+            .filter(F.col("cum") >= F.lit(u) * F.col("phi"))
+            .orderBy("vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((j, pick.vec_id, float(pick.phi)))
+        seed_vec = list(pick.v)
+        if j < k:
+            dmin = dmin.select(
+                "vec_id",
+                "v",
+                F.least(F.col("d"), _d2(F.col("v"), seed_vec)).alias("d"),
+            ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(r, v, p) for r, v, p in chosen], "seed_rank int, vec_id bigint, phi_before double"
+    )
+    return out.select(
+        "seed_rank",
+        "vec_id",
+        F.round("phi_before", 6).alias("phi_before"),
+    ).orderBy("seed_rank")
+
+
+def kmeanspp_init_sql(k: int = KPP_K, salt: int = KPP_SALT) -> str:
+    """Unrolled DuckDB twin: step CTEs MATERIALIZED (each dmin frame is
+    referenced by the cum window AND the next step), the same
+    md5-min first seed, the same inlined uniforms."""
+    parts = [
+        f"""x AS MATERIALIZED (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+seed1 AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{salt}'), vec_id LIMIT 1
+),
+d1 AS MATERIALIZED (
+  SELECT x.vec_id, ROUND(SUM((x.v - s.v) * (x.v - s.v)), 6) AS d
+  FROM x JOIN (SELECT pos, v FROM x JOIN seed1 USING (vec_id)) s USING (pos)
+  GROUP BY x.vec_id
+)"""
+    ]
+    picks = ["SELECT 1 AS seed_rank, vec_id, CAST(NULL AS DOUBLE) AS phi_before FROM seed1"]
+    for j in range(2, k + 1):
+        u = _kpp_uniform(j, salt)
+        parts.append(
+            f"""cum{j} AS MATERIALIZED (
+  SELECT vec_id, d,
+         SUM(d) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d{j - 1}
+),
+pick{j} AS MATERIALIZED (
+  SELECT vec_id, (SELECT MAX(cum) FROM cum{j}) AS phi
+  FROM cum{j}
+  WHERE cum >= {u!r} * (SELECT MAX(cum) FROM cum{j})
+  ORDER BY vec_id LIMIT 1
+)"""
+        )
+        picks.append(
+            f"SELECT {j} AS seed_rank, vec_id, ROUND(phi, 6) AS phi_before FROM pick{j}"
+        )
+        if j < k:
+            parts.append(
+                f"""d{j} AS MATERIALIZED (
+  SELECT d.vec_id, LEAST(d.d, n.nd) AS d
+  FROM d{j - 1} d JOIN (
+    SELECT x.vec_id, ROUND(SUM((x.v - s.v) * (x.v - s.v)), 6) AS nd
+    FROM x JOIN (SELECT pos, v FROM x JOIN pick{j} USING (vec_id)) s USING (pos)
+    GROUP BY x.vec_id
+  ) n ON n.vec_id = d.vec_id
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(seed_rank AS INT) AS seed_rank, vec_id, phi_before FROM (\n"
+        + "\nUNION ALL\n".join(picks)
+        + "\n) ORDER BY seed_rank"
+    )
+
+
+KMEANSPP_INIT_SQL = kmeanspp_init_sql()

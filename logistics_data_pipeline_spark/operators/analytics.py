@@ -5763,3 +5763,150 @@ ORDER BY event_date, value_bucket
 
 
 L_DIVERSITY_SQL = _ldiv_sql()
+
+
+# --- theta-method forecast (dyadic SES + exact OLS trend) --------------------
+
+THETA_K = 16  # window: the last K monthly revenue totals
+THETA_H = 12  # forecast horizon (months)
+# OLS constants for t = 1..K: sum t, sum t^2, D = K*sum(t^2) - (sum t)^2
+_THETA_ST = THETA_K * (THETA_K + 1) // 2
+_THETA_ST2 = THETA_K * (THETA_K + 1) * (2 * THETA_K + 1) // 6
+_THETA_D = THETA_K * _THETA_ST2 - _THETA_ST * _THETA_ST
+# SES(alpha=1/2, init l_1=z_1) unrolled: l_K = sum w_t z_t / 2^K with
+# w_1 = 2 and w_t = 2^(t-1) for t >= 2 (weights sum to 2^K exactly)
+_THETA_SES_DEN = 2**THETA_K
+_THETA_SES_W = [(1, 2)] + [(t, 2 ** (t - 1)) for t in range(2, THETA_K + 1)]
+assert sum(w for _, w in _THETA_SES_W) == _THETA_SES_DEN
+
+
+def theta_forecast(orders: DataFrame) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos; the M3
+    winner) of monthly order revenue, h = 1..12 ahead — the
+    decomposition-based member of the forecasting family (Holt carries
+    a recursive trend, Croston handles intermittence, THETA averages
+    two 'theta lines': θ=0 (the pure OLS linear trend, doubled
+    long-run signal) and θ=2 (curvature-amplified series, SES-smoothed
+    short-run signal). Forecast(h) = (trend(K+h) + SES_{θ=2})/2.
+
+    EXACT, not iterative: the OLS slope/intercept over the fixed
+    window are integer-weighted sums (Σy, Σt·y over denominator
+    ``_THETA_D``), and the SES recursion at α=1/2 unrolls into the
+    dyadic weight row ``_THETA_SES_W`` (numerators over 2^K) — the
+    same discipline as ``events_holt_forecast``; everything stays in
+    DECIMAL until three double divisions at readout, identical
+    expression trees both engines, 6-dp rounds.
+
+    Scale: one month-keyed aggregation, a K-row bounded tail, a K-row
+    broadcast weight join, one scalar rollup — history length never
+    enters a shuffle; the h-loop is a literal 12-row sequence."""
+    cents = F.sum(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    monthly = (
+        orders.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(cents)
+        .orderBy(F.col("m").desc())
+        .limit(THETA_K)
+    )
+    rn = F.row_number().over(Window.orderBy("m"))
+    ranked = monthly.select("cents", rn.alias("rn"))
+    spark = orders.sparkSession
+    weights = F.broadcast(
+        spark.createDataFrame(_THETA_SES_W, "rn int, ws string").select(
+            "rn", F.col("ws").cast("decimal(19,0)").alias("ws")
+        )
+    )
+    agg = (
+        ranked.join(weights, "rn")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum("cents").alias("sy"),
+            F.sum(F.col("rn").cast("decimal(19,0)") * F.col("cents")).alias("sty"),
+            F.sum(F.col("ws") * F.col("cents")).alias("sw"),
+        )
+        .filter(F.col("n_months") == THETA_K)
+    )
+    sy = F.col("sy").cast("double") / F.lit(100.0)
+    sty = F.col("sty").cast("double") / F.lit(100.0)
+    sw = F.col("sw").cast("double") / F.lit(100.0)
+    b = (F.lit(float(THETA_K)) * sty - F.lit(float(_THETA_ST)) * sy) / F.lit(
+        float(_THETA_D)
+    )
+    a = (sy - b * F.lit(float(_THETA_ST))) / F.lit(float(THETA_K))
+    # SES of z_t = 2 y_t - (a + b t): weights sum to 1 and sum w_t*t is
+    # a fixed integer, so SES_z = 2*sw/2^K - a - b*W_T/2^K
+    w_t_sum = sum(t * w for t, w in _THETA_SES_W)
+    ses_z = (
+        F.lit(2.0) * sw / F.lit(float(_THETA_SES_DEN))
+        - a
+        - b * F.lit(float(w_t_sum)) / F.lit(float(_THETA_SES_DEN))
+    )
+    return (
+        agg.select(
+            F.explode(F.sequence(F.lit(1), F.lit(THETA_H))).alias("h"),
+            F.round(a, 6).alias("intercept"),
+            F.round(b, 6).alias("slope"),
+            F.round(ses_z, 6).alias("ses_theta2"),
+            ((a + b * (F.lit(float(THETA_K)) + F.col("h")) + ses_z) / F.lit(2.0)).alias(
+                "_f"
+            ),
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            "intercept",
+            "slope",
+            "ses_theta2",
+            F.round(F.col("_f"), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+_THETA_W_SQL = ", ".join(f"({t}, {w})" for t, w in _THETA_SES_W)
+_THETA_WT_SUM = sum(t * w for t, w in _THETA_SES_W)
+
+THETA_FORECAST_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS cents
+  FROM orders GROUP BY 1
+  ORDER BY m DESC LIMIT {THETA_K}
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
+),
+weights(rn, ws) AS (VALUES {_THETA_W_SQL}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         SUM(cents) AS sy,
+         SUM(CAST(rn AS DECIMAL(19,0)) * cents) AS sty,
+         SUM(CAST(ws AS DECIMAL(19,0)) * cents) AS sw
+  FROM ranked JOIN weights USING (rn)
+),
+lt AS (
+  SELECT
+    ((CAST(sy AS DOUBLE) / 100.0)
+     - (({float(THETA_K)} * (CAST(sty AS DOUBLE) / 100.0)
+         - {float(_THETA_ST)} * (CAST(sy AS DOUBLE) / 100.0)) / {float(_THETA_D)})
+       * {float(_THETA_ST)}) / {float(THETA_K)} AS a,
+    ({float(THETA_K)} * (CAST(sty AS DOUBLE) / 100.0)
+     - {float(_THETA_ST)} * (CAST(sy AS DOUBLE) / 100.0)) / {float(_THETA_D)} AS b,
+    CAST(sw AS DOUBLE) / 100.0 AS sw
+  FROM agg WHERE n_months = {THETA_K}
+),
+z AS (
+  SELECT a, b,
+         2.0 * sw / {float(_THETA_SES_DEN)} - a
+           - b * {float(_THETA_WT_SUM)} / {float(_THETA_SES_DEN)} AS ses_z
+  FROM lt
+)
+SELECT CAST(g.h AS BIGINT) AS h,
+       ROUND(a, 6) AS intercept,
+       ROUND(b, 6) AS slope,
+       ROUND(ses_z, 6) AS ses_theta2,
+       ROUND((a + b * ({float(THETA_K)} + g.h) + ses_z) / 2.0, 6) AS forecast
+FROM z CROSS JOIN (SELECT unnest(generate_series(1, {THETA_H})) AS h) g
+ORDER BY h
+""".strip()

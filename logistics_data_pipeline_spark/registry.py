@@ -2338,6 +2338,16 @@ register(
     analytics.CUPED_SQL,
 )
 register(
+    "emb_kmeanspp_init",  # k-means++ D^2-weighted seeding, exact unrolled oracle
+    _q(lambda spark, sf: llm_sim.kmeanspp_init(_emb(spark, sf))),
+    llm_sim.KMEANSPP_INIT_SQL,
+)
+register(
+    "orders_theta_forecast",  # theta-method monthly revenue forecast (exact OLS + dyadic SES)
+    _q(lambda spark, sf: analytics.theta_forecast(load_table(spark, sf, "orders"))),
+    analytics.THETA_FORECAST_SQL,
+)
+register(
     "events_l_diversity",  # distinct + entropy l-diversity over QI groups (fixed-order pivot)
     _q(lambda spark, sf: analytics.l_diversity(load_table(spark, sf, "events"))),
     analytics.L_DIVERSITY_SQL,
