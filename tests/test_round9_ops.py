@@ -1,0 +1,131 @@
+"""Round-9 operator contracts: CUSUM's prefix-sum identity against the
+literal recursion, l-diversity's entropy bounds, EOQ's cost-balance
+property, theta's OLS trend against numpy, and k-means++ seeding
+invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logistics_data_pipeline_spark.adapters.testdata import load_table
+from logistics_data_pipeline_spark.llm import similarity as llm_sim
+from logistics_data_pipeline_spark.operators import analytics
+from logistics_data_pipeline_spark.operators import tpch_extra as tx
+
+
+def test_cusum_matches_literal_recursion(spark, sf_dir):
+    """The windowed identity S_t = P_t - min(0, min_j P_j) must equal
+    the textbook clamped recursion replayed row-by-row in Python."""
+    events = load_table(spark, sf_dir, "events")
+    got = {r.event_type: r for r in analytics.cusum_control(events).collect()}
+    rows = (
+        events.select("event_type", "ts", "event_id", "value")
+        .orderBy("event_type", "ts", "event_id")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append(int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100))
+    for t, xs in series.items():
+        mu0 = sum(xs) // len(xs)  # floor mean in cents
+        s_up = s_dn = 0
+        peak_up = peak_dn = 0
+        alarms_up = alarms_dn = 0
+        for x in xs:
+            s_up = max(0, s_up + x - mu0 - analytics.CUSUM_ALLOW_CENTS)
+            s_dn = max(0, s_dn + mu0 - analytics.CUSUM_ALLOW_CENTS - x)
+            peak_up = max(peak_up, s_up)
+            peak_dn = max(peak_dn, s_dn)
+            alarms_up += s_up > analytics.CUSUM_H_CENTS
+            alarms_dn += s_dn > analytics.CUSUM_H_CENTS
+        g = got[t]
+        assert g.mu0_cents == mu0, t
+        assert g.peak_up_cents == peak_up, t
+        assert g.peak_dn_cents == peak_dn, t
+        assert g.alarm_rows_up == alarms_up, t
+        assert g.alarm_rows_dn == alarms_dn, t
+
+
+def test_l_diversity_entropy_bounds(spark, sf_dir):
+    """exp(H) is at most the distinct sensitive count (uniform case,
+    equality) and at least 1; flags must restate the comparisons."""
+    events = load_table(spark, sf_dir, "events")
+    rows = analytics.l_diversity(events).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 - 1e-6 <= r.entropy_l <= r.distinct_sensitive + 1e-6
+        assert r.violates_distinct_l == (r.distinct_sensitive < analytics.L_DIVERSITY)
+        assert r.violates_entropy_l == (r.entropy_l < analytics.L_DIVERSITY)
+    # entropy reaches its bound exactly on a perfectly uniform group
+    uni = [r for r in rows if r.n_rows == r.distinct_sensitive]
+    for r in uni:
+        assert abs(r.entropy_l - r.distinct_sensitive) <= 1e-6
+
+
+def test_eoq_cost_balance(spark, sf_dir):
+    """At the EOQ the annual ordering cost D/Q*S equals the annual
+    holding cost Q/2*h*c — the defining first-order condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = tx.eoq_policy(li).collect()
+    assert 0 < len(rows) <= tx.EOQ_TOP
+    for r in rows[:20]:
+        order_cost = r.annual_demand / r.eoq_units * tx.EOQ_ORDER_COST
+        hold_cost = r.eoq_units / 2.0 * tx.EOQ_HOLD_RATE * r.unit_cost
+        assert order_cost == pytest.approx(hold_cost, rel=1e-4), r.l_partkey
+        assert r.orders_per_year == pytest.approx(
+            r.annual_demand / r.eoq_units, rel=1e-4
+        )
+        assert r.reorder_point == pytest.approx(
+            r.annual_demand / 365.0 * tx.EOQ_LEAD_DAYS, rel=1e-4
+        )
+
+
+def test_theta_trend_matches_numpy_ols(spark, sf_dir):
+    """The exact integer-weighted OLS slope/intercept must agree with
+    numpy's polyfit over the same monthly window, and the forecast must
+    be the average of the two theta lines."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = analytics.theta_forecast(orders).collect()
+    assert len(out) == analytics.THETA_H
+    monthly = (
+        orders.groupBy(
+            analytics.F.trunc(analytics.F.to_date("o_orderdate"), "month").alias("m")
+        )
+        .agg(analytics.F.round(analytics.F.sum("o_totalprice"), 2).alias("y"))
+        .orderBy(analytics.F.col("m").desc())
+        .limit(analytics.THETA_K)
+        .orderBy("m")
+        .collect()
+    )
+    y = np.array([float(r.y) for r in monthly])
+    t = np.arange(1, len(y) + 1, dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    assert out[0].slope == pytest.approx(b, rel=1e-6)
+    assert out[0].intercept == pytest.approx(a, rel=1e-6)
+    for r in out:
+        theta0 = a + b * (analytics.THETA_K + r.h)
+        assert r.forecast == pytest.approx(
+            (theta0 + r.ses_theta2) / 2.0, rel=1e-6, abs=1e-4
+        )
+
+
+def test_kmeanspp_seeding_invariants(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = llm_sim.kmeanspp_init(emb).collect()
+    assert [r.seed_rank for r in seeds] == list(range(1, llm_sim.KPP_K + 1))
+    assert len({r.vec_id for r in seeds}) == llm_sim.KPP_K  # distinct
+    assert seeds[0].phi_before is None
+    phis = [r.phi_before for r in seeds[1:]]
+    assert all(p is not None and p > 0 for p in phis)
+    # the potential the sampler sees can only shrink as seeds accumulate
+    for p_prev, p_next in zip(phis, phis[1:]):
+        assert p_next <= p_prev + 1e-6
+    # deterministic: a second run reproduces the seed set exactly
+    again = llm_sim.kmeanspp_init(emb).collect()
+    assert [(r.seed_rank, r.vec_id) for r in again] == [
+        (r.seed_rank, r.vec_id) for r in seeds
+    ]
