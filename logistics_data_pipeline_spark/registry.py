@@ -1144,87 +1144,70 @@ register(
 # regenerated four times since). Keys NEW this round MUST be appended
 # here (not just register()-ed) or they wait a full round for a check.
 
-_ROUND8_WINDOW = [
-    # Round-8 policy (VERDICT r7 #1): FINISH the driver-verification
-    # ledger. After this window, the union of CORRECTNESS_r01–r08 has
-    # a green hash row for every oracled key on its CURRENT oracle.
-    # Composition:
-    #   (a) keys whose code or oracle CHANGED this round (5);
-    #   (b) the NEW round-8 key (1);
-    #   (c) the 20 keys without any green driver hash row: the 12
-    #       round-7 deferrals, the 5 round-7 adds, and the 3 keys
-    #       whose round-6 oracle upgrade postdates their last driver
-    #       row (emb_kmeans_cells / emb_pq_codes /
-    #       docs_minhash_error_panel — minus gopher/semdecon/dup_span/
-    #       png already counted in (a)/(c) overlap below);
-    #   (d) the stalest re-verification canaries (last green r01, and
-    #       the testdata has been regenerated several times since).
+_DRIVER_WINDOW = [
+    # Round-9 window (the driver hash-checks the FIRST 50 keys).
+    # Policy: every key whose code/oracle changed this round, every NEW
+    # key, then the STALEST green canaries (computed from the committed
+    # CORRECTNESS_r01-r08 ledger: the 4 r01 keys round 8 deferred with
+    # green-sibling justifications, then the full r02 cohort, then the
+    # oldest r03 keys to fill 50). The 7 irreducible rows-only keys are
+    # excluded by design (no oracle to hash against; each has an exact
+    # oracle-checked twin).
     #
-    # -- (a) code/oracle changed in round 8 --
-    "docs_gopher_repetition",  # codegen gram-pipeline rewrite (also never driver-checked)
-    "emb_pca_deflation",  # driver-local rounded trajectory (hash-stable, re-pin)
-    "emb_neardup_lsh",  # srp_buckets/_verified_pair_cosines refactor (byte-identical SQL)
-    "multimodal_resize",  # REAL decoded-pixel kernel + new oracle
-    "multimodal_frame_sample",  # REAL decoded-pixel kernel + new oracle
-    # -- (b) new this round --
-    "emb_semantic_decontamination_governed",
-    "docs_decontamination_panel",
-    # -- (c) never driver-green (oracled) --
-    "events_kmv_distinct",
-    "docs_bm25_scores",
-    "docs_lsh_s_curve",
-    "events_type_value_drift",
-    "docs_holdout_perplexity",
-    "events_holt_forecast",
-    "events_ewma_control",
-    "docs_lexsem_agreement",
-    "emb_label_centroid_sim",
-    "orders_duplicate_invoices",
-    "docs_token_dup_inflation",
-    "docs_corpus_datasheet",
-    "emb_semantic_decontamination",
-    "docs_dup_span_coverage",
-    "multimodal_png_roundtrip",
-    "multimodal_png_resize",
-    "emb_kmeans_cells",
-    "emb_pq_codes",
-    "docs_minhash_error_panel",
-    # -- (d) stalest green keys (r01 rows; oldest first) --
-    "ingest_dedup_antijoin",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "dim_order_scd2",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q16_supplier_counts",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "stream_sessionize_closed",
-    "events_asof_join",
-    "events_tumbling_windows",
-    "events_daily_type_pivot",
-    "events_click_attribution",
-    # -- 4 r01-stale keys deferred to round 9, each covered elsewhere --
-    # gen_synthetic_events: the driver's OWN entry() smoke re-runs the
-    #   seeded generator every round (entry composes it), so a silent
-    #   regression cannot hide a full round.
-    # events_daily_type_unpivot / events_daily_type_cube: trivial
-    #   reshapes of the same daily-type frame as events_daily_type_pivot
-    #   (in this window); all three share one aggregation subtree.
-    # events_retention_cohorts (ceded its slot to the late-round
-    #   docs_decontamination_panel): cohort/retention machinery is
-    #   driver-exercised by events_retention_decay_fit (green r07),
-    #   and the r01 green row stands.
+    # -- (a) NEW oracled keys this round --
+    "kpi_weight_histogram",  # in-engine binned weight histogram
+    "events_cusum_control",  # CUSUM via prefix-sum/running-min identity
+    "events_l_diversity",  # distinct+entropy l-diversity audit
+    "part_eoq_policy",  # EOQ + reorder point
+    "orders_theta_forecast",  # theta-method monthly forecast
+    "emb_kmeanspp_init",  # k-means++ D^2 seeding
+    # -- (b) code changed this round: _round_half_up signed-zero
+    #    normalization touches the driver-local rounded trajectories --
+    "emb_pca_deflation",
+    "emb_linear_probe",
+    # -- (c) stalest green canaries, oldest driver row first --
+    "events_daily_type_cube",
+    "events_daily_type_unpivot",
+    "events_retention_cohorts",
+    "gen_synthetic_events",
+    "docs_bigram_lm_counts",
+    "docs_bigram_logprob",
+    "docs_decontamination",
+    "docs_dedup_keeper",
+    "docs_exact_dedup",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_mixture_weights",
+    "docs_neardup_components",
+    "docs_neardup_ngram",
+    "docs_pack_sequences",
+    "docs_pii_scrub",
+    "docs_quality_filter",
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "docs_text_stats",
+    "docs_tfidf_top_terms",
+    "docs_token_count_bpe",
+    "docs_token_setops",
+    "emb_knn_bruteforce",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "emb_semantic_neardup_enriched",
+    "emb_vector_norms",
+    "events_heavy_hitters",
+    "events_hopping_windows",
+    "events_interarrival_stats",
+    "events_session_windows",
+    "events_signup_funnel",
+    "events_type_transitions",
+    "events_value_anomalies",
+    "multimodal_extract",
+    "orders_ltv_deciles",
+    "orders_price_ranks",
+    "revenue_geo_rollup",
+    "docs_chunking",
+    "docs_corpus_composition",
+    "docs_curation_pipeline",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -2367,9 +2350,9 @@ register(
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
-    missing = [k for k in _ROUND8_WINDOW if k not in _QUERIES]
-    assert not missing, f"_ROUND8_WINDOW names unregistered keys: {missing}"
-    order = _ROUND8_WINDOW + [k for k in _QUERIES if k not in _ROUND8_WINDOW]
+    missing = [k for k in _DRIVER_WINDOW if k not in _QUERIES]
+    assert not missing, f"_DRIVER_WINDOW names unregistered keys: {missing}"
+    order = _DRIVER_WINDOW + [k for k in _QUERIES if k not in _DRIVER_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}
 

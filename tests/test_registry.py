@@ -156,7 +156,7 @@ def test_every_oracled_key_is_driver_covered_or_windowed():
                 and not row.get("err")
             ):
                 green.add(key)
-    window = set(registry._ROUND8_WINDOW)
+    window = set(registry._DRIVER_WINDOW)
     uncovered = sorted(set(registry._ORACLES) - green - window)
     assert not uncovered, (
         f"oracled keys with no driver hash row and no window slot: "

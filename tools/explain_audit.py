@@ -89,6 +89,13 @@ ALLOWED = {
     # ROW_NUMBER over the K=16-row daily tail; 1-row level/trend scalar
     # crossed with the 7-row horizon grid
     "events_holt_forecast": {"nested-loop join", "unpartitioned window"},
+    # ROW_NUMBER over the K=16-row monthly tail (holt's shape); 1-row
+    # trend/SES scalars crossed with the 12-row horizon grid
+    "orders_theta_forecast": {"nested-loop join", "unpartitioned window"},
+    # 1-row [min,max] range scalar broadcast into the binning pass
+    "kpi_weight_histogram": {"nested-loop join"},
+    # 1-row corpus day-span scalar broadcast into the per-part policy
+    "part_eoq_policy": {"nested-loop join"},
     # the sweep window runs over the |distinct days| delta frame (the
     # raw facts pre-aggregate first); 1-row durations x sweep scalars
     "orders_wip_sweep": {"nested-loop join", "unpartitioned window"},
