@@ -5755,3 +5755,217 @@ pick{j} AS MATERIALIZED (
 
 
 KMEANSPP_INIT_SQL = kmeanspp_init_sql()
+
+
+# --- k-means|| oversampling (the one-pass-per-round scale path) -------------
+
+KBB_L = 16  # oversampling factor per round (~2k)
+KBB_R = 2  # sampling rounds
+KBB_SALT = 29
+
+
+def kmeansbb_candidates(
+    emb: DataFrame, l: int = KBB_L, rounds: int = KBB_R, salt: int = KBB_SALT
+) -> DataFrame:
+    """k-means|| (Bahmani et al., VLDB'12) candidate oversampling — the
+    100 TB companion ``kmeanspp_init``'s docstring promises: instead of
+    k sequential corpus passes, each round samples EVERY point
+    INDEPENDENTLY with probability min(1, l·d²(x,C)/Φ) in one
+    map-side pass, so k seeds cost ``rounds`` passes (2 here) plus a
+    driver-sized ++ finish on the candidate set. Output is that
+    candidate set with its final D²-assignment weights — exactly the
+    (candidate, weight) table the ++ finish consumes.
+
+    Determinism/cross-engine: the per-point sampling uniform is an
+    in-engine md5 slice (the A-Res idiom) so u·Φ < l·d² evaluates
+    identically; Φ is the LAST value of the running D² sum in vec_id
+    order (MAX of a monotone cumsum — sequential, bit-equal both
+    engines, never an unordered float SUM); distances are the suite's
+    6-dp rounded aggregations. Already-chosen candidates have d²=0 and
+    can never re-sample.
+
+    Scale: per round, ONE distance join against the (broadcast-sized)
+    new-candidate batch, one running-sum window, one filter — no
+    point-to-point pass depends on any other point's draw. The final
+    weighting is one argmin assignment join. The window's global order
+    is the only non-mapside step and runs over the (vec_id, d²)
+    projection, not the vectors."""
+    from pyspark.sql import Window
+
+    xp = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+    ).localCheckpoint(eager=True)
+    seed = (
+        emb.select(
+            "vec_id",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select("vec_id", F.lit(0).alias("round_added"))
+    )
+    cands = seed.localCheckpoint(eager=True)
+
+    def _dist_to(cand_ids: DataFrame) -> DataFrame:
+        """Per vec: min 6-dp-rounded squared distance to the batch."""
+        cp = xp.join(
+            cand_ids.select(F.col("vec_id").alias("cand")), xp.vec_id == F.col("cand")
+        ).select("cand", "pos", F.col("v").alias("c"))
+        return (
+            xp.join(cp, "pos")
+            .groupBy("vec_id", "cand")
+            .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("d"))
+        )
+
+    d = _dist_to(cands).localCheckpoint(eager=True)
+    w = Window.orderBy("vec_id").rowsBetween(Window.unboundedPreceding, 0)
+    for r in range(1, rounds + 1):
+        cum = d.select("vec_id", "d", F.sum("d").over(w).alias("cum"))
+        phi = F.broadcast(cum.agg(F.max("cum").alias("phi")))
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"kbb:{salt}:{r}:"), F.col("vec_id"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**48))
+        )
+        samp = (
+            d.join(phi)
+            .filter(u * F.col("phi") < F.lit(float(l)) * F.col("d"))
+            .select("vec_id", F.lit(r).alias("round_added"))
+            .localCheckpoint(eager=True)
+        )
+        cands = cands.unionByName(samp).localCheckpoint(eager=True)
+        d = (
+            d.join(_dist_to(samp).withColumnRenamed("d", "nd"), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(F.col("d"), F.coalesce(F.col("nd"), F.col("d"))).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # final D2 weights: every point votes for its nearest candidate
+    cp = xp.join(
+        cands.select(F.col("vec_id").alias("cand")), xp.vec_id == F.col("cand")
+    ).select("cand", "pos", F.col("v").alias("c"))
+    pair = (
+        xp.join(cp, "pos")
+        .groupBy("vec_id", "cand")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("d2"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand"))
+    weights = (
+        pair.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cand").alias("vec_id"))
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+    return (
+        cands.join(weights, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("round_added").cast("int").alias("round_added"),
+            F.coalesce(F.col("weight"), F.lit(0)).cast("bigint").alias("weight"),
+        )
+        .orderBy("round_added", "cand_id")
+    )
+
+
+def kmeansbb_candidates_sql(
+    l: int = KBB_L, rounds: int = KBB_R, salt: int = KBB_SALT
+) -> str:
+    """Unrolled DuckDB twin: per-round MATERIALIZED distance/cumsum
+    CTEs, the same md5-slice uniforms and MAX-of-cumsum Phi."""
+    u48 = float(2**48)
+    parts = [
+        """x AS MATERIALIZED (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id, 0 AS round_added FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{salt}'), vec_id LIMIT 1
+)""",
+        """d0 AS MATERIALIZED (
+  SELECT vec_id, MIN(pd) AS d FROM (
+    SELECT x.vec_id, s.cand, ROUND(SUM((x.v - s.c) * (x.v - s.c)), 6) AS pd
+    FROM x JOIN (SELECT c0.vec_id AS cand, x.pos, x.v AS c
+                 FROM x JOIN c0 USING (vec_id)) s USING (pos)
+    GROUP BY x.vec_id, s.cand) q
+  GROUP BY vec_id
+)""",
+    ]
+    prev_d = "d0"
+    cand_union = ["SELECT vec_id, round_added FROM c0"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""cum{r} AS MATERIALIZED (
+  SELECT vec_id, d, SUM(d) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM {prev_d}
+)"""
+        )
+        parts.append(
+            f"""samp{r} AS MATERIALIZED (
+  SELECT vec_id, {r} AS round_added
+  FROM {prev_d}
+  WHERE (CAST(('0x' || substring(md5('kbb:{salt}:{r}:' || CAST(vec_id AS VARCHAR)),
+                                 1, 12)) AS BIGINT) / {u48!r})
+        * (SELECT MAX(cum) FROM cum{r}) < {float(l)!r} * d
+)"""
+        )
+        cand_union.append(f"SELECT vec_id, round_added FROM samp{r}")
+        if r < rounds:
+            parts.append(
+                f"""d{r} AS MATERIALIZED (
+  SELECT p.vec_id, LEAST(p.d, COALESCE(n.nd, p.d)) AS d
+  FROM {prev_d} p LEFT JOIN (
+    SELECT vec_id, MIN(pd) AS nd FROM (
+      SELECT x.vec_id, s.cand, ROUND(SUM((x.v - s.c) * (x.v - s.c)), 6) AS pd
+      FROM x JOIN (SELECT samp{r}.vec_id AS cand, x.pos, x.v AS c
+                   FROM x JOIN samp{r} USING (vec_id)) s USING (pos)
+      GROUP BY x.vec_id, s.cand) q
+    GROUP BY vec_id
+  ) n ON n.vec_id = p.vec_id
+)"""
+            )
+            prev_d = f"d{r}"
+    union = "\nUNION ALL\n".join(cand_union)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cands AS MATERIALIZED (
+{union}
+),
+pair AS (
+  SELECT x.vec_id, s.cand, ROUND(SUM((x.v - s.c) * (x.v - s.c)), 6) AS d2
+  FROM x JOIN (SELECT cands.vec_id AS cand, x.pos, x.v AS c
+               FROM x JOIN cands USING (vec_id)) s USING (pos)
+  GROUP BY x.vec_id, s.cand
+),
+assign AS (
+  SELECT cand, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT vec_id, cand, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cand ASC) AS rn
+    FROM pair) q
+  WHERE rn = 1 GROUP BY cand
+)
+SELECT c.vec_id AS cand_id, CAST(c.round_added AS INT) AS round_added,
+       CAST(COALESCE(a.weight, 0) AS BIGINT) AS weight
+FROM cands c LEFT JOIN assign a ON a.cand = c.vec_id
+ORDER BY round_added, cand_id"""
+    )
+
+
+KMEANSBB_CANDIDATES_SQL = kmeansbb_candidates_sql()

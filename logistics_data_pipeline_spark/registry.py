@@ -1161,6 +1161,8 @@ _DRIVER_WINDOW = [
     "part_eoq_policy",  # EOQ + reorder point
     "orders_theta_forecast",  # theta-method monthly forecast
     "emb_kmeanspp_init",  # k-means++ D^2 seeding
+    "emb_kmeansbb_candidates",  # k-means|| oversampling (ceded: docs_curation_pipeline,
+    # whose r03 green row stands and whose v2 sibling is green r07)
     # -- (b) code changed this round: _round_half_up signed-zero
     #    normalization touches the driver-local rounded trajectories --
     "emb_pca_deflation",
@@ -1207,7 +1209,6 @@ _DRIVER_WINDOW = [
     "revenue_geo_rollup",
     "docs_chunking",
     "docs_corpus_composition",
-    "docs_curation_pipeline",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -2324,6 +2325,11 @@ register(
     "emb_kmeanspp_init",  # k-means++ D^2-weighted seeding, exact unrolled oracle
     _q(lambda spark, sf: llm_sim.kmeanspp_init(_emb(spark, sf))),
     llm_sim.KMEANSPP_INIT_SQL,
+)
+register(
+    "emb_kmeansbb_candidates",  # k-means|| one-pass-per-round oversampling + D^2 weights
+    _q(lambda spark, sf: llm_sim.kmeansbb_candidates(_emb(spark, sf))),
+    llm_sim.KMEANSBB_CANDIDATES_SQL,
 )
 register(
     "orders_theta_forecast",  # theta-method monthly revenue forecast (exact OLS + dyadic SES)

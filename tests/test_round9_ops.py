@@ -129,3 +129,38 @@ def test_kmeanspp_seeding_invariants(spark, sf_dir):
     assert [(r.seed_rank, r.vec_id) for r in again] == [
         (r.seed_rank, r.vec_id) for r in seeds
     ]
+
+
+def test_kmeansbb_oversampling_invariants(spark, sf_dir):
+    """k-means|| candidate set: one round-0 seed, every point's vote
+    lands on exactly one candidate (weights sum to n), candidates are
+    distinct, and the expected per-round draw is l-ish (>0, corpus-
+    bounded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cands = llm_sim.kmeansbb_candidates(emb).collect()
+    assert sum(1 for r in cands if r.round_added == 0) == 1
+    assert len({r.cand_id for r in cands}) == len(cands)
+    assert sum(r.weight for r in cands) == n
+    rounds = {r.round_added for r in cands}
+    assert rounds <= set(range(llm_sim.KBB_R + 1))
+    per_round = {
+        rr: sum(1 for r in cands if r.round_added == rr) for rr in sorted(rounds)
+    }
+    assert all(v > 0 for v in per_round.values())
+    assert len(cands) <= 1 + llm_sim.KBB_R * 4 * llm_sim.KBB_L  # Chernoff-loose
+
+
+def test_kmeansbb_plus_pp_finish_composes(spark, sf_dir):
+    """The scale recipe end-to-end: || oversamples candidates in
+    rounds, then the ++ finish runs on the candidate SUBSET — the
+    composition must yield KPP_K distinct seeds drawn only from the
+    candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand_ids = {
+        r.cand_id for r in llm_sim.kmeansbb_candidates(emb).collect()
+    }
+    sub = emb.filter(emb.vec_id.isin(list(cand_ids)))
+    seeds = llm_sim.kmeanspp_init(sub).collect()
+    assert len(seeds) == llm_sim.KPP_K
+    assert {r.vec_id for r in seeds} <= cand_ids
