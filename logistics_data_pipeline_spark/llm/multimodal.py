@@ -1443,3 +1443,93 @@ SELECT doc_id AS media_id,
 FROM strs
 ORDER BY media_id
 """.strip()
+
+
+# --- decoded-pixel luminance histogram ---------------------------------------
+
+LUMA_BUCKETS = 16  # 256/16-wide luminance bins
+
+LUMA_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("min_luma", T.LongType()),
+        T.StructField("max_luma", T.LongType()),
+    ]
+)
+
+
+def png_luma_histogram(docs: DataFrame, buckets: int = LUMA_BUCKETS) -> DataFrame:
+    """Per-image luminance histogram over DECODED pixels — the first
+    decoded-pixel ANALYTICS op (roundtrip/resize/frame-sample are codec
+    transforms; this one aggregates what the codec yields, the
+    dedup-adjacent signal a media curation pass bins on: exposure
+    skew, banding, blank frames). One row per (image, occupied
+    16-wide luminance bin) with the pixel count, plus the image's
+    min/max luminance repeated per row (integers only — no float
+    anywhere).
+
+    Scale: one Arrow-batched decode+bincount map stage, no shuffle
+    until the tiny (media_id, bucket) output aggregation; blobs never
+    leave their partition. The oracle recomputes the same bins from
+    the deterministic text-cycling pixel derivation."""
+    width = 256 // buckets
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mid, bkt, npx, mn, mx = [], [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, pix = png_decode_gray(bytes(content))
+                a = np.frombuffer(pix, dtype=np.uint8)
+                counts = np.bincount(a // width, minlength=buckets)
+                lo, hi = int(a.min()), int(a.max())
+                for b in np.nonzero(counts)[0]:
+                    mid.append(int(media_id))
+                    bkt.append(int(b))
+                    npx.append(int(counts[b]))
+                    mn.append(lo)
+                    mx.append(hi)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mid, dtype="int64"),
+                    "bucket": pd.Series(bkt, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "min_luma": pd.Series(mn, dtype="int64"),
+                    "max_luma": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return (
+        docs_as_png(docs)
+        .mapInPandas(_hist, schema=LUMA_HIST_SCHEMA)
+        .orderBy("media_id", "bucket")
+    )
+
+
+LUMA_HISTOGRAM_SQL = f"""
+WITH cyc AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil({_PNG_N}.0 / length(text)) AS BIGINT)),
+                1, {_PNG_N}) AS s
+  FROM documents
+),
+px AS (
+  SELECT doc_id, ord(substr(s, CAST(g.i + 1 AS BIGINT), 1)) AS v
+  FROM cyc CROSS JOIN (SELECT unnest(range(0, {_PNG_N})) AS i) g
+),
+ext AS (
+  SELECT doc_id, CAST(MIN(v) AS BIGINT) AS min_luma,
+         CAST(MAX(v) AS BIGINT) AS max_luma
+  FROM px GROUP BY doc_id
+)
+SELECT p.doc_id AS media_id,
+       CAST(p.v // {256 // LUMA_BUCKETS} AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       e.min_luma, e.max_luma
+FROM px p JOIN ext e ON e.doc_id = p.doc_id
+GROUP BY p.doc_id, p.v // {256 // LUMA_BUCKETS}, e.min_luma, e.max_luma
+ORDER BY media_id, bucket
+""".strip()

@@ -1027,6 +1027,11 @@ register(
     llm_mm.PNG_RESIZE_SQL,
 )
 register(
+    "multimodal_luma_histogram",  # decoded-pixel 16-bin luminance histogram + extrema
+    _q(lambda spark, sf: llm_mm.png_luma_histogram(_docs(spark, sf))),
+    llm_mm.LUMA_HISTOGRAM_SQL,
+)
+register(
     "multimodal_ahash_neardup",  # 64-bit average-hash + banded hamming pairs
     _q(lambda spark, sf: llm_mm.media_ahash_neardup(_docs(spark, sf))),
     llm_mm.MEDIA_AHASH_NEARDUP_SQL,
@@ -1163,6 +1168,9 @@ _DRIVER_WINDOW = [
     "emb_kmeanspp_init",  # k-means++ D^2 seeding
     "emb_kmeansbb_candidates",  # k-means|| oversampling (ceded: docs_curation_pipeline,
     # whose r03 green row stands and whose v2 sibling is green r07)
+    "multimodal_luma_histogram",  # decoded-pixel histogram (ceded:
+    # docs_corpus_composition — r03 green row stands; its sibling
+    # docs_corpus_datasheet re-verified green in the r08 window)
     # -- (b) code changed this round: _round_half_up signed-zero
     #    normalization touches the driver-local rounded trajectories --
     "emb_pca_deflation",
@@ -1208,7 +1216,6 @@ _DRIVER_WINDOW = [
     "orders_price_ranks",
     "revenue_geo_rollup",
     "docs_chunking",
-    "docs_corpus_composition",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
