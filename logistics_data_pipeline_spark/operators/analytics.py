@@ -5910,3 +5910,186 @@ SELECT CAST(g.h AS BIGINT) AS h,
 FROM z CROSS JOIN (SELECT unnest(generate_series(1, {THETA_H})) AS h) g
 ORDER BY h
 """.strip()
+
+
+# --- additive Holt-Winters (exact unrolled triple smoothing) -----------------
+
+HW_M = 12  # seasonal period (months)
+HW_K = 24  # window: the last two full seasons
+HW_H = 12  # forecast horizon
+
+
+def _hw_weight_table():
+    """Unroll the additive Holt-Winters recursion (alpha = beta =
+    gamma = 1/2) over the last ``HW_K`` monthly totals into EXACT
+    rational weights. Standard initialization over the first season:
+    l_m = mean(y_1..y_m), b_m = (mean(season 2) - mean(season 1))/m,
+    s_i = y_i - l_m; then m coupled steps of
+    l_t = alpha(y_t - s_{t-m}) + (1-alpha)(l_{t-1} + b_{t-1}),
+    b_t = beta(l_t - l_{t-1}) + (1-beta) b_{t-1},
+    s_t = gamma(y_t - l_t) + (1-gamma) s_{t-m}.
+    Every state is LINEAR in the y's, so the whole model is 14 weight
+    rows (level, trend, 12 final seasonal states) over one common
+    integer denominator — the ``_holt_weight_table`` discipline
+    extended to the 3-state seasonal recursion."""
+    import math
+    from fractions import Fraction as Fr
+
+    m, k = HW_M, HW_K
+    l = [Fr(1, m) if t <= m else Fr(0) for t in range(1, k + 1)]
+    b = [Fr(-1, m * m) if t <= m else Fr(1, m * m) for t in range(1, k + 1)]
+    s: dict[int, list] = {}
+    for i in range(1, m + 1):
+        si = [Fr(0)] * k
+        si[i - 1] += Fr(1)
+        for j in range(m):
+            si[j] -= Fr(1, m)
+        s[i] = si
+    for t in range(m + 1, k + 1):
+        yt = [Fr(0)] * k
+        yt[t - 1] = Fr(1)
+        l_new = [
+            Fr(1, 2) * (yt[j] - s[t - m][j]) + Fr(1, 2) * (l[j] + b[j])
+            for j in range(k)
+        ]
+        b_new = [Fr(1, 2) * (l_new[j] - l[j]) + Fr(1, 2) * b[j] for j in range(k)]
+        s[t] = [Fr(1, 2) * (yt[j] - l_new[j]) + Fr(1, 2) * s[t - m][j] for j in range(k)]
+        l, b = l_new, b_new
+    den = 1
+    for f in l + b + [x for t in range(k - m + 1, k + 1) for x in s[t]]:
+        den = den * f.denominator // math.gcd(den, f.denominator)
+    rows = []
+    for rn in range(1, k + 1):
+        rows.append(
+            (
+                rn,
+                str(int(l[rn - 1] * den)),
+                str(int(b[rn - 1] * den)),
+                [str(int(s[k - m + i][rn - 1] * den)) for i in range(1, m + 1)],
+            )
+        )
+    return den, rows
+
+
+_HW_DEN, _HW_W = _hw_weight_table()
+
+
+def holt_winters_forecast(orders: DataFrame) -> DataFrame:
+    """Additive Holt-Winters forecast of monthly order revenue,
+    h = 1..12 — the SEASONAL member that completes the forecasting
+    family (SES/EWMA smooths, Holt adds trend, Croston handles
+    intermittence, Theta decomposes, THIS carries level + trend + a
+    12-month seasonal profile). The triple recursion is unrolled at
+    alpha=beta=gamma=1/2 into the exact integer weight table
+    ``_hw_weight_table``; the corpus work is ONE month-keyed
+    aggregation, a 24-row bounded tail, a broadcast weight join, and
+    14 DECIMAL weighted sums — history length never enters a shuffle.
+    Forecast(h) = level + h*trend + s[(h-1) mod 12].
+
+    Determinism: weights are integers over one denominator; cents ×
+    weight products sum in DECIMAL(38,0); three double divisions at
+    readout, identical trees both engines, 6-dp rounds."""
+    from pyspark.sql import Window
+
+    cents = F.sum(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    ).alias("cents")
+    monthly = (
+        orders.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(cents)
+        .orderBy(F.col("m").desc())
+        .limit(HW_K)
+    )
+    rn = F.row_number().over(Window.orderBy("m"))
+    ranked = monthly.select("cents", rn.alias("rn"))
+    spark = orders.sparkSession
+    wrows = [(r, wl, wb, *ws) for r, wl, wb, ws in _HW_W]
+    scols = ", ".join(f"ws{i} string" for i in range(1, HW_M + 1))
+    weights = F.broadcast(
+        spark.createDataFrame(wrows, f"rn int, wl string, wb string, {scols}").select(
+            "rn",
+            F.col("wl").cast("decimal(19,0)").alias("wl"),
+            F.col("wb").cast("decimal(19,0)").alias("wb"),
+            *[
+                F.col(f"ws{i}").cast("decimal(19,0)").alias(f"ws{i}")
+                for i in range(1, HW_M + 1)
+            ],
+        )
+    )
+    agg = (
+        ranked.join(weights, "rn")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum(F.col("wl") * F.col("cents")).alias("sl"),
+            F.sum(F.col("wb") * F.col("cents")).alias("sb"),
+            *[
+                F.sum(F.col(f"ws{i}") * F.col("cents")).alias(f"ss{i}")
+                for i in range(1, HW_M + 1)
+            ],
+        )
+        .filter(F.col("n_months") == HW_K)
+    )
+    den = F.lit(float(_HW_DEN)) * F.lit(100.0)
+    level = F.col("sl").cast("double") / den
+    trend = F.col("sb").cast("double") / den
+    seas = F.element_at(
+        F.array(*[F.col(f"ss{i}").cast("double") / den for i in range(1, HW_M + 1)]),
+        ((F.col("h") - 1) % HW_M + 1).cast("int"),
+    )
+    return (
+        agg.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HW_H))).alias("h"),
+            "sl",
+            "sb",
+            *[f"ss{i}" for i in range(1, HW_M + 1)],
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.round(level, 6).alias("level"),
+            F.round(trend, 6).alias("trend"),
+            F.round(seas, 6).alias("seasonal"),
+            F.round(level + trend * F.col("h") + seas, 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+_HW_W_SQL = ", ".join(
+    f"({r}, {wl}, {wb}, {', '.join(ws)})" for r, wl, wb, ws in _HW_W
+)
+_HW_WS_COLS = ", ".join(f"ws{i}" for i in range(1, HW_M + 1))
+
+HOLT_WINTERS_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS cents
+  FROM orders GROUP BY 1
+  ORDER BY m DESC LIMIT {HW_K}
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly
+),
+weights(rn, wl, wb, {_HW_WS_COLS}) AS (VALUES {_HW_W_SQL}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         SUM(CAST(wl AS DECIMAL(19,0)) * cents) AS sl,
+         SUM(CAST(wb AS DECIMAL(19,0)) * cents) AS sb,
+         {", ".join(f"SUM(CAST(ws{i} AS DECIMAL(19,0)) * cents) AS ss{i}" for i in range(1, HW_M + 1))}
+  FROM ranked JOIN weights USING (rn)
+),
+lt AS (
+  SELECT CAST(sl AS DOUBLE) / ({float(_HW_DEN)} * 100.0) AS level,
+         CAST(sb AS DOUBLE) / ({float(_HW_DEN)} * 100.0) AS trend,
+         [{", ".join(f"CAST(ss{i} AS DOUBLE) / ({float(_HW_DEN)} * 100.0)" for i in range(1, HW_M + 1))}] AS seas
+  FROM agg WHERE n_months = {HW_K}
+)
+SELECT CAST(g.h AS BIGINT) AS h,
+       ROUND(level, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(seas[CAST((g.h - 1) % {HW_M} + 1 AS INT)], 6) AS seasonal,
+       ROUND(level + trend * g.h + seas[CAST((g.h - 1) % {HW_M} + 1 AS INT)], 6)
+         AS forecast
+FROM lt CROSS JOIN (SELECT unnest(generate_series(1, {HW_H})) AS h) g
+ORDER BY h
+""".strip()

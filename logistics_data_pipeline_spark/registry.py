@@ -1171,6 +1171,9 @@ _DRIVER_WINDOW = [
     "multimodal_luma_histogram",  # decoded-pixel histogram (ceded:
     # docs_corpus_composition — r03 green row stands; its sibling
     # docs_corpus_datasheet re-verified green in the r08 window)
+    "orders_holt_winters",  # additive Holt-Winters (ceded: docs_chunking —
+    # r03 green row stands; chunking is also exercised inside
+    # docs_curation_pipeline_v2, green r07)
     # -- (b) code changed this round: _round_half_up signed-zero
     #    normalization touches the driver-local rounded trajectories --
     "emb_pca_deflation",
@@ -1215,7 +1218,6 @@ _DRIVER_WINDOW = [
     "orders_ltv_deciles",
     "orders_price_ranks",
     "revenue_geo_rollup",
-    "docs_chunking",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -2342,6 +2344,15 @@ register(
     "orders_theta_forecast",  # theta-method monthly revenue forecast (exact OLS + dyadic SES)
     _q(lambda spark, sf: analytics.theta_forecast(load_table(spark, sf, "orders"))),
     analytics.THETA_FORECAST_SQL,
+)
+register(
+    "orders_holt_winters",  # additive Holt-Winters: exact unrolled triple smoothing
+    _q(
+        lambda spark, sf: analytics.holt_winters_forecast(
+            load_table(spark, sf, "orders")
+        )
+    ),
+    analytics.HOLT_WINTERS_SQL,
 )
 register(
     "events_l_diversity",  # distinct + entropy l-diversity over QI groups (fixed-order pivot)

@@ -164,3 +164,49 @@ def test_kmeansbb_plus_pp_finish_composes(spark, sf_dir):
     seeds = llm_sim.kmeanspp_init(sub).collect()
     assert len(seeds) == llm_sim.KPP_K
     assert {r.vec_id for r in seeds} <= cand_ids
+
+
+def test_holt_winters_matches_literal_recursion(spark, sf_dir):
+    """The unrolled weight table must reproduce the textbook additive
+    HW recursion replayed in exact Fractions on the same monthly
+    window, and the forecast must recombine level/trend/seasonal."""
+    from fractions import Fraction as Fr
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = analytics.holt_winters_forecast(orders).collect()
+    assert len(out) == analytics.HW_H
+    monthly = (
+        orders.groupBy(
+            analytics.F.trunc(analytics.F.to_date("o_orderdate"), "month").alias("m")
+        )
+        .agg(
+            analytics.F.sum(
+                (analytics.F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "decimal(19,0)"
+                )
+            ).alias("cents")
+        )
+        .orderBy(analytics.F.col("m").desc())
+        .limit(analytics.HW_K)
+        .orderBy("m")
+        .collect()
+    )
+    y = [Fr(int(r.cents)) for r in monthly]
+    m, k = analytics.HW_M, analytics.HW_K
+    assert len(y) == k
+    l = sum(y[:m]) / m
+    b = (sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m
+    s = {i: y[i - 1] - sum(y[:m]) / m for i in range(1, m + 1)}
+    for t in range(m + 1, k + 1):
+        l_new = Fr(1, 2) * (y[t - 1] - s[t - m]) + Fr(1, 2) * (l + b)
+        b_new = Fr(1, 2) * (l_new - l) + Fr(1, 2) * b
+        s[t] = Fr(1, 2) * (y[t - 1] - l_new) + Fr(1, 2) * s[t - m]
+        l, b = l_new, b_new
+    assert out[0].level == pytest.approx(float(l) / 100.0, abs=2e-6)
+    assert out[0].trend == pytest.approx(float(b) / 100.0, abs=2e-6)
+    for r in out:
+        s_h = float(s[k - m + ((r.h - 1) % m) + 1]) / 100.0
+        assert r.seasonal == pytest.approx(s_h, abs=2e-6), r.h
+        assert r.forecast == pytest.approx(
+            r.level + r.trend * r.h + r.seasonal, abs=2e-5
+        )

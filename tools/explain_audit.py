@@ -92,6 +92,9 @@ ALLOWED = {
     # ROW_NUMBER over the K=16-row monthly tail (holt's shape); 1-row
     # trend/SES scalars crossed with the 12-row horizon grid
     "orders_theta_forecast": {"nested-loop join", "unpartitioned window"},
+    # ROW_NUMBER over the K=24-row monthly tail; 1-row 14-sum state
+    # row exploded into the 12-row horizon grid
+    "orders_holt_winters": {"nested-loop join", "unpartitioned window"},
     # 1-row [min,max] range scalar broadcast into the binning pass
     "kpi_weight_histogram": {"nested-loop join"},
     # 1-row corpus day-span scalar broadcast into the per-part policy
