@@ -2888,3 +2888,148 @@ ORDER BY g.category
 
 
 LEXSEM_AGREEMENT_SQL = _lexsem_sql()
+
+
+def dup_span_removal(docs: DataFrame, n: int = PASSAGE_N) -> DataFrame:
+    """Exact-substring dedup's REWRITE step (the deduplicate-text-
+    datasets operation): ``dup_span_coverage`` measures how much of
+    each document sits inside cross-document duplicated spans; this
+    operator actually REMOVES that text and emits the cleaned corpus
+    summary. Policy: for every duplicated length-``n`` token window
+    (text occurring in ≥2 distinct docs — the coverage key's exact
+    notion), ONE canonical occurrence survives (min doc_id, then min
+    pos — the same keeper convention as exact dedup) and every other
+    occurrence's token range [pos, pos+n-1] is deleted; a document's
+    kept tokens re-join in position order.
+
+    Output one row per document: token count, removed-token count,
+    removed fraction, and the md5 of the cleaned text (hash, not the
+    text — the oracle compares content without shipping the corpus
+    through the compare). Keeper docs keep their copy, so the cleaned
+    corpus still contains every duplicated passage exactly once.
+
+    Scale: the seed aggregation and keeper window are the coverage
+    key's shapes (hash agg on window text, ROW_NUMBER per passage);
+    removal explodes each removed SEED into its n covered positions
+    (linear: ≤ n rows per removed seed), distincts them per doc, and
+    one anti-join drops the covered tokens. The final per-doc rebuild
+    is a sort-agg partitioned by doc_id — every step is key-local,
+    nothing is corpus-quadratic."""
+    if n < 2:
+        raise ValueError(f"dup_span_removal requires n >= 2 (got {n})")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    ntok = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    seeds = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("passage"),
+        leads[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    dup_pass = (
+        seeds.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage")
+    )
+    occ = seeds.join(dup_pass, "passage").select("passage", "doc_id", "pos")
+    wk = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    removers = (
+        occ.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    covered = removers.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    removed = F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+    return (
+        ntok.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            removed.cast("bigint").alias("n_removed"),
+            F.round(removed / F.col("n_tokens").cast("double"), 6).alias(
+                "removed_frac"
+            ),
+            # a fully-removed doc rebuilds to the empty string
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) - 1 AS pos
+  FROM documents
+),
+ntok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id
+),
+seeds AS (
+  SELECT doc_id, pos, passage FROM (
+    SELECT doc_id, pos,
+           concat_ws(' ', tok, {', '.join(f'lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos)' for j in range(1, PASSAGE_N))}) AS passage,
+           lead(tok, {PASSAGE_N - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS _last
+    FROM toks)
+  WHERE _last IS NOT NULL
+),
+dup_pass AS (
+  SELECT passage FROM seeds GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT s.passage, s.doc_id, s.pos FROM seeds s JOIN dup_pass d ON d.passage = s.passage
+),
+removers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, ROW_NUMBER() OVER (
+      PARTITION BY passage ORDER BY doc_id, pos) AS rn
+    FROM occ)
+  WHERE rn > 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + g.i AS pos
+  FROM removers CROSS JOIN (SELECT unnest(range(0, {PASSAGE_N})) AS i) g
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(n.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       ROUND((n.n_tokens - COALESCE(r.n_kept, 0)) / CAST(n.n_tokens AS DOUBLE), 6)
+         AS removed_frac,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM ntok n LEFT JOIN rebuilt r ON r.doc_id = n.doc_id
+ORDER BY n.doc_id
+""".strip()

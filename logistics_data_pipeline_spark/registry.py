@@ -1174,6 +1174,10 @@ _DRIVER_WINDOW = [
     "orders_holt_winters",  # additive Holt-Winters (ceded: docs_chunking —
     # r03 green row stands; chunking is also exercised inside
     # docs_curation_pipeline_v2, green r07)
+    "docs_dup_span_removal",  # exact-substring dedup rewrite (ceded:
+    # multimodal_extract — r02 green row stands; the same mapInPandas
+    # plumbing is re-exercised by png_roundtrip/png_resize, green r08,
+    # and multimodal_luma_histogram in THIS window)
     # -- (b) code changed this round: _round_half_up signed-zero
     #    normalization touches the driver-local rounded trajectories --
     "emb_pca_deflation",
@@ -1214,7 +1218,6 @@ _DRIVER_WINDOW = [
     "events_signup_funnel",
     "events_type_transitions",
     "events_value_anomalies",
-    "multimodal_extract",
     "orders_ltv_deciles",
     "orders_price_ranks",
     "revenue_geo_rollup",
@@ -1356,6 +1359,11 @@ register(
     "docs_dup_span_coverage",  # per-doc maximal duplicated-span fraction
     _q(lambda spark, sf: llm_dedup.dup_span_coverage(_docs(spark, sf))),
     llm_dedup.DUP_SPAN_COVERAGE_SQL,
+)
+register(
+    "docs_dup_span_removal",  # exact-substring dedup REWRITE: keeper survives, copies removed
+    _q(lambda spark, sf: llm_dedup.dup_span_removal(_docs(spark, sf))),
+    llm_dedup.DUP_SPAN_REMOVAL_SQL,
 )
 register(
     "emb_covariance",  # exact-microunit dim covariance (PCA/whitening input)

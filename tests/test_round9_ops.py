@@ -210,3 +210,33 @@ def test_holt_winters_matches_literal_recursion(spark, sf_dir):
         assert r.forecast == pytest.approx(
             r.level + r.trend * r.h + r.seasonal, abs=2e-5
         )
+
+
+def test_dup_span_removal_micro_and_coverage_bound(spark, sf_dir):
+    """Micro-case: two identical docs → the min-doc_id keeper is
+    untouched, the copy is fully removed; a doc with no duplicated
+    span is untouched. Corpus property: per doc, removal can only
+    delete tokens that dup_span_coverage counts as covered (the
+    keeper's copy survives, so removed <= covered)."""
+    import hashlib
+
+    from logistics_data_pipeline_spark.llm import dedup as dd
+
+    words = " ".join(f"w{i}" for i in range(dd.PASSAGE_N + 4))
+    micro = spark.createDataFrame(
+        [(1, words), (2, words), (3, "only one doc has this text here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.dup_span_removal(micro).collect()}
+    assert out[1].n_removed == 0  # keeper survives intact
+    assert out[1].clean_md5 == hashlib.md5(words.encode()).hexdigest()
+    assert out[2].n_removed == out[2].n_tokens  # the copy vanishes
+    assert out[2].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[3].n_removed == 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    cov = {r.doc_id: r.covered_tokens for r in dd.dup_span_coverage(docs).collect()}
+    rem = dd.dup_span_removal(docs).collect()
+    assert sum(r.n_removed for r in rem) > 0  # testdata carries real dups
+    for r in rem:
+        assert r.n_removed <= cov[r.doc_id], r.doc_id
