@@ -1909,3 +1909,96 @@ ORDER BY doc_id
 
 
 GOPHER_REPETITION_SQL = _gopher_repetition_sql()
+
+
+_GOPHER_FLAGS = (
+    "pass_word_count",
+    "pass_mean_word_len",
+    "pass_alpha_frac",
+    "pass_stopwords",
+)
+_GOPHER_RULE_NAMES = ("WORD_COUNT", "MEAN_WORD_LEN", "ALPHA_FRAC", "STOPWORDS")
+
+
+def gopher_ablation(docs: DataFrame, rules: DataFrame | None = None) -> DataFrame:
+    """Quality-rule ABLATION sheet over the Gopher panel: one row per
+    observed pass/fail pattern across the four applicable rules, with
+    the doc count, corpus share, number of failing rules, and — when
+    exactly one rule fails — that rule's name (``sole_fail``). This is
+    the sheet a curation owner reads to decide whether a rule earns
+    its keep: a rule whose kills are all sole-fails is doing unique
+    work; one that only ever co-fires with others is redundant and
+    its threshold can be retired without changing the kept set.
+
+    Scale: composes the map-only ``gopher_rules`` panel with ONE
+    16-cell-bounded aggregation — output size is 2^4 regardless of
+    corpus size; the 1-row total is a broadcast scalar."""
+    if rules is None:
+        rules = gopher_rules(docs)
+    n_fail = sum(
+        (~F.col(c)).cast("int") for c in _GOPHER_FLAGS
+    ).cast("int")
+    sole = F.when(
+        n_fail == 1,
+        F.concat_ws(
+            "",
+            *[
+                F.when(~F.col(c), F.lit(name)).otherwise(F.lit(""))
+                for c, name in zip(_GOPHER_FLAGS, _GOPHER_RULE_NAMES)
+            ],
+        ),
+    )
+    cell = rules.groupBy(*_GOPHER_FLAGS).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max(n_fail).alias("n_failing_rules"),
+        F.max(sole).alias("sole_fail"),
+    )
+    total = F.broadcast(cell.agg(F.sum("n_docs").alias("_t")))
+    return (
+        cell.join(total)
+        .select(
+            *_GOPHER_FLAGS,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_t").cast("double"), 6).alias("share"),
+            "n_failing_rules",
+            "sole_fail",
+        )
+        .orderBy(*_GOPHER_FLAGS)
+    )
+
+
+_GOPHER_RULES_CTE = GOPHER_RULES_SQL.rsplit("ORDER BY", 1)[0].strip()
+
+GOPHER_ABLATION_SQL = f"""
+WITH panel AS (
+{_GOPHER_RULES_CTE}
+),
+cell AS (
+  SELECT pass_word_count, pass_mean_word_len, pass_alpha_frac, pass_stopwords,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MAX(CAST(CASE WHEN pass_word_count THEN 0 ELSE 1 END
+             + CASE WHEN pass_mean_word_len THEN 0 ELSE 1 END
+             + CASE WHEN pass_alpha_frac THEN 0 ELSE 1 END
+             + CASE WHEN pass_stopwords THEN 0 ELSE 1 END AS INT))
+           AS n_failing_rules,
+         MAX(CASE WHEN (CASE WHEN pass_word_count THEN 0 ELSE 1 END
+                        + CASE WHEN pass_mean_word_len THEN 0 ELSE 1 END
+                        + CASE WHEN pass_alpha_frac THEN 0 ELSE 1 END
+                        + CASE WHEN pass_stopwords THEN 0 ELSE 1 END) = 1
+                  THEN concat(
+                    CASE WHEN NOT pass_word_count THEN 'WORD_COUNT' ELSE '' END,
+                    CASE WHEN NOT pass_mean_word_len THEN 'MEAN_WORD_LEN' ELSE '' END,
+                    CASE WHEN NOT pass_alpha_frac THEN 'ALPHA_FRAC' ELSE '' END,
+                    CASE WHEN NOT pass_stopwords THEN 'STOPWORDS' ELSE '' END)
+             END) AS sole_fail
+  FROM panel
+  GROUP BY pass_word_count, pass_mean_word_len, pass_alpha_frac, pass_stopwords
+),
+tot AS (SELECT SUM(n_docs) AS t FROM cell)
+SELECT pass_word_count, pass_mean_word_len, pass_alpha_frac, pass_stopwords,
+       n_docs,
+       ROUND(n_docs / CAST(t AS DOUBLE), 6) AS share,
+       n_failing_rules, sole_fail
+FROM cell, tot
+ORDER BY pass_word_count, pass_mean_word_len, pass_alpha_frac, pass_stopwords
+""".strip()

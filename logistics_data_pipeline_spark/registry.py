@@ -1178,6 +1178,9 @@ _DRIVER_WINDOW = [
     # multimodal_extract — r02 green row stands; the same mapInPandas
     # plumbing is re-exercised by png_roundtrip/png_resize, green r08,
     # and multimodal_luma_histogram in THIS window)
+    "docs_gopher_ablation",  # rule-pattern ablation sheet (ceded:
+    # events_value_anomalies — r02 green row stands; its robust-MAD
+    # sibling events_value_anomalies_mad shares the shape, green r05)
     # -- (b) code changed this round: _round_half_up signed-zero
     #    normalization touches the driver-local rounded trajectories --
     "emb_pca_deflation",
@@ -1217,7 +1220,6 @@ _DRIVER_WINDOW = [
     "events_session_windows",
     "events_signup_funnel",
     "events_type_transitions",
-    "events_value_anomalies",
     "orders_ltv_deciles",
     "orders_price_ranks",
     "revenue_geo_rollup",
@@ -2149,6 +2151,11 @@ register(
     "docs_gopher_rules",  # published Gopher quality-rule panel (fixed thresholds)
     _q(lambda spark, sf: llm_cur.gopher_rules(_docs(spark, sf))),
     llm_cur.GOPHER_RULES_SQL,
+)
+register(
+    "docs_gopher_ablation",  # rule pass/fail pattern sheet: sole-fail kill attribution
+    _q(lambda spark, sf: llm_cur.gopher_ablation(_docs(spark, sf))),
+    llm_cur.GOPHER_ABLATION_SQL,
 )
 register(
     # the repetition half of the Gopher gate (top/dup n-gram character

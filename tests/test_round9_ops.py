@@ -240,3 +240,28 @@ def test_dup_span_removal_micro_and_coverage_bound(spark, sf_dir):
     assert sum(r.n_removed for r in rem) > 0  # testdata carries real dups
     for r in rem:
         assert r.n_removed <= cov[r.doc_id], r.doc_id
+
+
+def test_gopher_ablation_reconciles_with_the_panel(spark, sf_dir):
+    """The ablation cells must partition the corpus (counts sum to
+    |docs|, shares to 1) and restate the panel: the keep-pattern cell
+    count equals the panel's keep count, and each sole_fail name
+    matches the one failing flag of its pattern."""
+    from logistics_data_pipeline_spark.llm import curation as cur
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = cur.gopher_ablation(docs).collect()
+    n_docs = docs.count()
+    assert sum(c.n_docs for c in cells) == n_docs
+    assert abs(sum(c.share for c in cells) - 1.0) < 1e-4
+    panel = cur.gopher_rules(docs)
+    keep_cells = [c for c in cells if c.n_failing_rules == 0]
+    assert sum(c.n_docs for c in keep_cells) == panel.filter("keep").count()
+    names = dict(zip(cur._GOPHER_FLAGS, cur._GOPHER_RULE_NAMES))
+    for c in cells:
+        fails = [f for f in cur._GOPHER_FLAGS if not getattr(c, f)]
+        assert c.n_failing_rules == len(fails)
+        if len(fails) == 1:
+            assert c.sole_fail == names[fails[0]]
+        else:
+            assert c.sole_fail is None

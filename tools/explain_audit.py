@@ -99,6 +99,8 @@ ALLOWED = {
     "kpi_weight_histogram": {"nested-loop join"},
     # 1-row corpus day-span scalar broadcast into the per-part policy
     "part_eoq_policy": {"nested-loop join"},
+    # 1-row total scalar crossed into the <=16-row pattern cell table
+    "docs_gopher_ablation": {"nested-loop join"},
     # the sweep window runs over the |distinct days| delta frame (the
     # raw facts pre-aggregate first); 1-row durations x sweep scalars
     "orders_wip_sweep": {"nested-loop join", "unpartitioned window"},
