@@ -2381,11 +2381,20 @@ def _round_half_up(x: float, nd: int) -> float:
     decimal (``repr`` ≡ Double.toString) quantized HALF_UP — the exact
     BigDecimal.valueOf(x).setScale(nd, HALF_UP) semantics, so a
     driver-local trajectory stays bit-equal to the declarative one."""
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     if x != x or x in (float("inf"), float("-inf")):
         return x
-    out = float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+    # widen the context: quantizing a >1e28 magnitude at the default
+    # 28-digit precision raises InvalidOperation, where BigDecimal's
+    # setScale just keeps the integer part (hypothesis-found; the
+    # trajectories this mirrors never leave |x| < 1e6, but the mirror
+    # should not crash outside them either)
+    with localcontext() as ctx:
+        ctx.prec = 330  # > max double exponent digits + nd
+        out = float(
+            Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP)
+        )
     # BigDecimal has no signed zero; Decimal keeps it (round(-1e-9) -> -0.0).
     return out + 0.0
 
