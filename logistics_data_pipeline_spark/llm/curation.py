@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_parts
+
 # --- deterministic train/val/test split -----------------------------------
 
 # 4 hex chars of md5 = 65,536 uniform buckets; thresholds are computed
@@ -540,7 +542,7 @@ def decontamination_panel(
         "band", "bucket", F.col("vec_id").alias("eval_id")
     )
     cand = (
-        tr.repartition(32, "band", "bucket")
+        tr.repartition(shuffle_parts(tr), "band", "bucket")
         .join(ev, ["band", "bucket"])
         .select("train_id", "eval_id")
         .distinct()
@@ -1736,7 +1738,7 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
                 "pos", "tok"
             ),
         )
-        .repartition(32, "doc_id")
+        .repartition(shuffle_parts(docs), "doc_id")
     )
     # total_chars = length of the single-space re-join, computed from
     # the token stream: Σ len(tok) + (count − 1)

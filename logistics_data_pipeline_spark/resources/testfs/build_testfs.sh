@@ -11,7 +11,7 @@
 #   - hadoop-client-api jar shipped inside the installed pyspark wheel
 #     (resolved below; Hadoop 3.x FileSystem/AbstractFileSystem ABI)
 #
-# tests/test_streaming_pathio.py::test_testfs_jar_matches_source rebuilds
+# tests/test_s3a_path.py::test_testfs_jar_matches_source rebuilds
 # via this same recipe and asserts the committed jar's class entries are
 # byte-identical, so review never has to trust an unauditable binary.
 set -euo pipefail

@@ -103,7 +103,12 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
     assert n_emb <= 4096, (
         f"SRP-LSH 4-bit oracle bound crossed: {n_emb} vectors (re-bind the "
         "emb_neardup_lsh, emb_semantic_decontamination_governed, and "
-        "docs_decontamination_panel oracles at the governor's new width)"
+        "docs_decontamination_panel oracles at the governor's new width). "
+        "ALSO: emb_semantic_decontamination is the QUADRATIC exact oracle "
+        "twin of the governed key — its emb_pairs asset grows as n², so "
+        "past this bound keep it test-only (the _governed SRP-LSH path is "
+        "the only one that runs at scale; see registry.py's comment on the "
+        "key)"
     )
     assert n_docs <= 8192, f"aHash/pHash 8-bit oracle bound crossed: {n_docs} docs"
     from logistics_data_pipeline_spark.llm.similarity import (
@@ -147,4 +152,33 @@ def test_document_text_is_nonempty_printable_ascii():
             "the PNG oracles assume — rewrite PNG_ROUNDTRIP_SQL/"
             "PNG_RESIZE_SQL byte-based (encode()/octet_length) before "
             "trusting their hash rows"
+        )
+
+
+def test_event_type_domain_matches_ldiv_pivot():
+    """events_l_diversity pivots its entropy terms over the FIXED
+    five-value event_type domain pinned in analytics._LDIV_TYPES (the
+    pivot fixes the float summation order, the suite's cross-engine
+    heal). A sixth type in regenerated testdata would be counted in
+    n_rows but silently excluded from distinct_sensitive and the
+    entropy sum — IDENTICALLY in both engines, so the oracle can never
+    catch the drift (ADVICE r9). Pin the domain here instead: the fix
+    on failure is to extend _LDIV_TYPES (and the _ldiv_sql pivot it
+    drives) to the new domain and re-verify the key."""
+    import duckdb
+
+    from logistics_data_pipeline_spark.operators.analytics import _LDIV_TYPES
+
+    for sf in ("0.001", "0.01", "0.1"):
+        got = tuple(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT DISTINCT event_type FROM "
+                f"'/root/testdata/sf{sf}/events.parquet' ORDER BY 1"
+            ).fetchall()
+        )
+        assert got == _LDIV_TYPES, (
+            f"sf{sf}: event_type domain {got} != _LDIV_TYPES "
+            f"{_LDIV_TYPES} — extend analytics._LDIV_TYPES and its "
+            "_ldiv_sql pivot before trusting events_l_diversity rows"
         )
