@@ -258,6 +258,8 @@ def main() -> None:
         "emb_pairs",
         "sh5",
         "srp_sigs",
+        "knn_ivf",
+        "knn_ivfpq",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

@@ -2901,7 +2901,13 @@ ORDER BY u.cell_label, u.pos
 """.strip()
 
 
-def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def ann_recall_panel(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    ivf: DataFrame | None = None,
+    ivfpq: DataFrame | None = None,
+) -> DataFrame:
     """Recall@k of the approximate retrieval paths against exact brute
     force, as a registered operator rather than an offline eval script:
     one row per (method, query) plus a 'mean' row per method, for IVF
@@ -2916,7 +2922,12 @@ def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
 
     Scale: ground truth is the broadcast-queries brute-force scan; each
     join is on (query_id, neighbor_id) over k·n_queries rows — the
-    evaluation is O(config) once the retrieval DataFrames exist."""
+    evaluation is O(config) once the retrieval DataFrames exist. The
+    ``ivf``/``ivfpq`` params take the already-built retrieval frames
+    (the registry injects its cached ``knn_ivf``/``knn_ivfpq`` session
+    assets, VERDICT r9 #5) so the panel doesn't re-train both index
+    structures — exactly how a deployment evaluates the SERVING index,
+    not a fresh one."""
     truth = knn_bruteforce(emb, n_queries, k).select(
         "query_id", F.col("neighbor_id").alias("t_id")
     )
@@ -2952,9 +2963,11 @@ def ann_recall_panel(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
         ).select(F.lit(name).alias("method"), F.lit("mean").alias("query"), "recall_at_k")
         return per_q.unionByName(mean)
 
-    ivf = leg("ivf", knn_ivf(emb, n_queries, k))
-    ivfpq = leg("ivfpq", knn_ivfpq(emb, n_queries, k))
-    return ivf.unionByName(ivfpq).orderBy("method", "query")
+    ivf_leg = leg("ivf", knn_ivf(emb, n_queries, k) if ivf is None else ivf)
+    ivfpq_leg = leg(
+        "ivfpq", knn_ivfpq(emb, n_queries, k) if ivfpq is None else ivfpq
+    )
+    return ivf_leg.unionByName(ivfpq_leg).orderBy("method", "query")
 
 
 INC_TOPK_BATCH_MOD = 5  # vec_id % 5 == 0 (and >= n_queries) is the new batch

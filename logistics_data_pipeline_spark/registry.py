@@ -794,6 +794,13 @@ def _dedup_shared(spark, sf, name):
         # checkpointed inside pq_codes_exact; at cluster scale this is
         # the PQ code table a pipeline writes once and ADC-scans from)
         df = llm_sim.pq_codes_exact(_emb(spark, sf), checkpoint=True)
+    elif name == "knn_ivf":  # IVF retrieval frame at registered params
+        # (VERDICT r9 #5: emb_knn_ivf and the recall panel previously
+        # each trained their own quantizer — the panel now injects this
+        # cached frame, the way pq_codes is injected)
+        df = llm_sim.knn_ivf(_emb(spark, sf))
+    elif name == "knn_ivfpq":  # IVF-PQ retrieval frame at registered params
+        df = llm_sim.knn_ivfpq(_emb(spark, sf))
     elif name == "cov_mat":  # checkpointed full covariance matrix (d² rows)
         df = (
             llm_sim._cov_full_matrix(_emb(spark, sf))
@@ -965,7 +972,7 @@ register(
 )
 register(
     "emb_knn_ivf",  # approximate (probe subset) → rows-only
-    _q(lambda spark, sf: llm_sim.knn_ivf(_emb(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "knn_ivf")),
 )
 register(
     "emb_neardup_cosine",
@@ -1226,7 +1233,7 @@ _DRIVER_WINDOW = [
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
-    _q(lambda spark, sf: llm_sim.knn_ivfpq(_emb(spark, sf))),
+    _q(lambda spark, sf: _dedup_shared(spark, sf, "knn_ivfpq")),
 )
 register(
     "emb_label_purity",  # kNN label-consistency retrieval metric
@@ -1523,7 +1530,15 @@ register(
 )
 register(
     "emb_ann_recall_panel",  # recall@k of IVF / IVF-PQ vs brute force
-    _q(lambda spark, sf: llm_sim.ann_recall_panel(_emb(spark, sf))),
+    # (VERDICT r9 #5: inject the cached retrieval frames instead of
+    # re-training both index structures inside the panel)
+    _q(
+        lambda spark, sf: llm_sim.ann_recall_panel(
+            _emb(spark, sf),
+            ivf=_dedup_shared(spark, sf, "knn_ivf"),
+            ivfpq=_dedup_shared(spark, sf, "knn_ivfpq"),
+        )
+    ),
 )
 register(
     "events_lateness_panel",  # watermark-sizing lateness histogram

@@ -221,16 +221,32 @@ SESSION_STATE_SCHEMA = StructType(
 
 _US = 1_000_000
 
+# Session ENTRY CAP (VERDICT r9 #4): a pathological key that never goes
+# idle (a bot clicking every 29 minutes forever) would otherwise grow
+# one session without bound — n_events/total_cents are O(1) in state,
+# but the SESSION itself (and the eventual output row's time span)
+# becomes unbounded, and a deployment can never emit it. Close-on-
+# overflow: when event cap+1 of a gap-island arrives, the full block is
+# emitted and a new block opens at that event — so every emitted
+# session carries ≤ cap events, state stays one bounded tuple per user,
+# and the islands oracle mirrors the split exactly (chunks of cap in
+# (ts, event_id) order). 512 never triggers at committed SFs (max
+# observed island is 4 events), so the registered oracle values are
+# unchanged; the capped regime's cross-engine parity is pinned in
+# tests/test_streaming_windowed.py with a cap of 2.
+SESSION_MAX_EVENTS = 512
+
 
 def _sessionize_group(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    max_events: int = SESSION_MAX_EVENTS,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's events (sorted by event time) into the
-    user's open session; emit every session closed by a >30 min gap,
-    keep the still-open one in state. Arrow-batched: no per-row Python
-    overhead beyond the sort."""
+    user's open session; emit every session closed by a >30 min gap or
+    by the entry cap overflowing, keep the still-open one in state.
+    Arrow-batched: no per-row Python overhead beyond the sort."""
     (user_id,) = key
     if state.exists:
         start_us, last_us, n_ev, cents = state.get
@@ -246,7 +262,7 @@ def _sessionize_group(
             c = int(round(float(value) * 100))  # 2dp values -> exact cents
             if start_us < 0:
                 start_us, last_us, n_ev, cents = t_us, t_us, 1, c
-            elif t_us - last_us > SESSION_GAP_S * _US:
+            elif t_us - last_us > SESSION_GAP_S * _US or n_ev >= max_events:
                 closed.append((user_id, start_us, last_us, n_ev, cents / 100.0))
                 start_us, last_us, n_ev, cents = t_us, t_us, 1, c
             else:
@@ -263,13 +279,20 @@ def _sessionize_group(
         yield out
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, max_events: int = SESSION_MAX_EVENTS
+) -> DataFrame:
     """Custom stateful operator: per-user sessionization with a 30-min
-    inactivity gap, emitting sessions as they close. State is one open-
-    session tuple per user, checkpointed with the query (restart-safe —
-    tested)."""
+    inactivity gap and a ``max_events`` entry cap (close-on-overflow —
+    see SESSION_MAX_EVENTS), emitting sessions as they close. State is
+    one bounded open-session tuple per user, checkpointed with the
+    query (restart-safe — tested)."""
+
+    def fold(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, max_events=max_events)
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fold,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
@@ -330,7 +353,13 @@ def sessionize_closed_batch(spark: SparkSession, events: DataFrame) -> DataFrame
     return spark.table(name).orderBy("user_id", "session_start")
 
 
-SESSIONIZE_CLOSED_SQL = f"""
+def sessionize_closed_sql(max_events: int = SESSION_MAX_EVENTS) -> str:
+    """Islands oracle with the entry-cap split mirrored exactly: each
+    gap-island is chunked into blocks of ``max_events`` in (ts,
+    event_id) order (close-on-overflow means a block only closes when a
+    later event exists), and the still-open session — now the LAST
+    (sid, block) per user, not just the last sid — is excluded."""
+    return f"""
 WITH tagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
@@ -345,18 +374,32 @@ sess AS (
                     ROWS UNBOUNDED PRECEDING) AS sid
   FROM tagged
 ),
+capped AS (
+  SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) - 1)
+                 // {max_events} AS BIGINT) AS blk
+  FROM sess
+),
 agg AS (
-  SELECT user_id, sid,
+  SELECT user_id, sid, blk,
          MIN(ts) AS session_start, MAX(ts) AS session_end,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-  FROM sess GROUP BY 1, 2
+  FROM capped GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY sid DESC, blk DESC) AS rn_last
+  FROM agg
 )
 SELECT user_id, session_start, session_end, n_events, total_value
-FROM agg
-WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+FROM ranked
+WHERE rn_last > 1
 ORDER BY user_id, session_start
 """.strip()
+
+
+SESSIONIZE_CLOSED_SQL = sessionize_closed_sql()
 
 
 # --- stream-stream interval join -------------------------------------------

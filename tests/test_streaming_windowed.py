@@ -263,3 +263,81 @@ def test_enrich_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         assert fell_back and all(
             r.category == "unknown" and r.sla_minutes is None for r in fell_back
         )
+
+
+def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
+    """Capped-regime cross-engine parity (VERDICT r9 #4): with
+    max_events=2, a 5-event within-gap run splits close-on-overflow
+    into blocks of 2 — the streamed closed sessions must equal the
+    sessionize_closed_sql(max_events=2) islands oracle on the same
+    rows (the registered cap of 512 never triggers at committed SFs,
+    so this is the only place the split regime is exercised)."""
+    import duckdb
+    import pandas as pd
+
+    from logistics_data_pipeline_spark.streaming.windowed import (
+        sessionize_closed_sql,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        # user 7: five events 5 min apart (one gap-island), then a
+        # post-gap straggler that closes the residual block
+        (1, "2024-01-01T00:00:00.000000Z", 7, 1.25),
+        (2, "2024-01-01T00:05:00.000000Z", 7, 2.25),
+        (3, "2024-01-01T00:10:00.000000Z", 7, 3.25),
+        (4, "2024-01-01T00:15:00.000000Z", 7, 4.25),
+        (5, "2024-01-01T00:20:00.000000Z", 7, 5.25),
+        (6, "2024-01-01T03:00:00.000000Z", 7, 6.25),
+        # user 8: exactly cap events, never overflows -> stays open
+        (7, "2024-01-01T00:00:00.000000Z", 8, 1.00),
+        (8, "2024-01-01T00:01:00.000000Z", 8, 2.00),
+    ]
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": ts,
+                    "user_id": u,
+                    "event_type": "click",
+                    "value": v,
+                }
+            )
+            for i, ts, u, v in rows
+        )
+    )
+    q = sessionize_stream(events_file_stream(spark, str(src)), max_events=2)
+    run_to_memory(q, "capped_sessions", "append", str(tmp_path / "ckpt"))
+    got = [
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
+         r.n_events, r.total_value)
+        for r in spark.table("capped_sessions")
+        .orderBy("user_id", "session_start")
+        .collect()
+    ]
+    events_pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": pd.Timestamp(ts.replace("Z", "")),
+                "user_id": u,
+                "value": v,
+            }
+            for i, ts, u, v in rows
+        ]
+    )
+    con = duckdb.connect()
+    con.register("events", events_pdf)
+    want = [
+        (u, s.isoformat(), e.isoformat(), n, tv)
+        for u, s, e, n, tv in con.execute(
+            sessionize_closed_sql(max_events=2)
+        ).fetchall()
+    ]
+    assert got == want
+    # and the hand-derived shape: user 7 closes blocks (1,2), (3,4),
+    # (5) — the gap straggler closes the 1-event residual — while
+    # user 8's exactly-cap block stays open (close-on-overflow)
+    assert [(u, n) for u, _, _, n, _ in got] == [(7, 2), (7, 2), (7, 1)]
