@@ -516,7 +516,7 @@ def decontamination_panel(
     from .dedup import fuzzy_decontamination
     from .similarity import (
         NEARDUP_THRESHOLD,
-        _srp_band_bits,
+        _srp_dims,
         _verified_pair_cosines,
         srp_buckets,
     )
@@ -530,8 +530,10 @@ def decontamination_panel(
     )
     if srp_sigs is None:
         if band_bits is None:
-            band_bits = _srp_band_bits(emb)
-        srp_sigs = srp_buckets(emb, band_bits=band_bits)
+            n_bits, band_bits = _srp_dims(emb)  # governor sizes BOTH knobs
+            srp_sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
+        else:
+            srp_sigs = srp_buckets(emb, band_bits=band_bits)
     sigs = srp_sigs.join(
         splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id"
     )
@@ -582,7 +584,7 @@ def decontamination_panel(
     )
 
 
-def _decontamination_panel_sql(band_bits: int = 4) -> str:
+def _decontamination_panel_sql(band_bits: int = 4, n_bits: int = 64) -> str:
     from .dedup import _fuzzy_decontamination_sql
     from .similarity import NEARDUP_THRESHOLD, _srp_sig_ctes
 
@@ -595,7 +597,7 @@ WITH exact AS (
 fz AS (
   SELECT doc_id, is_fuzzy_contaminated FROM ({fuzzy})
 ),
-{_srp_sig_ctes(band_bits)},
+{_srp_sig_ctes(band_bits, n_bits)},
 dsplit AS (
   SELECT doc_id,
          substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_hex_threshold(0.2)}'

@@ -681,14 +681,46 @@ def srp_planes(emb: DataFrame, n_bits: int, seed: int) -> DataFrame:
     return dims.crossJoin(js).select("pos", "j", g.alias("g"))
 
 
-def _srp_band_bits(emb: DataFrame) -> int:
-    """Band-width governor sizing (one count() — the only driver-side
-    step in the SRP family): 4 bits (16 buckets/band) up to 4096
-    vectors, 8 to ~262k, 16 beyond. Each step divides expected bucket
-    occupancy by the corpus growth, keeping candidate volume ~linear
-    (SCALING_r7 postmortem: fixed 4-bit bands went 43× per decade)."""
+def _srp_dims(emb: DataFrame) -> tuple[int, int]:
+    """(n_bits, band_bits) governor sizing (one count() — the only
+    driver-side step in the SRP family).
+
+    Two knobs move together (SCALING_r10 postmortem): widening a BAND
+    divides expected bucket occupancy (candidate volume ~ bands ·
+    n²/2^band_bits stays ~linear only if 2^band_bits grows with n),
+    while adding BANDS (total bits) restores the recall the wider band
+    gives up (the LSH S-curve: P(candidate) = 1 − (1 − p^r)^b).
+    Round 9's width-only governor switched 8→16 bits at 262k — far too
+    late: at the sf10 decade (200k vectors) the 8-bit regime's
+    occupancy hit ~780 and the governed decontamination went 45.7× per
+    decade (532 s). Tiers, each holding expected occupancy ≤ ~128 at
+    its ceiling and recall@0.9-cosine ≈ 0.94:
+
+      n ≤ 4096   → (64, 4)  16 bands — committed regime, oracle-pinned
+      n ≤ 32768  → (64, 8)   8 bands — the probed sf1 regime
+      beyond     → (512, 16) 32 bands — 2^16 buckets/band; 32 bands
+                   keep 1−(1−0.856¹⁶)³² ≈ 0.94 at cosine 0.9, the same
+                   floor the 8-band/8-bit tier gives; signature build
+                   is 8× the projections (512 bits) but stays a
+                   map-side fanout — the candidate join volume, not
+                   the signature width, is what kills a decade.
+
+    Past ~4M vectors the documented next step is 24-bit bands at
+    n_bits ≈ 1536 (same arithmetic), or multiprobe to trade bands for
+    probe fan-out."""
     n_rows = emb.count()
-    return 4 if n_rows <= 4096 else (8 if n_rows <= 262_144 else 16)
+    if n_rows <= 4096:
+        return 64, 4
+    if n_rows <= 32_768:
+        return 64, 8
+    return 512, 16
+
+
+def _srp_band_bits(emb: DataFrame) -> int:
+    """Width-only view of ``_srp_dims`` (kept for oracle re-binding
+    call sites; pair it with the governor's n_bits when building
+    signatures)."""
+    return _srp_dims(emb)[1]
 
 
 def srp_buckets(
@@ -815,18 +847,21 @@ def embedding_neardup_lsh(
     ROUND(proj, 6) ≥ 0 in both engines so summation-order last-ulp
     wobble cannot flip a bit.
 
-    Band-width governor (SCALING_r7 postmortem): at FIXED band_bits the
-    bucket space is constant, so expected bucket occupancy grows
-    linearly with n and candidate pairs QUADRATICALLY — measured 43×
-    per decade at the sf1 probe (167 s). band_bits therefore adapts to
-    the corpus: 4 bits (16 buckets/band) up to 4096 vectors, 8 bits to
-    ~262k, 16 beyond — each step divides expected occupancy by the
-    corpus growth, restoring ~linear candidate volume. The recall cost
-    lands on the LOW-cosine tail (p^r shrinks fastest near the random
-    background): at cosine 0.9 (θ≈26°, p≈0.86) r=8/b=8 still recalls
-    ≈0.94 of true near-dups. Past ~4M vectors the documented scale
-    path is growing n_bits (more bands at the same r), not r alone —
-    the one-count() sizing action below is the only driver-side step.
+    Band-width governor (SCALING_r7 postmortem, re-derived SCALING_r10):
+    at FIXED band_bits the bucket space is constant, so expected bucket
+    occupancy grows linearly with n and candidate pairs QUADRATICALLY —
+    measured 43× per decade at the sf1 probe (167 s), and again 45.7×
+    at the sf10 decade when round 9's width-only tiers left the 8-bit
+    regime running to 262k vectors. ``_srp_dims`` now sizes BOTH knobs:
+    band width steps up (4 → 8 → 16 bits) to hold occupancy ≤ ~128 at
+    each tier's ceiling, and the TOTAL bit count grows with the width
+    (64 → 64 → 512 bits, i.e. 16 → 8 → 32 bands) so recall at cosine
+    0.9 stays ≈ 0.94 through every tier (the S-curve trade the width
+    alone would destroy: 4 bands of 16 bits recall only ≈ 0.30). The
+    signature build is linear in n_bits and stays a map-side fanout —
+    candidate-join volume, not signature width, is what kills a
+    decade. The one-count() sizing action is the only driver-side
+    step.
 
     ``sigs`` injects a pre-built (vec_id, band, bucket) frame — the
     registry's shared ``srp_sigs`` asset, built once at the governor
@@ -835,7 +870,7 @@ def embedding_neardup_lsh(
     precedence over ``band_bits``."""
     if sigs is None:
         if band_bits is None:
-            band_bits = _srp_band_bits(emb)
+            n_bits, band_bits = _srp_dims(emb)  # governor sizes BOTH knobs
         sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
     a = sigs.select(
         F.col("band"), F.col("bucket"), F.col("vec_id").alias("a_id")
@@ -857,18 +892,20 @@ def embedding_neardup_lsh(
 
 _SRP_U48 = float(2**48)
 
-def _srp_sig_ctes(band_bits: int) -> str:
+def _srp_sig_ctes(band_bits: int, n_bits: int = 64) -> str:
     """The x → dims → js → planes → proj → sigs CTE chain mirroring
     ``srp_buckets`` — shared by the LSH near-dup oracle and the
     governed decontamination oracle (identical text, so the two twins
-    can never drift apart on the signature math)."""
+    can never drift apart on the signature math). ``n_bits`` mirrors
+    the governor's second knob (wide-regime tiers grow the total bit
+    count to hold recall — see ``_srp_dims``)."""
     return f"""x AS (
   SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
 dims AS (SELECT DISTINCT pos FROM x),
-js AS (SELECT unnest(range(0, 64)) AS j),
+js AS (SELECT unnest(range(0, {n_bits})) AS j),
 planes AS (
   SELECT pos, j,
          ROUND(
@@ -894,7 +931,7 @@ sigs AS (
 )"""
 
 
-def neardup_lsh_sql(band_bits: int = 4) -> str:
+def neardup_lsh_sql(band_bits: int = 4, n_bits: int = 64) -> str:
     """Oracle twin of ``embedding_neardup_lsh`` at an explicit band
     width. The registered constant uses the 4-bit default — valid
     while the corpus is ≤4096 vectors (every driver SF; sf0.1 has
@@ -903,7 +940,7 @@ def neardup_lsh_sql(band_bits: int = 4) -> str:
     with the actual width if the driver testdata ever crosses the
     bound."""
     return f"""
-WITH {_srp_sig_ctes(band_bits)},
+WITH {_srp_sig_ctes(band_bits, n_bits)},
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM sigs a JOIN sigs b
@@ -5519,7 +5556,7 @@ def semantic_decontamination_governed(
     )
     if sigs is None:
         if band_bits is None:
-            band_bits = _srp_band_bits(emb)
+            n_bits, band_bits = _srp_dims(emb)  # governor sizes BOTH knobs
         sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits, seed=seed)
     sigs = sigs.join(split, "vec_id")
     ev = sigs.filter(F.col("is_eval")).select(
@@ -5553,7 +5590,9 @@ def semantic_decontamination_governed(
 
 
 def semantic_decontamination_governed_sql(
-    band_bits: int = 4, threshold: float = NEARDUP_THRESHOLD
+    band_bits: int = 4,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_bits: int = 64,
 ) -> str:
     """Oracle twin of ``semantic_decontamination_governed`` at an
     explicit band width AND cosine threshold, composed from the SAME
@@ -5564,7 +5603,7 @@ def semantic_decontamination_governed_sql(
     tests/test_testdata_contract.py); pytest diffs the 8-bit regime
     cross-engine through this builder."""
     return f"""
-WITH {_srp_sig_ctes(band_bits)},
+WITH {_srp_sig_ctes(band_bits, n_bits)},
 split AS (
   SELECT vec_id,
          substr(md5(CAST(vec_id AS VARCHAR) || '{SEMDECON_SALT}'), 1, 1)
@@ -6066,3 +6105,238 @@ ORDER BY round_added, cand_id"""
 
 
 KMEANSBB_CANDIDATES_SQL = kmeansbb_candidates_sql()
+
+
+# --- graph-based ANN: kNN-graph beam search (NSW-lite) -----------------------
+
+NSW_M = 16  # out-degree of the kNN graph before symmetrization
+NSW_BEAM = 24  # frontier width per search round
+NSW_ROUNDS = 6  # expansion rounds (graph diameter budget)
+# (m=8/beam=12 measured recall@5 0.72 — the greedy beam converges into
+# local clusters; m=16/beam=24 measures 1.00 / 0.98 / ≥0.9 at
+# sf0.001/0.01/0.1 with the per-round cost still beam·2m rows per
+# query, corpus-independent)
+NSW_SALT = 31  # entry-point hash salt
+
+
+def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
+    """Symmetrized kNN graph over the corpus: each vector's top-``m``
+    out-neighbors by (6-dp cosine DESC, vec_id ASC), plus every reverse
+    edge — the bounded-degree (≤ 2m) navigable structure beam search
+    walks. Pairs come from the exact block-pair machinery
+    (``embedding_neardup`` at threshold −1 keeps every pair), so the
+    build is the same distributed equi-join shape as the near-dup
+    family — no cartesian, no driver collect. At 100 TB the graph is
+    the index a pipeline MATERIALIZES once (NN-descent or IVF-seeded
+    refinement replaces the exact all-pairs build); the search below
+    touches only frontier-sized slices of it per round."""
+    scored = embedding_neardup(corpus, threshold=-1.0)
+    both = scored.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    out_edges = (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+    return out_edges.unionByName(
+        out_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def knn_graph_beam(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = NSW_M,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    salt: int = NSW_SALT,
+) -> DataFrame:
+    """Graph-based ANN (VERDICT r8 #8 / r9 #8): beam search over a
+    symmetrized kNN graph — the modern retrieval family (NSW, Malkov et
+    al. 2014; HNSW, Malkov & Yashunin 2018) the IVF/PQ/LSH shelf
+    lacked, in its single-layer "NSW-lite" form. From a deterministic
+    entry point (the md5-min corpus vector, the seeded-order device the
+    trainers share), each round expands the current top-``beam``
+    visited vertices through their graph neighbors, scores the newly
+    reached vectors against the query, and keeps searching; after
+    ``rounds`` expansions the top-k of everything visited is the
+    answer.
+
+    FULLY deterministic and ORACLE-CHECKED (unlike the rows-only
+    IVF/IVF-PQ keys): cosines are 6-dp rounded, every top-N is
+    (cosine DESC, vec_id ASC), and the DuckDB twin unrolls the same
+    ``rounds`` expansions as MATERIALIZED CTEs (the iterative-family
+    pattern) — so the driver hash-check covers the whole search
+    trajectory, not just row counts. Recall@5 ≥ 0.9 vs brute force is
+    additionally pinned in pytest (tools/ann_eval.py reports it beside
+    IVF/IVF-PQ/SRP).
+
+    Scale: the graph build is the materialized index (see
+    ``_knn_graph``); each search round is one broadcast join of the
+    (queries × beam)-row frontier against the edge table and one
+    scoring join against the corpus — cost O(beam · 2m) rows per query
+    per round, INDEPENDENT of corpus size, which is the entire point
+    of graph ANN serving. Per-round frames are localCheckpointed so
+    the plan stays one round deep."""
+    corpus = (
+        _with_norm(emb.filter(F.col("vec_id") >= n_queries), "vec_id", "c", "cn")
+        .repartition(shuffle_parts(emb), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    graph = _knn_graph(
+        emb.filter(F.col("vec_id") >= n_queries), m
+    ).localCheckpoint(eager=True)
+    queries = F.broadcast(
+        _with_norm(emb.filter(F.col("vec_id") < n_queries), "query_id", "q", "qn")
+    )
+    entry = (
+        corpus.orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))),
+            "vec_id",
+        )
+        .limit(1)
+        .select("vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("q"), F.col("c")) / (F.col("qn") * F.col("cn")), 6
+    ).alias("cosine")
+    visited = (
+        queries.crossJoin(F.broadcast(entry.join(corpus, "vec_id")))
+        .select("query_id", "vec_id", cos)
+        .localCheckpoint(eager=True)
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    for _ in range(rounds):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "vec_id")
+        )
+        cand = (
+            F.broadcast(frontier)
+            .join(graph, frontier.vec_id == graph.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(
+                visited.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        scored = (
+            F.broadcast(cand)
+            .join(corpus, "vec_id")
+            .join(queries, "query_id")
+            .select("query_id", "vec_id", cos)
+        )
+        visited = visited.unionByName(scored).localCheckpoint(eager=True)
+    return (
+        visited.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_graph_beam_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = NSW_M,
+    beam: int = NSW_BEAM,
+    rounds: int = NSW_ROUNDS,
+    salt: int = NSW_SALT,
+) -> str:
+    """Unrolled DuckDB twin: exact kNN-graph build + the same
+    ``rounds`` beam expansions as MATERIALIZED step CTEs (visited sets
+    are referenced by the next frontier AND the anti-join, so plain
+    CTEs would expand exponentially — the iterative-family pattern)."""
+    parts = [
+        f"""corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {n_queries}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {n_queries}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+),
+out_edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+    FROM pairs) t
+  WHERE rn <= {m}
+),
+graph AS MATERIALIZED (
+  SELECT src, dst FROM out_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM out_edges
+),
+entry AS (
+  SELECT vec_id FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{salt}'), vec_id LIMIT 1
+),
+v0 AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q CROSS JOIN (SELECT c.vec_id, c.embedding
+                     FROM corpus c JOIN entry USING (vec_id)) e
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""f{t} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM v{t - 1}) t
+  WHERE rn <= {beam}
+),
+n{t} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT DISTINCT f.query_id, g.dst AS vec_id
+    FROM f{t} f JOIN graph g ON g.src = f.vec_id) c
+  ANTI JOIN v{t - 1} USING (query_id, vec_id)
+),
+v{t} AS MATERIALIZED (
+  SELECT * FROM v{t - 1}
+  UNION ALL
+  SELECT n.query_id, n.vec_id,
+         ROUND(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM n{t} n
+  JOIN corpus c ON c.vec_id = n.vec_id
+  JOIN q qq ON qq.query_id = n.query_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM v{rounds}) t
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+
+
+KNN_GRAPH_BEAM_SQL = knn_graph_beam_sql()

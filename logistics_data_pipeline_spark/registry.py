@@ -782,9 +782,8 @@ def _dedup_shared(spark, sf, name):
         df = llm_sim.embedding_neardup(_emb(spark, sf))
     elif name == "srp_sigs":  # SRP-LSH banded signatures at the governor width
         emb = _emb(spark, sf)
-        df = llm_sim.srp_buckets(
-            emb, band_bits=llm_sim._srp_band_bits(emb)
-        )
+        nb, bb = llm_sim._srp_dims(emb)
+        df = llm_sim.srp_buckets(emb, n_bits=nb, band_bits=bb)
     elif name == "copurchase_edges":  # item-pagerank graph table
         df = analytics.copurchase_edges(load_table(spark, sf, "lineitem"))
     elif name == "kc_cells":  # exact one-round k-means cell assignment
@@ -1539,6 +1538,14 @@ register(
             ivfpq=_dedup_shared(spark, sf, "knn_ivfpq"),
         )
     ),
+)
+register(
+    # graph-based ANN (VERDICT r8 #8 / r9 #8): beam search over a
+    # symmetrized kNN graph (NSW-lite) — FULL unrolled oracle, unlike
+    # the rows-only IVF/IVF-PQ keys — NEW round 10 → driver window
+    "emb_knn_graph_beam",
+    _q(lambda spark, sf: llm_sim.knn_graph_beam(_emb(spark, sf))),
+    llm_sim.KNN_GRAPH_BEAM_SQL,
 )
 register(
     "events_lateness_panel",  # watermark-sizing lateness histogram

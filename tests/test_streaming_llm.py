@@ -1047,3 +1047,36 @@ def test_ensemble_components_merge_across_methods(spark):
     comp = {r.doc_id: r.component for r in ensemble_components(docs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == 4
+
+
+def test_lsh_512bit_16band_regime_matches_duckdb_exactly(spark, sf_dir):
+    """Cross-ENGINE check of the governor's WIDE tier (>32768 vectors
+    picks n_bits=512, band_bits=16 — the regime SCALING_r10's governor
+    re-derivation added after the width-only tiers went 45.7× at the
+    sf10 decade): Spark at (n_bits=128, band_bits=16) — the same
+    band shape at a pytest-sized bit count — must produce the
+    identical pair set and cosines as the parameterized DuckDB twin.
+    The n_bits knob is mirrored through _srp_sig_ctes(band_bits,
+    n_bits), so this pins BOTH governor knobs cross-engine."""
+    import duckdb
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        embedding_neardup_lsh,
+        neardup_lsh_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sp = {(r.a_id, r.b_id): r.cosine
+          for r in embedding_neardup_lsh(
+              emb, n_bits=128, band_bits=16
+          ).collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    dk = {(a, b): c
+          for a, b, c in con.sql(neardup_lsh_sql(16, n_bits=128)).fetchall()}
+    assert set(sp) == set(dk)
+    for pair, cos in sp.items():
+        assert abs(cos - dk[pair]) <= 1e-6, pair

@@ -40,6 +40,10 @@ def main() -> None:
         ("ivf-flat labels nprobe=3", recall(sim.knn_ivf_labels(emb, nprobe=3))),
         ("ivf-pq 16x4bit nprobe=8", recall(sim.knn_ivfpq(emb))),
         ("ivf-pq 32x4bit nprobe=8", recall(sim.knn_ivfpq(emb, n_subspaces=32))),
+        (
+            f"graph-beam m={sim.NSW_M} b={sim.NSW_BEAM} t={sim.NSW_ROUNDS}",
+            recall(sim.knn_graph_beam(emb)),
+        ),
     ]
     for name, r in rows:
         print(f"{name:32s} recall@5 = {r:.3f}")

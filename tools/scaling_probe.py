@@ -11,7 +11,12 @@ concurrently.
 
 The sf1 decade is the weak-scaled synthetic from tools/make_sf1.py
 (10 key-shifted replicas of sf0.1, disjoint shingle/cosine spaces);
-run that first or the probe stops at three decades. VERDICT r6 #4
+run that first or the probe stops at three decades. The sf10 fifth
+decade (VERDICT r9 #1) stacks the same construction once more with the
+signmask embedding decorrelation and a distinct suffix separator:
+    python tools/make_sf1.py .scratch/sf1 .scratch/sf10 \
+        --embedding-mode signmask --suffix-sep '='
+fNN factors: f01/f1/f10/f100 = ratio to the previous decade. VERDICT r6 #4
 also pulls the iterative-graph family (HITS / k-core / triangles /
 ensemble components) into the default set.
 
@@ -41,6 +46,9 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
     "1": os.environ.get(
         "SPARK_GRAFT_SF1_DIR", os.path.join(_REPO, ".scratch", "sf1")
+    ),
+    "10": os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(_REPO, ".scratch", "sf10")
     ),
 }
 
@@ -90,7 +98,12 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIRS[sf]).collect()
             row[sf] = round(time.time() - t0, 2)
-        for fac, hi, lo in (("f01", "0.01", "0.001"), ("f1", "0.1", "0.01"), ("f10", "1", "0.1")):
+        for fac, hi, lo in (
+            ("f01", "0.01", "0.001"),
+            ("f1", "0.1", "0.01"),
+            ("f10", "1", "0.1"),
+            ("f100", "10", "1"),
+        ):
             if hi in row and lo in row:
                 row[fac] = round(row[hi] / row[lo], 2)
         out[name] = row
