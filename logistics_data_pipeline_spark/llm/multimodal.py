@@ -536,7 +536,23 @@ def media_ahash_neardup(
     )
     if band_bits is None:
         n_media = media.count()  # one sizing action, the SRP precedent
-        band_bits = AHASH_BAND_BITS if n_media <= 8192 else 16
+        # SCALING_r10: the 16-bit tier measured 76.6×/decade at sf10
+        # (500k docs, 544 s) — block-sum bits CONCENTRATE (text-derived
+        # payloads share length/byte statistics), so real bucket
+        # occupancy far exceeds the uniform estimate and the tier needs
+        # a third step: 32-bit bands (2 bands over the 64-bit
+        # signature) past 131072 media. Pigeonhole then only
+        # guarantees hamming ≤ 1; the documented next step at larger
+        # corpora is multiprobe (flip-1-bit band variants restore
+        # hamming ≤ 3 coverage at 33× the probe fan-out, still no
+        # pair-forming join). pHash keeps its 16-bit tier — its
+        # DCT-derived bits spread (measured f100 3.87 at the same
+        # decade).
+        band_bits = (
+            AHASH_BAND_BITS
+            if n_media <= 8192
+            else (16 if n_media <= 131_072 else 32)
+        )
     half = 32 // band_bits  # bands per packed 32-bit signature half
     rows = media.select(
         "media_id",

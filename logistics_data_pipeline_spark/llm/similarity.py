@@ -724,15 +724,37 @@ def _srp_band_bits(emb: DataFrame) -> int:
 
 
 def srp_buckets(
-    emb: DataFrame, n_bits: int = 64, band_bits: int = 4, seed: int = SRP_SEED
+    emb: DataFrame,
+    n_bits: int = 64,
+    band_bits: int = 4,
+    seed: int = SRP_SEED,
+    impl: str = "auto",
 ) -> DataFrame:
     """(vec_id, band, bucket) SRP-LSH banded signature rows — the
     candidate-blocking structure shared by ``embedding_neardup_lsh``
-    and ``semantic_decontamination_governed``. The plane matrix is
-    dims × n_bits rows broadcast to a map-side fanout join,
-    projections partial-aggregate on (vec_id, j), buckets on
+    and ``semantic_decontamination_governed``. Declarative path: the
+    plane matrix is dims × n_bits rows broadcast to a map-side fanout
+    join, projections partial-aggregate on (vec_id, j), buckets on
     (vec_id, band); sign bits compare ROUND(proj, 6) ≥ 0 in both
-    engines so summation-order last-ulp wobble cannot flip a bit."""
+    engines so summation-order last-ulp wobble cannot flip a bit.
+
+    ``impl``: "declarative" (oracle-exact), "blas", or "auto" (the
+    default — BLAS iff n_bits > 64, i.e. exactly the governor's wide
+    tier). SCALING_r10 found the declarative build IS the wide-tier
+    wall: at (512, 16) the fanout join streams n·d·n_bits rows
+    through one hash aggregate (6.5e9 at the sf10 decade — 95% of
+    emb_neardup_lsh's 446 s), so the wide tier computes the identical
+    projections as ONE Arrow batch matmul per partition (X @ G,
+    ``_srp_buckets_blas``) — the ``embedding_neardup_fast`` precedent.
+    The committed ≤64-bit tiers stay declarative (the oracle-checked
+    regimes; the guard in tests/test_testdata_contract.py keeps the
+    driver there), and pytest pins BLAS == declarative bucket-for-
+    bucket at (128, 16) on the real corpus. The only divergence risk
+    is a projection landing EXACTLY on the ±0.5e-6 rounding boundary
+    (np.round half-even vs HALF_UP) — measure-zero over md5-derived
+    planes, and confined to the non-oracled wide tier."""
+    if impl == "blas" or (impl == "auto" and n_bits > 64):
+        return _srp_buckets_blas(emb, n_bits, band_bits, seed)
     planes = srp_planes(emb, n_bits, seed)
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
@@ -754,6 +776,53 @@ def srp_buckets(
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("w").alias("bucket"))
+    )
+
+
+def _srp_buckets_blas(
+    emb: DataFrame, n_bits: int, band_bits: int, seed: int
+) -> DataFrame:
+    """Arrow/BLAS twin of the declarative ``srp_buckets``: the SAME
+    md5 Box-Muller plane matrix (collected once — d × n_bits floats,
+    config-bounded, NOT corpus-bounded) multiplied against each Arrow
+    batch (X @ G), signs from np.round(proj, 6) ≥ 0, buckets packed
+    with the identical 2^(j % band_bits) weights. One map-side pass,
+    no join, no aggregate — the wide-tier production path."""
+    import numpy as np
+    import pandas as pd
+
+    plane_rows = srp_planes(emb, n_bits, seed).collect()
+    d = 1 + max(r.pos for r in plane_rows)
+    G = np.zeros((d, n_bits))
+    for r in plane_rows:
+        G[r.pos, r.j] = r.g
+    bands = n_bits // band_bits
+    weights = (1 << (np.arange(n_bits, dtype="int64") % band_bits)).astype(
+        "int64"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(
+                [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
+            )
+            bits = (np.round(X @ G, 6) >= 0).astype("int64")
+            bucket = (bits * weights).reshape(len(ids), bands, band_bits).sum(
+                axis=2
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype="int32"), len(ids)),
+                    "bucket": bucket.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, band int, bucket long"
     )
 
 

@@ -1156,79 +1156,70 @@ register(
 # here (not just register()-ed) or they wait a full round for a check.
 
 _DRIVER_WINDOW = [
-    # Round-9 window (the driver hash-checks the FIRST 50 keys).
+    # Round-10 window (the driver hash-checks the FIRST 50 keys).
     # Policy: every key whose code/oracle changed this round, every NEW
-    # key, then the STALEST green canaries (computed from the committed
-    # CORRECTNESS_r01-r08 ledger: the 4 r01 keys round 8 deferred with
-    # green-sibling justifications, then the full r02 cohort, then the
-    # oldest r03 keys to fill 50). The 7 irreducible rows-only keys are
-    # excluded by design (no oracle to hash against; each has an exact
+    # key, then the STALEST green canaries computed from the committed
+    # CORRECTNESS_r01-r09 ledger (latest green hash row, oldest first —
+    # the five r9 slot cessions (events_value_anomalies,
+    # multimodal_extract, docs_chunking, docs_corpus_composition,
+    # docs_curation_pipeline) top that list, so every documented
+    # deferral is retired this round). The 7 irreducible rows-only keys
+    # are excluded by design (no oracle to hash; each has an exact
     # oracle-checked twin).
     #
-    # -- (a) NEW oracled keys this round --
-    "kpi_weight_histogram",  # in-engine binned weight histogram
-    "events_cusum_control",  # CUSUM via prefix-sum/running-min identity
-    "events_l_diversity",  # distinct+entropy l-diversity audit
-    "part_eoq_policy",  # EOQ + reorder point
-    "orders_theta_forecast",  # theta-method monthly forecast
-    "emb_kmeanspp_init",  # k-means++ D^2 seeding
-    "emb_kmeansbb_candidates",  # k-means|| oversampling (ceded: docs_curation_pipeline,
-    # whose r03 green row stands and whose v2 sibling is green r07)
-    "multimodal_luma_histogram",  # decoded-pixel histogram (ceded:
-    # docs_corpus_composition — r03 green row stands; its sibling
-    # docs_corpus_datasheet re-verified green in the r08 window)
-    "orders_holt_winters",  # additive Holt-Winters (ceded: docs_chunking —
-    # r03 green row stands; chunking is also exercised inside
-    # docs_curation_pipeline_v2, green r07)
-    "docs_dup_span_removal",  # exact-substring dedup rewrite (ceded:
-    # multimodal_extract — r02 green row stands; the same mapInPandas
-    # plumbing is re-exercised by png_roundtrip/png_resize, green r08,
-    # and multimodal_luma_histogram in THIS window)
-    "docs_gopher_ablation",  # rule-pattern ablation sheet (ceded:
-    # events_value_anomalies — r02 green row stands; its robust-MAD
-    # sibling events_value_anomalies_mad shares the shape, green r05)
-    # -- (b) code changed this round: _round_half_up signed-zero
-    #    normalization touches the driver-local rounded trajectories --
-    "emb_pca_deflation",
-    "emb_linear_probe",
-    # -- (c) stalest green canaries, oldest driver row first --
-    "events_daily_type_cube",
-    "events_daily_type_unpivot",
-    "events_retention_cohorts",
-    "gen_synthetic_events",
-    "docs_bigram_lm_counts",
-    "docs_bigram_logprob",
-    "docs_decontamination",
-    "docs_dedup_keeper",
-    "docs_exact_dedup",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_mixture_weights",
-    "docs_neardup_components",
-    "docs_neardup_ngram",
-    "docs_pack_sequences",
-    "docs_pii_scrub",
-    "docs_quality_filter",
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "docs_text_stats",
-    "docs_tfidf_top_terms",
-    "docs_token_count_bpe",
-    "docs_token_setops",
-    "emb_knn_bruteforce",
-    "emb_label_centroids",
-    "emb_quantize_int8",
-    "emb_semantic_neardup_enriched",
-    "emb_vector_norms",
-    "events_heavy_hitters",
-    "events_hopping_windows",
-    "events_interarrival_stats",
-    "events_session_windows",
-    "events_signup_funnel",
-    "events_type_transitions",
-    "orders_ltv_deciles",
-    "orders_price_ranks",
-    "revenue_geo_rollup",
+    # -- (a) new / changed keys this round --
+    "emb_knn_graph_beam",  # NEW: graph-beam ANN, full unrolled oracle
+    "emb_kmeanspp_init",  # CHANGED: exact integer micro-unit phi + two-level prefix sum
+    "emb_kmeansbb_candidates",  # CHANGED: phi as plain exact aggregate, no global window
+    "events_cusum_control",  # CHANGED: mu0 exact integer floor division
+    "stream_sessionize_closed",  # CHANGED: entry-cap split mirrored in the islands oracle
+    "emb_neardup_lsh",  # RE-PIN: _srp_dims governor refactor upstream (values unchanged at sf0.01)
+    "emb_semantic_decontamination_governed",  # RE-PIN: same governor refactor
+    "docs_decontamination_panel",  # RE-PIN: same governor refactor through the semantic leg
+    # -- (b) stalest green canaries, oldest driver row first (r02: 2,
+    #        r03: 22, r04: 18) --
+    "events_value_anomalies",
+    "multimodal_extract",
+    "docs_chunking",
+    "docs_corpus_composition",
+    "docs_curation_pipeline",
+    "docs_dedup_cluster_stats",
+    "docs_incremental_dedup",
+    "docs_inverted_index",
+    "docs_repetition_stats",
+    "docs_text_normalize",
+    "emb_dim_stats",
+    "emb_neardup_prefix",
+    "emb_semantic_dedup_keeper",
+    "events_grouping_sets",
+    "events_props_json_stats",
+    "events_range_join",
+    "events_rollup",
+    "events_salted_type_stats",
+    "events_user_sessions",
+    "events_value_histogram",
+    "events_value_quantiles",
+    "events_window_unique_users",
+    "orders_top_per_customer",
+    "orders_trailing_revenue_7d",
+    "bronze_events",
+    "dim_carrier",
+    "dim_location",
+    "dim_order",
+    "dim_status",
+    "dim_time",
+    "docs_lang_source_chi2",
+    "docs_length_histogram",
+    "docs_repeated_passages",
+    "docs_simhash",
+    "docs_vocab_entropy",
+    "docs_vocab_topk",
+    "docs_zipf_fit",
+    "dq_checks",
+    "dq_invalid_delivery_summary",
+    "emb_cell_purity",
+    "emb_covariance",
+    "emb_ivf_cell_assign",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only

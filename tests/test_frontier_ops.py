@@ -727,3 +727,30 @@ class TestAhashNeardup:
         for pair in set(p8) & set(p16):
             assert p8[pair] == p16[pair], pair
         assert set(p16) <= set(p8)
+
+
+def test_ahash_32bit_regime_matches_duckdb_and_preserves_hamming(spark, sf_dir):
+    """The SCALING_r10 third aHash tier (32-bit bands past 131072
+    media, after the 16-bit tier measured 76.6×/decade at sf10):
+    cross-engine parity through the parameterized twin, identical
+    Hamming on common pairs vs the 8-bit regime, and candidates only
+    ever shrink as bands widen."""
+    import duckdb
+
+    from logistics_data_pipeline_spark.llm import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sp = {(r.a_id, r.b_id): r.hamming
+          for r in mm.media_ahash_neardup(docs, band_bits=32).collect()}
+    dk = {(a, b): h
+          for a, b, h in con.sql(mm.media_ahash_neardup_sql(32)).fetchall()}
+    assert sp == dk
+    h8 = {(r.a_id, r.b_id): r.hamming
+          for r in mm.media_ahash_neardup(docs, band_bits=8).collect()}
+    assert set(sp) <= set(h8)
+    for pair in sp:
+        assert sp[pair] == h8[pair], pair

@@ -1080,3 +1080,29 @@ def test_lsh_512bit_16band_regime_matches_duckdb_exactly(spark, sf_dir):
     assert set(sp) == set(dk)
     for pair, cos in sp.items():
         assert abs(cos - dk[pair]) <= 1e-6, pair
+
+
+def test_srp_blas_buckets_match_declarative(spark, sf_dir):
+    """The wide-tier BLAS signature path (X @ G per Arrow batch) must
+    produce bucket-for-bucket identical signatures to the declarative
+    fanout-join path at the same (n_bits, band_bits) — the only
+    divergence risk is a projection exactly on the ±0.5e-6 rounding
+    boundary (np.round half-even vs Spark HALF_UP), measure-zero over
+    md5-derived planes."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import srp_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    decl = {
+        (r.vec_id, r.band): r.bucket
+        for r in srp_buckets(
+            emb, n_bits=128, band_bits=16, impl="declarative"
+        ).collect()
+    }
+    blas = {
+        (r.vec_id, r.band): r.bucket
+        for r in srp_buckets(
+            emb, n_bits=128, band_bits=16, impl="blas"
+        ).collect()
+    }
+    assert decl == blas and len(decl) > 0
