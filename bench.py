@@ -260,6 +260,7 @@ def main() -> None:
         "srp_sigs",
         "knn_ivf",
         "knn_ivfpq",
+        "nsw_graph",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

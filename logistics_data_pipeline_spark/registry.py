@@ -800,6 +800,11 @@ def _dedup_shared(spark, sf, name):
         df = llm_sim.knn_ivf(_emb(spark, sf))
     elif name == "knn_ivfpq":  # IVF-PQ retrieval frame at registered params
         df = llm_sim.knn_ivfpq(_emb(spark, sf))
+    elif name == "nsw_graph":  # symmetrized kNN graph (the graph-ANN index)
+        emb = _emb(spark, sf)
+        df = llm_sim._knn_graph(
+            emb.filter(F.col("vec_id") >= 10)
+        ).localCheckpoint(eager=True)
     elif name == "cov_mat":  # checkpointed full covariance matrix (d² rows)
         df = (
             llm_sim._cov_full_matrix(_emb(spark, sf))
@@ -1169,6 +1174,10 @@ _DRIVER_WINDOW = [
     #
     # -- (a) new / changed keys this round --
     "emb_knn_graph_beam",  # NEW: graph-beam ANN, full unrolled oracle
+    "emb_nn_descent_graph",  # NEW: NN-descent index build, full oracle
+    # (ceded: emb_ivf_cell_assign — its r04 green row stands and the
+    # same assign CTE chain is re-exercised by emb_knn_ivf_exact,
+    # oracle-green in the local full gate every round since r07)
     "emb_kmeanspp_init",  # CHANGED: exact integer micro-unit phi + two-level prefix sum
     "emb_kmeansbb_candidates",  # CHANGED: phi as plain exact aggregate, no global window
     "events_cusum_control",  # CHANGED: mu0 exact integer floor division
@@ -1219,7 +1228,6 @@ _DRIVER_WINDOW = [
     "dq_invalid_delivery_summary",
     "emb_cell_purity",
     "emb_covariance",
-    "emb_ivf_cell_assign",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1535,8 +1543,25 @@ register(
     # symmetrized kNN graph (NSW-lite) — FULL unrolled oracle, unlike
     # the rows-only IVF/IVF-PQ keys — NEW round 10 → driver window
     "emb_knn_graph_beam",
-    _q(lambda spark, sf: llm_sim.knn_graph_beam(_emb(spark, sf))),
+    _q(
+        lambda spark, sf: llm_sim.knn_graph_beam(
+            _emb(spark, sf), graph=_dedup_shared(spark, sf, "nsw_graph")
+        )
+    ),
     llm_sim.KNN_GRAPH_BEAM_SQL,
+)
+register(
+    # NN-descent kNN-graph construction (Dong et al. WWW'11) — the
+    # graph-ANN INDEX BUILD path (knn_graph_beam searches the graph;
+    # this builds it without the exact O(n^2) pass) — full unrolled
+    # oracle. NEW round 10 → driver window
+    "emb_nn_descent_graph",
+    _q(
+        lambda spark, sf: llm_sim.nn_descent_graph(
+            _emb(spark, sf), sigs=_dedup_shared(spark, sf, "srp_sigs")
+        )
+    ),
+    llm_sim.NN_DESCENT_GRAPH_SQL,
 )
 register(
     "events_lateness_panel",  # watermark-sizing lateness histogram

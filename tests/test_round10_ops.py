@@ -92,3 +92,61 @@ def test_kmeans_phi_is_exact_integer_total(spark, sf_dir):
     # phi_before of seed 2 is the potential BEFORE that pick = the
     # first-seed distance total
     assert seeds[1].phi_before == round(micro / 1e6, 6)
+
+
+def test_nn_descent_graph_edge_recall_vs_exact(spark, sf_dir):
+    """Three NN-descent rounds from the md5-ring init must recover
+    most of the exact top-k graph — the paper's claim (~90%+ in a
+    handful of iterations) scaled to the floor the suite can pin on
+    clustered test embeddings."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    got = {
+        (r.src, r.dst) for r in llm_sim.nn_descent_graph(emb).collect()
+    }
+    scored = llm_sim.embedding_neardup(
+        emb.filter(F.col("vec_id") >= 10), threshold=-1.0
+    )
+    both = scored.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact = {
+        (r.src, r.dst)
+        for r in both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= llm_sim.NND_K)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"NN-descent edge recall {recall:.3f} < 0.85"
+
+
+def test_nn_descent_graph_feeds_beam_search(spark, sf_dir):
+    """Composition: beam search over the NN-DESCENT graph (symmetrized,
+    like the serving asset) must still clear the recall floor — the
+    actual 100 TB deployment shape (approximate build + graph serve),
+    mirroring the kmeans||→++ composition test."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    nd = llm_sim.nn_descent_graph(emb).select("src", "dst")
+    graph = nd.unionByName(
+        nd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.knn_bruteforce(emb).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.knn_graph_beam(emb, graph=graph).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"beam-over-NN-descent recall {recall:.3f} < 0.85"

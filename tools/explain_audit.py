@@ -244,6 +244,10 @@ ALLOWED = {
     "orders_seasonal_index": {"nested-loop join"},
     # broadcast anchor sample vs corpus scan (the knn_bruteforce shape)
     "emb_intrinsic_dim": {"nested-loop join"},
+    # ring-init grid: corpus ranks × the k-row (config-sized) js frame,
+    # plus exact_row_number's broadcast offset join — both bounded by
+    # the index config / shuffle width, never by corpus pairs
+    "emb_nn_descent_graph": {"nested-loop join"},
 }
 
 
