@@ -6188,31 +6188,48 @@ NSW_ROUNDS = 6  # expansion rounds (graph diameter budget)
 NSW_SALT = 31  # entry-point hash salt
 
 
+NSW_EXACT_BOUND = 4096  # exact all-pairs graph build up to here
+
+
 def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
     """Symmetrized kNN graph over the corpus: each vector's top-``m``
     out-neighbors by (6-dp cosine DESC, vec_id ASC), plus every reverse
     edge — the bounded-degree (≤ 2m) navigable structure beam search
-    walks. Pairs come from the exact block-pair machinery
-    (``embedding_neardup`` at threshold −1 keeps every pair), so the
-    build is the same distributed equi-join shape as the near-dup
-    family — no cartesian, no driver collect. At 100 TB the graph is
-    the index a pipeline MATERIALIZES once (NN-descent or IVF-seeded
-    refinement replaces the exact all-pairs build); the search below
-    touches only frontier-sized slices of it per round."""
-    scored = embedding_neardup(corpus, threshold=-1.0)
-    both = scored.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
-    ).unionByName(
-        scored.select(
-            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
+    walks.
+
+    Size-adaptive build governor (the SRP/semdedup pattern): up to
+    ``NSW_EXACT_BOUND`` vectors (every committed SF — the same 4096
+    bound the SRP oracle guard pins) the out-edges come from the exact
+    block-pair machinery (``embedding_neardup`` at threshold −1 keeps
+    every pair — the same distributed equi-join shape as the near-dup
+    family, no cartesian, no driver collect), which is also what the
+    ``emb_knn_graph_beam`` oracle mirrors. Beyond the bound the exact
+    O(n²) pass is unaffordable by construction, so the graph comes
+    from LSH-seeded NN-descent (``_nn_descent_edges`` at k=m — the
+    build SCALING_r10 measures; edge recall vs exact ≈0.94 at probe
+    scale), symmetrized the same way. The one count() is the sizing
+    action every governor in the suite pays."""
+    if corpus.count() <= NSW_EXACT_BOUND:
+        scored = embedding_neardup(corpus, threshold=-1.0)
+        both = scored.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
+        ).unionByName(
+            scored.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
+            )
         )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    out_edges = (
-        both.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .select("src", "dst")
-    )
+        w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+        out_edges = (
+            both.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("src", "dst")
+        )
+    else:
+        n_bits, band_bits = _srp_dims(corpus)
+        sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
+        out_edges = _nn_descent_edges(corpus, k=m, sigs=sigs).select(
+            "src", "dst"
+        )
     return out_edges.unionByName(
         out_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -6470,8 +6487,6 @@ def nn_descent_graph(
     This is the build a pipeline materializes ONCE into the
     ``nsw_graph`` asset; beam search serves corpus-independent queries
     off it."""
-    from ..operators.analytics import exact_row_number
-
     corpus = emb.filter(F.col("vec_id") >= n_queries).select(
         "vec_id", "embedding"
     )
@@ -6479,6 +6494,32 @@ def nn_descent_graph(
         n_bits, band_bits = _srp_dims(emb)
         sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
     sigs = sigs.filter(F.col("vec_id") >= n_queries)
+    edges = _nn_descent_edges(corpus, k=k, iters=iters, salt=salt, sigs=sigs)
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .select("src", F.col("rank").cast("int").alias("rank"), "dst", "cosine")
+        .orderBy("src", "rank")
+    )
+
+
+def _nn_descent_edges(
+    corpus: DataFrame,
+    k: int = NND_K,
+    iters: int = NND_ITERS,
+    salt: int = NND_SALT,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """The (src, dst, cosine) top-k edge frame ``nn_descent_graph``
+    ranks — factored out so the wide-regime ``_knn_graph`` build can
+    reuse it at k=m. ``sigs`` must cover exactly the corpus ids (or be
+    None to build them at the governor width)."""
+    from ..operators.analytics import exact_row_number
+
+    if sigs is None:
+        n_bits, band_bits = _srp_dims(corpus)
+        sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
+    emb = corpus  # pair scoring looks vectors up by vec_id
     companions = (
         sigs.select("band", "bucket", F.col("vec_id").alias("src"))
         .repartition(shuffle_parts(sigs), "band", "bucket")
@@ -6543,11 +6584,7 @@ def nn_descent_graph(
             .select("src", "dst", "cosine")
             .localCheckpoint(eager=True)
         )
-    return (
-        edges.withColumn("rank", F.row_number().over(w))
-        .select("src", F.col("rank").cast("int").alias("rank"), "dst", "cosine")
-        .orderBy("src", "rank")
-    )
+    return edges
 
 
 def nn_descent_graph_sql(

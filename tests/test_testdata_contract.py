@@ -108,7 +108,10 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
         "twin of the governed key — its emb_pairs asset grows as n², so "
         "past this bound keep it test-only (the _governed SRP-LSH path is "
         "the only one that runs at scale; see registry.py's comment on the "
-        "key)"
+        "key). The emb_knn_graph_beam oracle's exact all-pairs graph build "
+        "shares this 4096 bound (NSW_EXACT_BOUND) — beyond it the nsw_graph "
+        "asset switches to the LSH-seeded NN-descent build, which the "
+        "registered oracle does NOT mirror"
     )
     assert n_docs <= 8192, f"aHash/pHash 8-bit oracle bound crossed: {n_docs} docs"
     from logistics_data_pipeline_spark.llm.similarity import (
