@@ -3013,11 +3013,13 @@ def ann_recall_panel(
     k: int = 5,
     ivf: DataFrame | None = None,
     ivfpq: DataFrame | None = None,
+    graph_beam: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the approximate retrieval paths against exact brute
     force, as a registered operator rather than an offline eval script:
     one row per (method, query) plus a 'mean' row per method, for IVF
-    (learned cells) and IVF-PQ (+ADC re-rank). This is the panel a
+    (learned cells), IVF-PQ (+ADC re-rank), and the graph-beam path
+    (NSW-lite over the ``nsw_graph`` asset). This is the panel a
     serving deployment watches when it re-tunes nprobe/cells after a
     corpus shift — making it a first-class query means the same
     harness, caching, and plan audit cover it.
@@ -3073,7 +3075,15 @@ def ann_recall_panel(
     ivfpq_leg = leg(
         "ivfpq", knn_ivfpq(emb, n_queries, k) if ivfpq is None else ivfpq
     )
-    return ivf_leg.unionByName(ivfpq_leg).orderBy("method", "query")
+    graph_leg = leg(
+        "graph_beam",
+        knn_graph_beam(emb, n_queries, k) if graph_beam is None else graph_beam,
+    )
+    return (
+        ivf_leg.unionByName(ivfpq_leg)
+        .unionByName(graph_leg)
+        .orderBy("method", "query")
+    )
 
 
 INC_TOPK_BATCH_MOD = 5  # vec_id % 5 == 0 (and >= n_queries) is the new batch

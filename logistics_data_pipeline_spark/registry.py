@@ -1535,6 +1535,9 @@ register(
             _emb(spark, sf),
             ivf=_dedup_shared(spark, sf, "knn_ivf"),
             ivfpq=_dedup_shared(spark, sf, "knn_ivfpq"),
+            graph_beam=llm_sim.knn_graph_beam(
+                _emb(spark, sf), graph=_dedup_shared(spark, sf, "nsw_graph")
+            ),
         )
     ),
 )

@@ -882,7 +882,15 @@ class TestAnnRecallPanel:
         emb = load_table(spark, sf_dir, "embeddings")
         rows = similarity.ann_recall_panel(emb).collect()
         methods = {r.method for r in rows}
-        assert methods == {"ivf", "ivfpq"}
+        assert methods == {"ivf", "ivfpq", "graph_beam"}
+        # the graph path should beat the cell-probing paths on this
+        # corpus (ann_eval: 0.98 vs 0.80/0.82) — pin a 0.9 mean floor
+        gb_mean = [
+            r.recall_at_k
+            for r in rows
+            if r.method == "graph_beam" and r.query == "mean"
+        ]
+        assert gb_mean and gb_mean[0] >= 0.9
         for m in methods:
             per_q = [r.recall_at_k for r in rows if r.method == m and r.query != "mean"]
             mean = [r.recall_at_k for r in rows if r.method == m and r.query == "mean"]
