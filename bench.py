@@ -321,12 +321,29 @@ def main() -> None:
     }
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr, flush=True)
 
-    # Budgeted final line: 2-dp per-query medians, compact separators.
-    # If still over budget, fold the FASTEST queries into an _other
-    # rollup — slow (scale-interesting, regression-prone) entries are
-    # always retained, and a fast query that regresses becomes slow and
-    # is thereby retained too.
-    budget = 1800
+    sys.stderr.flush()
+    print(final_line(timings, total, sf, loads), flush=True)
+
+
+# Budgeted final line: 2-dp per-query medians, compact separators.
+# If over budget, fold the FASTEST queries into an _other rollup —
+# slow (scale-interesting, regression-prone) entries are always
+# retained, and a fast query that regresses becomes slow and is
+# thereby retained too. The budget is 1700, not the driver's literal
+# 2000-char tail window (VERDICT r10 #5): round 10's line landed at
+# 1791/1800 — 9 chars from the old cap — and the ≥15% headroom
+# absorbs the trailing newline plus fixed-field growth (a 5-digit
+# total, a 4th loadavg round) without another near-miss.
+LINE_BUDGET = 1700
+
+
+def final_line(
+    timings: dict[str, float],
+    total: float,
+    sf: str,
+    loads: list[float],
+    budget: int = LINE_BUDGET,
+) -> str:
     compact = {name: round(t, 2) for name, t in timings.items()}
     dropped: list[str] = []
 
@@ -349,8 +366,7 @@ def main() -> None:
         fastest = min(compact, key=lambda k: (compact[k], k))
         dropped.append(fastest)
         del compact[fastest]
-    sys.stderr.flush()
-    print(_line(), flush=True)
+    return _line()
 
 
 if __name__ == "__main__":

@@ -650,6 +650,13 @@ def _tagged_block_sides(emb: DataFrame, n_blocks: int) -> DataFrame:
 
 
 SRP_SEED = 20260813
+# Query/corpus split shared by knn_graph_beam, ann_recall_panel, AND
+# the registry's cached nsw_graph asset (ADVICE r10: the asset builder
+# hardcoded `vec_id >= 10` separately from the beam default — a drift
+# there would silently leave query vectors inside the cached graph).
+# Defined up here because default args bind at def time and the panel
+# is defined long before the graph-ANN section.
+NSW_N_QUERIES = 10
 
 
 def srp_planes(emb: DataFrame, n_bits: int, seed: int) -> DataFrame:
@@ -708,19 +715,18 @@ def _srp_dims(emb: DataFrame) -> tuple[int, int]:
     Past ~4M vectors the documented next step is 24-bit bands at
     n_bits ≈ 1536 (same arithmetic), or multiprobe to trade bands for
     probe fan-out."""
-    n_rows = emb.count()
+    return _srp_dims_for_n(emb.count())
+
+
+def _srp_dims_for_n(n_rows: int) -> tuple[int, int]:
+    """``_srp_dims`` tier table for an already-known corpus size — the
+    entry point for callers that have paid their sizing count() (ADVICE
+    r10: ``_knn_graph`` was double-counting through the frame overload)."""
     if n_rows <= 4096:
         return 64, 4
     if n_rows <= 32_768:
         return 64, 8
     return 512, 16
-
-
-def _srp_band_bits(emb: DataFrame) -> int:
-    """Width-only view of ``_srp_dims`` (kept for oracle re-binding
-    call sites; pair it with the governor's n_bits when building
-    signatures)."""
-    return _srp_dims(emb)[1]
 
 
 def srp_buckets(
@@ -3009,7 +3015,7 @@ ORDER BY u.cell_label, u.pos
 
 def ann_recall_panel(
     emb: DataFrame,
-    n_queries: int = 10,
+    n_queries: int = NSW_N_QUERIES,
     k: int = 5,
     ivf: DataFrame | None = None,
     ivfpq: DataFrame | None = None,
@@ -6218,8 +6224,10 @@ def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
     from LSH-seeded NN-descent (``_nn_descent_edges`` at k=m — the
     build SCALING_r10 measures; edge recall vs exact ≈0.94 at probe
     scale), symmetrized the same way. The one count() is the sizing
-    action every governor in the suite pays."""
-    if corpus.count() <= NSW_EXACT_BOUND:
+    action every governor in the suite pays — paid ONCE and threaded
+    into ``_srp_dims_for_n`` on the wide branch (ADVICE r10)."""
+    n_corpus = corpus.count()
+    if n_corpus <= NSW_EXACT_BOUND:
         scored = embedding_neardup(corpus, threshold=-1.0)
         both = scored.select(
             F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
@@ -6235,7 +6243,7 @@ def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
             .select("src", "dst")
         )
     else:
-        n_bits, band_bits = _srp_dims(corpus)
+        n_bits, band_bits = _srp_dims_for_n(n_corpus)
         sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
         out_edges = _nn_descent_edges(corpus, k=m, sigs=sigs).select(
             "src", "dst"
@@ -6247,13 +6255,14 @@ def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
 
 def knn_graph_beam(
     emb: DataFrame,
-    n_queries: int = 10,
+    n_queries: int = NSW_N_QUERIES,
     k: int = 5,
     m: int = NSW_M,
     beam: int = NSW_BEAM,
     rounds: int = NSW_ROUNDS,
     salt: int = NSW_SALT,
     graph: DataFrame | None = None,
+    visited_out: list | None = None,
 ) -> DataFrame:
     """Graph-based ANN (VERDICT r8 #8 / r9 #8): beam search over a
     symmetrized kNN graph — the modern retrieval family (NSW, Malkov et
@@ -6338,6 +6347,12 @@ def knn_graph_beam(
             .select("query_id", "vec_id", cos)
         )
         visited = visited.unionByName(scored).localCheckpoint(eager=True)
+    if visited_out is not None:
+        # Test hook (ADVICE r10): expose the final visited frame so the
+        # sub-linear-scan property — |scored corpus| < |corpus| — is
+        # assertable instead of documented. Checkpointed already; no
+        # extra jobs unless the caller acts on it.
+        visited_out.append(visited)
     return (
         visited.withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= k)

@@ -801,9 +801,12 @@ def _dedup_shared(spark, sf, name):
     elif name == "knn_ivfpq":  # IVF-PQ retrieval frame at registered params
         df = llm_sim.knn_ivfpq(_emb(spark, sf))
     elif name == "nsw_graph":  # symmetrized kNN graph (the graph-ANN index)
+        # NSW_N_QUERIES, not a literal (ADVICE r10): the cutoff MUST
+        # track knn_graph_beam's default or the cached graph silently
+        # includes query vectors / drops corpus vectors.
         emb = _emb(spark, sf)
         df = llm_sim._knn_graph(
-            emb.filter(F.col("vec_id") >= 10)
+            emb.filter(F.col("vec_id") >= llm_sim.NSW_N_QUERIES)
         ).localCheckpoint(eager=True)
     elif name == "cov_mat":  # checkpointed full covariance matrix (d² rows)
         df = (

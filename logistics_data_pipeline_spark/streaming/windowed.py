@@ -255,8 +255,17 @@ def _sessionize_group(
         n_ev, cents = 0, 0
 
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # Materialize the group's chunks and sort ONCE with the event_id
+    # tiebreak (ADVICE r10): the entry-cap split makes intra-island
+    # order semantically significant, and the oracle chunks by
+    # (ts, event_id) — a ts-only unstable sort (or per-chunk sorting
+    # when Arrow splits the group) can put duplicate-timestamp events
+    # into different capped blocks and diverge n_events/total_value.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
         for ts, value in zip(pdf["ts"], pdf["value"]):
             t_us = int(pd.Timestamp(ts).value // 1000)  # ns -> us
             c = int(round(float(value) * 100))  # 2dp values -> exact cents

@@ -58,16 +58,28 @@ def test_knn_graph_degree_bound(spark, sf_dir):
 
 def test_knn_graph_beam_visits_strict_subset_of_corpus(spark, sf_dir):
     """The point of graph ANN: the search must NOT have scored the
-    whole corpus (otherwise it is brute force with extra steps). Upper
-    bound: entry + rounds · beam · 2m per query."""
+    whole corpus (otherwise it is brute force with extra steps). The
+    visited_out hook (ADVICE r10 — the old version of this test was
+    vacuous) exposes the scored set; with a narrowed beam the bound
+    entry + rounds · beam · 2m is far below even the sf0.001 corpus."""
+    from pyspark.sql import functions as F
+
     emb = _emb(spark, sf_dir)
     n_corpus = emb.filter("vec_id >= 10").count()
-    cap = 1 + llm_sim.NSW_ROUNDS * llm_sim.NSW_BEAM * 2 * llm_sim.NSW_M
-    if n_corpus <= cap:
-        return  # tiny SF: the bound is vacuous there
-    rows = llm_sim.knn_graph_beam(emb).collect()
-    assert rows  # the real sub-scan assertion needs the visited count,
-    # which the operator does not expose; the cap above documents it
+    beam, m, rounds = 4, 4, 2
+    cap = 1 + rounds * beam * 2 * m
+    assert cap < n_corpus, "narrow the beam params: the bound is vacuous"
+    sink: list = []
+    out = llm_sim.knn_graph_beam(
+        emb, beam=beam, m=m, rounds=rounds, visited_out=sink
+    )
+    assert out.count() > 0
+    (visited,) = sink
+    per_query = visited.groupBy("query_id").agg(
+        F.countDistinct("vec_id").alias("n_visited")
+    )
+    mx = per_query.agg(F.max("n_visited")).collect()[0][0]
+    assert 0 < mx <= cap < n_corpus, (mx, cap, n_corpus)
 
 
 def test_kmeans_phi_is_exact_integer_total(spark, sf_dir):

@@ -293,6 +293,14 @@ def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
         # user 8: exactly cap events, never overflows -> stays open
         (7, "2024-01-01T00:00:00.000000Z", 8, 1.00),
         (8, "2024-01-01T00:01:00.000000Z", 8, 2.00),
+        # user 9: three events at the SAME timestamp (ADVICE r10) — the
+        # capped split is then decided purely by the event_id tiebreak
+        # ((9,10) close as one block, (11) as the residual); a ts-only
+        # sort leaves the block membership to pandas quicksort luck
+        (9, "2024-01-01T00:00:00.000000Z", 9, 1.50),
+        (10, "2024-01-01T00:00:00.000000Z", 9, 2.50),
+        (11, "2024-01-01T00:00:00.000000Z", 9, 4.50),
+        (12, "2024-01-01T03:00:00.000000Z", 9, 8.00),
     ]
     (src / "a.json").write_text(
         "\n".join(
@@ -339,5 +347,10 @@ def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
     assert got == want
     # and the hand-derived shape: user 7 closes blocks (1,2), (3,4),
     # (5) — the gap straggler closes the 1-event residual — while
-    # user 8's exactly-cap block stays open (close-on-overflow)
-    assert [(u, n) for u, _, _, n, _ in got] == [(7, 2), (7, 2), (7, 1)]
+    # user 8's exactly-cap block stays open (close-on-overflow); user
+    # 9's same-ts run splits by event_id into (9,10) then (11), with
+    # the block values proving the MEMBERSHIP, not just the counts
+    assert [(u, n) for u, _, _, n, _ in got] == [
+        (7, 2), (7, 2), (7, 1), (9, 2), (9, 1)
+    ]
+    assert [(u, tv) for u, _, _, _, tv in got if u == 9] == [(9, 4.0), (9, 4.5)]

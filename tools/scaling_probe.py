@@ -96,7 +96,17 @@ def main() -> None:
         for sf in sfs:
             registry.clear_session_caches(spark, keep_layers=False)
             t0 = time.time()
-            fn(spark, SF_DIRS[sf]).collect()
+            # noop sink, not collect() (VERDICT r10 #3): a corpus-sized
+            # result (fact_event is 8.8M rows at sf10) timed through a
+            # driver fetch measures Arrow transfer + driver materialize,
+            # not the plan — fact_event's r10 "f100 24.4" was exactly
+            # this bias (a fresh-session count() measured the build at
+            # 19.7 s ≈ linear). The noop writer executes the full plan
+            # (shuffles included) and discards rows executor-side, the
+            # same contract bench.py uses.
+            fn(spark, SF_DIRS[sf]).write.mode("overwrite").format(
+                "noop"
+            ).save()
             row[sf] = round(time.time() - t0, 2)
         for fac, hi, lo in (
             ("f01", "0.01", "0.001"),
