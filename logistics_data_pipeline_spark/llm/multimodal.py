@@ -476,6 +476,7 @@ def media_ahash_neardup(
     docs: DataFrame,
     max_hamming: int = AHASH_MAX_HAMMING,
     band_bits: int | None = None,
+    multiprobe: bool | None = None,
 ) -> DataFrame:
     """Average-hash perceptual near-dup over the binary payloads: the
     first 256 bytes (the ``resize_media`` canonical size) split into 64
@@ -541,18 +542,24 @@ def media_ahash_neardup(
         # payloads share length/byte statistics), so real bucket
         # occupancy far exceeds the uniform estimate and the tier needs
         # a third step: 32-bit bands (2 bands over the 64-bit
-        # signature) past 131072 media. Pigeonhole then only
-        # guarantees hamming ≤ 1; the documented next step at larger
-        # corpora is multiprobe (flip-1-bit band variants restore
-        # hamming ≤ 3 coverage at 33× the probe fan-out, still no
-        # pair-forming join). pHash keeps its 16-bit tier — its
-        # DCT-derived bits spread (measured f100 3.87 at the same
+        # signature) past 131072 media. Pigeonhole with plain 2-band
+        # lookup then only guarantees hamming ≤ 1, so the 32-bit tier
+        # MULTIPROBES (VERDICT r10 #1): the probe side additionally
+        # emits every flip-1-bit variant of each band value (33 probe
+        # rows per band), and a pair whose bands split a ≤3-bit
+        # difference 2+1 matches through the variant that flips the
+        # lone bit — restoring the hamming ≤ 3 candidate guarantee
+        # (2 bands × (0-or-1 flipped) − 1) at 33× probe fan-out with
+        # still no pair-forming join. pHash keeps its 16-bit tier —
+        # its DCT-derived bits spread (measured f100 3.87 at the same
         # decade).
         band_bits = (
             AHASH_BAND_BITS
             if n_media <= 8192
             else (16 if n_media <= 131_072 else 32)
         )
+    if multiprobe is None:
+        multiprobe = band_bits >= 32
     half = 32 // band_bits  # bands per packed 32-bit signature half
     rows = media.select(
         "media_id",
@@ -588,7 +595,29 @@ def media_ahash_neardup(
             ).alias("bv")
         )
     )
-    a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
+    if multiprobe:
+        # Probe side fans out to the exact band value plus every
+        # flip-1-bit variant — 33 rows per (media, band) at 32-bit
+        # bands. The b-side stays exact, so a band pair at Hamming 1
+        # meets through exactly the variant flipping that bit; XOR is
+        # symmetric, so one-sided probing covers both directions, and
+        # .distinct() absorbs multi-probe re-hits. Bucket occupancy
+        # is unchanged (same 2^band_bits bucket space); only probe
+        # volume grows, linearly in n.
+        variants = F.array(
+            F.col("bv"),
+            *[
+                F.col("bv").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(band_bits)
+            ],
+        )
+        a = bands.select(
+            "band",
+            F.explode(variants).alias("bv"),
+            F.col("media_id").alias("a_id"),
+        )
+    else:
+        a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
     b = bands.select("band", "bv", F.col("media_id").alias("b_id"))
     cand = (
         a.join(b, ["band", "bv"])
@@ -657,13 +686,35 @@ def media_ahash_neardup(
     )
 
 
-def media_ahash_neardup_sql(band_bits: int = AHASH_BAND_BITS) -> str:
+def media_ahash_neardup_sql(
+    band_bits: int = AHASH_BAND_BITS, multiprobe: bool = False
+) -> str:
     """Oracle twin of ``media_ahash_neardup`` at an explicit band
     width. The registered constant uses the 8-bit default — valid
     while the media corpus is ≤ 8192 payloads (every driver SF; sf0.1
     has 5000), where the governor also picks 8. pytest diffs the
-    16-bit regime cross-engine through this builder."""
+    16-bit regime AND the 32-bit multiprobe regime cross-engine
+    through this builder."""
     half = 32 // band_bits
+    if multiprobe:
+        # Mirror the flip-1-bit probe fan-out: probe i = band_bits is
+        # the exact value, probes 0..band_bits-1 flip one bit each.
+        cand_cte = f"""cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bands a
+  CROSS JOIN (SELECT unnest(range(0, {band_bits + 1})) AS i) p
+  JOIN bands b
+    ON a.band = b.band
+   AND b.bv = CASE WHEN p.i = {band_bits} THEN a.bv
+                   ELSE xor(a.bv, CAST(POWER(2, p.i) AS BIGINT)) END
+   AND a.media_id < b.media_id
+)"""
+    else:
+        cand_cte = """cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+)"""
     return f"""
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -694,11 +745,7 @@ bands AS (
          SUM(bit * CAST(POWER(2, b % {band_bits}) AS BIGINT)) AS bv
   FROM bits GROUP BY media_id, b // {band_bits}
 ),
-cand AS (
-  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
-),
+{cand_cte},
 sigs AS (
   SELECT media_id,
          SUM(CASE WHEN band < {half}

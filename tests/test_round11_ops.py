@@ -38,3 +38,120 @@ def test_bench_final_line_parseable_at_330_keys():
     # the slowest keys are always retained verbatim
     slowest = max(timings, key=timings.get)
     assert slowest in out["queries"]
+
+
+# --- aHash 32-bit-tier multiprobe (VERDICT r10 #1) --------------------------
+
+HI = "~~~~"  # block byte-sum 4·0x7e = 504 (above the mean -> bit 1)
+LO = "    "  # block byte-sum 4·0x20 = 128 (below the mean -> bit 0)
+
+
+def _payload(high_blocks: set) -> str:
+    """256-char printable payload whose aHash bit b is 1 iff
+    b in high_blocks. With exactly 32 high blocks the mean is the
+    constant 316, so flipping one block low->high and another
+    high->low changes exactly those two bits."""
+    assert len(high_blocks) == 32
+    return "".join(HI if b in high_blocks else LO for b in range(64))
+
+
+def _mp_docs(spark):
+    evens = set(range(0, 64, 2))
+    # B flips block 3 (band 0 at 32-bit bands) AND block 40 (band 1):
+    # Hamming(A,B) = 2 split 1+1 across the two bands — invisible to
+    # plain 2-band lookup, guaranteed by flip-1-bit multiprobe.
+    b_high = (evens - {40}) | {3}
+    # D differs from A at blocks 2,4,5,7 — Hamming 4 entirely inside
+    # band 0 (4+0 split): plain lookup still finds it through the
+    # untouched band 1.
+    d_high = (evens - {2, 4}) | {5, 7}
+    rows = [
+        (1, _payload(evens), "synthetic"),
+        (2, _payload(b_high), "synthetic"),
+        (3, _payload(evens), "synthetic"),  # exact dup of 1
+        (4, _payload(d_high), "synthetic"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ahash_multiprobe_restores_cross_band_hamming2(spark):
+    """The 32-bit tier's recall cliff (VERDICT r10 #1): a Hamming-2
+    pair whose differing bits land in DIFFERENT 32-bit bands is missed
+    by plain band lookup but guaranteed by the flip-1-bit multiprobe;
+    same-band splits and exact dups are found by both."""
+    from logistics_data_pipeline_spark.llm import multimodal as mm
+
+    docs = _mp_docs(spark)
+    plain = {
+        (r.a_id, r.b_id)
+        for r in mm.media_ahash_neardup(
+            docs, band_bits=32, multiprobe=False
+        ).collect()
+    }
+    probed = {
+        (r.a_id, r.b_id)
+        for r in mm.media_ahash_neardup(
+            docs, band_bits=32, multiprobe=True
+        ).collect()
+    }
+    assert (1, 2) not in plain  # the cliff: cross-band Hamming-2 missed
+    assert (1, 2) in probed  # restored by multiprobe
+    assert (1, 3) in plain and (1, 3) in probed  # exact dup
+    assert (2, 3) not in plain and (2, 3) in probed  # symmetric cross-band
+    # same-band 2-bit split: the untouched band matches exactly
+    assert (1, 4) in plain and (1, 4) in probed
+    # multiprobe only ADDS candidates; the Hamming verify is unchanged
+    assert plain <= probed
+
+
+def test_ahash_multiprobe_cross_engine_parity(spark):
+    """The multiprobe candidate CTE mirrors exactly: Spark rows ==
+    DuckDB twin rows on the controlled corpus (values, not counts)."""
+    import duckdb
+
+    from logistics_data_pipeline_spark.llm import multimodal as mm
+
+    docs = _mp_docs(spark)
+    got = [
+        (r.a_id, r.b_id, r.hamming)
+        for r in mm.media_ahash_neardup(
+            docs, band_bits=32, multiprobe=True
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = [
+        tuple(r)
+        for r in con.execute(
+            mm.media_ahash_neardup_sql(band_bits=32, multiprobe=True)
+        ).fetchall()
+    ]
+    assert got == want and len(got) >= 4
+
+
+def test_ahash_multiprobe_guarantee_radius_exhaustive(spark, sf_dir):
+    """On the real sf0.001 corpus: every pair within Hamming ≤ 3 of the
+    exact all-pairs twin appears in the 32-bit multiprobe output — the
+    restored pigeonhole guarantee, checked against ground truth rather
+    than constructed cases."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    probed = {
+        (r.a_id, r.b_id)
+        for r in mm.media_ahash_neardup(
+            docs, band_bits=32, multiprobe=True
+        ).collect()
+    }
+    # exact ground truth: all-pairs Hamming over the full 8-band
+    # signatures (8-bit bands keep the same packed sigs; the corpus is
+    # ~200 docs so the quadratic join is test-only affordable)
+    exact = {
+        (r.a_id, r.b_id): r.hamming
+        for r in mm.media_ahash_neardup(docs, band_bits=8).collect()
+    }
+    near = {p for p, h in exact.items() if h <= 3}
+    assert near <= probed, sorted(near - probed)
