@@ -6709,3 +6709,309 @@ ORDER BY src, rank"""
 
 
 NN_DESCENT_GRAPH_SQL = nn_descent_graph_sql()
+
+
+# --- incremental kNN-graph maintenance (VERDICT r10 #2) ----------------------
+
+NSW_DELTA_MOD = 5  # vec_id % 5 == 0 is the arriving batch (the
+# emb_incremental_topk precedent: a deterministic split standing in for
+# "the vectors that arrived since the index was built")
+NSW_DELTA_ROUNDS = 2  # localized neighbor-of-neighbor refinement rounds
+
+
+def knn_graph_delta(
+    emb: DataFrame,
+    n_queries: int = NSW_N_QUERIES,
+    m: int = NSW_M,
+    rounds: int = NSW_DELTA_ROUNDS,
+    batch_mod: int = NSW_DELTA_MOD,
+    salt: int = NND_SALT,
+    graph: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental kNN-graph maintenance (VERDICT r10 #2): fold an
+    arriving batch of vectors into an EXISTING symmetrized kNN graph
+    without re-forming the old corpus's pair space — the serving story
+    a 100 TB index needs (the ``nsw_graph`` asset otherwise rebuilds
+    from scratch on every corpus change).
+
+    The deterministic split ``vec_id % batch_mod == 0`` plays the
+    arriving batch (the ``emb_incremental_topk`` device); ``graph`` is
+    the already-built graph over the REMAINING (old) vectors — built
+    here via ``_knn_graph`` when not injected. Update recipe:
+
+    1. SEED: SRP bucket companions of the updated corpus, kept only
+       where an endpoint is new (the old-old pair space is never
+       re-entered), plus two md5-ring successor edges among the batch
+       so no hash-isolated new vector starts empty.
+    2. MERGE: per-vertex top-``m`` over (re-scored old edges ∪ scored
+       seed pairs). Re-scoring the old graph is LINEAR in its ≤ 2m·n
+       edges — and because an exact top-m list dominates every in-edge,
+       untouched old vertices reproduce their old lists bit-for-bit.
+    3. LOCALIZED NN-DESCENT: ``rounds`` neighbor-of-neighbor
+       expansions where the wedge's first leg starts at a batch vertex
+       (plus the mirrored pairs), so each round scores
+       O(|batch| · (2m)²) pairs — independent of the old corpus size —
+       instead of full NN-descent's n·(2k)².
+
+    FULLY deterministic and ORACLE-CHECKED, the ``nn_descent_graph``
+    contract: oracle-exact SRP chain, 6-dp cosines, (cosine DESC, dst
+    ASC) ranking, md5-ring rank joins, and a DuckDB twin that unrolls
+    the exact old-graph build plus the same ``rounds`` as MATERIALIZED
+    CTEs. pytest pins symmetrized edge recall ≥ 0.85 vs the
+    from-scratch rebuild of the updated corpus.
+
+    Output one row per (vertex, rank): (src, rank, dst, cosine) — the
+    updated index in ``nn_descent_graph``'s shape.
+
+    Scale: seed volume is the batch's LSH candidate volume (the
+    ``_srp_dims`` governor); the old-edge re-score is one linear pass
+    (a serving deployment persists edge cosines and skips it); descent
+    rounds are batch-localized. No step touches |old|² pairs — the
+    entire point of delta maintenance."""
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding"
+    )
+    is_new = (F.col("vec_id") % batch_mod) == 0
+    if graph is None:
+        graph = _knn_graph(corpus.filter(~is_new), m)
+    if sigs is None:
+        n_bits, band_bits = _srp_dims(emb)
+        sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
+    sigs = sigs.filter(F.col("vec_id") >= n_queries)
+    from ..operators.analytics import exact_row_number
+
+    cand0 = (
+        sigs.select("band", "bucket", F.col("vec_id").alias("src"))
+        .repartition(shuffle_parts(sigs), "band", "bucket")
+        .join(
+            sigs.select("band", "bucket", F.col("vec_id").alias("dst")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            ((F.col("src") % batch_mod) == 0)
+            | ((F.col("dst") % batch_mod) == 0)
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    new_hashed = corpus.filter(is_new).select(
+        "vec_id",
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))).alias(
+            "h"
+        ),
+    )
+    ranked, n = exact_row_number(new_hashed, [F.col("h"), F.col("vec_id")], "r")
+    ranked = ranked.select("vec_id", "r").localCheckpoint(eager=True)
+    js = emb.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("j"))
+    ring = (
+        ranked.crossJoin(F.broadcast(js))
+        .select(
+            F.col("vec_id").alias("src"),
+            (((F.col("r") - 1 + F.col("j")) % F.lit(n)) + 1).alias("tr"),
+        )
+        .join(
+            ranked.select(F.col("vec_id").alias("dst"), F.col("r").alias("tr")),
+            "tr",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    pairs0 = (
+        cand0.unionByName(ring)
+        .unionByName(
+            ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    sc0 = _verified_pair_cosines(corpus, pairs0, "src", "dst", -1.0)
+    old_scored = _verified_pair_cosines(
+        corpus, graph.select("src", "dst"), "src", "dst", -1.0
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        old_scored.unionByName(sc0)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        both = edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+            )
+        ).dropDuplicates(["src", "dst"])
+        # wedges whose FIRST leg starts at a batch vertex; the mirror
+        # union lets old vertices receive the same discoveries — the
+        # localization that keeps each round O(|batch|·(2m)²)
+        wedge = (
+            both.alias("x")
+            .filter((F.col("src") % batch_mod) == 0)
+            .join(both.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cand = (
+            wedge.unionByName(
+                wedge.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .join(both.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        scored = _verified_pair_cosines(corpus, cand, "src", "dst", -1.0)
+        edges = (
+            both.unionByName(scored)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("src", "dst", "cosine")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .select("src", F.col("rank").cast("int").alias("rank"), "dst", "cosine")
+        .orderBy("src", "rank")
+    )
+
+
+def knn_graph_delta_sql(
+    n_queries: int = NSW_N_QUERIES,
+    m: int = NSW_M,
+    rounds: int = NSW_DELTA_ROUNDS,
+    batch_mod: int = NSW_DELTA_MOD,
+    salt: int = NND_SALT,
+    band_bits: int = 4,
+    n_bits: int = 64,
+) -> str:
+    """Unrolled DuckDB twin of ``knn_graph_delta``: the exact old-graph
+    build (affordable at committed SFs — the same all-pairs CTE the
+    beam oracle uses), the oracle-exact SRP chain with the batch-touch
+    filter, the md5-ring over the batch, and ``rounds`` batch-localized
+    expansions as MATERIALIZED step CTEs. (band_bits, n_bits) defaults
+    are the committed ≤4096-vector governor tier."""
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(ca.embedding AS DOUBLE[]), "
+        "CAST(cb.embedding AS DOUBLE[])), 6)"
+    )
+    parts = [
+        f"""{_srp_sig_ctes(band_bits, n_bits)},
+corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {n_queries}
+),
+old AS MATERIALIZED (SELECT * FROM corpus WHERE vec_id % {batch_mod} <> 0),
+opairs AS (
+  SELECT ca.vec_id AS src, cb.vec_id AS dst, {cos} AS cosine
+  FROM old ca JOIN old cb ON ca.vec_id <> cb.vec_id
+),
+out_edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+    FROM opairs) t
+  WHERE rn <= {m}
+),
+og AS MATERIALIZED (
+  SELECT src, dst FROM out_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM out_edges
+),
+newv AS MATERIALIZED (
+  SELECT vec_id FROM corpus WHERE vec_id % {batch_mod} = 0
+),
+cand0 AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+    AND a.vec_id >= {n_queries} AND b.vec_id >= {n_queries}
+    AND (a.vec_id % {batch_mod} = 0 OR b.vec_id % {batch_mod} = 0)
+),
+ranked AS MATERIALIZED (
+  SELECT vec_id, ROW_NUMBER() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{salt}'), vec_id) AS r
+  FROM newv
+),
+nn AS (SELECT COUNT(*) AS n FROM newv),
+ring AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM ranked a
+  CROSS JOIN (SELECT unnest(range(1, 3)) AS j) rj
+  CROSS JOIN nn
+  JOIN ranked b ON b.r = ((a.r - 1 + rj.j) % nn.n) + 1
+  WHERE a.vec_id <> b.vec_id
+),
+pairs0 AS (
+  SELECT src, dst FROM cand0
+  UNION SELECT src, dst FROM ring
+  UNION SELECT dst AS src, src AS dst FROM ring
+),
+sc0 AS (
+  SELECT p.src, p.dst, {cos} AS cosine
+  FROM pairs0 p
+  JOIN corpus ca ON ca.vec_id = p.src
+  JOIN corpus cb ON cb.vec_id = p.dst
+),
+ogs AS (
+  SELECT g.src, g.dst, {cos} AS cosine
+  FROM og g
+  JOIN corpus ca ON ca.vec_id = g.src
+  JOIN corpus cb ON cb.vec_id = g.dst
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+    FROM (SELECT DISTINCT src, dst, cosine FROM (
+      SELECT * FROM ogs UNION ALL SELECT * FROM sc0) u) d) t
+  WHERE rn <= {m}
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT src, dst, cosine FROM e{t - 1}
+  UNION
+  SELECT dst AS src, src AS dst, cosine FROM e{t - 1}
+),
+w{t} AS (
+  SELECT x.src AS src, y.dst AS dst
+  FROM b{t} x JOIN b{t} y ON x.dst = y.src
+  WHERE x.src % {batch_mod} = 0 AND x.src <> y.dst
+),
+cd{t} AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM w{t}
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM w{t}) uu) c
+  ANTI JOIN b{t} USING (src, dst)
+),
+sc{t} AS (
+  SELECT c.src, c.dst, {cos} AS cosine
+  FROM cd{t} c
+  JOIN corpus ca ON ca.vec_id = c.src
+  JOIN corpus cb ON cb.vec_id = c.dst
+),
+e{t} AS MATERIALIZED (
+  SELECT src, dst, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+    FROM (SELECT * FROM b{t} UNION ALL SELECT * FROM sc{t}) u) t2
+  WHERE rn <= {m}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src, CAST(rank AS INT) AS rank, dst, cosine
+FROM (
+  SELECT src, dst, cosine, ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+  FROM e{rounds}) t
+ORDER BY src, rank"""
+    )
+
+
+KNN_GRAPH_DELTA_SQL = knn_graph_delta_sql()

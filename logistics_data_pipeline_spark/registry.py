@@ -1164,73 +1164,66 @@ register(
 # here (not just register()-ed) or they wait a full round for a check.
 
 _DRIVER_WINDOW = [
-    # Round-10 window (the driver hash-checks the FIRST 50 keys).
+    # Round-11 window (the driver hash-checks the FIRST 50 keys).
     # Policy: every key whose code/oracle changed this round, every NEW
     # key, then the STALEST green canaries computed from the committed
-    # CORRECTNESS_r01-r09 ledger (latest green hash row, oldest first —
-    # the five r9 slot cessions (events_value_anomalies,
-    # multimodal_extract, docs_chunking, docs_corpus_composition,
-    # docs_curation_pipeline) top that list, so every documented
-    # deferral is retired this round). The 7 irreducible rows-only keys
-    # are excluded by design (no oracle to hash; each has an exact
-    # oracle-checked twin).
+    # CORRECTNESS_r01-r10 ledger (latest green hash row, oldest first).
+    # The 7 irreducible rows-only keys are excluded by design (no
+    # oracle to hash; each has an exact oracle-checked twin).
     #
     # -- (a) new / changed keys this round --
-    "emb_knn_graph_beam",  # NEW: graph-beam ANN, full unrolled oracle
-    "emb_nn_descent_graph",  # NEW: NN-descent index build, full oracle
-    # (ceded: emb_ivf_cell_assign — its r04 green row stands and the
-    # same assign CTE chain is re-exercised by emb_knn_ivf_exact,
-    # oracle-green in the local full gate every round since r07)
-    "emb_kmeanspp_init",  # CHANGED: exact integer micro-unit phi + two-level prefix sum
-    "emb_kmeansbb_candidates",  # CHANGED: phi as plain exact aggregate, no global window
-    "events_cusum_control",  # CHANGED: mu0 exact integer floor division
-    "stream_sessionize_closed",  # CHANGED: entry-cap split mirrored in the islands oracle
-    "emb_neardup_lsh",  # RE-PIN: _srp_dims governor refactor upstream (values unchanged at sf0.01)
+    "emb_knn_graph_delta",  # NEW: incremental kNN-graph maintenance, full oracle
+    "stream_sessionize_closed",  # CHANGED: (ts, event_id) stable sort in the fold (ADVICE r10)
+    "multimodal_ahash_neardup",  # CHANGED upstream: 32-bit-tier multiprobe (registered 8-bit values unchanged); also the stalest multimodal canary (r06)
+    "emb_knn_graph_beam",  # RE-PIN: visited_out hook + NSW_N_QUERIES constant threaded through
+    "emb_nn_descent_graph",  # RE-PIN: _srp_dims_for_n refactor upstream (values unchanged)
+    "emb_neardup_lsh",  # RE-PIN: same governor refactor
     "emb_semantic_decontamination_governed",  # RE-PIN: same governor refactor
-    "docs_decontamination_panel",  # RE-PIN: same governor refactor through the semantic leg
-    # -- (b) stalest green canaries, oldest driver row first (r02: 2,
-    #        r03: 22, r04: 18) --
-    "events_value_anomalies",
-    "multimodal_extract",
-    "docs_chunking",
-    "docs_corpus_composition",
-    "docs_curation_pipeline",
-    "docs_dedup_cluster_stats",
-    "docs_incremental_dedup",
-    "docs_inverted_index",
-    "docs_repetition_stats",
-    "docs_text_normalize",
-    "emb_dim_stats",
-    "emb_neardup_prefix",
-    "emb_semantic_dedup_keeper",
-    "events_grouping_sets",
-    "events_props_json_stats",
-    "events_range_join",
-    "events_rollup",
-    "events_salted_type_stats",
-    "events_user_sessions",
-    "events_value_histogram",
-    "events_value_quantiles",
-    "events_window_unique_users",
-    "orders_top_per_customer",
-    "orders_trailing_revenue_7d",
-    "bronze_events",
-    "dim_carrier",
-    "dim_location",
-    "dim_order",
-    "dim_status",
-    "dim_time",
-    "docs_lang_source_chi2",
-    "docs_length_histogram",
-    "docs_repeated_passages",
-    "docs_simhash",
-    "docs_vocab_entropy",
-    "docs_vocab_topk",
-    "docs_zipf_fit",
-    "dq_checks",
-    "dq_invalid_delivery_summary",
-    "emb_cell_purity",
-    "emb_covariance",
+    # -- (b) stalest green canaries, oldest driver row first
+    #        (r04: 24, r05: 19) --
+    "emb_ivf_cell_assign",
+    "emb_neardup_cosine",
+    "emb_prefix_truncate",
+    "emb_triplet_mining",
+    "emb_whitening",
+    "events_cms_freq",
+    "events_dau_wau",
+    "events_funnel",
+    "events_key_skew_stats",
+    "fact_event",
+    "invalid_events",
+    "kpi_active_shipments",
+    "kpi_carrier_performance",
+    "kpi_status_distribution",
+    "kpi_weight_distribution",
+    "monitor_dq_rollup",
+    "monitor_ingest_trend",
+    "monitor_recent_events",
+    "monitor_scalar_metrics",
+    "multimodal_dup_groups",
+    "orders_market_basket",
+    "orders_price_percentiles",
+    "stg_events",
+    "valid_events",
+    "dbt_schema_tests",
+    "docs_bpe_merge_step",
+    "docs_bpe_pair_counts",
+    "docs_chunk_dup_rate",
+    "docs_containment",
+    "docs_curation_pipeline_v2",
+    "docs_dedup_method_agreement",
+    "docs_dedup_provenance",
+    "docs_ensemble_components",
+    "docs_heaps_fit",
+    "docs_langid_confusion",
+    "docs_ngram_novelty",
+    "docs_quality_classifier",
+    "docs_shingle_df_stats",
+    "docs_simhash_pairs",
+    "docs_snapshot_diff",
+    "docs_sorted_neighborhood",
+    "docs_tfidf_cosine_pairs",
+    "docs_weighted_sample",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1568,6 +1561,19 @@ register(
         )
     ),
     llm_sim.NN_DESCENT_GRAPH_SQL,
+)
+register(
+    # incremental kNN-graph maintenance (VERDICT r10 #2): fold the
+    # vec_id%5==0 "arriving batch" into the graph built over the rest
+    # without re-forming the old pair space — full unrolled oracle.
+    # NEW round 11 → driver window
+    "emb_knn_graph_delta",
+    _q(
+        lambda spark, sf: llm_sim.knn_graph_delta(
+            _emb(spark, sf), sigs=_dedup_shared(spark, sf, "srp_sigs")
+        )
+    ),
+    llm_sim.KNN_GRAPH_DELTA_SQL,
 )
 register(
     "events_lateness_panel",  # watermark-sizing lateness histogram
