@@ -1179,8 +1179,9 @@ _DRIVER_WINDOW = [
     "emb_nn_descent_graph",  # RE-PIN: _srp_dims_for_n refactor upstream (values unchanged)
     "emb_neardup_lsh",  # RE-PIN: same governor refactor
     "emb_semantic_decontamination_governed",  # RE-PIN: same governor refactor
+    "emb_kmeanspp_init",  # CHANGED: driver-side crossing-partition search, 1-partition pick, every-3 checkpoints (VERDICT r10 #6; hashes unchanged at every SF)
     # -- (b) stalest green canaries, oldest driver row first
-    #        (r04: 24, r05: 19) --
+    #        (r04: 24, r05: 18) --
     "emb_ivf_cell_assign",
     "emb_neardup_cosine",
     "emb_prefix_truncate",
@@ -1223,7 +1224,9 @@ _DRIVER_WINDOW = [
     "docs_snapshot_diff",
     "docs_sorted_neighborhood",
     "docs_tfidf_cosine_pairs",
-    "docs_weighted_sample",
+    # (docs_weighted_sample ceded its slot to the emb_kmeanspp_init
+    # re-pin: its r05 green row stands and its sampling idiom is
+    # re-exercised by docs_dsir_weights, green in every local gate)
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
