@@ -1173,6 +1173,7 @@ _DRIVER_WINDOW = [
     #
     # -- (a) new / changed keys this round --
     "emb_knn_graph_delta",  # NEW: incremental kNN-graph maintenance, full oracle
+    "emb_knn_graph_beam_layered",  # NEW: HNSW-style layered entry, rounds 6 -> 4, full oracle
     "stream_sessionize_closed",  # CHANGED: (ts, event_id) stable sort in the fold (ADVICE r10)
     "multimodal_ahash_neardup",  # CHANGED upstream: 32-bit-tier multiprobe (registered 8-bit values unchanged); also the stalest multimodal canary (r06)
     "emb_knn_graph_beam",  # RE-PIN: visited_out hook + NSW_N_QUERIES constant threaded through
@@ -1551,6 +1552,22 @@ register(
         )
     ),
     llm_sim.KNN_GRAPH_BEAM_SQL,
+)
+register(
+    # HNSW-style layered entry (VERDICT r10 #8): beam search seeded at
+    # each query's nearest vertex among a ⌈√n⌉ md5-sampled top layer,
+    # cutting the round budget 6 → 4 with the recall floor intact —
+    # full unrolled oracle. NEW round 11 → driver window
+    "emb_knn_graph_beam_layered",
+    _q(
+        lambda spark, sf: llm_sim.knn_graph_beam(
+            _emb(spark, sf),
+            rounds=llm_sim.NSW_LAYERED_ROUNDS,
+            graph=_dedup_shared(spark, sf, "nsw_graph"),
+            layered=True,
+        )
+    ),
+    llm_sim.KNN_GRAPH_BEAM_LAYERED_SQL,
 )
 register(
     # NN-descent kNN-graph construction (Dong et al. WWW'11) — the

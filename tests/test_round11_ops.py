@@ -241,3 +241,70 @@ def test_ahash_multiprobe_guarantee_radius_exhaustive(spark, sf_dir):
     }
     near = {p for p, h in exact.items() if h <= 3}
     assert near <= probed, sorted(near - probed)
+
+
+def test_knn_graph_beam_layered_recall_floor_at_4_rounds(spark, sf_dir):
+    """HNSW-style layered entry (VERDICT r10 #8): seeding each query's
+    beam at its nearest vertex among the ⌈√n⌉ md5-sampled top layer
+    must hold the 0.9 recall@5 floor with the round budget cut from 6
+    to NSW_LAYERED_ROUNDS=4 — fewer frontier/score joins is the whole
+    point of the layer."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm import similarity as llm_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.knn_bruteforce(emb).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.knn_graph_beam(
+            emb, rounds=llm_sim.NSW_LAYERED_ROUNDS, layered=True
+        ).collect()
+    }
+    assert truth, "brute force returned nothing"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"layered beam recall@5 {recall:.3f} < 0.9"
+    assert llm_sim.NSW_LAYERED_ROUNDS < llm_sim.NSW_ROUNDS
+
+
+def test_knn_graph_beam_layered_seed_is_nearest_layer_vertex(spark, sf_dir):
+    """With rounds=0 the layered search returns exactly its seed: ONE
+    row per query, and that row's vec_id must be a member of the
+    ⌈√n⌉-vertex md5 layer (recomputed independently here) — i.e. the
+    seed really is the nearest LAYER vertex, not a global scan."""
+    import hashlib
+    import math as _math
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm import similarity as llm_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_ids = sorted(
+        r.vec_id
+        for r in emb.filter("vec_id >= 10").select("vec_id").collect()
+    )
+    n_layer = _math.ceil(_math.sqrt(len(corpus_ids)))
+    layer = set(
+        sorted(
+            corpus_ids,
+            key=lambda v: (
+                hashlib.md5(
+                    f"{v}:{llm_sim.NSW_LAYER_SALT}".encode()
+                ).hexdigest(),
+                v,
+            ),
+        )[:n_layer]
+    )
+    sink: list = []
+    out = llm_sim.knn_graph_beam(
+        emb, rounds=0, layered=True, visited_out=sink
+    ).collect()
+    per_query: dict = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert per_query and all(len(v) == 1 for v in per_query.values())
+    assert all(v[0] in layer for v in per_query.values()), (
+        "seed outside the md5 layer"
+    )

@@ -318,13 +318,16 @@ def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
     )
     q = sessionize_stream(events_file_stream(spark, str(src)), max_events=2)
     run_to_memory(q, "capped_sessions", "append", str(tmp_path / "ckpt"))
-    got = [
+    # Full-tuple sort: user 9's two closed blocks share an identical
+    # (session_start, session_end) — all three events carry the same
+    # timestamp — so any engine ORDER BY on the output columns leaves
+    # their relative order tie-broken arbitrarily (the driver's compare
+    # is order-insensitive for the same reason).
+    got = sorted(
         (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
          r.n_events, r.total_value)
-        for r in spark.table("capped_sessions")
-        .orderBy("user_id", "session_start")
-        .collect()
-    ]
+        for r in spark.table("capped_sessions").collect()
+    )
     events_pdf = pd.DataFrame(
         [
             {
@@ -338,19 +341,23 @@ def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
     )
     con = duckdb.connect()
     con.register("events", events_pdf)
-    want = [
+    want = sorted(
         (u, s.isoformat(), e.isoformat(), n, tv)
         for u, s, e, n, tv in con.execute(
             sessionize_closed_sql(max_events=2)
         ).fetchall()
-    ]
+    )
     assert got == want
     # and the hand-derived shape: user 7 closes blocks (1,2), (3,4),
     # (5) — the gap straggler closes the 1-event residual — while
     # user 8's exactly-cap block stays open (close-on-overflow); user
     # 9's same-ts run splits by event_id into (9,10) then (11), with
     # the block values proving the MEMBERSHIP, not just the counts
+    # (in the sorted order user 9's 1-event block sorts first)
     assert [(u, n) for u, _, _, n, _ in got] == [
-        (7, 2), (7, 2), (7, 1), (9, 2), (9, 1)
+        (7, 2), (7, 2), (7, 1), (9, 1), (9, 2)
     ]
-    assert [(u, tv) for u, _, _, _, tv in got if u == 9] == [(9, 4.0), (9, 4.5)]
+    assert sorted(tv for u, _, _, _, tv in got if u == 9) == [4.0, 4.5]
+    assert [
+        (n, tv) for u, _, _, n, tv in got if u == 9
+    ] == [(1, 4.5), (2, 4.0)]  # membership: (9,10) together, (11) alone

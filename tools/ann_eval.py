@@ -44,6 +44,14 @@ def main() -> None:
             f"graph-beam m={sim.NSW_M} b={sim.NSW_BEAM} t={sim.NSW_ROUNDS}",
             recall(sim.knn_graph_beam(emb)),
         ),
+        (
+            f"graph-beam layered t={sim.NSW_LAYERED_ROUNDS}",
+            recall(
+                sim.knn_graph_beam(
+                    emb, rounds=sim.NSW_LAYERED_ROUNDS, layered=True
+                )
+            ),
+        ),
     ]
     for name, r in rows:
         print(f"{name:32s} recall@5 = {r:.3f}")
