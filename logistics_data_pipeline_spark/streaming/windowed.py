@@ -19,12 +19,14 @@ store by key hash.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
 from contextlib import contextmanager
 from typing import TYPE_CHECKING, Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,17 +73,45 @@ JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 # which these throwaway replays always have).
 REPLAY_STATE_PARTITIONS = 8
 
+# TIERED (VERDICT r10 #4): the sf10 profile (tools/sessionize_profile.py,
+# SCALING_r11) attributed stream_sessionize_closed's decade factor —
+# state commits are FLAT (1.1-1.6 s at every decade) and plan overhead
+# is <1 s; the cost is the Arrow fold's task time (25.7 / 82.5 / 718 s
+# at 10^5/10^6/10^7 events, linear in rows) running on only 8 of 32
+# cores. So the governor shrinks the shard count ONLY while the replay
+# is small enough for commit overhead to matter; past REPLAY_WIDE_ROWS
+# the session's full shuffle width stands (shard count does not affect
+# results — state is per-key — so oracles are untouched).
+REPLAY_WIDE_ROWS = 1_000_000
+
+# Micro-batch budget for the bounded replays (see
+# sessionize_closed_batch): per-group fold overhead is paid once per
+# (user, batch), so a replay's batch count must not grow with corpus
+# size. Two batches keep the cross-batch state-carry path exercised.
+REPLAY_MAX_BATCHES = 2
+
 
 class _replay_shuffle_parts:
     """Temporarily pin spark.sql.shuffle.partitions for a bounded
-    streaming replay, restoring the session value on exit."""
+    streaming replay, restoring the session value on exit. Pass the
+    replay's input row count via ``n_rows`` to engage the size tier:
+    small replays (commit-bound) shrink to ``REPLAY_STATE_PARTITIONS``
+    shards, replays of ≥ ``REPLAY_WIDE_ROWS`` rows (compute-bound — the
+    fold dwarfs the per-shard commit) keep the session width."""
 
-    def __init__(self, spark: SparkSession, n: int = REPLAY_STATE_PARTITIONS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        n: int = REPLAY_STATE_PARTITIONS,
+        n_rows: int | None = None,
+    ):
         self.spark, self.n = spark, n
+        self.wide = n_rows is not None and n_rows >= REPLAY_WIDE_ROWS
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        if not self.wide:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
@@ -246,7 +276,18 @@ def _sessionize_group(
     """Fold this micro-batch's events (sorted by event time) into the
     user's open session; emit every session closed by a >30 min gap or
     by the entry cap overflowing, keep the still-open one in state.
-    Arrow-batched: no per-row Python overhead beyond the sort."""
+
+    FULLY VECTORIZED (VERDICT r10 #4): the sf10 profile measured the
+    previous per-row Python loop at ~170 µs/event — 1,680 task-seconds
+    for 10M events, 99% of the replay's decade factor (state commits
+    were flat at 1-2 s). The same recurrence in closed form: gap
+    islands are ``diff(t) > gap`` boundaries, capped blocks are
+    ``position-within-island // max_events`` (close-on-overflow means
+    blocks are exact chunks of ``max_events`` in (ts, event_id) order —
+    the identical chunking the islands oracle performs), and per-block
+    (start, end, n, cents) reduce via ``np.add.reduceat``. Every block
+    but the last is closed; the last merges with (or replaces) the
+    carried open-session tuple in state."""
     (user_id,) = key
     if state.exists:
         start_us, last_us, n_ev, cents = state.get
@@ -254,7 +295,6 @@ def _sessionize_group(
         start_us = last_us = -1
         n_ev, cents = 0, 0
 
-    closed: list[tuple] = []
     # Materialize the group's chunks and sort ONCE with the event_id
     # tiebreak (ADVICE r10): the entry-cap split makes intra-island
     # order semantically significant, and the oracle chunks by
@@ -262,30 +302,74 @@ def _sessionize_group(
     # when Arrow splits the group) can put duplicate-timestamp events
     # into different capped blocks and diverge n_events/total_value.
     chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts", "event_id"], kind="stable"
-        )
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1000)  # ns -> us
-            c = int(round(float(value) * 100))  # 2dp values -> exact cents
-            if start_us < 0:
-                start_us, last_us, n_ev, cents = t_us, t_us, 1, c
-            elif t_us - last_us > SESSION_GAP_S * _US or n_ev >= max_events:
-                closed.append((user_id, start_us, last_us, n_ev, cents / 100.0))
-                start_us, last_us, n_ev, cents = t_us, t_us, 1, c
-            else:
-                last_us, n_ev, cents = t_us, n_ev + 1, cents + c
+    if not chunks:
+        state.update((start_us, last_us, n_ev, cents))
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    order = np.lexsort(
+        (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy("datetime64[ns]"))
+    )
+    t_us = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")[order] // 1000
+    # 2dp values -> exact cents (np.rint is round-half-even, matching
+    # the Python round() the row loop used)
+    c = np.rint(pdf["value"].to_numpy(dtype="float64")[order] * 100.0).astype(
+        "int64"
+    )
+    n = len(t_us)
+    gap_us = SESSION_GAP_S * _US
 
-    state.update((start_us, last_us, n_ev, cents))
-    if closed:
-        out = pd.DataFrame(
-            closed,
-            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+    # Does the batch's first event continue the carried open session?
+    cont = start_us >= 0 and (int(t_us[0]) - last_us) <= gap_us
+    # a carried session that closes standalone (by gap, or because its
+    # block is already full — it stays open until the NEXT arrival)
+    emit_carried = start_us >= 0 and (not cont or n_ev >= max_events)
+
+    new_isl = np.empty(n, dtype=bool)
+    new_isl[0] = True
+    new_isl[1:] = (t_us[1:] - t_us[:-1]) > gap_us
+    isl_first = np.flatnonzero(new_isl)  # first row index of each island
+    isl = np.cumsum(new_isl) - 1  # 0-based island id per row
+    pos = np.arange(n) - isl_first[isl]  # 0-based position within island
+    carried_merges = cont and n_ev < max_events
+    if cont:
+        # island 0 continues the carried block: offset its positions by
+        # the carried count (a full carried block pushes row 0 into
+        # block 1, closing the carried block standalone above).
+        pos[isl == 0] += n_ev
+    blk = pos // max_events
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = new_isl[1:] | (blk[1:] != blk[:-1])
+    starts = np.flatnonzero(new_grp)
+    g_start = t_us[starts]
+    g_end = t_us[np.append(starts[1:] - 1, n - 1)]
+    g_n = np.append(starts[1:], n) - starts
+    g_cents = np.add.reduceat(c, starts)
+    if carried_merges:
+        g_start[0] = start_us
+        g_n[0] += n_ev
+        g_cents[0] += cents
+    state.update(
+        (int(g_start[-1]), int(g_end[-1]), int(g_n[-1]), int(g_cents[-1]))
+    )
+    if emit_carried or len(starts) > 1:
+        # all blocks but the last close; array-sliced, no per-row Python
+        o_start, o_end = g_start[:-1], g_end[:-1]
+        o_n, o_cents = g_n[:-1], g_cents[:-1]
+        if emit_carried:
+            o_start = np.concatenate(([start_us], o_start))
+            o_end = np.concatenate(([last_us], o_end))
+            o_n = np.concatenate(([n_ev], o_n))
+            o_cents = np.concatenate(([cents], o_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(o_start), user_id, dtype="int64"),
+                "session_start": o_start.astype("datetime64[us]"),
+                "session_end": o_end.astype("datetime64[us]"),
+                "n_events": o_n.astype("int64"),
+                "total_value": o_cents / 100.0,
+            }
         )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-        yield out
 
 
 def sessionize_stream(
@@ -345,16 +429,31 @@ def sessionize_closed_batch(spark: SparkSession, events: DataFrame) -> DataFrame
     real streaming sessionizer (JSON dump → file stream →
     applyInPandasWithState → availableNow drain) and return the closed
     sessions as a static DataFrame. The DuckDB oracle is the equivalent
-    islands SQL minus each user's final (still-open) session."""
+    islands SQL minus each user's final (still-open) session.
+
+    Batch-count governor (VERDICT r10 #4): every micro-batch re-invokes
+    the Arrow fold once PER USER PRESENT (the applyInPandasWithState
+    per-group machinery costs ~1.5 ms/group — at 150k users × 4 batches
+    that was over half the sf10 drain), so the bounded replay sizes
+    ``maxFilesPerTrigger`` to drain in ≤ ``REPLAY_MAX_BATCHES``
+    micro-batches. Results are batch-layout-invariant (the fold carries
+    state across any boundary — pinned by the stream==batch and
+    restart tests); committed SFs dump ≤ 10 files and keep today's
+    single-batch layout."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
+    n_rows = events.count()  # sizes the shard tier (metadata-cheap)
     with _scratch_dir("sessionize_") as work:
         src = f"{work}/src"
         events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
             "overwrite"
         ).option("timestampFormat", JSON_TS_FMT).json(src)
-        with _replay_shuffle_parts(spark):
+        n_files = sum(1 for f in os.listdir(src) if f.endswith(".json"))
+        max_files = max(10, -(-n_files // REPLAY_MAX_BATCHES))
+        with _replay_shuffle_parts(spark, n_rows=n_rows):
             run_to_memory(
-                sessionize_stream(events_file_stream(spark, src)),
+                sessionize_stream(
+                    events_file_stream(spark, src, max_files=max_files)
+                ),
                 name,
                 "append",
                 f"{work}/ckpt",
@@ -481,6 +580,10 @@ def click_attribution_stream_batch(spark: SparkSession, events: DataFrame) -> Da
     user, click in the half-open 30-minute window ending at the
     purchase instant."""
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    # shard tier sized to the replayed topics, not the whole firehose
+    n_rows = events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).count()
     with _scratch_dir("ssjoin_") as work:
         src = f"{work}/src"
         # replay only the two joined topics (production subscribes the
@@ -493,7 +596,7 @@ def click_attribution_stream_batch(spark: SparkSession, events: DataFrame) -> Da
         ).coalesce(8).write.mode("overwrite").option(
             "timestampFormat", JSON_TS_FMT
         ).json(src)
-        with _replay_shuffle_parts(spark):
+        with _replay_shuffle_parts(spark, n_rows=n_rows):
             run_to_memory(
                 click_attribution_pairs_stream(
                     events_file_stream(spark, src, max_files=4)
@@ -543,12 +646,13 @@ def enrich_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFr
         )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
+    n_rows = events.count()  # sizes the shard tier
     with _scratch_dir("enrich_") as work:
         src = f"{work}/src"
         events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
             "overwrite"
         ).option("timestampFormat", JSON_TS_FMT).json(src)
-        with _replay_shuffle_parts(spark):
+        with _replay_shuffle_parts(spark, n_rows=n_rows):
             run_to_memory(
                 enrich_stream(events_file_stream(spark, src, max_files=4), dim),
                 name,
@@ -613,12 +717,13 @@ def hopping_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataF
     The DuckDB oracle is the same hopping expansion the batch
     ``events_hopping_windows`` key proves."""
     name = f"hopping_{uuid.uuid4().hex[:8]}"
+    n_rows = events.count()  # sizes the shard tier
     with _scratch_dir("hopping_") as work:
         src = f"{work}/src"
         events.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
             "overwrite"
         ).option("timestampFormat", JSON_TS_FMT).json(src)
-        with _replay_shuffle_parts(spark):
+        with _replay_shuffle_parts(spark, n_rows=n_rows):
             run_to_memory(
                 hopping_windowed_counts(events_file_stream(spark, src)),
                 name,
@@ -653,6 +758,9 @@ def dedup_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFra
     Oracle: the same per-type rollup over the original (undoubled)
     events table, which is what exact dedup must reproduce."""
     name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    # the replay input is the DOUBLED stream; its state is one row per
+    # distinct event_id in the horizon, so size the tier to that
+    n_rows = events.count()
     with _scratch_dir("streamdedup_") as work:
         src = f"{work}/src"
         cols = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -662,7 +770,7 @@ def dedup_counts_stream_batch(spark: SparkSession, events: DataFrame) -> DataFra
         doubled.write.mode("overwrite").option("timestampFormat", JSON_TS_FMT).json(
             src
         )
-        with _replay_shuffle_parts(spark):
+        with _replay_shuffle_parts(spark, n_rows=n_rows):
             run_to_memory(
                 dedup_stream(events_file_stream(spark, src), DEDUP_STREAM_WATERMARK),
                 name,

@@ -308,3 +308,35 @@ def test_knn_graph_beam_layered_seed_is_nearest_layer_vertex(spark, sf_dir):
     assert all(v[0] in layer for v in per_query.values()), (
         "seed outside the md5 layer"
     )
+
+
+def test_replay_shard_tier_widens_past_bound(spark):
+    """The replay shard governor (VERDICT r10 #4): small replays pin
+    spark.sql.shuffle.partitions to REPLAY_STATE_PARTITIONS (commit-
+    bound regime); replays of >= REPLAY_WIDE_ROWS rows keep the session
+    width (the sf10 profile showed commits flat at ~1.5 s while the
+    8-shard fold serialized 10M rows onto a quarter of the cores). The
+    session value must be restored either way."""
+    from logistics_data_pipeline_spark.streaming.windowed import (
+        REPLAY_STATE_PARTITIONS,
+        REPLAY_WIDE_ROWS,
+        _replay_shuffle_parts,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        # pin a session width distinct from the shrink target (the test
+        # session runs 8 CPUs, so the default width IS 8)
+        spark.conf.set(key, "24")
+        with _replay_shuffle_parts(spark, n_rows=REPLAY_WIDE_ROWS - 1):
+            assert spark.conf.get(key) == str(REPLAY_STATE_PARTITIONS)
+        assert spark.conf.get(key) == "24"
+        with _replay_shuffle_parts(spark, n_rows=REPLAY_WIDE_ROWS):
+            assert spark.conf.get(key) == "24"
+        assert spark.conf.get(key) == "24"
+        with _replay_shuffle_parts(spark):  # no row count -> legacy shrink
+            assert spark.conf.get(key) == str(REPLAY_STATE_PARTITIONS)
+        assert spark.conf.get(key) == "24"
+    finally:
+        spark.conf.set(key, orig)

@@ -44,9 +44,10 @@ DEFAULT_DIRS = [
 
 def profile(spark, sf_dir: str) -> dict:
     events = load_table(spark, sf_dir, "events")
+    n_rows = events.count()  # same sizing action the wrapper pays
     name = f"prof_{uuid.uuid4().hex[:8]}"
     work = tempfile.mkdtemp(prefix="sessprof_")
-    out: dict = {"sf_dir": sf_dir}
+    out: dict = {"sf_dir": sf_dir, "n_rows": n_rows}
     try:
         src = f"{work}/src"
         t0 = time.time()
@@ -56,11 +57,14 @@ def profile(spark, sf_dir: str) -> dict:
         out["dump_s"] = round(time.time() - t0, 2)
         n_files = len([f for f in os.listdir(src) if f.endswith(".json")])
         out["n_files"] = n_files
+        max_files = max(10, -(-n_files // w.REPLAY_MAX_BATCHES))
 
         t0 = time.time()
-        with w._replay_shuffle_parts(spark):
+        with w._replay_shuffle_parts(spark, n_rows=n_rows):
             q = w.run_to_memory(
-                w.sessionize_stream(w.events_file_stream(spark, src)),
+                w.sessionize_stream(
+                    w.events_file_stream(spark, src, max_files=max_files)
+                ),
                 name,
                 "append",
                 f"{work}/ckpt",
