@@ -793,30 +793,12 @@ PHASH_BAND_BITS = 8
 PHASH_MAX_HAMMING = 10
 
 
-def media_phash_neardup(
-    docs: DataFrame,
-    max_hamming: int = PHASH_MAX_HAMMING,
-    band_bits: int | None = None,
-) -> DataFrame:
-    """pHash perceptual near-dup: the canonical 256-byte payload read
-    as a 16×16 pixel grid → 2-D DCT-II (SEPARABLE: a 16→8 row pass
-    then a 16→8 column pass — never the 4-nested-loop form) → keep the
-    low-frequency 8×8 block → bit_i = (coeff·63 > Σ coeffs excl. DC),
-    the integer cross-multiplied form of "above the AC mean" — the
-    classic pHash recipe (DC excluded, mean variant), with every step
-    in exact integer arithmetic via a fixed-point cosine table shared
-    verbatim with the SQL twin. pHash survives global brightness/
-    contrast shifts that defeat ``media_ahash_neardup`` (aHash), since
-    those land mostly in the DC term the signature discards; banding +
-    packed-signature Hamming verify are the same pigeonhole machinery.
-
-    Scale: two map-side DCT passes (8× explode each, O(1)-width rows
-    after the hex truncate), per-media aggregations, banded equi-join
-    candidates, 1-row-per-pair popcount verify — no all-pairs step.
-    Band widths carry the same corpus-adaptive governor as
-    ``media_ahash_neardup`` (8-bit bands to 8192 media, 16-bit beyond;
-    guarantee radius drops to hamming ≤ 3, committed SFs unaffected) —
-    the sf1 probe measured the fixed 8-bit shape at 3.84× per decade."""
+def _phash_media_and_bits(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared pHash front half: (media frame, persisted per-bit frame
+    ``(media_id, b, bit)``). Split out so ``media_phash_sigs`` (the
+    canonical 64-bit signature view used by tools/phash_recall.py's
+    ground-truth measurement, VERDICT r11 #1) and the banded near-dup
+    operator compute the identical bits."""
     from ..session import track_persist
 
     need = PHASH_N * PHASH_N
@@ -830,9 +812,6 @@ def media_phash_neardup(
         .filter(F.col("n_bytes") >= need)
         .repartition(shuffle_parts(docs), "media_id")
     )
-    if band_bits is None:
-        n_media = media.count()  # one sizing action, the SRP precedent
-        band_bits = PHASH_BAND_BITS if n_media <= 8192 else 16
     cos_arr = F.array(*[F.lit(c).cast("long") for c in PHASH_COS])
     px = media.select(
         "media_id",
@@ -900,6 +879,63 @@ def media_phash_neardup(
             .alias("bit"),
         )
     )
+    return media, bits
+
+
+def media_phash_sigs(docs: DataFrame) -> DataFrame:
+    """Canonical packed pHash signatures ``(media_id, lo, hi)`` — lo =
+    bits 0..31, hi = bits 32..63, the same packing every band width in
+    ``media_phash_neardup`` produces (band values are positional
+    within their half, so 8/16/32-bit bands all fold to this layout).
+    Used by tools/phash_recall.py for the exact all-pairs ground-truth
+    measurement (VERDICT r11 #1)."""
+    _, bits = _phash_media_and_bits(docs)
+    return bits.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("b") < 32,
+                F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                F.col("b") >= 32,
+                F.col("bit") * F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
+
+
+def media_phash_neardup(
+    docs: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """pHash perceptual near-dup: the canonical 256-byte payload read
+    as a 16×16 pixel grid → 2-D DCT-II (SEPARABLE: a 16→8 row pass
+    then a 16→8 column pass — never the 4-nested-loop form) → keep the
+    low-frequency 8×8 block → bit_i = (coeff·63 > Σ coeffs excl. DC),
+    the integer cross-multiplied form of "above the AC mean" — the
+    classic pHash recipe (DC excluded, mean variant), with every step
+    in exact integer arithmetic via a fixed-point cosine table shared
+    verbatim with the SQL twin. pHash survives global brightness/
+    contrast shifts that defeat ``media_ahash_neardup`` (aHash), since
+    those land mostly in the DC term the signature discards; banding +
+    packed-signature Hamming verify are the same pigeonhole machinery.
+
+    Scale: two map-side DCT passes (8× explode each, O(1)-width rows
+    after the hex truncate), per-media aggregations, banded equi-join
+    candidates, 1-row-per-pair popcount verify — no all-pairs step.
+    Band widths carry the same corpus-adaptive governor as
+    ``media_ahash_neardup`` (8-bit bands to 8192 media, 16-bit beyond;
+    guarantee radius drops to hamming ≤ 3, committed SFs unaffected) —
+    the sf1 probe measured the fixed 8-bit shape at 3.84× per decade."""
+    from ..session import track_persist
+
+    media, bits = _phash_media_and_bits(docs)
+    if band_bits is None:
+        n_media = media.count()  # one sizing action, the SRP precedent
+        band_bits = PHASH_BAND_BITS if n_media <= 8192 else 16
     bands = track_persist(
         bits.groupBy(
             "media_id",

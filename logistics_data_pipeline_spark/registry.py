@@ -1224,7 +1224,11 @@ _DRIVER_WINDOW = [
     "docs_simhash_pairs",
     "docs_snapshot_diff",
     "docs_sorted_neighborhood",
-    "docs_tfidf_cosine_pairs",
+    # (docs_tfidf_cosine_pairs was the 51st entry in round 11 — past the
+    # driver's 50-key horizon, so it LOOKED windowed while never being
+    # hash-checked (ADVICE r11 #1). Its r05 green row stands; the length
+    # assert in _apply_registration_order now makes this class of silent
+    # fall-off impossible.)
     # (docs_weighted_sample ceded its slot to the emb_kmeanspp_init
     # re-pin: its r05 green row stands and its sampling idiom is
     # re-exercised by docs_dsir_weights, green in every local gate)
@@ -2469,6 +2473,13 @@ def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES
     missing = [k for k in _DRIVER_WINDOW if k not in _QUERIES]
     assert not missing, f"_DRIVER_WINDOW names unregistered keys: {missing}"
+    # The driver hash-checks exactly the FIRST 50 registered keys; a 51st
+    # window entry silently falls outside the verified horizon while still
+    # looking pinned (ADVICE r11 #1 — round 11 shipped 51 entries).
+    assert len(_DRIVER_WINDOW) == 50, (
+        f"_DRIVER_WINDOW must be exactly 50 keys (driver horizon), "
+        f"got {len(_DRIVER_WINDOW)}"
+    )
     order = _DRIVER_WINDOW + [k for k in _QUERIES if k not in _DRIVER_WINDOW]
     _QUERIES = {k: _QUERIES[k] for k in order}
     _ORACLES = {k: _ORACLES[k] for k in order if k in _ORACLES}

@@ -309,12 +309,21 @@ def _sessionize_group(
     order = np.lexsort(
         (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy("datetime64[ns]"))
     )
-    t_us = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")[order] // 1000
+    ts_ns = pdf["ts"].to_numpy("datetime64[ns]")[order]
+    vals = pdf["value"].to_numpy(dtype="float64")[order]
+    # Non-null contract (ADVICE r11 #2): the old per-row
+    # ``int(round(float(value)))`` loop raised on None/NaN; the
+    # vectorized casts would instead turn NaN into INT64_MIN garbage
+    # cents and NaT into a bogus epoch, silently corrupting session
+    # totals. Fail as loudly as the loop did.
+    if np.isnat(ts_ns).any():
+        raise ValueError(f"sessionize: NULL ts for user_id={user_id}")
+    if np.isnan(vals).any():
+        raise ValueError(f"sessionize: NULL/NaN value for user_id={user_id}")
+    t_us = ts_ns.astype("int64") // 1000
     # 2dp values -> exact cents (np.rint is round-half-even, matching
     # the Python round() the row loop used)
-    c = np.rint(pdf["value"].to_numpy(dtype="float64")[order] * 100.0).astype(
-        "int64"
-    )
+    c = np.rint(vals * 100.0).astype("int64")
     n = len(t_us)
     gap_us = SESSION_GAP_S * _US
 

@@ -271,32 +271,44 @@ def test_knn_graph_beam_layered_recall_floor_at_4_rounds(spark, sf_dir):
 
 def test_knn_graph_beam_layered_seed_is_nearest_layer_vertex(spark, sf_dir):
     """With rounds=0 the layered search returns exactly its seed: ONE
-    row per query, and that row's vec_id must be a member of the
-    ⌈√n⌉-vertex md5 layer (recomputed independently here) — i.e. the
-    seed really is the nearest LAYER vertex, not a global scan."""
+    row per query, and that row's vec_id must equal the query's
+    argmax-cosine vertex WITHIN the ⌈√n⌉-vertex md5 layer (both
+    recomputed independently here with numpy, cosine 6-dp rounded and
+    tie-broken by vec_id ASC like the operator). Membership alone is
+    not enough — a bug seeding at an arbitrary layer vertex would
+    still be 'in the layer' (ADVICE r11 #3)."""
     import hashlib
     import math as _math
+
+    import numpy as _np
 
     from logistics_data_pipeline_spark.adapters.testdata import load_table
     from logistics_data_pipeline_spark.llm import similarity as llm_sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus_ids = sorted(
-        r.vec_id
-        for r in emb.filter("vec_id >= 10").select("vec_id").collect()
-    )
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: _np.asarray(r.embedding, dtype="float64") for r in rows}
+    corpus_ids = sorted(v for v in vecs if v >= 10)
     n_layer = _math.ceil(_math.sqrt(len(corpus_ids)))
-    layer = set(
-        sorted(
-            corpus_ids,
-            key=lambda v: (
-                hashlib.md5(
-                    f"{v}:{llm_sim.NSW_LAYER_SALT}".encode()
-                ).hexdigest(),
-                v,
-            ),
-        )[:n_layer]
-    )
+    layer_ids = sorted(
+        corpus_ids,
+        key=lambda v: (
+            hashlib.md5(f"{v}:{llm_sim.NSW_LAYER_SALT}".encode()).hexdigest(),
+            v,
+        ),
+    )[:n_layer]
+
+    def expected_seed(qid: int) -> int:
+        q = vecs[qid]
+        qn = _np.linalg.norm(q)
+        best = None
+        for v in sorted(layer_ids):  # vec_id ASC = operator's tiebreak
+            c = vecs[v]
+            cos = round(float(q @ c / (qn * _np.linalg.norm(c))), 6)
+            if best is None or cos > best[0]:
+                best = (cos, v)
+        return best[1]
+
     sink: list = []
     out = llm_sim.knn_graph_beam(
         emb, rounds=0, layered=True, visited_out=sink
@@ -305,9 +317,11 @@ def test_knn_graph_beam_layered_seed_is_nearest_layer_vertex(spark, sf_dir):
     for r in out:
         per_query.setdefault(r.query_id, []).append(r.neighbor_id)
     assert per_query and all(len(v) == 1 for v in per_query.values())
-    assert all(v[0] in layer for v in per_query.values()), (
-        "seed outside the md5 layer"
-    )
+    for qid, (seed,) in sorted(per_query.items()):
+        want = expected_seed(qid)
+        assert seed == want, (
+            f"query {qid}: seed {seed} != nearest layer vertex {want}"
+        )
 
 
 def test_replay_shard_tier_widens_past_bound(spark):

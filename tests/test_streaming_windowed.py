@@ -361,3 +361,40 @@ def test_sessionize_entry_cap_matches_islands_oracle(spark, tmp_path):
     assert [
         (n, tv) for u, _, _, n, tv in got if u == 9
     ] == [(1, 4.5), (2, 4.0)]  # membership: (9,10) together, (11) alone
+
+
+def test_sessionize_fold_raises_on_null_value_and_ts():
+    """ADVICE r11 #2: the vectorized fold must FAIL LOUDLY on NULL/NaN
+    value or NaT ts — the old per-row ``int(round(float(v)))`` loop
+    raised, and the numpy casts would otherwise turn NaN into
+    INT64_MIN garbage cents (silent session-total corruption)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from logistics_data_pipeline_spark.streaming.windowed import (
+        _sessionize_group,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.tup = t
+
+    def run(pdf):
+        return list(_sessionize_group((1,), iter([pdf]), FakeState()))
+
+    ok = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00"]),
+            "value": [1.25, 2.50],
+        }
+    )
+    run(ok)  # sane input folds fine
+    with _pytest.raises(ValueError, match="NULL/NaN value"):
+        run(ok.assign(value=[1.25, np.nan]))
+    with _pytest.raises(ValueError, match="NULL ts"):
+        run(ok.assign(ts=pd.to_datetime(["2024-01-01", pd.NaT])))
