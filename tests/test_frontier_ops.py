@@ -691,14 +691,21 @@ class TestAhashNeardup:
         con.sql(
             f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
         )
-        for fn, sql_builder in (
-            (mm.media_ahash_neardup, mm.media_ahash_neardup_sql),
-            (mm.media_phash_neardup, mm.media_phash_neardup_sql),
-        ):
+        sp = {(r.a_id, r.b_id): r.hamming
+              for r in mm.media_ahash_neardup(docs, band_bits=16).collect()}
+        dk = {(a, b): h
+              for a, b, h in con.sql(mm.media_ahash_neardup_sql(16)).fetchall()}
+        assert sp == dk and len(sp) > 0
+        # pHash (round 12): BOTH band widths must equal the GROUND-TRUTH
+        # exact all-pairs oracle — the complete multiprobe makes the
+        # banded output exact in every regime, so the check is recall
+        # vs truth, not banding parity.
+        truth = {(a, b): h
+                 for a, b, h in con.sql(mm.media_phash_neardup_sql()).fetchall()}
+        for bb in (8, 16):
             sp = {(r.a_id, r.b_id): r.hamming
-                  for r in fn(docs, band_bits=16).collect()}
-            dk = {(a, b): h for a, b, h in con.sql(sql_builder(16)).fetchall()}
-            assert sp == dk and len(sp) > 0, fn.__name__
+                  for r in mm.media_phash_neardup(docs, band_bits=bb).collect()}
+            assert sp == truth and len(sp) > 0, f"band_bits={bb}"
 
     def test_wide_band_governor_preserves_hamming_on_common_pairs(self, spark):
         """16-bit bands (the >8192-media governor regime) must compute
@@ -719,14 +726,15 @@ class TestAhashNeardup:
             assert h8[pair] == h16[pair], pair
         assert set(h16) <= set(h8)  # wider bands only ever lose recall
 
+        # pHash (round 12): the complete multiprobe makes both widths
+        # EXACT, so the two regimes must be fully identical, not merely
+        # recall-ordered.
         p8 = {(r.a_id, r.b_id): r.hamming
               for r in mm.media_phash_neardup(docs, band_bits=8).collect()}
         p16 = {(r.a_id, r.b_id): r.hamming
                for r in mm.media_phash_neardup(docs, band_bits=16).collect()}
         assert p16[(0, 2)] == 0
-        for pair in set(p8) & set(p16):
-            assert p8[pair] == p16[pair], pair
-        assert set(p16) <= set(p8)
+        assert p8 == p16
 
 
 def test_ahash_32bit_regime_matches_duckdb_and_preserves_hamming(spark, sf_dir):

@@ -81,8 +81,8 @@ def test_embeddings_are_float_arrays(spark, sf_dir):
 
 
 def test_corpora_stay_under_the_governor_oracle_bounds():
-    """The three size-adaptive governors (SRP-LSH / aHash / pHash band
-    width, SemDeDup cell sharding) pick their narrow regime at every
+    """The size-adaptive governors (SRP-LSH / aHash band width,
+    SemDeDup cell sharding) pick their narrow regime at every
     committed SF, which is exactly where the REGISTERED oracle
     constants mirror them. If the driver ever regenerates testdata
     past these bounds, the Spark side would switch regimes and the
@@ -90,8 +90,10 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
     fix: re-bind the registered SQL from the parameterized builders
     (neardup_lsh_sql / semantic_decontamination_governed_sql /
     curation._decontamination_panel_sql / media_ahash_neardup_sql /
-    media_phash_neardup_sql / semdedup_sql) at the width/cap the new
-    sizes select."""
+    semdedup_sql) at the width/cap the new sizes select. (pHash left
+    this list in round 12: its complete multiprobe makes the output
+    exact in every regime and its oracle is ground truth, so there is
+    no regime bound to guard.)"""
     import duckdb
 
     n_emb = duckdb.sql(
@@ -113,7 +115,7 @@ def test_corpora_stay_under_the_governor_oracle_bounds():
         "asset switches to the LSH-seeded NN-descent build, which the "
         "registered oracle does NOT mirror"
     )
-    assert n_docs <= 8192, f"aHash/pHash 8-bit oracle bound crossed: {n_docs} docs"
+    assert n_docs <= 8192, f"aHash 8-bit oracle bound crossed: {n_docs} docs"
     from logistics_data_pipeline_spark.llm.similarity import (
         KC_EXACT_CELLS,
         SEMDEDUP_CELL_CAP,

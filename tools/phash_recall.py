@@ -86,7 +86,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--band-bits", type=int, default=16)
-    ap.add_argument("--variants", default="plain")
+    # comma-separated band widths to run the (post-redesign, exact)
+    # banded operator at; each should report recall 1.0 in every
+    # non-empty Hamming bucket — the complete-multiprobe proof row
+    ap.add_argument("--variants", default="16")
     ap.add_argument("--max-hamming", type=int, default=10)
     args = ap.parse_args()
 
@@ -117,23 +120,13 @@ def main() -> None:
         "true": true_hist,
         "variants": {},
     }
-    for name in args.variants.split(","):
-        name = name.strip()
-        if not name:
+    for spec in args.variants.split(","):
+        spec = spec.strip()
+        if not spec:
             continue
-        kw = {"band_bits": args.band_bits}
-        if name == "multiprobe":
-            kw["multiprobe"] = True
-        elif name == "plain":
-            kw["multiprobe"] = False
+        name = f"banded{spec}"
         t0 = time.time()
-        try:
-            res = mm.media_phash_neardup(docs, **kw)
-        except TypeError:
-            if name != "plain":
-                raise
-            kw.pop("multiprobe")  # pre-multiprobe signature
-            res = mm.media_phash_neardup(docs, **kw)
+        res = mm.media_phash_neardup(docs, band_bits=int(spec))
         found = {
             int(r.hamming): int(r.cnt)
             for r in res.groupBy("hamming").agg(F.count("*").alias("cnt")).collect()
