@@ -322,7 +322,10 @@ def main() -> None:
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr, flush=True)
 
     sys.stderr.flush()
-    print(final_line(timings, total, sf, loads), flush=True)
+    print(
+        final_line(timings, total, sf, loads, total_min=detail["total_min"]),
+        flush=True,
+    )
 
 
 # Budgeted final line: 2-dp per-query medians, compact separators.
@@ -343,6 +346,7 @@ def final_line(
     sf: str,
     loads: list[float],
     budget: int = LINE_BUDGET,
+    total_min: float | None = None,
 ) -> str:
     compact = {name: round(t, 2) for name, t in timings.items()}
     dropped: list[str] = []
@@ -357,6 +361,11 @@ def final_line(
             "n": len(timings),
             "load": loads,
         }
+        if total_min is not None:
+            # contention-robust companion to `value` (VERDICT r11 #6):
+            # sum of per-query minimums across rounds — a median total
+            # far above it means the host, not the plans, moved.
+            out["total_min"] = total_min
         if dropped:
             out["other_n"] = len(dropped)
             out["other_sec"] = round(sum(timings[d] for d in dropped), 2)

@@ -29,10 +29,16 @@ def test_bench_final_line_parseable_at_330_keys():
         for i in range(330)
     }
     total = round(sum(timings.values()), 3)
-    line = bench.final_line(timings, total, "0.1", [9.9, 10.1, 8.7])
+    total_min = round(total * 0.91, 3)
+    line = bench.final_line(
+        timings, total, "0.1", [9.9, 10.1, 8.7], total_min=total_min
+    )
     assert len(line) <= bench.LINE_BUDGET <= 1700
     out = json.loads(line)
     assert out["value"] == total and out["n"] == 330
+    # VERDICT r11 #6: the parsed stdout line carries the
+    # contention-robust min-sum beside the median total
+    assert out["total_min"] == total_min
     kept = sum(out["queries"].values())
     assert abs(kept + out["other_sec"] - total) < 0.5  # 2-dp rounding slack
     # the slowest keys are always retained verbatim
