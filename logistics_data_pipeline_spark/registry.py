@@ -2468,6 +2468,15 @@ register(
     ),
     _bucketed.ZORDER_EXTENTS_SQL,
 )
+register(
+    # incremental IVF maintenance (VERDICT r11 #3): fold the vec_id%5==0
+    # arriving batch into the exact quantizer trained on the REST — one
+    # argmax map pass, no retrain — and emit the per-cell load panel
+    # with retrain-candidate flags. Full oracle. NEW round 12 → window
+    "emb_ivf_delta_assign",
+    _q(lambda spark, sf: llm_sim.ivf_delta_assign(_emb(spark, sf))),
+    llm_sim.IVF_DELTA_ASSIGN_SQL,
+)
 
 def _apply_registration_order() -> None:
     global _QUERIES, _ORACLES

@@ -125,3 +125,104 @@ class TestPhashCompleteMultiprobe:
         docs = _synth_docs(spark)
         with pytest.raises(AssertionError, match="probe set incomplete"):
             mm.media_phash_neardup(docs, max_hamming=20, band_bits=16)
+
+
+# --- incremental IVF maintenance (VERDICT r11 #3) ---------------------------
+
+
+class TestIvfDeltaAssign:
+    def test_injected_assets_reproduce_registered_output(self, spark, sf_dir):
+        """The serving path — deployed centroids + persisted old
+        assignment injected — must reproduce the registered key's panel
+        bit-for-bit, proving the only delta work is the batch argmax
+        plus the O(cells) aggregation."""
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+        from logistics_data_pipeline_spark.llm import similarity as sim
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= sim.NSW_N_QUERIES)
+        old = corpus.filter((F.col("vec_id") % sim.IVF_DELTA_MOD) != 0)
+        cents = sim.kc_exact_centroids(old).localCheckpoint(eager=True)
+        old_cells = sim._cosine_argmax(
+            sim._explode_vecs(old), cents
+        ).localCheckpoint(eager=True)
+        served = sim.ivf_delta_assign(
+            emb, cents=cents, old_cells=old_cells
+        ).collect()
+        registered = sim.ivf_delta_assign(emb).collect()
+        assert [tuple(r) for r in served] == [tuple(r) for r in registered]
+        assert len(registered) > 0
+
+    def test_fold_counts_conserve_and_split_matches_mod(self, spark, sf_dir):
+        """n_old + n_new must equal the corpus split sizes exactly —
+        every old and batch vector lands in exactly one cell."""
+        from logistics_data_pipeline_spark.adapters.testdata import load_table
+        from logistics_data_pipeline_spark.llm import similarity as sim
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= sim.NSW_N_QUERIES)
+        n_batch = corpus.filter(
+            (F.col("vec_id") % sim.IVF_DELTA_MOD) == 0
+        ).count()
+        n_old = corpus.count() - n_batch
+        rows = sim.ivf_delta_assign(emb).collect()
+        assert sum(r.n_old for r in rows) == n_old
+        assert sum(r.n_new for r in rows) == n_batch
+        for r in rows:
+            assert r.n_total == r.n_old + r.n_new
+            assert r.retrain_candidate == (r.load_ratio > sim.IVF_RETRAIN_RATIO)
+
+    def test_skewed_batch_flags_retrain_candidate(self, spark):
+        """A batch that piles onto one cell must flag it past the skew
+        bound instead of silently absorbing the imbalance — the signal
+        that routes a LOCAL re-split, not a global retrain."""
+        import numpy as np
+
+        from logistics_data_pipeline_spark.llm import similarity as sim
+
+        rng = np.random.RandomState(3)
+        d = 8
+        rows = []
+        # old corpus: 40 vectors spread over 4 well-separated axes
+        for i in range(40):
+            v = rng.normal(0, 0.05, d)
+            v[i % 4] = 1.0
+            rows.append((10 + i + (1 if (10 + i) % 5 == 0 else 0), 0,
+                         [float(x) for x in v]))
+        # batch: 30 vectors ALL near axis 0 (vec_id % 5 == 0)
+        for j in range(30):
+            v = rng.normal(0, 0.05, d)
+            v[0] = 1.0
+            rows.append((100 + 5 * j, 0, [float(x) for x in v]))
+        emb = spark.createDataFrame(
+            [(int(i), int(lab), vec) for i, lab, vec in rows],
+            "vec_id long, label long, embedding array<float>",
+        )
+        panel = sim.ivf_delta_assign(emb, n_cells=4, seed=7).collect()
+        flagged = [r for r in panel if r.retrain_candidate]
+        assert flagged, panel
+        hot = max(panel, key=lambda r: r.n_total)
+        assert hot.retrain_candidate and hot.n_new >= 25
+
+
+def test_knn_ivf_delta_recall_holds_panel_floor(spark):
+    """VERDICT r11 #3 done-criterion: recall@5 over corpus ∪ batch with
+    the DELTA-maintained learned index (centroids trained on the old
+    corpus only, batch folded by one assign pass — never retrained)
+    must hold the same 0.75 floor the full-retrain knn_ivf pins at
+    sf0.01, at the delta path's retuned default operating point
+    (nprobe=10 — measured 0.82 vs full-retrain 0.80 at nprobe=8; the
+    retune is the panel-driven serving response to a corpus shift,
+    2 extra probed cells instead of any retrain)."""
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm.similarity import (
+        knn_bruteforce,
+        knn_ivf_delta,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(emb).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in knn_ivf_delta(emb).collect()}
+    assert len(got & truth) / len(truth) >= 0.75

@@ -217,6 +217,9 @@ ALLOWED = {
     "emb_semdedup": {"unpartitioned window"},
     "emb_cluster_balanced_sample": {"unpartitioned window"},
     "emb_knn_ivf_exact": {"unpartitioned window"},
+    # kc_exact_centroids' 16-row seed window on the OLD-corpus train,
+    # plus the 1-row total/cells scalar broadcast into the load panel
+    "emb_ivf_delta_assign": {"unpartitioned window", "nested-loop join"},
     # 1-row corpus token-total broadcast into the 256-bucket ratio table
     "docs_dsir_weights": {"nested-loop join"},
     # per-round broadcast of the 1-row normalization totals (node count,
