@@ -7067,6 +7067,7 @@ def knn_graph_delta(
     salt: int = NND_SALT,
     graph: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    is_new=None,
 ) -> DataFrame:
     """Incremental kNN-graph maintenance (VERDICT r10 #2): fold an
     arriving batch of vectors into an EXISTING symmetrized kNN graph
@@ -7107,13 +7108,21 @@ def knn_graph_delta(
     ``_srp_dims`` governor); the old-edge re-score is one linear pass
     (a serving deployment persists edge cosines and skips it); descent
     rounds are batch-localized. No step touches |old|² pairs — the
-    entire point of delta maintenance."""
+    entire point of delta maintenance.
+
+    ``is_new`` (round 12, the streaming-leg generalization) takes a
+    Column→Column membership predicate replacing the default
+    ``vec_id % batch_mod == 0`` split — ``graph_delta_stream``'s
+    foreachBatch folds pass the current micro-batch's group predicate
+    so each fold localizes to THAT batch. The registered key keeps the
+    default, so its oracle is untouched."""
+    if is_new is None:
+        is_new = lambda c: (c % batch_mod) == 0  # noqa: E731
     corpus = emb.filter(F.col("vec_id") >= n_queries).select(
         "vec_id", "embedding"
     )
-    is_new = (F.col("vec_id") % batch_mod) == 0
     if graph is None:
-        graph = _knn_graph(corpus.filter(~is_new), m)
+        graph = _knn_graph(corpus.filter(~is_new(F.col("vec_id"))), m)
     if sigs is None:
         n_bits, band_bits = _srp_dims(emb)
         sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
@@ -7128,14 +7137,11 @@ def knn_graph_delta(
             ["band", "bucket"],
         )
         .filter(F.col("src") != F.col("dst"))
-        .filter(
-            ((F.col("src") % batch_mod) == 0)
-            | ((F.col("dst") % batch_mod) == 0)
-        )
+        .filter(is_new(F.col("src")) | is_new(F.col("dst")))
         .select("src", "dst")
         .distinct()
     )
-    new_hashed = corpus.filter(is_new).select(
+    new_hashed = corpus.filter(is_new(F.col("vec_id"))).select(
         "vec_id",
         F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))).alias(
             "h"
@@ -7188,7 +7194,7 @@ def knn_graph_delta(
         # localization that keeps each round O(|batch|·(2m)²)
         wedge = (
             both.alias("x")
-            .filter((F.col("src") % batch_mod) == 0)
+            .filter(is_new(F.col("src")))
             .join(both.alias("y"), F.col("x.dst") == F.col("y.src"))
             .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -7354,3 +7360,132 @@ ORDER BY src, rank"""
 
 
 KNN_GRAPH_DELTA_SQL = knn_graph_delta_sql()
+
+
+def graph_delta_stream(
+    spark,
+    emb: DataFrame,
+    n_groups: int = 3,
+    n_queries: int = NSW_N_QUERIES,
+    m: int = NSW_M,
+    rounds: int = NSW_DELTA_ROUNDS,
+    batch_mod: int = NSW_DELTA_MOD,
+    src_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    graph: DataFrame | None = None,
+    on_fold=None,
+) -> DataFrame:
+    """Stream-maintained kNN-graph index (VERDICT r11 #4): a replayed
+    embedding stream keeps the ``nsw_graph`` asset current via one
+    ``knn_graph_delta`` fold per micro-batch — the end-to-end 100 TB
+    serving story (the batch-side delta landed in round 11; this is
+    the arrival path that drives it).
+
+    Mechanics: the arriving vectors (``vec_id % batch_mod == 0``)
+    split into ``n_groups`` replay days by
+    ``(vec_id // batch_mod) % n_groups``; each day is one JSON file of
+    ids (vectors join from the static table inside the fold — ids on
+    the wire, no float round-trip), drained with
+    ``maxFilesPerTrigger=1`` + availableNow through a checkpointed
+    ``foreachBatch``. Each fold calls ``knn_graph_delta`` with the
+    micro-batch's group predicate as ``is_new`` and the running graph
+    as ``graph``, then eagerly localCheckpoints the updated index —
+    the foreachBatch analogue of writing the graph table back to the
+    object store. A checkpointed restart with no new files refires
+    nothing (committed epochs are skipped), so maintenance is
+    idempotent; pytest pins that plus end-state symmetrized edge
+    recall ≥ 0.85 vs a from-scratch build over the full corpus.
+
+    ``src_dir``/``checkpoint_dir``/``graph`` are injectable for the
+    restart test (an existing non-empty src_dir is reused as-is);
+    ``on_fold(j)`` observes fold order. Returns the final graph in
+    ``nn_descent_graph``'s (src, rank, dst, cosine) shape."""
+    import os
+    import shutil
+    import tempfile
+
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    batch_pred = (F.col("vec_id") % batch_mod) == 0
+
+    def grp(c):
+        return F.pmod(F.floor(c / batch_mod).cast("long"), F.lit(n_groups))
+
+    if graph is None:
+        graph = _knn_graph(
+            corpus.filter(~batch_pred).select("vec_id", "embedding"), m
+        )
+    state = {"graph": graph.localCheckpoint(eager=True)}
+
+    own_dirs = []
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="graphdelta_src_")
+        own_dirs.append(src_dir)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="graphdelta_ckpt_")
+        own_dirs.append(checkpoint_dir)
+
+    def fold(mb, epoch_id):
+        r = mb.agg(
+            F.min("grp").alias("a"), F.max("grp").alias("b"),
+            F.count("*").alias("n"),
+        ).first()
+        if r.n == 0:
+            return
+        assert r.a == r.b, f"micro-batch spans groups {r.a}..{r.b}"
+        j = int(r.a)
+        arrived = (
+            (F.col("vec_id") < n_queries)
+            | ~batch_pred
+            | (grp(F.col("vec_id")) <= j)
+        )
+        state["graph"] = knn_graph_delta(
+            emb.filter(arrived),
+            n_queries=n_queries,
+            m=m,
+            rounds=rounds,
+            batch_mod=batch_mod,
+            graph=state["graph"],
+            is_new=lambda c: ((c % batch_mod) == 0) & (grp(c) == j),
+        ).localCheckpoint(eager=True)
+        if on_fold is not None:
+            on_fold(j)
+
+    try:
+        if not os.listdir(src_dir):
+            # one file per replay day, mtimes increasing so the file
+            # source drains them in group order
+            for j in range(n_groups):
+                tmp = tempfile.mkdtemp(prefix="graphdelta_day_")
+                try:
+                    (
+                        corpus.filter(
+                            batch_pred & (grp(F.col("vec_id")) == j)
+                        )
+                        .select("vec_id", grp(F.col("vec_id")).alias("grp"))
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .json(tmp)
+                    )
+                    parts = [
+                        f for f in os.listdir(tmp)
+                        if f.startswith("part-") and f.endswith(".json")
+                    ]
+                    dst = os.path.join(src_dir, f"day{j:04d}.json")
+                    shutil.move(os.path.join(tmp, parts[0]), dst)
+                    os.utime(dst, (1_600_000_000 + j, 1_600_000_000 + j))
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+        q = (
+            spark.readStream.schema("vec_id LONG, grp LONG")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        for d in own_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return state["graph"]
