@@ -800,6 +800,18 @@ def _dedup_shared(spark, sf, name):
         df = llm_sim.knn_ivf(_emb(spark, sf))
     elif name == "knn_ivfpq":  # IVF-PQ retrieval frame at registered params
         df = llm_sim.knn_ivfpq(_emb(spark, sf))
+    elif name == "beam_pq_books":  # PQ codebooks for the compressed beam
+        # (VERDICT r11 #8: S·k = 128 rows — the codebook tensor a
+        # serving deployment trains once and ships to every searcher)
+        df = llm_sim.beam_pq_books(_emb(spark, sf))
+    elif name == "beam_pq_codes":  # 8-byte/vector packed PQ corpus codes
+        # (the compressed index the ADC traversal reads instead of the
+        # full float vectors — built against the cached codebooks)
+        emb = _emb(spark, sf)
+        df = llm_sim.pq_assign_packed(
+            emb.filter(F.col("vec_id") >= llm_sim.NSW_N_QUERIES),
+            llm_sim._books_tensor(_dedup_shared(spark, sf, "beam_pq_books")),
+        ).localCheckpoint(eager=True)
     elif name == "nsw_graph":  # symmetrized kNN graph (the graph-ANN index)
         # NSW_N_QUERIES, not a literal (ADVICE r10): the cutoff MUST
         # track knn_graph_beam's default or the cached graph silently
@@ -1164,74 +1176,67 @@ register(
 # here (not just register()-ed) or they wait a full round for a check.
 
 _DRIVER_WINDOW = [
-    # Round-11 window (the driver hash-checks the FIRST 50 keys).
+    # Round-12 window (the driver hash-checks the FIRST 50 keys;
+    # _apply_registration_order asserts the length is exactly 50).
     # Policy: every key whose code/oracle changed this round, every NEW
     # key, then the STALEST green canaries computed from the committed
-    # CORRECTNESS_r01-r10 ledger (latest green hash row, oldest first).
-    # The 7 irreducible rows-only keys are excluded by design (no
-    # oracle to hash; each has an exact oracle-checked twin).
+    # CORRECTNESS_r01-r11 ledger (latest green hash row, oldest first).
+    # The now-8 rows-only keys are excluded by design (no oracle to
+    # hash; each has an exact oracle-checked twin or pinned floor).
     #
     # -- (a) new / changed keys this round --
-    "emb_knn_graph_delta",  # NEW: incremental kNN-graph maintenance, full oracle
-    "emb_knn_graph_beam_layered",  # NEW: HNSW-style layered entry, rounds 6 -> 4, full oracle
-    "stream_sessionize_closed",  # CHANGED: (ts, event_id) stable sort in the fold (ADVICE r10)
-    "multimodal_ahash_neardup",  # CHANGED upstream: 32-bit-tier multiprobe (registered 8-bit values unchanged); also the stalest multimodal canary (r06)
-    "emb_knn_graph_beam",  # RE-PIN: visited_out hook + NSW_N_QUERIES constant threaded through
-    "emb_nn_descent_graph",  # RE-PIN: _srp_dims_for_n refactor upstream (values unchanged)
-    "emb_neardup_lsh",  # RE-PIN: same governor refactor
-    "emb_semantic_decontamination_governed",  # RE-PIN: same governor refactor
-    "emb_kmeanspp_init",  # CHANGED: driver-side crossing-partition search, 1-partition pick, every-3 checkpoints (VERDICT r10 #6; hashes unchanged at every SF)
+    "emb_ivf_delta_assign",  # NEW: incremental IVF maintenance panel, full oracle
+    "multimodal_phash_neardup",  # CHANGED: complete multiprobe banding redesign (exact at every width; committed-SF values unchanged)
+    "emb_knn_graph_delta",  # RE-PIN: is_new predicate param threaded for the streaming leg (default split unchanged)
+    "stream_sessionize_closed",  # RE-PIN: non-null assert ahead of the vectorized fold (ADVICE r11 #2)
     # -- (b) stalest green canaries, oldest driver row first
-    #        (r04: 24, r05: 18) --
-    "emb_ivf_cell_assign",
-    "emb_neardup_cosine",
-    "emb_prefix_truncate",
-    "emb_triplet_mining",
-    "emb_whitening",
-    "events_cms_freq",
-    "events_dau_wau",
-    "events_funnel",
-    "events_key_skew_stats",
-    "fact_event",
-    "invalid_events",
-    "kpi_active_shipments",
-    "kpi_carrier_performance",
-    "kpi_status_distribution",
-    "kpi_weight_distribution",
-    "monitor_dq_rollup",
-    "monitor_ingest_trend",
-    "monitor_recent_events",
-    "monitor_scalar_metrics",
-    "multimodal_dup_groups",
-    "orders_market_basket",
-    "orders_price_percentiles",
-    "stg_events",
-    "valid_events",
-    "dbt_schema_tests",
-    "docs_bpe_merge_step",
-    "docs_bpe_pair_counts",
-    "docs_chunk_dup_rate",
-    "docs_containment",
-    "docs_curation_pipeline_v2",
-    "docs_dedup_method_agreement",
-    "docs_dedup_provenance",
-    "docs_ensemble_components",
-    "docs_heaps_fit",
-    "docs_langid_confusion",
-    "docs_ngram_novelty",
-    "docs_quality_classifier",
-    "docs_shingle_df_stats",
-    "docs_simhash_pairs",
-    "docs_snapshot_diff",
-    "docs_sorted_neighborhood",
-    # (docs_tfidf_cosine_pairs was the 51st entry in round 11 — past the
-    # driver's 50-key horizon, so it LOOKED windowed while never being
-    # hash-checked (ADVICE r11 #1). Its r05 green row stands; the length
-    # assert in _apply_registration_order now makes this class of silent
-    # fall-off impossible.)
-    # (docs_weighted_sample ceded its slot to the emb_kmeanspp_init
-    # re-pin: its r05 green row stands and its sampling idiom is
-    # re-exercised by docs_dsir_weights, green in every local gate)
+    #        (r05: 28, r06: 18) --
+    "docs_tfidf_cosine_pairs",  # the r11 51st-slot casualty, first in line
+    "docs_weighted_sample",
+    "emb_cell_balance",
+    "emb_cosine_histogram",
+    "emb_exact_dup_vectors",
+    "emb_incremental_topk",
+    "emb_kmeans_update",
+    "emb_mips_topk",
+    "emb_norm_stats",
+    "events_bloom_panel",
+    "events_funnel_windowed",
+    "events_lateness_panel",
+    "events_rate_bursts",
+    "events_seasonal_deviation",
+    "events_type_effect_sizes",
+    "events_type_overlap",
+    "events_value_anomalies_mad",
+    "multimodal_slice_neardup",
+    "orders_abc_analysis",
+    "orders_customer_rfm",
+    "orders_item_pagerank",
+    "supplier_lead_times",
+    "supplier_reliability",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q20_part_promotion",
+    "tpch_q2_min_cost_supplier",
+    "docs_bbit_minhash",
+    "docs_crosslingual_neardup",
+    "docs_dsir_weights",
+    "docs_fuzzy_decontamination",
+    "docs_gopher_rules",
+    "docs_kneser_ney_bigram",
+    "docs_neardup_minhash",
+    "docs_perplexity_buckets",
+    "docs_rake_keywords",
+    "docs_readability",
+    "docs_rrf_fusion",
+    "docs_source_overlap",
+    "docs_winnowing_pairs",
+    "emb_hamming_cosine_calibration",
+    "emb_intrinsic_dim",
+    "emb_knn_ivf_exact",
+    "emb_label_outliers",
+    "emb_mahalanobis_ood",
 ]
 register(
     "emb_knn_ivfpq",  # IVF cells + PQ/ADC scoring: doubly approximate → rows-only
@@ -1542,6 +1547,12 @@ register(
             graph_beam=llm_sim.knn_graph_beam(
                 _emb(spark, sf), graph=_dedup_shared(spark, sf, "nsw_graph")
             ),
+            graph_pq=llm_sim.knn_graph_beam_pq(
+                _emb(spark, sf),
+                graph=_dedup_shared(spark, sf, "nsw_graph"),
+                books=_dedup_shared(spark, sf, "beam_pq_books"),
+                codes=_dedup_shared(spark, sf, "beam_pq_codes"),
+            ),
         )
     ),
 )
@@ -1572,6 +1583,24 @@ register(
         )
     ),
     llm_sim.KNN_GRAPH_BEAM_LAYERED_SQL,
+)
+register(
+    # PQ-compressed beam search (VERDICT r11 #8): the DiskANN memory
+    # story — traversal scores frontier expansions via JVM-side ADC
+    # against the 8-byte beam_pq_codes asset; full float vectors are
+    # read once, for the exact re-rank of the final rerank·k ADC
+    # candidates. Rows-only (PQ training is iterative, the knn_ivfpq
+    # precedent); recall ≥ 0.9 vs brute force pinned in pytest and in
+    # the graph_pq leg of emb_ann_recall_panel. NEW round 12
+    "emb_knn_graph_beam_pq",
+    _q(
+        lambda spark, sf: llm_sim.knn_graph_beam_pq(
+            _emb(spark, sf),
+            graph=_dedup_shared(spark, sf, "nsw_graph"),
+            books=_dedup_shared(spark, sf, "beam_pq_books"),
+            codes=_dedup_shared(spark, sf, "beam_pq_codes"),
+        )
+    ),
 )
 register(
     # NN-descent kNN-graph construction (Dong et al. WWW'11) — the

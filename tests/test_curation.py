@@ -882,15 +882,17 @@ class TestAnnRecallPanel:
         emb = load_table(spark, sf_dir, "embeddings")
         rows = similarity.ann_recall_panel(emb).collect()
         methods = {r.method for r in rows}
-        assert methods == {"ivf", "ivfpq", "graph_beam"}
-        # the graph path should beat the cell-probing paths on this
+        assert methods == {"ivf", "ivfpq", "graph_beam", "graph_pq"}
+        # the graph paths should beat the cell-probing paths on this
         # corpus (ann_eval: 0.98 vs 0.80/0.82) — pin a 0.9 mean floor
-        gb_mean = [
-            r.recall_at_k
-            for r in rows
-            if r.method == "graph_beam" and r.query == "mean"
-        ]
-        assert gb_mean and gb_mean[0] >= 0.9
+        # on both the full-precision and the PQ-compressed traversal
+        for gm in ("graph_beam", "graph_pq"):
+            g_mean = [
+                r.recall_at_k
+                for r in rows
+                if r.method == gm and r.query == "mean"
+            ]
+            assert g_mean and g_mean[0] >= 0.9, (gm, g_mean)
         for m in methods:
             per_q = [r.recall_at_k for r in rows if r.method == m and r.query != "mean"]
             mean = [r.recall_at_k for r in rows if r.method == m and r.query == "mean"]

@@ -17,6 +17,7 @@ ROWS_ONLY_OK: set[str] = {
     "emb_pca_project",  # driver-side eigendecomposition, not SQL-expressible
     "events_hll_rollup",  # HLL sketch estimates are engine-specific
     "emb_ann_recall_panel",  # evaluates the approximate (rows-only) paths
+    "emb_knn_graph_beam_pq",  # PQ-quantized ADC traversal, approximate by design
 }
 
 

@@ -52,6 +52,11 @@ def main() -> None:
                 )
             ),
         ),
+        (
+            f"graph-beam pq {sim.NSW_PQ_SUB}x{sim.NSW_PQ_CELLS} "
+            f"b={sim.NSW_PQ_BEAM} rr={sim.NSW_PQ_RERANK}",
+            recall(sim.knn_graph_beam_pq(emb)),
+        ),
     ]
     for name, r in rows:
         print(f"{name:32s} recall@5 = {r:.3f}")
