@@ -7752,3 +7752,130 @@ def graph_delta_stream(
         for d in own_dirs:
             shutil.rmtree(d, ignore_errors=True)
     return state["graph"]
+
+
+def ivf_delta_stream(
+    spark,
+    emb: DataFrame,
+    n_groups: int = 3,
+    n_queries: int = NSW_N_QUERIES,
+    batch_mod: int = IVF_DELTA_MOD,
+    n_cells: int = KC_EXACT_CELLS,
+    seed: int = KC_EXACT_SEED,
+    src_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    cents: DataFrame | None = None,
+    cells: DataFrame | None = None,
+    on_fold=None,
+) -> DataFrame:
+    """Stream-maintained IVF index — the ``graph_delta_stream``
+    counterpart for the coarse-quantizer family, completing the
+    serving symmetry: BOTH index families (graph and IVF) now have a
+    batch delta operator AND the arrival path that drives it.
+
+    A replayed embedding stream folds each micro-batch of arriving
+    vectors (``vec_id % batch_mod == 0``, split into ``n_groups``
+    replay days) into the running (vec_id, cell) assignment via ONE
+    cosine-argmax map pass against the PINNED centroid frame
+    (``kc_exact_centroids`` trained on the old corpus only — no Lloyd
+    pass ever sees an arrived vector), then eagerly localCheckpoints
+    the updated assignment — the foreachBatch analogue of appending to
+    the index's cell-list table. Ids ride the wire; vectors join from
+    the static table inside the fold (the ``graph_delta_stream``
+    device).
+
+    Because every step is deterministic-exact (unlike the graph leg's
+    recall-floor contract), the pinned pytest asserts full
+    stream==batch EQUALITY: the end-state assignment equals the batch
+    ``ivf_delta_assign`` path's old ∪ batch assignment row-for-row,
+    and a checkpointed restart with no new files refires nothing.
+
+    Scale: per fold the work is |micro-batch| × cells fanout rows +
+    an O(batch) argmax agg — old-corpus vectors are never re-read
+    (``cents``/``cells`` are injectable serving assets, as in
+    ``ivf_delta_assign``). Returns the final (vec_id, cell)
+    assignment frame."""
+    import os
+    import shutil
+    import tempfile
+
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding"
+    )
+    batch_pred = (F.col("vec_id") % batch_mod) == 0
+
+    def grp(c):
+        return F.pmod(F.floor(c / batch_mod).cast("long"), F.lit(n_groups))
+
+    if cents is None:
+        cents = kc_exact_centroids(corpus.filter(~batch_pred), n_cells, seed)
+    cents = cents.localCheckpoint(eager=True)
+    if cells is None:
+        cells = _cosine_argmax(_explode_vecs(corpus.filter(~batch_pred)), cents)
+    state = {"cells": cells.localCheckpoint(eager=True)}
+
+    own_dirs = []
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="ivfdelta_src_")
+        own_dirs.append(src_dir)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="ivfdelta_ckpt_")
+        own_dirs.append(checkpoint_dir)
+
+    def fold(mb, epoch_id):
+        r = mb.agg(
+            F.min("grp").alias("a"), F.max("grp").alias("b"),
+            F.count("*").alias("n"),
+        ).first()
+        if r.n == 0:
+            return
+        assert r.a == r.b, f"micro-batch spans groups {r.a}..{r.b}"
+        j = int(r.a)
+        batch_vecs = corpus.join(
+            F.broadcast(mb.select("vec_id")), "vec_id", "left_semi"
+        )
+        state["cells"] = (
+            state["cells"]
+            .unionByName(_cosine_argmax(_explode_vecs(batch_vecs), cents))
+            .localCheckpoint(eager=True)
+        )
+        if on_fold is not None:
+            on_fold(j)
+
+    try:
+        if not os.listdir(src_dir):
+            for j in range(n_groups):
+                tmp = tempfile.mkdtemp(prefix="ivfdelta_day_")
+                try:
+                    (
+                        corpus.filter(
+                            batch_pred & (grp(F.col("vec_id")) == j)
+                        )
+                        .select("vec_id", grp(F.col("vec_id")).alias("grp"))
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .json(tmp)
+                    )
+                    parts = [
+                        f for f in os.listdir(tmp)
+                        if f.startswith("part-") and f.endswith(".json")
+                    ]
+                    dst = os.path.join(src_dir, f"day{j:04d}.json")
+                    shutil.move(os.path.join(tmp, parts[0]), dst)
+                    os.utime(dst, (1_600_000_000 + j, 1_600_000_000 + j))
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+        q = (
+            spark.readStream.schema("vec_id LONG, grp LONG")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        for d in own_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return state["cells"]

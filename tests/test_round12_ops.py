@@ -395,3 +395,58 @@ class TestKnnGraphBeamPq:
         per_q = Counter(r.query_id for r in rows)
         assert all(v == 5 for v in per_q.values())
         assert len(per_q) == 10
+
+
+# --- stream-maintained IVF index (the graph_delta_stream counterpart) --------
+
+
+def test_ivf_delta_stream_equals_batch_and_restart_idempotency(spark, tmp_path):
+    """Serving symmetry: both index families now have an arrival path.
+    Unlike the graph leg's recall floor, IVF delta is deterministic-
+    exact, so the stream==batch pin is full EQUALITY: the end-state
+    (vec_id, cell) assignment after 3 replayed fold days must equal
+    the batch path's one-pass assignment of the whole corpus against
+    the SAME old-corpus-trained centroids, row for row — and a
+    checkpointed restart with no new files must refire nothing and
+    pass the injected assignment through untouched."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+
+    folds: list[int] = []
+    final = sim.ivf_delta_stream(
+        spark, emb, n_groups=3, src_dir=src, checkpoint_dir=ckpt,
+        on_fold=folds.append,
+    )
+    assert folds == [0, 1, 2], folds
+    got = {(r.vec_id, r.cell) for r in final.collect()}
+
+    corpus = emb.filter(F.col("vec_id") >= sim.NSW_N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    old = corpus.filter((F.col("vec_id") % sim.IVF_DELTA_MOD) != 0)
+    cents = sim.kc_exact_centroids(old)
+    want = {
+        (r.vec_id, r.cell)
+        for r in sim._cosine_argmax(sim._explode_vecs(corpus), cents).collect()
+    }
+    assert got == want
+    assert len(got) == corpus.count()
+
+    refolds: list[int] = []
+    again = sim.ivf_delta_stream(
+        spark, emb, n_groups=3, src_dir=src, checkpoint_dir=ckpt,
+        cells=final, on_fold=refolds.append,
+    )
+    assert refolds == []
+    assert {(r.vec_id, r.cell) for r in again.collect()} == got
