@@ -6897,6 +6897,7 @@ def knn_graph_beam_pq(
     codes: DataFrame | None = None,
     rerank: int = NSW_PQ_RERANK,
     rerank_ids_out: list | None = None,
+    layered: bool = False,
 ) -> DataFrame:
     """Graph-ANN beam search that traverses over PQ-COMPRESSED vectors
     (VERDICT r11 #8) — the DiskANN memory story (Subramanya et al.,
@@ -6983,19 +6984,51 @@ def knn_graph_beam_pq(
     ).alias("adc")
     wb = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
 
-    entry = (
-        codes.orderBy(
-            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))),
-            "vec_id",
+    if layered:
+        # HNSW-style entry, ADC edition: the ⌈√n⌉ md5-sampled top layer
+        # is scored against every query via its CODES (the seed step
+        # honours the same no-full-vector contract as the traversal);
+        # each query's beam starts at its best-ADC layer vertex. Same
+        # layer salt as the full-precision variant, so both searches
+        # share one layer definition at serving time.
+        n_layer = math.ceil(math.sqrt(codes.count()))
+        layer = (
+            codes.orderBy(
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit(f":{NSW_LAYER_SALT}"),
+                    )
+                ),
+                "vec_id",
+            )
+            .limit(n_layer)
+            .select("vec_id")
         )
-        .limit(1)
-        .select("vec_id")
-    )
-    visited = (
-        lut_df.crossJoin(F.broadcast(entry.join(codes, "vec_id")))
-        .select("query_id", "vec_id", adc)
-        .localCheckpoint(eager=True)
-    )
+        visited = (
+            lut_df.crossJoin(F.broadcast(layer.join(codes, "vec_id")))
+            .select("query_id", "vec_id", adc)
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= 1)
+            .select("query_id", "vec_id", "adc")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        entry = (
+            codes.orderBy(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))
+                ),
+                "vec_id",
+            )
+            .limit(1)
+            .select("vec_id")
+        )
+        visited = (
+            lut_df.crossJoin(F.broadcast(entry.join(codes, "vec_id")))
+            .select("query_id", "vec_id", adc)
+            .localCheckpoint(eager=True)
+        )
     for _ in range(rounds):
         frontier = (
             visited.withColumn("rn", F.row_number().over(wb))

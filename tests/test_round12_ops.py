@@ -450,3 +450,37 @@ def test_ivf_delta_stream_equals_batch_and_restart_idempotency(spark, tmp_path):
     )
     assert refolds == []
     assert {(r.vec_id, r.cell) for r in again.collect()} == got
+
+
+def test_knn_graph_beam_pq_layered_recall_floor(spark, sf_dir):
+    """The ADC traversal composes with the HNSW-style layered entry
+    (seed scored via CODES — the no-full-vector contract holds for
+    seeding too): at the layered 4-round budget the PQ beam must hold
+    the same 0.9 floor (measured 1.00 at sf0.001 and sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.adapters.testdata import load_table
+    from logistics_data_pipeline_spark.llm import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(emb).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= sim.NSW_N_QUERIES)
+    graph = sim._knn_graph(corpus, sim.NSW_M).localCheckpoint(eager=True)
+    books = sim.beam_pq_books(emb)
+    codes = sim.pq_assign_packed(
+        corpus, sim._books_tensor(books)
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_graph_beam_pq(
+            emb,
+            graph=graph,
+            books=books,
+            codes=codes,
+            layered=True,
+            rounds=sim.NSW_LAYERED_ROUNDS,
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
