@@ -261,6 +261,8 @@ def main() -> None:
         "knn_ivf",
         "knn_ivfpq",
         "nsw_graph",
+        "beam_pq_books",
+        "beam_pq_codes",
     ):
         registry._dedup_shared(spark, sf_dir, asset).write.mode(
             "overwrite"

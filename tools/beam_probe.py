@@ -48,19 +48,53 @@ def main() -> None:
         graph.count()
         build_sec = round(time.time() - t0, 1)
 
+        t0 = time.time()
+        books = sim.beam_pq_books(emb)
+        codes = sim.pq_assign_packed(
+            corpus, sim._books_tensor(books)
+        ).localCheckpoint(eager=True)
+        codes.count()
+        pq_build_sec = round(time.time() - t0, 1)
+
         out = {
             "sf": sf_dir,
             "n_corpus": n_corpus,
             "build_sec": build_sec,
+            "pq_build_sec": pq_build_sec,
         }
-        for name, kw in (
-            ("plain", {}),
-            ("layered", {"layered": True, "rounds": sim.NSW_LAYERED_ROUNDS}),
+        for name, fn in (
+            ("plain", lambda: sim.knn_graph_beam(emb, graph=graph)),
+            (
+                "layered",
+                lambda: sim.knn_graph_beam(
+                    emb,
+                    graph=graph,
+                    layered=True,
+                    rounds=sim.NSW_LAYERED_ROUNDS,
+                ),
+            ),
+            (
+                "pq",
+                lambda: sim.knn_graph_beam_pq(
+                    emb, graph=graph, books=books, codes=codes
+                ),
+            ),
+            (
+                "pq_layered",
+                lambda: sim.knn_graph_beam_pq(
+                    emb,
+                    graph=graph,
+                    books=books,
+                    codes=codes,
+                    layered=True,
+                    rounds=sim.NSW_LAYERED_ROUNDS,
+                ),
+            ),
         ):
             times, rows = [], None
             for _ in range(args.reps):
                 t0 = time.time()
-                rows = sim.knn_graph_beam(emb, graph=graph, **kw).count()
+                rows = fn().count()
                 times.append(time.time() - t0)
             out[f"{name}_sec"] = round(min(times), 2)
             out[f"{name}_rows"] = rows

@@ -50,8 +50,14 @@ def main() -> None:
         li = load_table(spark, sf_dir, "lineitem")
         out = {"sf": sf_dir}
 
+        from pyspark import StorageLevel
+
         t0 = time.time()
-        edges_od = analytics.copurchase_edges(li).localCheckpoint(eager=True)
+        # DISK_ONLY for every corpus-sized probe frame: the registered
+        # key holds at most ONE checkpointed edge copy at a time; the
+        # probe retains edges_od AND capped AND pairs simultaneously to
+        # isolate phases, which heap-OOMed twice at sf10 before this.
+        edges_od = analytics.copurchase_edges(li).persist(StorageLevel.DISK_ONLY)
         out["n_edges"] = edges_od.count()
         out["edges_sec"] = round(time.time() - t0, 1)
 
@@ -63,7 +69,7 @@ def main() -> None:
             keep.select(F.col("src").alias("dst")).distinct(),
             "dst",
             "left_semi",
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.DISK_ONLY)
         degs = (
             capped.groupBy("src")
             .agg(F.count("*").cast("bigint").alias("d"))
@@ -102,8 +108,13 @@ def main() -> None:
                 .cast("bigint")
                 .alias("ra_micro"),
             )
-            .localCheckpoint(eager=True)
         )
+        # DISK_ONLY, not localCheckpoint: the pair frame is the one
+        # corpus-quadratic-ish intermediate (890M rows at sf10) — heap
+        # retention of it OOMed the first sf10 probe attempt; the
+        # registered key never retains it at all (it streams into the
+        # TakeOrdered top-50), so the probe shouldn't either.
+        pairs = pairs.persist(StorageLevel.DISK_ONLY)
         out["n_pairs"] = pairs.count()
         out["wedges_sec"] = round(time.time() - t0, 1)
 
