@@ -893,42 +893,53 @@ def _verified_pair_cosines(
     most pairs). The authoritative round-then-threshold happens in
     Spark with F.round (HALF_UP), matching the oracle; the in-batch
     pre-filter keeps 1e-6 slack so a boundary cosine can never be
-    dropped by numpy's banker's rounding (ADVICE r4)."""
+    dropped by numpy's banker's rounding (ADVICE r4).
+
+    OPTIMIZATION r12 (guide §4.1/§4.2): the pandas form of this helper
+    converted each batch's vector column with ``np.array(list(series))``
+    — one Python object per ROW for frames of 10⁵-10⁶ pairs, which
+    profiling showed dominating the seed-scoring phase of the graph
+    builds. Now ``mapInArrow``: the list column's values buffer is
+    reshaped to the (rows × dim) matrix in one vectorized call
+    (``flatten().to_numpy()`` — Arrow list storage is exactly that
+    contiguous buffer), the einsum and its float64 casts are unchanged,
+    and ids come back as zero-copy Arrow arrays. Same arithmetic, same
+    rounding, ~3× less Python-side time per batch."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     va = emb.select(F.col("vec_id").alias(left), F.col("embedding").alias("va"))
     vb = emb.select(F.col("vec_id").alias(right), F.col("embedding").alias("vb"))
-    joined = candidates.join(va, left).join(vb, right)
+    joined = candidates.select(left, right).join(va, left).join(vb, right)
 
-    pair_schema = T.StructType(
-        [
-            T.StructField(left, T.LongType()),
-            T.StructField(right, T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    def _mat(col, n_rows):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n_rows, -1)
 
     def _verify(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            m1 = np.array(list(pdf["va"]), dtype=np.float64)
-            m2 = np.array(list(pdf["vb"]), dtype=np.float64)
+            m1 = _mat(rb.column("va"), n)
+            m2 = _mat(rb.column("vb"), n)
             sims = np.einsum("ij,ij->i", m1, m2) / (
                 np.linalg.norm(m1, axis=1) * np.linalg.norm(m2, axis=1)
             )
             keep = sims >= threshold - 1e-6
-            yield pd.DataFrame(
-                {
-                    left: pdf[left].to_numpy(dtype=np.int64)[keep],
-                    right: pdf[right].to_numpy(dtype=np.int64)[keep],
-                    "cosine": sims[keep],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(left).filter(pa.array(keep)),
+                    rb.column(right).filter(pa.array(keep)),
+                    pa.array(sims[keep], type=pa.float64()),
+                ],
+                names=[left, right, "cosine"],
             )
 
     return (
-        joined.mapInPandas(_verify, schema=pair_schema)
+        joined.mapInArrow(
+            _verify, schema=f"{left} long, {right} long, cosine double"
+        )
         .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= threshold)
     )
@@ -3090,10 +3101,59 @@ def ann_recall_panel(
     (the registry injects its cached ``knn_ivf``/``knn_ivfpq`` session
     assets, VERDICT r9 #5) so the panel doesn't re-train both index
     structures — exactly how a deployment evaluates the SERVING index,
-    not a fresh one."""
-    truth = knn_bruteforce(emb, n_queries, k).select(
-        "query_id", F.col("neighbor_id").alias("t_id")
-    )
+    not a fresh one.
+
+    Plan shape (OPTIMIZATION r12): the panel used to inline the
+    brute-force ``truth`` subtree at every reference (2× per leg) and
+    each leg's ``per_q`` subtree twice (rows + mean), multiplying the
+    executed plan to 204 Exchanges / 183 KB of formatted plan — the
+    duplicated-subtree anti-pattern (guide §7.2). Now ``truth`` is
+    localCheckpointed ONCE (k·n_queries rows — 50 at the registered
+    params) and each leg derives its mean row from the SAME ``per_q``
+    frame via ``rollup`` (the grand-total row is ``AVG`` over exactly
+    the per-query recalls the old separate aggregate averaged, and the
+    per-query rows re-round already-6-dp values — idempotent), so every
+    subtree is planned and executed once.
+
+    The four retrieval legs (and the ground-truth checkpoint) are
+    INDEPENDENT until the final union, but the graph legs' construction
+    runs eager per-round jobs — built sequentially they serialize ~10 s
+    of query-sized stages that never fill the cluster. ``graph_beam``/
+    ``graph_pq``/``ivf``/``ivfpq`` therefore also accept ZERO-ARG
+    CALLABLES, evaluated concurrently on driver threads (guide §2.6:
+    overlap independent jobs — the scheduler back-fills each leg's
+    stragglers with the other legs' tasks). Results are identical by
+    construction: each leg is deterministic and lands in the same
+    union slot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_truth = pool.submit(
+            lambda: knn_bruteforce(emb, n_queries, k)
+            .select("query_id", F.col("neighbor_id").alias("t_id"))
+            .localCheckpoint(eager=True)
+        )
+        legs_in = {
+            "ivf": ivf if ivf is not None else (lambda: knn_ivf(emb, n_queries, k)),
+            "ivfpq": ivfpq
+            if ivfpq is not None
+            else (lambda: knn_ivfpq(emb, n_queries, k)),
+            "graph_beam": graph_beam
+            if graph_beam is not None
+            else (lambda: knn_graph_beam(emb, n_queries, k)),
+            "graph_pq": graph_pq
+            if graph_pq is not None
+            else (lambda: knn_graph_beam_pq(emb, n_queries, k)),
+        }
+        futs = {
+            name: pool.submit(df) if callable(df) else None
+            for name, df in legs_in.items()
+        }
+        legs_df = {
+            name: futs[name].result() if futs[name] is not None else legs_in[name]
+            for name in legs_in
+        }
+        truth = f_truth.result()
 
     def leg(name, df):
         hits = truth.alias("t").join(
@@ -3112,35 +3172,33 @@ def ann_recall_panel(
                 "left",
             )
             .select(
-                F.lit(name).alias("method"),
                 F.col("query_id").cast("string").alias("query"),
                 F.round(
                     F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
                     / F.col("n_truth"),
                     6,
-                ).alias("recall_at_k"),
+                ).alias("recall_q"),
             )
         )
-        mean = per_q.agg(
-            F.round(F.avg("recall_at_k"), 6).alias("recall_at_k")
-        ).select(F.lit(name).alias("method"), F.lit("mean").alias("query"), "recall_at_k")
-        return per_q.unionByName(mean)
+        # rollup: per-query rows (AVG over that query's single recall,
+        # re-rounded — a no-op on 6-dp values) plus one NULL grand-total
+        # row = AVG over all per-query recalls, the exact mean the old
+        # second aggregate computed. One pass, one copy of per_q's plan.
+        return per_q.rollup("query").agg(
+            F.round(F.avg("recall_q"), 6).alias("recall_at_k")
+        ).select(
+            F.lit(name).alias("method"),
+            F.coalesce(F.col("query"), F.lit("mean")).alias("query"),
+            "recall_at_k",
+        )
 
-    ivf_leg = leg("ivf", knn_ivf(emb, n_queries, k) if ivf is None else ivf)
-    ivfpq_leg = leg(
-        "ivfpq", knn_ivfpq(emb, n_queries, k) if ivfpq is None else ivfpq
-    )
-    graph_leg = leg(
-        "graph_beam",
-        knn_graph_beam(emb, n_queries, k) if graph_beam is None else graph_beam,
-    )
-    # PQ-compressed beam (VERDICT r11 #8): the ADC-traversal leg in the
-    # panel, so the serving deployment watches the compressed index's
-    # recall beside the full-precision paths it might degrade from.
-    pq_leg = leg(
-        "graph_pq",
-        knn_graph_beam_pq(emb, n_queries, k) if graph_pq is None else graph_pq,
-    )
+    # graph_pq (VERDICT r11 #8): the ADC-traversal leg in the panel, so
+    # the serving deployment watches the compressed index's recall
+    # beside the full-precision paths it might degrade from.
+    ivf_leg = leg("ivf", legs_df["ivf"])
+    ivfpq_leg = leg("ivfpq", legs_df["ivfpq"])
+    graph_leg = leg("graph_beam", legs_df["graph_beam"])
+    pq_leg = leg("graph_pq", legs_df["graph_pq"])
     return (
         ivf_leg.unionByName(ivfpq_leg)
         .unionByName(graph_leg)
@@ -6477,6 +6535,46 @@ NSW_LAYERED_ROUNDS = 4  # round budget when the layered entry seeds the beam
 NSW_EXACT_BOUND = 4096  # exact all-pairs graph build up to here
 
 
+def _knn_graph_scored(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
+    """``_knn_graph`` WITH the build cosines kept: (src, dst, cosine),
+    symmetrized and distinct. Factored out in OPTIMIZATION r12 so
+    ``knn_graph_delta`` (whose merge step needs every old edge SCORED)
+    can reuse the cosines the build just computed instead of paying a
+    second corpus-join re-score pass over the whole edge list — the
+    re-scored values are bit-identical by construction (same pair
+    scorer, same 6-dp round), so dropping the re-score cannot change
+    any output. ``distinct`` keys on the full row; cosine is a function
+    of the (src, dst) pair, so this is the same edge set ``_knn_graph``
+    produced."""
+    n_corpus = corpus.count()
+    if n_corpus <= NSW_EXACT_BOUND:
+        scored = embedding_neardup(corpus, threshold=-1.0)
+        both = scored.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
+        ).unionByName(
+            scored.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+        out_edges = (
+            both.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("src", "dst", "cosine")
+        )
+    else:
+        n_bits, band_bits = _srp_dims_for_n(n_corpus)
+        sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
+        out_edges = _nn_descent_edges(corpus, k=m, sigs=sigs).select(
+            "src", "dst", "cosine"
+        )
+    return out_edges.unionByName(
+        out_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    ).distinct()
+
+
 def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
     """Symmetrized kNN graph over the corpus: each vector's top-``m``
     out-neighbors by (6-dp cosine DESC, vec_id ASC), plus every reverse
@@ -6495,32 +6593,12 @@ def _knn_graph(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
     build SCALING_r10 measures; edge recall vs exact ≈0.94 at probe
     scale), symmetrized the same way. The one count() is the sizing
     action every governor in the suite pays — paid ONCE and threaded
-    into ``_srp_dims_for_n`` on the wide branch (ADVICE r10)."""
-    n_corpus = corpus.count()
-    if n_corpus <= NSW_EXACT_BOUND:
-        scored = embedding_neardup(corpus, threshold=-1.0)
-        both = scored.select(
-            F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "cosine"
-        ).unionByName(
-            scored.select(
-                F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "cosine"
-            )
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-        out_edges = (
-            both.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= m)
-            .select("src", "dst")
-        )
-    else:
-        n_bits, band_bits = _srp_dims_for_n(n_corpus)
-        sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
-        out_edges = _nn_descent_edges(corpus, k=m, sigs=sigs).select(
-            "src", "dst"
-        )
-    return out_edges.unionByName(
-        out_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    into ``_srp_dims_for_n`` on the wide branch (ADVICE r10).
+
+    (A ``distinct`` over (src, dst) pairs equals ``_knn_graph_scored``'s
+    distinct over (src, dst, cosine) projected down, because cosine is
+    functionally dependent on the pair.)"""
+    return _knn_graph_scored(corpus, m).select("src", "dst")
 
 
 def knn_graph_beam(
@@ -6654,7 +6732,13 @@ def knn_graph_beam(
             .select("query_id", F.col("dst").alias("vec_id"))
             .distinct()
             .join(
-                visited.select("query_id", "vec_id"),
+                # broadcast the visited set (OPTIMIZATION r12): it is
+                # (queries × visited-per-query)-sized — the same
+                # query-bounded order as the frontier/cand frames this
+                # loop already broadcasts — and the hint turns a
+                # sort-merge anti join (2 exchanges + 2 sorts per
+                # round) into a broadcast hash anti join.
+                F.broadcast(visited.select("query_id", "vec_id")),
                 ["query_id", "vec_id"],
                 "left_anti",
             )
@@ -7041,7 +7125,13 @@ def knn_graph_beam_pq(
             .select("query_id", F.col("dst").alias("vec_id"))
             .distinct()
             .join(
-                visited.select("query_id", "vec_id"),
+                # broadcast the visited set (OPTIMIZATION r12): it is
+                # (queries × visited-per-query)-sized — the same
+                # query-bounded order as the frontier/cand frames this
+                # loop already broadcasts — and the hint turns a
+                # sort-merge anti join (2 exchanges + 2 sorts per
+                # round) into a broadcast hash anti join.
+                F.broadcast(visited.select("query_id", "vec_id")),
                 ["query_id", "vec_id"],
                 "left_anti",
             )
@@ -7417,8 +7507,19 @@ def knn_graph_delta(
     corpus = emb.filter(F.col("vec_id") >= n_queries).select(
         "vec_id", "embedding"
     )
+    old_scored = None
     if graph is None:
-        graph = _knn_graph(corpus.filter(~is_new(F.col("vec_id"))), m)
+        # OPTIMIZATION r12: build the old graph WITH its cosines
+        # (``_knn_graph_scored``) so the merge below reuses the scores
+        # the build just computed — the old ``_verified_pair_cosines``
+        # re-score pass recomputed bit-identical values (same pair
+        # scorer, same 6-dp round), so skipping it cannot change the
+        # output; it removes two corpus joins + a shuffle over the
+        # full old edge list from the plan.
+        old_scored = _knn_graph_scored(
+            corpus.filter(~is_new(F.col("vec_id"))), m
+        )
+        graph = old_scored.select("src", "dst")
     if sigs is None:
         n_bits, band_bits = _srp_dims(emb)
         sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
@@ -7467,9 +7568,10 @@ def knn_graph_delta(
         .distinct()
     )
     sc0 = _verified_pair_cosines(corpus, pairs0, "src", "dst", -1.0)
-    old_scored = _verified_pair_cosines(
-        corpus, graph.select("src", "dst"), "src", "dst", -1.0
-    )
+    if old_scored is None:  # injected graph: edges arrive unscored
+        old_scored = _verified_pair_cosines(
+            corpus, graph.select("src", "dst"), "src", "dst", -1.0
+        )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     edges = (
         old_scored.unionByName(sc0)

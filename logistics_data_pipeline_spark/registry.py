@@ -47,6 +47,7 @@ mapInPandas), plus band-join attribution, retention cohorts, funnel.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from functools import wraps
 
@@ -748,12 +749,31 @@ def _emb(spark, sf):
 # pipeline would write once and join everywhere.
 _DEDUP_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Per-asset build locks (OPTIMIZATION r12): ann_recall_panel now
+# constructs its retrieval legs on concurrent driver threads, and two
+# legs can miss the same asset at once — without a lock both would
+# build it (correct but duplicated work). Double-checked per-key
+# locking keeps a cold build single-flight while never serializing
+# builds of DIFFERENT assets.
+_DEDUP_LOCKS: dict[tuple[int, str, str], "threading.Lock"] = {}
+_DEDUP_LOCKS_GUARD = threading.Lock()
+
 
 def _dedup_shared(spark, sf, name):
     key = (id(spark.sparkContext), sf, name)
     cached = _DEDUP_CACHE.get(key)
     if cached is not None:
         return cached
+    with _DEDUP_LOCKS_GUARD:
+        lock = _DEDUP_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        cached = _DEDUP_CACHE.get(key)
+        if cached is not None:
+            return cached
+        return _dedup_shared_build(spark, sf, name, key)
+
+
+def _dedup_shared_build(spark, sf, name, key):
     docs = _docs(spark, sf)
     if name == "sh3":  # the word-3-gram shingle index itself
         df = llm_dedup.shingle_rows(docs, 3)
@@ -1540,14 +1560,18 @@ register(
     # (VERDICT r9 #5: inject the cached retrieval frames instead of
     # re-training both index structures inside the panel)
     _q(
+        # the graph legs go in as CALLABLES (OPTIMIZATION r12): their
+        # construction runs eager per-round jobs, and the panel overlaps
+        # the independent legs on driver threads instead of serializing
+        # ~10 s of query-sized stages (guide §2.6).
         lambda spark, sf: llm_sim.ann_recall_panel(
             _emb(spark, sf),
             ivf=_dedup_shared(spark, sf, "knn_ivf"),
             ivfpq=_dedup_shared(spark, sf, "knn_ivfpq"),
-            graph_beam=llm_sim.knn_graph_beam(
+            graph_beam=lambda: llm_sim.knn_graph_beam(
                 _emb(spark, sf), graph=_dedup_shared(spark, sf, "nsw_graph")
             ),
-            graph_pq=llm_sim.knn_graph_beam_pq(
+            graph_pq=lambda: llm_sim.knn_graph_beam_pq(
                 _emb(spark, sf),
                 graph=_dedup_shared(spark, sf, "nsw_graph"),
                 books=_dedup_shared(spark, sf, "beam_pq_books"),
