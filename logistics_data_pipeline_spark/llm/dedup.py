@@ -2290,25 +2290,53 @@ def dedup_threshold_sweep(
     so the sweep costs one small aggregation, not five pair-joins.
 
     Scale: the scored pair list is already DF-capped; the sweep is one
-    CASE bucketing + rollup over it."""
+    CASE bucketing + rollup over it.
+
+    OPTIMIZATION r12: the per-threshold loop built 5 independent legs,
+    each referencing the scored-pair frame 3× (count, a-side union,
+    b-side union) — 15 inlined copies of the pair plan, 320 Exchanges
+    in the before plan (plans/r12/docs_dedup_threshold_sweep_before.txt)
+    and ~20 executed passes over the cached pairs. Now ONE pass: each
+    pair explodes to exactly the thresholds it qualifies for (≤5 rows),
+    and two aggregations over that frame produce the same
+    (n_pairs, n_docs_touched) per threshold; thresholds with zero
+    qualifying pairs come back via a left join against the literal
+    threshold list, coalesced to the same 0s the empty aggregates
+    produced."""
     if scores is None:
         scores = ngram_pair_scores(docs)
-    legs = None
-    for t in THRESHOLD_SWEEP:
-        q = scores.filter(F.col("jaccard") >= t)
-        leg = q.agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-        ).join(
-            q.select(F.col("a_id").alias("d")).unionByName(
-                q.select(F.col("b_id").alias("d"))
-            ).agg(F.countDistinct("d").cast("bigint").alias("n_docs_touched"))
-        ).select(
-            F.lit(t).alias("threshold"),
-            "n_pairs",
-            "n_docs_touched",
+    spark = scores.sparkSession
+    t_arr = F.array(*[F.lit(float(t)) for t in THRESHOLD_SWEEP])
+    thresholds = spark.range(1).select(F.explode(t_arr).alias("threshold"))
+    qual = scores.select(
+        "a_id",
+        "b_id",
+        F.explode(
+            F.filter(t_arr, lambda t: F.col("jaccard") >= t)
+        ).alias("threshold"),
+    )
+    pair_counts = qual.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    doc_counts = (
+        qual.select(
+            "threshold", F.explode(F.array("a_id", "b_id")).alias("d")
         )
-        legs = leg if legs is None else legs.unionByName(leg)
-    return legs.orderBy("threshold")
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_touched"))
+    )
+    return (
+        thresholds.join(F.broadcast(pair_counts), "threshold", "left")
+        .join(F.broadcast(doc_counts), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_touched", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_touched"),
+        )
+        .orderBy("threshold")
+    )
 
 
 # the sweep needs the UNFILTERED scored pairs: strip the >= 0.7 tail

@@ -4251,7 +4251,15 @@ def ivf_delta_assign(
     )
     is_new = (F.col("vec_id") % batch_mod) == 0
     if cents is None:
-        cents = kc_exact_centroids(corpus.filter(~is_new), n_cells, seed)
+        # localCheckpoint (OPTIMIZATION r12): the trained centroid frame
+        # is n_cells rows but its PLAN is the whole exact train round —
+        # referenced by both argmax passes it was inlined (and executed)
+        # twice, 91 Exchanges in the before plan (plans/r12/
+        # emb_ivf_delta_assign_before.txt). Values unchanged: the
+        # checkpoint materializes the identical frame once.
+        cents = kc_exact_centroids(
+            corpus.filter(~is_new), n_cells, seed
+        ).localCheckpoint(eager=True)
     if old_cells is None:
         old_cells = _cosine_argmax(_explode_vecs(corpus.filter(~is_new)), cents)
     batch_cells = _cosine_argmax(_explode_vecs(corpus.filter(is_new)), cents)
@@ -7526,52 +7534,73 @@ def knn_graph_delta(
     sigs = sigs.filter(F.col("vec_id") >= n_queries)
     from ..operators.analytics import exact_row_number
 
-    cand0 = (
-        sigs.select("band", "bucket", F.col("vec_id").alias("src"))
-        .repartition(shuffle_parts(sigs), "band", "bucket")
-        .join(
-            sigs.select("band", "bucket", F.col("vec_id").alias("dst")),
-            ["band", "bucket"],
+    def _seed_scored():
+        cand0 = (
+            sigs.select("band", "bucket", F.col("vec_id").alias("src"))
+            .repartition(shuffle_parts(sigs), "band", "bucket")
+            .join(
+                sigs.select("band", "bucket", F.col("vec_id").alias("dst")),
+                ["band", "bucket"],
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .filter(is_new(F.col("src")) | is_new(F.col("dst")))
+            .select("src", "dst")
+            .distinct()
         )
-        .filter(F.col("src") != F.col("dst"))
-        .filter(is_new(F.col("src")) | is_new(F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
-    new_hashed = corpus.filter(is_new(F.col("vec_id"))).select(
-        "vec_id",
-        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))).alias(
-            "h"
-        ),
-    )
-    ranked, n = exact_row_number(new_hashed, [F.col("h"), F.col("vec_id")], "r")
-    ranked = ranked.select("vec_id", "r").localCheckpoint(eager=True)
-    js = emb.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("j"))
-    ring = (
-        ranked.crossJoin(F.broadcast(js))
-        .select(
-            F.col("vec_id").alias("src"),
-            (((F.col("r") - 1 + F.col("j")) % F.lit(n)) + 1).alias("tr"),
+        new_hashed = corpus.filter(is_new(F.col("vec_id"))).select(
+            "vec_id",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))
+            ).alias("h"),
         )
-        .join(
-            ranked.select(F.col("vec_id").alias("dst"), F.col("r").alias("tr")),
-            "tr",
+        ranked, n = exact_row_number(new_hashed, [F.col("h"), F.col("vec_id")], "r")
+        ranked = ranked.select("vec_id", "r").localCheckpoint(eager=True)
+        js = emb.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("j"))
+        ring = (
+            ranked.crossJoin(F.broadcast(js))
+            .select(
+                F.col("vec_id").alias("src"),
+                (((F.col("r") - 1 + F.col("j")) % F.lit(n)) + 1).alias("tr"),
+            )
+            .join(
+                ranked.select(F.col("vec_id").alias("dst"), F.col("r").alias("tr")),
+                "tr",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
         )
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
-    pairs0 = (
-        cand0.unionByName(ring)
-        .unionByName(
-            ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs0 = (
+            cand0.unionByName(ring)
+            .unionByName(
+                ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    sc0 = _verified_pair_cosines(corpus, pairs0, "src", "dst", -1.0)
-    if old_scored is None:  # injected graph: edges arrive unscored
-        old_scored = _verified_pair_cosines(
+        return _verified_pair_cosines(
+            corpus, pairs0, "src", "dst", -1.0
+        ).localCheckpoint(eager=True)
+
+    def _old_scored():
+        if old_scored is not None:  # built here: cosines already attached
+            return old_scored.localCheckpoint(eager=True)
+        # injected graph: edges arrive unscored
+        return _verified_pair_cosines(
             corpus, graph.select("src", "dst"), "src", "dst", -1.0
-        )
+        ).localCheckpoint(eager=True)
+
+    # The seed branch (SRP bucket companions + md5 ring, scored) and the
+    # old-edge branch (the from-scratch build, or the injected graph's
+    # re-score) are independent until the merge — run them on two driver
+    # threads (guide §2.6) so the old-graph build's straggler tail is
+    # back-filled by the seed branch's jobs. Values unchanged: both
+    # branches are deterministic and meet at the same union.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_seed = _pool.submit(_seed_scored)
+        _f_old = _pool.submit(_old_scored)
+        sc0 = _f_seed.result()
+        old_scored = _f_old.result()
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     edges = (
         old_scored.unionByName(sc0)
