@@ -5597,40 +5597,62 @@ def intrinsic_dim(emb: DataFrame, n_anchors: int = TWONN_ANCHORS) -> DataFrame:
         ),
     )
     anchors_ids = ranked.orderBy("hx", "vec_id").limit(n_anchors)
-    def _with_sumsq(frame, id_alias, vec_alias, sq_alias):
-        # SUM OF SQUARES directly (no sqrt round-trip: squaring the l2
-        # norm back would differ from the twin's list_sum by 1 ulp)
-        vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        sq = F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return frame.select(
-            F.col("vec_id").alias(id_alias), vec_d.alias(vec_alias), sq.alias(sq_alias)
-        )
+    # OPTIMIZATION r12 (guide §4.2): the anchors × corpus distance scan
+    # used an interpreted-HOF fold per pair (n_anchors · n pairs × dim
+    # lambda steps — the key's dominant cost at every SF). The anchor
+    # block is CONSTANT-BOUNDED (TWONN_ANCHORS rows — the same
+    # plane/label-bounded driver-pull class the SRP hyperplanes use),
+    # so it is collected once into a numpy matrix and each corpus batch
+    # computes all its anchor distances as ONE |a|² + |c|² − 2·C@Aᵀ
+    # BLAS tile inside mapInArrow. The authoritative HALF_UP rounding
+    # stays in Spark (F.round, as in _verified_pair_cosines); sqrt is
+    # IEEE-correctly-rounded in both engines. Distribution unchanged:
+    # anchors were already broadcast, the corpus is still scanned in
+    # place, and the estimator below is untouched.
+    import numpy as np
+    import pyarrow as pa
 
-    anchors = F.broadcast(
-        _with_sumsq(
-            emb.join(anchors_ids.select("vec_id"), "vec_id"), "a_id", "av", "asq"
-        )
+    anchor_rows = (
+        emb.join(anchors_ids.select("vec_id"), "vec_id")
+        .select("vec_id", "embedding")
+        .collect()
     )
-    corpus = _with_sumsq(emb, "c_id", "cv", "csq")
-    # squared euclidean via the same pre-cast fold: |a|^2 + |c|^2 - 2<a,c>
-    d2 = (
-        F.col("asq")
-        + F.col("csq")
-        - F.lit(2.0) * _dot(F.col("av"), F.col("cv"))
-    )
-    scored = (
-        anchors.crossJoin(corpus)
-        .filter(F.col("a_id") != F.col("c_id"))
-        .select(
-            "a_id",
-            "c_id",
-            F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
-        )
-    )
+    a_ids = np.array([r["vec_id"] for r in anchor_rows], dtype=np.int64)
+    a_mat = np.array([r["embedding"] for r in anchor_rows], dtype=np.float64)
+    a_sq = np.einsum("ij,ij->i", a_mat, a_mat)
+
+    def _dists(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            c_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            c_mat = (
+                rb.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
+            d2 = a_sq[None, :] + c_sq[:, None] - 2.0 * (c_mat @ a_mat.T)
+            dist = np.sqrt(np.maximum(d2, 0.0))
+            aa = np.broadcast_to(a_ids[None, :], dist.shape).ravel()
+            cc = np.repeat(c_ids, len(a_ids))
+            dd = dist.ravel()
+            keep = aa != cc
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(aa[keep], type=pa.int64()),
+                    pa.array(cc[keep], type=pa.int64()),
+                    pa.array(dd[keep], type=pa.float64()),
+                ],
+                names=["a_id", "c_id", "dist_raw"],
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInArrow(
+        _dists, schema="a_id long, c_id long, dist_raw double"
+    ).select("a_id", "c_id", F.round("dist_raw", 6).alias("dist"))
     w = Window.partitionBy("a_id").orderBy(F.asc("dist"), F.asc("c_id"))
     top2 = (
         scored.withColumn("rk", F.row_number().over(w))

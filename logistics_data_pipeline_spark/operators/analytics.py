@@ -3021,7 +3021,15 @@ def item_pagerank(
     # ~9 s warm at sf0.1).
     if edges_od is None:
         edges_od = track_persist(copurchase_edges(lineitem))
-    nodes = edges_od.select(F.col("src").alias("node")).distinct()
+    # checkpoint the node list once (OPTIMIZATION r12): every round's
+    # teleport join references `nodes` (and `nn` re-aggregates it) — as
+    # a lazy distinct it was re-planned and re-executed inside every
+    # round's checkpoint job; as a checkpointed leaf it is read back.
+    nodes = (
+        edges_od.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
     r = nodes.join(nn).select(
         "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")
@@ -3033,18 +3041,21 @@ def item_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        r = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .join(nn)
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(15 * {PR_SCALE} AS BIGINT) div (100 * n)"
-                    f" + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        r = nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left").join(
+            nn
+        ).select(
+            "node",
+            F.expr(
+                f"CAST(15 * {PR_SCALE} AS BIGINT) div (100 * n)"
+                f" + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+            ).alias("r"),
         )
+        # every-1 checkpoint cadence KEPT (OPTIMIZATION r12 measured
+        # dead end: an every-2 cadence re-ran the nodes/nn subtrees
+        # inside the deeper rounds and measured RELATIVELY slower
+        # against the unchanged graph_hits control — 0.84× baseline
+        # ratio → 1.00×; reverted same session)
+        r = r.localCheckpoint(eager=True)
     return (
         r.orderBy(F.desc("r"), F.asc("node"))
         .limit(top)
