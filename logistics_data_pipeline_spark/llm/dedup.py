@@ -702,6 +702,7 @@ def label_propagation(
         )
         stepped = labels.join(nbr_min, labels.node_id == nbr_min.a, "left").select(
             "node_id",
+            F.col("component").alias("_prev"),
             F.least(
                 F.col("component"), F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
@@ -714,10 +715,15 @@ def label_propagation(
         hop = stepped.select(
             F.col("node_id").alias("component"), F.col("component").alias("comp2")
         )
+        # `_prev` rides along into the checkpoint (OPTIMIZATION r12) so
+        # the convergence check is a filter-scan of the checkpointed
+        # frame instead of a join of this round's labels against last
+        # round's — one fewer join job per round, same test exactly.
         new_labels = (
             stepped.join(hop, "component", "left")
             .select(
                 "node_id",
+                "_prev",
                 F.least(
                     F.col("component"), F.coalesce("comp2", F.col("component"))
                 ).alias("component"),
@@ -725,13 +731,11 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node_id", "component")
         if changed == 0:
             break
     if changed != 0:

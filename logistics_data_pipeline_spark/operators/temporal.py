@@ -1581,7 +1581,16 @@ def markov_stationary(events: DataFrame, n_iter: int = MARKOV_ITERS) -> DataFram
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    types = events.select(F.col("event_type").alias("t")).distinct()
+    # checkpoint the type list once (OPTIMIZATION r12, the pagerank
+    # `nodes` fix): as a lazy distinct it re-scanned the events table at
+    # each of its references (π₀ build + the final left join); it is a
+    # |types|-row frame.
+    types = (
+        events.select(F.col("event_type").alias("t"))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     n_types = F.broadcast(types.agg(F.count("*").alias("k")))
     v = types.crossJoin(n_types).select(
         "t", F.round(F.lit(1.0) / F.col("k"), MARKOV_ROUND).alias("val")
