@@ -125,9 +125,11 @@ def test_bench_warms_every_shared_asset():
 
     from logistics_data_pipeline_spark import registry
 
-    src = inspect.getsource(registry._dedup_shared)
+    # the build dispatch lives in _dedup_shared_build since the r12
+    # optimization round split the memo/lock front-end from the builder
+    src = inspect.getsource(registry._dedup_shared_build)
     names = set(re.findall(r'name == "([a-z0-9_]+)"', src))
-    assert names, "no asset names parsed — did _dedup_shared change shape?"
+    assert names, "no asset names parsed — did _dedup_shared_build change shape?"
     bench = open("bench.py").read()
     start = bench.index("for asset in (")
     warm = set(re.findall(r'"([a-z0-9_]+)"', bench[start : bench.index("):", start)]))
