@@ -5606,7 +5606,13 @@ def intrinsic_dim(emb: DataFrame, n_anchors: int = TWONN_ANCHORS) -> DataFrame:
     # computes all its anchor distances as ONE |a|² + |c|² − 2·C@Aᵀ
     # BLAS tile inside mapInArrow. The authoritative HALF_UP rounding
     # stays in Spark (F.round, as in _verified_pair_cosines); sqrt is
-    # IEEE-correctly-rounded in both engines. Distribution unchanged:
+    # IEEE-correctly-rounded in both engines. NOTE (ADVICE r12): the
+    # BLAS tile's summation order differs from the replaced sequential
+    # HOF fold by ulps, which the 6-dp round absorbs EMPIRICALLY
+    # (oracle hash-matched at committed SFs), not by construction — a
+    # distance within ulps of a 6-dp half-boundary could in principle
+    # round differently and flip the (dist ASC, c_id ASC) top-2
+    # tie-break. Distribution unchanged:
     # anchors were already broadcast, the corpus is still scanned in
     # place, and the estimator below is untouched.
     import numpy as np
@@ -7541,11 +7547,15 @@ def knn_graph_delta(
     if graph is None:
         # OPTIMIZATION r12: build the old graph WITH its cosines
         # (``_knn_graph_scored``) so the merge below reuses the scores
-        # the build just computed — the old ``_verified_pair_cosines``
-        # re-score pass recomputed bit-identical values (same pair
-        # scorer, same 6-dp round), so skipping it cannot change the
-        # output; it removes two corpus joins + a shuffle over the
-        # full old edge list from the plan.
+        # the build just computed, removing two corpus joins + a
+        # shuffle over the full old edge list from the plan. NOTE
+        # (ADVICE r12): the build's exact branch sums dot products in a
+        # different order than ``_verified_pair_cosines`` (codegen
+        # sequential SUM vs numpy pairwise), so reused scores are
+        # empirically identical after the 6-dp round at committed SFs,
+        # not bit-identical by construction — the merge below dedups
+        # with an order-independent MAX so a ulp flip cannot make the
+        # survivor nondeterministic.
         old_scored = _knn_graph_scored(
             corpus.filter(~is_new(F.col("vec_id"))), m
         )
@@ -7624,9 +7634,15 @@ def knn_graph_delta(
         sc0 = _f_seed.result()
         old_scored = _f_old.result()
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    # Deterministic merge (ADVICE r12): a pair can appear in BOTH
+    # branches, and the two scorers agree only after 6-dp rounding —
+    # dropDuplicates would keep an arbitrary survivor if a ulp ever
+    # flipped the round. MAX(cosine) per pair is order-independent and
+    # the same hash-aggregate shape (no extra shuffle).
     edges = (
         old_scored.unionByName(sc0)
-        .dropDuplicates(["src", "dst"])
+        .groupBy("src", "dst")
+        .agg(F.max("cosine").alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= m)
         .select("src", "dst", "cosine")

@@ -2763,9 +2763,15 @@ def link_prediction(
             F.col("src").alias("v"), F.col("dst").alias("w"), F.col("d").alias("dv")
         )
     )
+    # OPTIMIZATION r13 (guide §3.1): both wedge legs are 1/16-sampled
+    # (Catalyst infers the md5 middle predicate onto the left leg —
+    # LP_PROBE_r12), so the join inputs are small but the SMJ still
+    # paid two sorts; a shuffled-hash join streams the same rows with
+    # no sort and no broadcast-scale risk (build side is the sampled
+    # middle leg, ~|E|/16 rows spread over the shuffle partitions).
     pairs = (
         capped.select(F.col("dst").alias("v"), F.col("src").alias("u"))
-        .join(e2, "v")
+        .join(e2.hint("shuffle_hash"), "v")
         .filter(F.col("u") < F.col("w"))
         .groupBy("u", "w")
         .agg(
@@ -2780,7 +2786,14 @@ def link_prediction(
     existing = capped.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     )
-    fresh = pairs.join(existing, ["u", "w"], "left_anti")
+    # OPTIMIZATION r13 (guide §3.1): the anti-join's probe side is the
+    # aggregated wedge-pair frame (~9.5M rows at sf0.1 — the key's
+    # biggest intermediate, LP_PROBE_r12); as a sort-merge anti it paid
+    # a full sort of that frame PLUS a sort of the edge list. Hashing
+    # the (much smaller, degree-capped) edge side removes both sorts
+    # while staying shuffle-based — no broadcast of an edge list that
+    # grows with the graph.
+    fresh = pairs.join(existing.hint("shuffle_hash"), ["u", "w"], "left_anti")
     scored = (
         fresh.join(
             F.broadcast(degs.select(F.col("src").alias("u"), F.col("d").alias("du"))),

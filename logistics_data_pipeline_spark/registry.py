@@ -181,6 +181,14 @@ def clear_session_caches(
             for key in [k for k in cache if k[0] == id(spark.sparkContext)]:
                 cache.pop(key).unpersist(blocking=blocking)
                 n += 1
+        # Keep the build-lock table's lifecycle aligned with the cache
+        # (ADVICE r12): id() of a collected SparkContext can be reused,
+        # which would alias a new session onto a stale lock entry.
+        with _DEDUP_LOCKS_GUARD:
+            for key in [
+                k for k in _DEDUP_LOCKS if k[0] == id(spark.sparkContext)
+            ]:
+                _DEDUP_LOCKS.pop(key)
     gc.collect()
     try:
         spark._jvm.System.gc()

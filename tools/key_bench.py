@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,7 +80,9 @@ def main() -> None:
     out = {
         "sf": args.sf,
         "loads": loads,
-        "median": {n: sorted(s)[len(s) // 2] for n, s in samples.items()},
+        "median": {
+            n: round(statistics.median(s), 3) for n, s in samples.items()
+        },
         "min": {n: min(s) for n, s in samples.items()},
         "samples": samples,
     }
