@@ -426,18 +426,27 @@ def decontamination(docs: DataFrame, shingles: DataFrame | None = None) -> DataF
         sh.filter(F.col("split") != "train").select("s").distinct()
     )
     train_sh = sh.filter(F.col("split") == "train")
-    overlap = (
-        train_sh.join(F.broadcast(eval_shingles), "s")
+    # OPTIMIZATION r13 (guide §2.4): overlap and totals both grouped
+    # the SAME train-shingle frame (its whole build inlined twice in
+    # the plan) and then re-joined on doc_id. One left join against
+    # the broadcast eval set + one aggregation computes both counts in
+    # a single pass: COUNT(*) is the total, COUNT(_hit) the non-null
+    # matches (eval_shingles is DISTINCT on s, so the left join cannot
+    # duplicate a train row). Identical values incl. the zero-overlap
+    # coalesce (COUNT of an all-null marker is 0).
+    per_doc = (
+        train_sh.join(
+            F.broadcast(eval_shingles.withColumn("_hit", F.lit(1))), "s", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_overlap"))
-    )
-    totals = train_sh.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_shingles")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("_hit").cast("bigint").alias("n_overlap"),
+        )
     )
     frac = F.col("n_overlap") / F.col("n_shingles").cast("double")
     return (
-        totals.join(overlap, "doc_id", "left")
-        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        per_doc
         .select(
             "doc_id",
             "n_shingles",
@@ -522,44 +531,79 @@ def decontamination_panel(
     )
 
     splits = split_assign(docs).select("doc_id", "split")
-    exact = decontamination(docs, shingles=shingles).select(
-        "doc_id", F.col("is_contaminated").alias("exact_contaminated")
-    )
-    fuzzy = fuzzy_decontamination(docs, sig=sig).select(
-        "doc_id", F.col("is_fuzzy_contaminated").alias("fz")
-    )
     if srp_sigs is None:
         if band_bits is None:
             n_bits, band_bits = _srp_dims(emb)  # governor sizes BOTH knobs
             srp_sigs = srp_buckets(emb, n_bits=n_bits, band_bits=band_bits)
         else:
             srp_sigs = srp_buckets(emb, band_bits=band_bits)
-    sigs = srp_sigs.join(
-        splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id"
-    )
-    tr = sigs.filter(F.col("split") == "train").select(
-        "band", "bucket", F.col("vec_id").alias("train_id")
-    )
-    ev = sigs.filter(F.col("split") != "train").select(
-        "band", "bucket", F.col("vec_id").alias("eval_id")
-    )
-    cand = (
-        tr.repartition(shuffle_parts(tr), "band", "bucket")
-        .join(ev, ["band", "bucket"])
-        .select("train_id", "eval_id")
-        .distinct()
-    )
-    sem_hit = (
-        _verified_pair_cosines(emb, cand, "train_id", "eval_id", NEARDUP_THRESHOLD)
-        .select("train_id")
-        .distinct()
-        .select(F.col("train_id").alias("doc_id"), F.lit(True).alias("sm"))
-    )
-    emb_ids = (
-        emb.select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-        .withColumn("he", F.lit(True))
-    )
+
+    # OPTIMIZATION r13 (VERDICT item 5 — the ann_recall_panel recipe,
+    # guide §2.6/§3.3): the three verdict legs and the embedding-id
+    # frame are independent until the final 1:1 doc_id joins, but as
+    # one lazy plan they serialized and the combined tree carried ~120
+    # Exchanges through the optimizer. Each leg now materializes
+    # (eager localCheckpoint — every leg is doc-count-bounded) on its
+    # own driver thread, so the legs' jobs overlap and the final join
+    # plans over four leaf frames. Values unchanged: the legs are
+    # deterministic and meet at the same joins; shared-asset builds
+    # stay single-flight under the registry's per-asset locks.
+    def _leg_exact():
+        return (
+            decontamination(docs, shingles=shingles)
+            .select("doc_id", F.col("is_contaminated").alias("exact_contaminated"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _leg_fuzzy():
+        return (
+            fuzzy_decontamination(docs, sig=sig)
+            .select("doc_id", F.col("is_fuzzy_contaminated").alias("fz"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _leg_sem():
+        sigs = srp_sigs.join(
+            splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id"
+        )
+        tr = sigs.filter(F.col("split") == "train").select(
+            "band", "bucket", F.col("vec_id").alias("train_id")
+        )
+        ev = sigs.filter(F.col("split") != "train").select(
+            "band", "bucket", F.col("vec_id").alias("eval_id")
+        )
+        cand = (
+            tr.repartition(shuffle_parts(tr), "band", "bucket")
+            .join(ev, ["band", "bucket"])
+            .select("train_id", "eval_id")
+            .distinct()
+        )
+        return (
+            _verified_pair_cosines(
+                emb, cand, "train_id", "eval_id", NEARDUP_THRESHOLD
+            )
+            .select("train_id")
+            .distinct()
+            .select(F.col("train_id").alias("doc_id"), F.lit(True).alias("sm"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _leg_emb_ids():
+        return (
+            emb.select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+            .withColumn("he", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _legs = [
+            _pool.submit(fn)
+            for fn in (_leg_exact, _leg_fuzzy, _leg_sem, _leg_emb_ids)
+        ]
+        exact, fuzzy, sem_hit, emb_ids = [f.result() for f in _legs]
     fz = F.coalesce(F.col("fz"), F.lit(False))
     he = F.coalesce(F.col("he"), F.lit(False))
     sm = F.coalesce(F.col("sm"), F.lit(False))

@@ -457,24 +457,29 @@ def fuzzy_decontamination(
             ).alias("jaccard"),
         )
     )
-    w = Window.partitionBy("train_id").orderBy(
-        F.col("jaccard").desc(), F.col("eval_id").asc()
-    )
-    ranked = verified.withColumn("r", F.row_number().over(w))
+    # OPTIMIZATION r13 (guide §2.4): the argmax eval doc used a window
+    # (shuffle + full sort) over `verified` PLUS a separate groupBy over
+    # the same frame PLUS a re-join — the candidate+verify subtree was
+    # inlined twice in the plan. One aggregation computes all three:
+    # MAX(struct(jaccard, -eval_id)) is exactly the row_number-1 pick
+    # (highest jaccard, ties → lowest eval_id; Spark's struct order is
+    # lexicographic and its DESC sort and MAX agree on the double total
+    # order, NaN largest).
     agg = verified.groupBy("train_id").agg(
         F.count("*").cast("bigint").alias("n_candidates"),
         F.max("jaccard").alias("max_jaccard"),
-    )
-    top = ranked.filter(F.col("r") == 1).select(
-        "train_id", F.col("eval_id").alias("top_eval_id")
+        F.max(
+            F.struct(
+                F.col("jaccard").alias("j"), (-F.col("eval_id")).alias("ne")
+            )
+        ).alias("_top"),
     )
     return (
-        agg.join(top, "train_id")
-        .select(
+        agg.select(
             F.col("train_id").alias("doc_id"),
             "n_candidates",
             "max_jaccard",
-            "top_eval_id",
+            (-F.col("_top.ne")).alias("top_eval_id"),
             (F.col("max_jaccard") >= threshold).alias("is_fuzzy_contaminated"),
         )
         .orderBy("doc_id")

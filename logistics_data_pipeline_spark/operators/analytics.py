@@ -3186,30 +3186,53 @@ def graph_hits(
     # afford to move 2×iters times.
     edges_c = track_persist(edges.repartition("cust"))
     edges_p = track_persist(edges_c.repartition("part"))
-    custs = edges_c.select("cust").distinct()
-    nc = F.broadcast(custs.agg(F.count("*").alias("n")))
+    # Customer degrees, checkpointed once (OPTIMIZATION r13, VERDICT
+    # item 3): the authority normalization total obeys the exact
+    # integer identity Σ_p a_raw(p) = Σ_{(c,p)∈E} h(c) = Σ_c deg(c)·h(c)
+    # — the same bigint terms regrouped, so the total is bit-equal —
+    # which lets each round compute ta from the NODE-sized h vector
+    # instead of aggregating a materialized a_raw. a_raw then has a
+    # single consumer and needs no checkpoint: one checkpoint job per
+    # round (the r12 graph_hits probe put the key at ~2 jobs × iters of
+    # mostly per-job orchestration). The r6 lesson still holds — the
+    # edge-join subtree appears exactly ONCE per round's plan; the
+    # total just comes from degrees now. Overflow: Σ_c deg(c)·h(c) is
+    # the same quantity the old SUM(a_raw) computed, inside the
+    # HITS_SCALE envelope documented above.
+    degc = (
+        edges_c.groupBy("cust")
+        .agg(F.count("*").cast("bigint").alias("dc"))
+        .localCheckpoint(eager=True)
+    )
+    # the degree table doubles as the distinct-customer list, so the
+    # h₀ initializer is a degc projection — no separate edge-sized
+    # DISTINCT re-executing inside round 0's plan
+    custs = degc.select("cust")
+    nc = F.broadcast(degc.agg(F.count("*").alias("n")))
     h = custs.join(nc).select(
         "cust", F.expr(f"CAST({HITS_SCALE} AS BIGINT) div n").alias("h")
     )
     a = None
-    # Each round checkpoints the RAW aggregates, not the normalized
-    # vectors: the normalization total reads the same frame the
-    # normalize join streams, so without materialization the
-    # edge-join+agg subtree executes twice per update (once under the
-    # broadcast total, once under the join) — measured ~25% of the
-    # whole query at sf0.1.
     for _i in range(iters):
-        a_raw = (
+        ta = F.broadcast(
+            h.join(degc, "cust").agg(F.sum(F.col("h") * F.col("dc")).alias("t"))
+        )
+        a = (
             edges_c.join(h, "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("a_raw"))
-            .localCheckpoint(eager=True)
+            .join(ta)
+            .select(
+                "part",
+                F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias(
+                    "a"
+                ),
+            )
         )
-        ta = F.broadcast(a_raw.agg(F.sum("a_raw").alias("t")))
-        a = a_raw.join(ta).select(
-            "part",
-            F.expr(f"(a_raw * CAST({HITS_SCALE} AS BIGINT)) div t").alias("a"),
-        )
+        if _i == iters - 1:
+            # the final authority vector feeds BOTH the last hub update
+            # and the top-parts output — materialize it once
+            a = a.localCheckpoint(eager=True)
         h_raw = (
             edges_p.join(a, "part")
             .groupBy("cust")
