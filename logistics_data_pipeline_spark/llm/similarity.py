@@ -6576,10 +6576,12 @@ def _knn_graph_scored(corpus: DataFrame, m: int = NSW_M) -> DataFrame:
     symmetrized and distinct. Factored out in OPTIMIZATION r12 so
     ``knn_graph_delta`` (whose merge step needs every old edge SCORED)
     can reuse the cosines the build just computed instead of paying a
-    second corpus-join re-score pass over the whole edge list — the
-    re-scored values are bit-identical by construction (same pair
-    scorer, same 6-dp round), so dropping the re-score cannot change
-    any output. ``distinct`` keys on the full row; cosine is a function
+    second corpus-join re-score pass over the whole edge list. (The
+    exact branch's scorer sums in a different order than
+    ``_verified_pair_cosines`` — reused scores are empirically
+    identical after the 6-dp round at committed SFs, not bit-identical
+    by construction; the delta merge dedups order-independently for
+    exactly this reason.) ``distinct`` keys on the full row; cosine is a function
     of the (src, dst) pair, so this is the same edge set ``_knn_graph``
     produced."""
     n_corpus = corpus.count()
@@ -7306,43 +7308,80 @@ def _nn_descent_edges(
         n_bits, band_bits = _srp_dims(corpus)
         sigs = srp_buckets(corpus, n_bits=n_bits, band_bits=band_bits)
     emb = corpus  # pair scoring looks vectors up by vec_id
-    companions = (
+    # OPTIMIZATION r13 (guide §2.3/§4.1 — phase-probed: the LSH seed,
+    # not the descent rounds, dominates this build; ~2.5M candidate
+    # pairs at sf0.1 each shipped BOTH vectors through Arrow): the
+    # bucket-companion set is symmetric by construction and the Arrow
+    # scorer's cosine(a,b) is bit-identical to cosine(b,a) (einsum
+    # products commute, same summation order over dims; norms multiply
+    # commutatively), so only the canonical src<dst half is
+    # deduplicated and scored — the mirror union below restores the
+    # full symmetric scored set with the exact same bits.
+    companions_lo = (
         sigs.select("band", "bucket", F.col("vec_id").alias("src"))
         .repartition(shuffle_parts(sigs), "band", "bucket")
         .join(
             sigs.select("band", "bucket", F.col("vec_id").alias("dst")),
             ["band", "bucket"],
         )
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    hashed = corpus.select(
-        "vec_id",
-        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))).alias(
-            "h"
-        ),
-    )
-    ranked, n = exact_row_number(hashed, [F.col("h"), F.col("vec_id")], "r")
-    ranked = ranked.select("vec_id", "r").localCheckpoint(eager=True)
-    js = emb.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("j"))
-    ring = (
-        ranked.crossJoin(F.broadcast(js))
-        .select(
-            F.col("vec_id").alias("src"),
-            (((F.col("r") - 1 + F.col("j")) % F.lit(n)) + 1).alias("tr"),
+    def _ring_scored():
+        # the ring build is latency-bound driver work (range-sampling
+        # exchange, checkpoint, offset collect inside exact_row_number)
+        # on a corpus-id-sized frame — run it on its own driver thread
+        # (guide §2.6) so it overlaps the companion scoring jobs
+        hashed = corpus.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f":{salt}"))
+            ).alias("h"),
         )
-        .join(
-            ranked.select(F.col("vec_id").alias("dst"), F.col("r").alias("tr")),
-            "tr",
+        ranked, n = exact_row_number(hashed, [F.col("h"), F.col("vec_id")], "r")
+        ranked = ranked.select("vec_id", "r").localCheckpoint(eager=True)
+        js = emb.sparkSession.range(1, 3).select(F.col("id").cast("int").alias("j"))
+        ring = (
+            ranked.crossJoin(F.broadcast(js))
+            .select(
+                F.col("vec_id").alias("src"),
+                (((F.col("r") - 1 + F.col("j")) % F.lit(n)) + 1).alias("tr"),
+            )
+            .join(
+                ranked.select(F.col("vec_id").alias("dst"), F.col("r").alias("tr")),
+                "tr",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
         )
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
-    seed_pairs = companions.unionByName(ring).distinct()
+        # a ring pair that is also a bucket companion yields a fully
+        # identical scored row (same orientation-invariant scorer), so
+        # the (src, dst) dedup at the merge replaces the old
+        # pre-scoring distinct exactly
+        return _verified_pair_cosines(emb, ring, "src", "dst", -1.0).localCheckpoint(
+            eager=True
+        )
+
+    def _comp_scored():
+        comp_lo = _verified_pair_cosines(emb, companions_lo, "src", "dst", -1.0)
+        return comp_lo.unionByName(
+            comp_lo.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+            )
+        ).localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_comp = _pool.submit(_comp_scored)
+        _f_ring = _pool.submit(_ring_scored)
+        comp_scored = _f_comp.result()
+        ring_scored = _f_ring.result()
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     edges = (
-        _verified_pair_cosines(emb, seed_pairs, "src", "dst", -1.0)
+        comp_scored.unionByName(ring_scored)
+        .dropDuplicates(["src", "dst"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("src", "dst", "cosine")
@@ -7354,15 +7393,24 @@ def _nn_descent_edges(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
             )
         ).dropDuplicates(["src", "dst"])
-        cand = (
+        # the wedge set is symmetric (`both` is), so only the canonical
+        # src<dst half is deduplicated, anti-joined and scored; the
+        # mirror union restores the full set bit-identically (the
+        # scorer is orientation-invariant — see the seed note above)
+        cand_lo = (
             both.alias("x")
             .join(both.alias("y"), F.col("x.dst") == F.col("y.src"))
             .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
+            .filter(F.col("src") < F.col("dst"))
             .distinct()
             .join(both.select("src", "dst"), ["src", "dst"], "left_anti")
         )
-        scored = _verified_pair_cosines(emb, cand, "src", "dst", -1.0)
+        sc_lo = _verified_pair_cosines(emb, cand_lo, "src", "dst", -1.0)
+        scored = sc_lo.unionByName(
+            sc_lo.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+            )
+        )
         edges = (
             both.unionByName(scored)
             .withColumn("rn", F.row_number().over(w))
@@ -7567,6 +7615,11 @@ def knn_graph_delta(
     from ..operators.analytics import exact_row_number
 
     def _seed_scored():
+        # OPTIMIZATION r13: canonical-half scoring (see _nn_descent_edges
+        # — the bucket-companion set and the ring ∪ mirror(ring) union
+        # are both symmetric, and the Arrow scorer is
+        # orientation-invariant bit-for-bit), so dedup + score src<dst
+        # pairs only and mirror the scored rows back.
         cand0 = (
             sigs.select("band", "bucket", F.col("vec_id").alias("src"))
             .repartition(shuffle_parts(sigs), "band", "bucket")
@@ -7574,7 +7627,7 @@ def knn_graph_delta(
                 sigs.select("band", "bucket", F.col("vec_id").alias("dst")),
                 ["band", "bucket"],
             )
-            .filter(F.col("src") != F.col("dst"))
+            .filter(F.col("src") < F.col("dst"))
             .filter(is_new(F.col("src")) | is_new(F.col("dst")))
             .select("src", "dst")
             .distinct()
@@ -7601,16 +7654,24 @@ def knn_graph_delta(
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
         )
-        pairs0 = (
-            cand0.unionByName(ring)
-            .unionByName(
-                ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs0_lo = (
+            cand0.unionByName(
+                ring.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
             )
             .distinct()
         )
-        return _verified_pair_cosines(
-            corpus, pairs0, "src", "dst", -1.0
-        ).localCheckpoint(eager=True)
+        sc_lo = _verified_pair_cosines(corpus, pairs0_lo, "src", "dst", -1.0)
+        return (
+            sc_lo.unionByName(
+                sc_lo.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
 
     def _old_scored():
         if old_scored is not None:  # built here: cosines already attached
@@ -7664,14 +7725,24 @@ def knn_graph_delta(
             .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        cand = (
-            wedge.unionByName(
-                wedge.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # canonical-half scoring: wedge ∪ mirror(wedge) is symmetric, so
+        # its canonical form is least/greatest per wedge pair; `both` is
+        # symmetric too, so the anti-join commutes with mirroring and
+        # the scored mirror restores the exact candidate set
+        cand_lo = (
+            wedge.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
             )
             .distinct()
             .join(both.select("src", "dst"), ["src", "dst"], "left_anti")
         )
-        scored = _verified_pair_cosines(corpus, cand, "src", "dst", -1.0)
+        sc_lo = _verified_pair_cosines(corpus, cand_lo, "src", "dst", -1.0)
+        scored = sc_lo.unionByName(
+            sc_lo.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+            )
+        )
         edges = (
             both.unionByName(scored)
             .withColumn("rn", F.row_number().over(w))
