@@ -567,11 +567,24 @@ def perplexity_buckets(
     one row per document — the only all-to-one step, and it moves
     doc-count rows, not tokens; swap for approx quantile cuts when even
     that is too much."""
-    from pyspark.sql import Window
+    # OPTIMIZATION r13 (VERDICT item 6): the global NTILE ran as an
+    # UNGOVERNED single-partition window over one row per document.
+    # ntile_governed keeps the window below the size bound and switches
+    # to exact_ntile's distributed two-phase rank beyond it — both
+    # bit-identical on the tie-free (avg_logprob, doc_id) key. The
+    # sizing count scans the raw docs table (scored has ≤ one row per
+    # doc, so it is a valid upper bound and the logprob pipeline never
+    # re-executes for sizing).
+    from ..operators.analytics import ntile_governed
 
     scored = doc_bigram_logprob(docs)
-    w = Window.orderBy("avg_logprob", "doc_id")
-    b = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    b = ntile_governed(
+        scored,
+        n_buckets,
+        [F.col("avg_logprob"), F.col("doc_id")],
+        "bucket",
+        docs.count(),
+    )
     return (
         b.groupBy("bucket")
         .agg(

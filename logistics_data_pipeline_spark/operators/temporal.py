@@ -1560,8 +1560,17 @@ def markov_stationary(events: DataFrame, n_iter: int = MARKOV_ITERS) -> DataFram
     report 0).
 
     Scale: the transition count is the only corpus-sized pass; the
-    chain itself is |types|² — driver-trivial, kept declarative for
-    the rounding parity."""
+    chain itself is |types|² — domain-bounded, so the iteration runs
+    DRIVER-LOCAL (OPTIMIZATION r13: the round-8 bit-mirrored-trajectory
+    device of ``emb_pca_deflation``/``emb_linear_probe``, whose d×d
+    collected moment matrices are far larger than this |types|² chain).
+    The declarative 12-step loop spent its whole budget on per-step
+    orchestration (4 eager checkpoints + broadcasts over ≤25-row
+    frames); now the transition matrix collects once and the π updates
+    run in Python float64 with ``_round_half_up`` mirroring Spark's
+    ROUND-on-DOUBLE exactly. Per-step 9-dp rounding absorbs summation-
+    order ulps the same way it already absorbed the Spark↔DuckDB order
+    difference; oracle hash-checked at every committed SF."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         events.select(
@@ -1575,46 +1584,40 @@ def markov_stationary(events: DataFrame, n_iter: int = MARKOV_ITERS) -> DataFram
         F.count("*").cast("double").alias("n")
     )
     tot = counts.groupBy("from_type").agg(F.sum("n").alias("t"))
-    mat = (
+    mat_rows = (
         counts.join(tot, "from_type")
         .select("from_type", "to_type", (F.col("n") / F.col("t")).alias("p"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    # checkpoint the type list once (OPTIMIZATION r12, the pagerank
-    # `nodes` fix): as a lazy distinct it re-scanned the events table at
-    # each of its references (π₀ build + the final left join); it is a
-    # |types|-row frame.
-    types = (
-        events.select(F.col("event_type").alias("t"))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+    type_rows = events.select(F.col("event_type").alias("t")).distinct().collect()
+    from ..llm.similarity import _round_half_up
+
+    tlist = sorted(r["t"] for r in type_rows)
+    # transition triples in a canonical (from, to) order so the float
+    # accumulation order is deterministic run-to-run
+    trans = sorted(
+        ((r["from_type"], r["to_type"], r["p"]) for r in mat_rows),
+        key=lambda x: (x[1], x[0]),
     )
-    n_types = F.broadcast(types.agg(F.count("*").alias("k")))
-    v = types.crossJoin(n_types).select(
-        "t", F.round(F.lit(1.0) / F.col("k"), MARKOV_ROUND).alias("val")
-    )
-    for it in range(n_iter):
-        stepped = (
-            mat.join(F.broadcast(v), mat.from_type == v.t)
-            .groupBy(F.col("to_type").alias("t"))
-            .agg(F.sum(F.col("val") * F.col("p")).alias("m"))
-        )
-        s = stepped.agg(F.sum("m").alias("s"))
-        v = stepped.crossJoin(F.broadcast(s)).select(
-            "t", F.round(F.col("m") / F.col("s"), MARKOV_ROUND).alias("val")
-        )
-        if it % 3 == 2 or it == n_iter - 1:
-            v = v.coalesce(1).localCheckpoint(eager=True)
-    return (
-        types.join(v, "t", "left")
-        .select(
-            F.col("t").alias("event_type"),
-            F.round(F.coalesce(F.col("val"), F.lit(0.0)), 6).alias("stationary_p"),
-        )
-        .orderBy("event_type")
-    )
+    k = len(tlist)
+    val = {t: _round_half_up(1.0 / k, MARKOV_ROUND) for t in tlist} if k else {}
+    for _ in range(n_iter):
+        m: dict = {}
+        for frm, to, p in trans:
+            if frm in val:
+                m[to] = m.get(to, 0.0) + val[frm] * p
+        s = 0.0
+        for to in sorted(m):
+            s += m[to]
+        val = {
+            to: _round_half_up(m[to] / s, MARKOV_ROUND) for to in sorted(m)
+        }
+    out = [
+        (t, _round_half_up(val.get(t, 0.0), 6)) for t in tlist
+    ]
+    return events.sparkSession.createDataFrame(
+        out, schema="event_type string, stationary_p double"
+    ).orderBy("event_type")
 
 
 def _markov_stationary_sql() -> str:

@@ -190,6 +190,33 @@ def test_exact_ntile_matches_window_ntile(spark, vals, k):
     assert got == want
 
 
+def test_ntile_governed_regimes_identical(spark):
+    """ntile_governed's two regimes (single-partition window under
+    NTILE_WINDOW_BOUND, exact_ntile beyond) must be bit-identical —
+    the r13 governor switch may never change an output."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_spark.operators.analytics import (
+        NTILE_WINDOW_BOUND,
+        ntile_governed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(200)], ["id", "v"]
+    )
+    cols = [F.col("v").asc(), F.col("id").asc()]
+    low = {
+        (r.id, r.b) for r in ntile_governed(df, 7, cols, "b", 200).collect()
+    }
+    high = {
+        (r.id, r.b)
+        for r in ntile_governed(
+            df, 7, cols, "b", NTILE_WINDOW_BOUND + 1
+        ).collect()
+    }
+    assert low == high
+
+
 def test_heavy_hitters_exact_on_skewed_multipartition_corpus(spark):
     """A heavy user spread thinly across many partitions must still
     surface (MG candidate recall), and near-threshold users must be
