@@ -792,12 +792,27 @@ PHASH_COS = [
 PHASH_MAX_HAMMING = 10
 
 
-def _phash_media_and_bits(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared pHash front half: (media frame, persisted per-bit frame
-    ``(media_id, b, bit)``). Split out so ``media_phash_sigs`` (the
-    canonical 64-bit signature view used by tools/phash_recall.py's
-    ground-truth measurement, VERDICT r11 #1) and the banded near-dup
-    operator compute the identical bits."""
+def _phash_sigs(docs: DataFrame) -> DataFrame:
+    """Shared pHash front half: the persisted packed-signature frame
+    ``(media_id, lo, hi)`` both ``media_phash_sigs`` (the canonical
+    view tools/phash_recall.py measures, VERDICT r11 #1) and the banded
+    near-dup operator consume.
+
+    OPTIMIZATION r13 (guide §4.2, the intrinsic_dim recipe): the DCT
+    ran declaratively as an 8× explode per pixel through TWO shuffled
+    per-media aggregations (2048 + 512 rows per media — the "per-media
+    decode+DCT" cost VERDICT r12 attributed this key's time to). It is
+    now two 16×8 int64 matmuls per media inside one mapInArrow pass —
+    NO shuffle, no exploded rows, and BIT-IDENTICAL by construction,
+    not merely empirically: every step (pixel bytes × the same
+    PHASH_COS fixed-point table, the AC-mean cross-multiply, the bit
+    packing) is exact integer arithmetic with the documented < 2⁶³
+    bound, so there is no float summation order to differ. Only the
+    256 payload bytes cross the Python boundary (JVM-side binary
+    substring)."""
+    import numpy as np
+    import pyarrow as pa
+
     from ..session import track_persist
 
     need = PHASH_N * PHASH_N
@@ -805,80 +820,56 @@ def _phash_media_and_bits(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         docs_as_media(docs)
         .select(
             "media_id",
-            F.substring(F.hex(F.col("content")), 1, 2 * need).alias("hx"),
+            F.expr(f"substring(content, 1, {need})").alias("px"),
             F.length("content").alias("n_bytes"),
         )
         .filter(F.col("n_bytes") >= need)
         .repartition(shuffle_parts(docs), "media_id")
+        .select("media_id", "px")
     )
-    cos_arr = F.array(*[F.lit(c).cast("long") for c in PHASH_COS])
-    px = media.select(
-        "media_id",
-        "hx",
-        F.explode(F.sequence(F.lit(0), F.lit(need - 1))).alias("i"),
-    ).select(
-        "media_id",
-        (F.col("i") % PHASH_N).alias("x"),
-        (F.col("i") / PHASH_N).cast("int").alias("y"),
-        F.conv(F.col("hx").substr(F.col("i") * 2 + 1, F.lit(2)), 16, 10)
-        .cast("long")
-        .alias("p"),
-    )
-    t1 = (
-        px.select(
-            "media_id",
-            "y",
-            F.explode(F.sequence(F.lit(0), F.lit(PHASH_K - 1))).alias("u"),
-            "x",
-            "p",
-        )
-        .select(
-            "media_id",
-            "y",
-            "u",
-            (
-                F.col("p")
-                * F.element_at(cos_arr, F.col("x") * PHASH_K + F.col("u") + 1)
-            ).alias("term"),
-        )
-        .groupBy("media_id", "u", "y")
-        .agg(F.sum("term").alias("t"))
-    )
-    coeffs = track_persist(
-        t1.select(
-            "media_id",
-            "u",
-            F.explode(F.sequence(F.lit(0), F.lit(PHASH_K - 1))).alias("v"),
-            "y",
-            "t",
-        )
-        .select(
-            "media_id",
-            "u",
-            "v",
-            (
-                F.col("t")
-                * F.element_at(cos_arr, F.col("y") * PHASH_K + F.col("v") + 1)
-            ).alias("term"),
-        )
-        .groupBy("media_id", "u", "v")
-        .agg(F.sum("term").alias("c"))
-    )
+    cos_mat = np.array(PHASH_COS, dtype=np.int64).reshape(PHASH_N, PHASH_K)
     n_ac = PHASH_K * PHASH_K - 1  # 63 AC coefficients
-    s_ac = coeffs.filter(~((F.col("u") == 0) & (F.col("v") == 0))).groupBy(
-        "media_id"
-    ).agg(F.sum("c").alias("s"))
-    bits = track_persist(
-        coeffs.join(s_ac, "media_id").select(
-            "media_id",
-            (F.col("u") * PHASH_K + F.col("v")).alias("b"),
-            F.when((F.col("u") == 0) & (F.col("v") == 0), F.lit(0))
-            .otherwise((F.col("c") * n_ac > F.col("s")).cast("int"))
-            .cast("long")
-            .alias("bit"),
-        )
+
+    def _dct(batches):
+        w32 = 1 << np.arange(32, dtype=np.int64)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(1)
+            # BinaryArray has no .offsets accessor; read the offsets
+            # buffer directly, honouring a possible array slice offset
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + n + 1
+            ]
+            if not np.all(np.diff(off) == need):
+                raise ValueError("pHash payload not fixed-width")
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            grid = (
+                data[off[0] : off[0] + n * need]
+                .reshape(n, PHASH_N, PHASH_N)  # [media, y, x] (row-major)
+                .astype(np.int64)
+            )
+            t1 = grid @ cos_mat  # t1[y, u] = Σ_x p(x, y)·cos[x·K+u]
+            # coeffs[u, v] = Σ_y t1[y, u]·cos[y·K+v]
+            k = np.matmul(t1.transpose(0, 2, 1), cos_mat).reshape(n, 64)
+            s_ac = k.sum(axis=1) - k[:, 0]
+            bits = k * n_ac > s_ac[:, None]
+            bits[:, 0] = False  # DC bit excluded by definition
+            lo = (bits[:, :32] * w32).sum(axis=1)
+            hi = (bits[:, 32:] * w32).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(lo, type=pa.int64()),
+                    pa.array(hi, type=pa.int64()),
+                ],
+                names=["media_id", "lo", "hi"],
+            )
+
+    return track_persist(
+        media.mapInArrow(_dct, schema="media_id long, lo long, hi long")
     )
-    return media, bits
 
 
 def media_phash_sigs(docs: DataFrame) -> DataFrame:
@@ -888,21 +879,7 @@ def media_phash_sigs(docs: DataFrame) -> DataFrame:
     within their half, so 8/16/32-bit bands all fold to this layout).
     Used by tools/phash_recall.py for the exact all-pairs ground-truth
     measurement (VERDICT r11 #1)."""
-    _, bits = _phash_media_and_bits(docs)
-    return bits.groupBy("media_id").agg(
-        F.sum(
-            F.when(
-                F.col("b") < 32,
-                F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("lo"),
-        F.sum(
-            F.when(
-                F.col("b") >= 32,
-                F.col("bit") * F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("hi"),
-    )
+    return _phash_sigs(docs).select("media_id", "lo", "hi")
 
 
 # Per-band-width probe radius making the pigeonhole COMPLETE for
@@ -960,7 +937,6 @@ def media_phash_neardup(
     path is a wider signature (128-bit pHash), not more probes."""
     from ..session import track_persist
 
-    _, bits = _phash_media_and_bits(docs)
     if band_bits is None:
         band_bits = 16
     radius = PHASH_PROBE_RADIUS[band_bits]
@@ -970,23 +946,8 @@ def media_phash_neardup(
         f"{n_bands} bands at radius {radius} guarantee only "
         f"{n_bands * (radius + 1) - 1}"
     )
-    sigs = track_persist(
-        bits.groupBy("media_id").agg(
-            F.sum(
-                F.when(
-                    F.col("b") < 32,
-                    F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("long"),
-                ).otherwise(F.lit(0))
-            ).alias("lo"),
-            F.sum(
-                F.when(
-                    F.col("b") >= 32,
-                    F.col("bit")
-                    * F.pow(F.lit(2.0), F.col("b") - 32).cast("long"),
-                ).otherwise(F.lit(0))
-            ).alias("hi"),
-        )
-    )
+    # the Arrow DCT already emits packed (media_id, lo, hi), persisted
+    sigs = _phash_sigs(docs)
     usig = track_persist(
         sigs.groupBy("lo", "hi").agg(F.min("media_id").alias("sig_id"))
     )
