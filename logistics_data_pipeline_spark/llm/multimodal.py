@@ -515,28 +515,71 @@ def media_ahash_neardup(
     (sf0.1 has 5000 docs) where behavior — and the hardcoded 8-bit
     oracle twin — is unchanged."""
     need = AHASH_BLOCKS * AHASH_BYTES_PER_BLOCK
-    # truncate the hex projection to the 2·need chars the block reads
-    # ever touch BEFORE the 64-way explode: carrying the full payload
-    # hex through the explode multiplied corpus bytes ×64 (measured
-    # 12.9 s -> the fix's job is to make the exploded row width O(1))
-    # repartition("media_id"): the corpus arrives as one parquet file,
-    # so without a shuffle the 64-way explode + 256 hex-byte parses run
-    # in a SINGLE task (measured: the whole 12.9 s was one core); the
-    # shuffle moves only (media_id, 512-char hx) rows
-    # explicit partition count: keyless AQE coalescing folds a plain
-    # repartition("media_id") back into ONE task on this corpus size
+    # OPTIMIZATION r13 (guide §4.2, the pHash recipe): the signature
+    # build ran as a 64-way explode + 256 hex substr/conv parses per
+    # media through two shuffled per-media aggregations. It is now one
+    # vectorized int64 pass per Arrow batch (reshape + block sums +
+    # the EXACT integer form of the mean compare: v > Σv/64.0 ⟺
+    # 64·v > Σv, since /64 is a power-of-two float division and every
+    # quantity is an exact integer ≤ 65280 — bit-identical by
+    # construction). Only the 256 payload bytes cross the boundary
+    # (JVM-side binary substring); the repartition still spreads the
+    # single-file corpus across tasks.
     media = (
         docs_as_media(docs)
         .select(
             "media_id",
-            F.substring(F.hex(F.col("content")), 1, 2 * need).alias("hx"),
+            F.expr(f"substring(content, 1, {need})").alias("px"),
             F.length("content").alias("n_bytes"),
         )
         .filter(F.col("n_bytes") >= need)
         .repartition(shuffle_parts(docs), "media_id")
+        .select("media_id", "px")
+    )
+    import numpy as np
+    import pyarrow as pa
+
+    from ..session import track_persist
+
+    def _ahash(batches):
+        w32 = 1 << np.arange(32, dtype=np.int64)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(1)
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + n + 1
+            ]
+            if not np.all(np.diff(off) == need):
+                raise ValueError("aHash payload not fixed-width")
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            blocks = (
+                data[off[0] : off[0] + n * need]
+                .reshape(n, AHASH_BLOCKS, AHASH_BYTES_PER_BLOCK)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            total = blocks.sum(axis=1)
+            bits = blocks * AHASH_BLOCKS > total[:, None]
+            lo = (bits[:, :32] * w32).sum(axis=1)
+            hi = (bits[:, 32:] * w32).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(lo, type=pa.int64()),
+                    pa.array(hi, type=pa.int64()),
+                ],
+                names=["media_id", "lo", "hi"],
+            )
+
+    # persist: the packed signatures feed the governor count, the band
+    # derivation (both join sides) and the Hamming verify
+    sigs = track_persist(
+        media.mapInArrow(_ahash, schema="media_id long, lo long, hi long")
     )
     if band_bits is None:
-        n_media = media.count()  # one sizing action, the SRP precedent
+        n_media = sigs.count()  # one sizing action, the SRP precedent
         # SCALING_r10: the 16-bit tier measured 76.6×/decade at sf10
         # (500k docs, 544 s) — block-sum bits CONCENTRATE (text-derived
         # payloads share length/byte statistics), so real bucket
@@ -561,39 +604,21 @@ def media_ahash_neardup(
     if multiprobe is None:
         multiprobe = band_bits >= 32
     half = 32 // band_bits  # bands per packed 32-bit signature half
-    rows = media.select(
-        "media_id",
-        "hx",
-        F.explode(F.sequence(F.lit(0), F.lit(AHASH_BLOCKS - 1))).alias("b"),
-    )
-    block_sum = None
-    for j in range(AHASH_BYTES_PER_BLOCK):
-        start = (F.col("b") * AHASH_BYTES_PER_BLOCK + j) * 2 + 1
-        byte_v = F.conv(F.col("hx").substr(start, F.lit(2)), 16, 10).cast("long")
-        block_sum = byte_v if block_sum is None else block_sum + byte_v
-    blocks = rows.select("media_id", "b", block_sum.alias("v"))
-    means = blocks.groupBy("media_id").agg(
-        (F.sum("v") / F.lit(float(AHASH_BLOCKS))).alias("mean")
-    )
-    # persist: bits feeds the band build AND both sides of the Hamming
-    # verify — without it the scan+explode+256-hex-parse chain
-    # recomputes per consumer (measured: the key's entire 12.9 s)
-    from ..session import track_persist
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
 
-    bits = track_persist(
-        blocks.join(means, "media_id").select(
-            "media_id", "b", (F.col("v") > F.col("mean")).cast("long").alias("bit")
-        )
-    )
-    bands = track_persist(
-        bits.groupBy(
-            "media_id", F.floor(F.col("b") / band_bits).cast("int").alias("band")
-        ).agg(
-            F.sum(
-                F.col("bit")
-                * F.pow(F.lit(2.0), (F.col("b") % band_bits)).cast("long")
-            ).alias("bv")
-        )
+    def _band_val(k: int):
+        src = F.col("lo") if k < half else F.col("hi")
+        return F.shiftright(src, (k % half) * band_bits).bitwiseAND(F.lit(mask))
+
+    # band values unpack from the persisted packed halves (the same
+    # positional layout the old per-bit groupBy produced) — a cheap
+    # projection, so the band frame itself no longer needs a persist
+    bands = sigs.select(
+        "media_id",
+        F.posexplode(F.array(*[_band_val(k) for k in range(n_bands)])).alias(
+            "band", "bv"
+        ),
     )
     if multiprobe:
         # Probe side fans out to the exact band value plus every
@@ -625,33 +650,10 @@ def media_ahash_neardup(
         .select("a_id", "b_id")
         .distinct()
     )
-    # Hamming verify on PACKED signatures: the 8 band bytes folded into
-    # two 32-bit halves (top-bit-safe in signed BIGINT on both engines),
-    # hamming = popcount(xor(lo)) + popcount(xor(hi)). One row per
-    # candidate pair — the bit-level formulation this replaces joined a
-    # 64-row frame per side (candidates × 64 verify rows; with 8-bit
-    # bands the candidate set is O(corpus²/256·bands), measured 45M
-    # rows and the key's whole 12.9 s at sf0.1).
-    sigs = bands.groupBy("media_id").agg(
-        F.sum(
-            F.when(
-                F.col("band") < half,
-                F.col("bv")
-                * F.pow(
-                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("lo"),
-        F.sum(
-            F.when(
-                F.col("band") >= half,
-                F.col("bv")
-                * F.pow(
-                    F.lit(2.0), (F.col("band") % half).cast("double") * band_bits
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("hi"),
-    )
+    # Hamming verify on PACKED signatures: the Arrow build already
+    # emits the two 32-bit halves (top-bit-safe in signed BIGINT on
+    # both engines), hamming = popcount(xor(lo)) + popcount(xor(hi)).
+    # One row per candidate pair.
     ham = (
         cand.join(
             sigs.select(
